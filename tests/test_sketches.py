@@ -1,0 +1,106 @@
+"""Sketch unit tests: accuracy bounds, merge laws, serialization round-trip."""
+
+import numpy as np
+import pytest
+
+from xpshacl_ray.functions.sketches import (
+    CategoricalHistogram,
+    HyperLogLog,
+    TDigest,
+    hash64,
+    ks_statistic,
+    psi,
+)
+
+
+def test_hash64_deterministic():
+    a = hash64(["a", "b", "a"])
+    assert a[0] == a[2] and a[0] != a[1]
+    assert hash64(["a"])[0] == a[0]  # stable across calls
+
+
+class TestHLL:
+    def test_estimate_accuracy(self):
+        h = HyperLogLog()
+        h.add([f"v{i}" for i in range(50000)])
+        assert abs(h.estimate() - 50000) / 50000 < 0.05
+
+    def test_small_range_linear_counting(self):
+        h = HyperLogLog()
+        h.add([f"v{i}" for i in range(100)])
+        assert abs(h.estimate() - 100) < 5
+
+    def test_merge_equals_union(self):
+        vals = [f"v{i}" for i in range(20000)]
+        h1 = HyperLogLog().add(vals[:12000])
+        h2 = HyperLogLog().add(vals[8000:])
+        merged = HyperLogLog.merge_many([h1.to_bytes(), h2.to_bytes()])
+        whole = HyperLogLog().add(vals)
+        assert merged.estimate() == whole.estimate()  # register-exact
+
+    def test_roundtrip(self):
+        h = HyperLogLog().add(["x", "y"])
+        assert np.array_equal(HyperLogLog.from_bytes(h.to_bytes()).registers,
+                              h.registers)
+
+
+class TestTDigest:
+    def test_quantile_accuracy(self):
+        rng = np.random.default_rng(7)
+        data = rng.exponential(10, 100000)
+        td = TDigest()
+        for i in range(0, len(data), 8192):
+            td.add(data[i : i + 8192])
+        for q in (0.1, 0.5, 0.9, 0.99):
+            est = float(td.quantile(q)[0])
+            true = float(np.quantile(data, q))
+            assert abs(est - true) / max(true, 1e-9) < 0.03
+        assert float(td.quantile(0.0)[0]) == data.min()
+        assert float(td.quantile(1.0)[0]) == data.max()
+
+    def test_bounded_size(self):
+        td = TDigest(delta=100)
+        td.add(np.arange(1_000_00, dtype=float))
+        assert len(td.means) < 400
+
+    def test_merge(self):
+        rng = np.random.default_rng(3)
+        data = rng.normal(0, 1, 50000)
+        t1 = TDigest().add(data[:25000])
+        t2 = TDigest().add(data[25000:])
+        tm = TDigest.merge_many([t1.to_bytes(), t2.to_bytes()])
+        assert tm.count == 50000
+        assert abs(float(tm.quantile(0.5)[0]) - float(np.median(data))) < 0.02
+
+    def test_nan_ignored(self):
+        td = TDigest().add(np.array([1.0, np.nan, 3.0]))
+        assert td.count == 2
+
+
+class TestHistogram:
+    def test_counts_and_merge(self):
+        c1 = CategoricalHistogram().add(["a", "a", "b", None])
+        c2 = CategoricalHistogram().add(["b", "c"])
+        m = CategoricalHistogram.merge_many([c1.to_bytes(), c2.to_bytes()])
+        assert m.counts == {"a": 2, "b": 2, "c": 1}
+        assert m.total == 5
+
+    def test_cap_overflow(self):
+        h = CategoricalHistogram(max_categories=3)
+        h.add([f"k{i}" for i in range(10)] + ["k0"] * 5)
+        assert len(h.counts) == 3
+        assert "__other__" in h.counts
+        assert h.total == 15
+
+
+def test_drift_measures():
+    rng = np.random.default_rng(11)
+    a = TDigest().add(rng.normal(0, 1, 20000))
+    b = TDigest().add(rng.normal(0, 1, 20000))
+    c = TDigest().add(rng.normal(2, 1, 20000))
+    assert ks_statistic(a, b) < 0.05
+    assert ks_statistic(a, c) > 0.5
+    h1 = CategoricalHistogram().add(["x"] * 90 + ["y"] * 10)
+    h2 = CategoricalHistogram().add(["x"] * 10 + ["y"] * 90)
+    assert psi(h1, h1) == 0.0
+    assert psi(h1, h2) > 1.0

@@ -1,0 +1,331 @@
+"""Mergeable sketches for the single-pass stats layer (SURVEY.md ST5).
+
+The north star mandates per-partition column statistics — count / null-rate /
+distinct (HyperLogLog) / numeric quantiles (t-digest) / categorical
+histograms — computed in one streaming pass and merged through a
+groupby-aggregate shuffle.  Everything here is:
+
+- **pure numpy** (vectorized add paths — no Python loop over rows),
+- **mergeable** (the merge of two sketches equals the sketch of the union,
+  up to the sketch's error bound — this is what makes salted two-level
+  groupby merges exact-enough by design, SURVEY.md §4),
+- **serializable to bytes** so a sketch is one Arrow ``binary`` cell.
+
+Public algorithms: HyperLogLog (Flajolet et al., 2007) and the t-digest
+(Dunning & Ertl, "Computing Extremely Accurate Quantiles Using t-Digests").
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+_HASH_KEY = "0123456789123456"  # pandas default; fixed for determinism
+
+
+def hash64(values) -> np.ndarray:
+    """Deterministic uint64 hashes of a value array (C-backed, vectorized)."""
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+class HyperLogLog:
+    """Dense HLL distinct-count sketch. ~0.8% error at p=14; default p=12."""
+
+    __slots__ = ("p", "m", "registers")
+
+    def __init__(self, p: int = 12, registers: Optional[np.ndarray] = None):
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        if len(h) == 0:
+            return self
+        h = h.astype(np.uint64, copy=False)
+        q = 64 - self.p
+        idx = (h >> np.uint64(q)).astype(np.int64)
+        w = h & np.uint64((1 << q) - 1)
+        # rho = leading zeros in the q-bit window + 1 = q - bit_length(w) + 1
+        bl = np.zeros(len(w), dtype=np.int64)
+        nz = w != 0
+        # values < 2^52 are exactly representable in float64 for p >= 12
+        bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+        rho = (q - bl + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rho)
+        return self
+
+    def add(self, values) -> "HyperLogLog":
+        return self.add_hashes(hash64(values))
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        self.registers = np.maximum(self.registers, other.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        inv = np.exp2(-self.registers.astype(np.float64))
+        raw = alpha * m * m / inv.sum()
+        zeros = int((self.registers == 0).sum())
+        if raw <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting
+        return raw
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<B", self.p) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "HyperLogLog":
+        p = struct.unpack("<B", b[:1])[0]
+        return cls(p=p, registers=np.frombuffer(b[1:], dtype=np.uint8).copy())
+
+    @classmethod
+    def merge_many(cls, blobs: Iterable[bytes]) -> "HyperLogLog":
+        out = None
+        for b in blobs:
+            s = cls.from_bytes(b)
+            out = s if out is None else out.merge(s)
+        return out if out is not None else cls()
+
+
+# ---------------------------------------------------------------------------
+# t-digest (merging variant, fully vectorized compression)
+# ---------------------------------------------------------------------------
+
+
+def _k_scale(q: np.ndarray, delta: float) -> np.ndarray:
+    q = np.clip(q, 0.0, 1.0)
+    return delta * (np.arcsin(2.0 * q - 1.0) / np.pi + 0.5)
+
+
+class TDigest:
+    """Mergeable quantile sketch with vectorized batched compression.
+
+    Deviates from strict one-at-a-time Dunning merging only in that incoming
+    batches are pre-clustered on a k-scale grid (vectorized ``reduceat``),
+    which preserves mergeability and the ~O(1/δ) tail accuracy.
+    """
+
+    __slots__ = ("delta", "means", "weights", "_min", "_max")
+
+    def __init__(
+        self,
+        delta: float = 200.0,
+        means: Optional[np.ndarray] = None,
+        weights: Optional[np.ndarray] = None,
+        vmin: float = np.inf,
+        vmax: float = -np.inf,
+    ):
+        self.delta = delta
+        self.means = means if means is not None else np.empty(0)
+        self.weights = weights if weights is not None else np.empty(0)
+        self._min = vmin
+        self._max = vmax
+
+    # -- core -----------------------------------------------------------
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        order = np.argsort(means, kind="mergesort")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        if total <= 0 or len(means) == 0:
+            self.means, self.weights = means, weights
+            return
+        cum = np.cumsum(weights)
+        q = (cum - weights * 0.5) / total
+        k = _k_scale(q, self.delta)
+        # new cluster whenever the k-value crosses an integer boundary
+        cluster = np.floor(k).astype(np.int64)
+        # force strictly increasing boundaries for reduceat
+        change = np.empty(len(cluster), dtype=bool)
+        change[0] = True
+        change[1:] = cluster[1:] != cluster[:-1]
+        starts = np.flatnonzero(change)
+        w_sum = np.add.reduceat(weights, starts)
+        mw_sum = np.add.reduceat(means * weights, starts)
+        self.means = mw_sum / w_sum
+        self.weights = w_sum
+
+    def add(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return self
+        self._min = min(self._min, float(v.min()))
+        self._max = max(self._max, float(v.max()))
+        v.sort(kind="mergesort")
+        all_means = np.concatenate([self.means, v])
+        all_weights = np.concatenate([self.weights, np.ones(len(v))])
+        self._compress(all_means, all_weights)
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self._min = min(self._min, other._min)
+        self._max = max(self._max, other._max)
+        if len(other.means) == 0:
+            return self
+        self._compress(
+            np.concatenate([self.means, other.means]),
+            np.concatenate([self.weights, other.weights]),
+        )
+        return self
+
+    @property
+    def count(self) -> float:
+        return float(self.weights.sum())
+
+    def quantile(self, q) -> np.ndarray:
+        """Interpolated quantile(s); vectorized over q."""
+        qs = np.atleast_1d(np.asarray(q, dtype=np.float64))
+        if len(self.means) == 0:
+            return np.full(len(qs), np.nan)
+        if len(self.means) == 1:
+            return np.full(len(qs), self.means[0])
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights * 0.5
+        grid = cum / total
+        out = np.interp(qs, grid, self.means)
+        out = np.clip(out, self._min, self._max)
+        out[qs <= 0] = self._min
+        out[qs >= 1] = self._max
+        return out
+
+    def cdf(self, x) -> np.ndarray:
+        xs = np.atleast_1d(np.asarray(x, dtype=np.float64))
+        if len(self.means) == 0:
+            return np.full(len(xs), np.nan)
+        total = self.weights.sum()
+        cum = np.cumsum(self.weights) - self.weights * 0.5
+        grid = cum / total
+        out = np.interp(xs, self.means, grid)
+        out[xs < self._min] = 0.0
+        out[xs > self._max] = 1.0
+        return out
+
+    # -- serialization ---------------------------------------------------
+
+    def to_bytes(self) -> bytes:
+        header = struct.pack("<dddq", self.delta, self._min, self._max,
+                             len(self.means))
+        return header + self.means.tobytes() + self.weights.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "TDigest":
+        delta, vmin, vmax, n = struct.unpack("<dddq", b[:32])
+        off = 32
+        means = np.frombuffer(b[off : off + 8 * n], dtype=np.float64).copy()
+        off += 8 * n
+        weights = np.frombuffer(b[off : off + 8 * n], dtype=np.float64).copy()
+        return cls(delta=delta, means=means, weights=weights, vmin=vmin, vmax=vmax)
+
+    @classmethod
+    def merge_many(cls, blobs: Iterable[bytes]) -> "TDigest":
+        out = None
+        for b in blobs:
+            s = cls.from_bytes(b)
+            out = s if out is None else out.merge(s)
+        return out if out is not None else cls()
+
+
+# ---------------------------------------------------------------------------
+# Bounded categorical histogram
+# ---------------------------------------------------------------------------
+
+OTHER_BUCKET = "__other__"
+
+
+class CategoricalHistogram:
+    """Exact value→count map capped at ``max_categories`` (overflow bucket).
+
+    Merge is exact while both sides stay under the cap — sized for
+    low-cardinality columns (lang, severity, event_type...).
+    """
+
+    __slots__ = ("max_categories", "counts")
+
+    def __init__(self, max_categories: int = 256,
+                 counts: Optional[Dict[str, int]] = None):
+        self.max_categories = max_categories
+        self.counts = counts or {}
+
+    def add(self, values: Sequence) -> "CategoricalHistogram":
+        arr = np.asarray([v for v in values if v is not None], dtype=object)
+        if len(arr) == 0:
+            return self
+        uniq, cnt = np.unique(arr.astype("U"), return_counts=True)
+        for u, c in zip(uniq.tolist(), cnt.tolist()):
+            self.counts[u] = self.counts.get(u, 0) + int(c)
+        self._cap()
+        return self
+
+    def _cap(self) -> None:
+        if len(self.counts) <= self.max_categories:
+            return
+        items = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        keep = items[: self.max_categories - 1]
+        spill = sum(c for _, c in items[self.max_categories - 1 :])
+        self.counts = dict(keep)
+        self.counts[OTHER_BUCKET] = self.counts.get(OTHER_BUCKET, 0) + spill
+
+    def merge(self, other: "CategoricalHistogram") -> "CategoricalHistogram":
+        for k, v in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+        self._cap()
+        return self
+
+    @property
+    def total(self) -> int:
+        return sum(self.counts.values())
+
+    def to_bytes(self) -> bytes:
+        import json
+
+        return json.dumps(self.counts, sort_keys=True).encode("utf-8")
+
+    @classmethod
+    def from_bytes(cls, b: bytes, max_categories: int = 256) -> "CategoricalHistogram":
+        import json
+
+        return cls(max_categories=max_categories, counts=json.loads(b.decode("utf-8")))
+
+    @classmethod
+    def merge_many(cls, blobs: Iterable[bytes]) -> "CategoricalHistogram":
+        out = cls()
+        for b in blobs:
+            out.merge(cls.from_bytes(b))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Drift measures (KS over t-digests, PSI over histograms)
+# ---------------------------------------------------------------------------
+
+
+def ks_statistic(a: TDigest, b: TDigest) -> float:
+    """Two-sample KS statistic approximated from two t-digests."""
+    xs = np.unique(np.concatenate([a.means, b.means]))
+    if len(xs) == 0:
+        return 0.0
+    return float(np.abs(a.cdf(xs) - b.cdf(xs)).max())
+
+
+def psi(expected: CategoricalHistogram, actual: CategoricalHistogram,
+        eps: float = 1e-6) -> float:
+    """Population Stability Index between two categorical histograms."""
+    cats = sorted(set(expected.counts) | set(actual.counts))
+    te, ta = max(expected.total, 1), max(actual.total, 1)
+    p = np.array([expected.counts.get(c, 0) / te for c in cats]) + eps
+    q = np.array([actual.counts.get(c, 0) / ta for c in cats]) + eps
+    return float(np.sum((q - p) * np.log(q / p)))

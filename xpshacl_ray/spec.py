@@ -1,0 +1,688 @@
+"""Declarative constraint spec + compiler → vectorized Arrow predicates.
+
+The reference's shapes graph (SHACL NodeShape/PropertyShape declarations,
+cached once in ``src/extended_shacl_validator.py:44-120``) becomes a
+*compiled constraint spec*: a list of constraint dataclasses compiled once on
+the driver into vectorized ``pyarrow.compute`` predicates, then shipped
+(small, picklable) into ``map_batches`` tasks.
+
+Constraint inventory mirrors SURVEY.md §2.2 (C1–C20):
+
+=====================  ==========================================
+row-local (stateless)  Datatype (C3), NodeKind/Pattern (C5/C8),
+                       Min/MaxInclusive/Exclusive (C6/C7),
+                       Min/MaxLength (C9), In (C10),
+                       Equals/Disjoint/LessThan[OrEquals] (C12–C14),
+                       Not/And/Or/Xone (C15–C18), Custom (C19),
+                       required (row-form MinCount, C1)
+grouped (shuffle)      MinCount/MaxCount over group keys (C1/C2),
+                       UniqueLang ≡ MaxCount(1) on keys+[lang] (C11)
+referential (b-cast)   Class/FK existence (C4)
+=====================  ==========================================
+
+Violation masks are ``True == violating``.  Null handling follows SHACL
+value-node semantics: a NULL value never violates a *value* constraint (it
+has no value nodes); absence is the business of ``Required``/``MinCount``.
+
+Severity propagation (C20): every constraint carries
+``severity ∈ {Violation, Warning, Info}`` copied onto violation rows
+(reference: extended_shacl_validator.py:306-309).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .model import (
+    SEVERITY_VIOLATION,
+    SH,
+    ViolationType,
+    classify_violation_type,
+    signature_key,
+    signature_string,
+)
+
+# ---------------------------------------------------------------------------
+# Constraint declarations
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Constraint:
+    """Base: one constraint over one column (or a column pair / group)."""
+
+    column: Optional[str] = None
+    shape_id: str = ""
+    severity: str = SEVERITY_VIOLATION
+    message: Optional[str] = None  # override the default template
+
+    component: str = ""  # SHACL constraint-component local name
+
+    @property
+    def constraint_id(self) -> str:
+        return f"{SH}{self.component}"
+
+    def params(self) -> Dict[str, Any]:
+        """Constraint parameters recorded in the violation ``context``."""
+        return {}
+
+    def default_message(self) -> str:
+        return f"Value violates {self.component}"
+
+    def resolved_shape_id(self) -> str:
+        return self.shape_id or f"{SH.replace('#', '/')}shape/{self.column}"
+
+
+# --- row-local value constraints -------------------------------------------
+
+
+@dataclass
+class Required(Constraint):
+    """Row-form sh:minCount 1: the column must be non-null / non-empty.
+
+    (C1 row form; grouped form is :class:`MinCount`.)
+    """
+
+    min_count: int = 1
+    treat_empty_string_as_null: bool = True
+    component: str = "MinCountConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"minCount": self.min_count}
+
+    def default_message(self) -> str:
+        return f"Less than {self.min_count} values on {self.column}"
+
+    def mask(self, batch: pa.Table) -> pa.ChunkedArray:
+        col = batch[self.column]
+        m = pc.is_null(col)
+        if self.treat_empty_string_as_null and pa.types.is_string(col.type):
+            m = pc.or_(m, pc.equal(pc.coalesce(col, ""), ""))
+        return pc.fill_null(m, True)
+
+
+@dataclass
+class Datatype(Constraint):
+    """sh:datatype (C3): the value parses as the declared Arrow type."""
+
+    datatype: str = "int64"  # any pa type name: int64, float64, date32, ...
+    component: str = "DatatypeConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"datatype": self.datatype}
+
+    def default_message(self) -> str:
+        return f"Value is not of datatype {self.datatype}"
+
+    def mask(self, batch: pa.Table) -> pa.Array:
+        col = batch[self.column]
+        target = pa.type_for_alias(self.datatype)
+        if col.type.equals(target):
+            return pa.array(np.zeros(len(batch), dtype=bool))
+        # safe-cast probe: a value that fails the cast violates the datatype
+        try:
+            pc.cast(col, target, safe=True)
+            return pa.array(np.zeros(len(batch), dtype=bool))
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            pass
+        # per-value probe, vectorised where possible
+        if pa.types.is_string(col.type) and pa.types.is_integer(target):
+            ok = pc.match_substring_regex(col, r"^[+-]?\d+$")
+            return pc.fill_null(pc.invert(ok), False)
+        if pa.types.is_string(col.type) and pa.types.is_floating(target):
+            ok = pc.match_substring_regex(
+                col, r"^[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?$"
+            )
+            return pc.fill_null(pc.invert(ok), False)
+        # fallback: chunk-level python probe (cold path, small chunks)
+        vals = col.to_pylist()
+        bad = np.zeros(len(vals), dtype=bool)
+        for i, v in enumerate(vals):
+            if v is None:
+                continue
+            try:
+                pa.array([v]).cast(target, safe=True)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError):
+                bad[i] = True
+        return pa.array(bad)
+
+
+@dataclass
+class Pattern(Constraint):
+    """sh:pattern (+sh:flags folded into the regex) (C5/C8)."""
+
+    pattern: str = ""
+    flags: Optional[str] = None
+    component: str = "PatternConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        p: Dict[str, Any] = {"pattern": self.pattern}
+        if self.flags:
+            p["flags"] = self.flags
+        return p
+
+    def default_message(self) -> str:
+        return f"Value does not match pattern '{self.pattern}'"
+
+    def _full_pattern(self) -> str:
+        if self.flags:
+            return f"(?{self.flags}){self.pattern}"
+        return self.pattern
+
+    def mask(self, batch: pa.Table) -> pa.ChunkedArray:
+        col = batch[self.column]
+        if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
+            col = pc.cast(col, pa.string())
+        ok = pc.match_substring_regex(col, self._full_pattern())
+        return pc.fill_null(pc.invert(ok), False)
+
+
+@dataclass
+class MinLength(Constraint):
+    """sh:minLength (C9)."""
+
+    min_length: int = 0
+    component: str = "MinLengthConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"minLength": self.min_length}
+
+    def default_message(self) -> str:
+        return f"String length is less than {self.min_length}"
+
+    def mask(self, batch: pa.Table) -> pa.ChunkedArray:
+        n = pc.utf8_length(batch[self.column])
+        return pc.fill_null(pc.less(n, self.min_length), False)
+
+
+@dataclass
+class MaxLength(Constraint):
+    """sh:maxLength (C9)."""
+
+    max_length: int = 2**31
+    component: str = "MaxLengthConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"maxLength": self.max_length}
+
+    def default_message(self) -> str:
+        return f"String length is greater than {self.max_length}"
+
+    def mask(self, batch: pa.Table) -> pa.ChunkedArray:
+        n = pc.utf8_length(batch[self.column])
+        return pc.fill_null(pc.greater(n, self.max_length), False)
+
+
+def _bound_mask(col, op, bound):
+    return pc.fill_null(pc.invert(op(col, bound)), False)
+
+
+@dataclass
+class MinInclusive(Constraint):
+    """sh:minInclusive (C6)."""
+
+    bound: Any = 0
+    component: str = "MinInclusiveConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"minInclusive": self.bound}
+
+    def default_message(self) -> str:
+        return f'Value is not >= Literal("{self.bound}")'
+
+    def mask(self, batch: pa.Table):
+        return _bound_mask(batch[self.column], pc.greater_equal, self.bound)
+
+
+@dataclass
+class MinExclusive(Constraint):
+    bound: Any = 0
+    component: str = "MinExclusiveConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"minExclusive": self.bound}
+
+    def default_message(self) -> str:
+        return f'Value is not > Literal("{self.bound}")'
+
+    def mask(self, batch: pa.Table):
+        return _bound_mask(batch[self.column], pc.greater, self.bound)
+
+
+@dataclass
+class MaxInclusive(Constraint):
+    bound: Any = 0
+    component: str = "MaxInclusiveConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"maxInclusive": self.bound}
+
+    def default_message(self) -> str:
+        return f'Value is not <= Literal("{self.bound}")'
+
+    def mask(self, batch: pa.Table):
+        return _bound_mask(batch[self.column], pc.less_equal, self.bound)
+
+
+@dataclass
+class MaxExclusive(Constraint):
+    bound: Any = 0
+    component: str = "MaxExclusiveConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"maxExclusive": self.bound}
+
+    def default_message(self) -> str:
+        return f'Value is not < Literal("{self.bound}")'
+
+    def mask(self, batch: pa.Table):
+        return _bound_mask(batch[self.column], pc.less, self.bound)
+
+
+@dataclass
+class InSet(Constraint):
+    """sh:in / sh:languageIn (C10): membership in an allowed value set."""
+
+    allowed: Sequence[Any] = field(default_factory=list)
+    component: str = "InConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"in": list(self.allowed)}
+
+    def default_message(self) -> str:
+        return f"Value is not in {sorted(map(str, self.allowed))}"
+
+    def mask(self, batch: pa.Table):
+        col = batch[self.column]
+        ok = pc.is_in(col, value_set=pa.array(list(self.allowed)))
+        # a NULL has no value node → never violates sh:in (Required covers it)
+        bad = pc.and_(pc.invert(ok), pc.is_valid(col))
+        return pc.fill_null(bad, False)
+
+
+# --- property-pair constraints (C12–C14) -----------------------------------
+
+
+@dataclass
+class _PairConstraint(Constraint):
+    other_column: str = ""
+
+    def params(self) -> Dict[str, Any]:
+        return {self._param_name: self.other_column}
+
+    def _cols(self, batch: pa.Table):
+        return batch[self.column], batch[self.other_column]
+
+
+@dataclass
+class Equals(_PairConstraint):
+    """sh:equals (C12)."""
+
+    component: str = "EqualsConstraintComponent"
+    _param_name = "equals"
+
+    def default_message(self) -> str:
+        return f"Value of {self.column} must equal value of {self.other_column}"
+
+    def mask(self, batch: pa.Table):
+        a, b = self._cols(batch)
+        return pc.fill_null(pc.invert(pc.equal(a, b)), False)
+
+
+@dataclass
+class Disjoint(_PairConstraint):
+    """sh:disjoint (C13): per-row, the two columns must differ."""
+
+    component: str = "DisjointConstraintComponent"
+    _param_name = "disjoint"
+
+    def default_message(self) -> str:
+        return f"Value of {self.column} must not equal value of {self.other_column}"
+
+    def mask(self, batch: pa.Table):
+        a, b = self._cols(batch)
+        return pc.fill_null(pc.equal(a, b), False)
+
+
+@dataclass
+class LessThan(_PairConstraint):
+    """sh:lessThan (C14)."""
+
+    component: str = "LessThanConstraintComponent"
+    _param_name = "lessThan"
+
+    def default_message(self) -> str:
+        return f"Value of {self.column} must be < value of {self.other_column}"
+
+    def mask(self, batch: pa.Table):
+        a, b = self._cols(batch)
+        return pc.fill_null(pc.invert(pc.less(a, b)), False)
+
+
+@dataclass
+class LessThanOrEquals(_PairConstraint):
+    """sh:lessThanOrEquals (C14)."""
+
+    component: str = "LessThanOrEqualsConstraintComponent"
+    _param_name = "lessThanOrEquals"
+
+    def default_message(self) -> str:
+        return f"Value of {self.column} must be <= value of {self.other_column}"
+
+    def mask(self, batch: pa.Table):
+        a, b = self._cols(batch)
+        return pc.fill_null(pc.invert(pc.less_equal(a, b)), False)
+
+
+# --- logical constraints (C15–C18) -----------------------------------------
+
+
+def _np_mask(m) -> np.ndarray:
+    if isinstance(m, (pa.Array, pa.ChunkedArray)):
+        return np.asarray(m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m)
+    return np.asarray(m, dtype=bool)
+
+
+@dataclass
+class Not(Constraint):
+    """sh:not (C15): violation when the inner constraint is *satisfied*."""
+
+    inner: Optional[Constraint] = None
+    component: str = "NotConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"not": self.inner.component if self.inner else None}
+
+    def default_message(self) -> str:
+        return f"Value conforms to negated shape ({self.inner.component})"
+
+    def mask(self, batch: pa.Table):
+        return pa.array(~_np_mask(self.inner.mask(batch)))
+
+
+@dataclass
+class _ListConstraint(Constraint):
+    shapes: List[Constraint] = field(default_factory=list)
+
+    def params(self) -> Dict[str, Any]:
+        return {self._param_name: [s.component for s in self.shapes]}
+
+    def _masks(self, batch: pa.Table) -> np.ndarray:
+        """Stacked violation masks, shape (n_shapes, n_rows)."""
+        return np.stack([_np_mask(s.mask(batch)) for s in self.shapes])
+
+
+@dataclass
+class And(_ListConstraint):
+    """sh:and (C16): all sub-shapes must conform."""
+
+    component: str = "AndConstraintComponent"
+    _param_name = "and"
+
+    def default_message(self) -> str:
+        return "Node does not conform to all shapes in sh:and list"
+
+    def mask(self, batch: pa.Table):
+        return pa.array(self._masks(batch).any(axis=0))
+
+
+@dataclass
+class Or(_ListConstraint):
+    """sh:or (C17): at least one sub-shape must conform."""
+
+    component: str = "OrConstraintComponent"
+    _param_name = "or"
+
+    def default_message(self) -> str:
+        return "Node does not conform to any shape in sh:or list"
+
+    def mask(self, batch: pa.Table):
+        return pa.array(self._masks(batch).all(axis=0))
+
+
+@dataclass
+class Xone(_ListConstraint):
+    """sh:xone (C18): exactly one sub-shape must conform."""
+
+    component: str = "XoneConstraintComponent"
+    _param_name = "xone"
+
+    def default_message(self) -> str:
+        return "Node does not conform to exactly one shape in sh:xone list"
+
+    def mask(self, batch: pa.Table):
+        conforming = (~self._masks(batch)).sum(axis=0)
+        return pa.array(conforming != 1)
+
+
+# --- user extension (C19) ---------------------------------------------------
+
+
+@dataclass
+class CustomConstraint(Constraint):
+    """SPARQL-constraint analog (C19): arbitrary user predicate.
+
+    ``fn(batch: pa.Table) -> bool mask (True == violating)``.  This is the
+    engine's user-extension surface (reference plugin point:
+    synthetic_data_generator.py:144-177, shark_shapes.ttl:48-149).
+    """
+
+    fn: Optional[Callable[[pa.Table], Any]] = None
+    name: str = "custom"
+    component: str = "SPARQLConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"name": self.name}
+
+    def default_message(self) -> str:
+        return f"Custom constraint '{self.name}' failed"
+
+    def mask(self, batch: pa.Table):
+        m = self.fn(batch)
+        if isinstance(m, np.ndarray):
+            return pa.array(m.astype(bool))
+        return pc.fill_null(m, False)
+
+
+# --- grouped / referential declarations (compiled elsewhere) ----------------
+
+
+@dataclass
+class MinCount(Constraint):
+    """sh:minCount over group keys (C1): each group must have >= k rows
+    with a non-null value in ``column`` (``column=None`` counts rows)."""
+
+    group_by: Sequence[str] = field(default_factory=list)
+    min_count: int = 1
+    component: str = "MinCountConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"minCount": self.min_count}
+
+    def default_message(self) -> str:
+        return f"Group has fewer than {self.min_count} values for {self.column}"
+
+
+@dataclass
+class MaxCount(Constraint):
+    """sh:maxCount over group keys (C2) — also the uniqueness check
+    (max_count=1 on a natural key ⇒ duplicate detection), and with
+    ``group_by=keys+[lang_col]`` the sh:uniqueLang analog (C11)."""
+
+    group_by: Sequence[str] = field(default_factory=list)
+    max_count: int = 1
+    component: str = "MaxCountConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"maxCount": self.max_count}
+
+    def default_message(self) -> str:
+        return f"Group has more than {self.max_count} values for {self.column}"
+
+
+@dataclass
+class Referential(Constraint):
+    """sh:class / FK existence (C4): every value of ``column`` must exist in
+    the referenced key set (broadcast small side; anti-join finds dangles)."""
+
+    ref_table: str = ""  # label only (for messages/params)
+    ref_column: str = ""
+    component: str = "ClassConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"class": f"{self.ref_table}.{self.ref_column}"}
+
+    def default_message(self) -> str:
+        return (
+            f"Value of {self.column} has no referent in "
+            f"{self.ref_table}.{self.ref_column}"
+        )
+
+
+ROW_LOCAL_TYPES = (
+    Required,
+    Datatype,
+    Pattern,
+    MinLength,
+    MaxLength,
+    MinInclusive,
+    MinExclusive,
+    MaxInclusive,
+    MaxExclusive,
+    InSet,
+    Equals,
+    Disjoint,
+    LessThan,
+    LessThanOrEquals,
+    Not,
+    And,
+    Or,
+    Xone,
+    CustomConstraint,
+)
+GROUPED_TYPES = (MinCount, MaxCount)
+
+
+# ---------------------------------------------------------------------------
+# Spec + compilation
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ValidationSpec:
+    """The engine's shapes graph: constraints + table wiring.
+
+    ``id_columns`` are passed through onto violation rows (lineage);
+    ``focus_template`` renders the focus node, e.g. ``"doc:{doc_id}"`` or
+    ``"file://{repo}/{path}@{commit}"``.
+    """
+
+    constraints: List[Constraint]
+    id_columns: Sequence[str] = ()
+    focus_template: str = "row:{__index__}"
+
+    def row_local(self) -> List[Constraint]:
+        return [c for c in self.constraints if isinstance(c, ROW_LOCAL_TYPES)]
+
+    def grouped(self) -> List[Constraint]:
+        return [c for c in self.constraints if isinstance(c, GROUPED_TYPES)]
+
+    def referential(self) -> List[Referential]:
+        return [c for c in self.constraints if isinstance(c, Referential)]
+
+
+@dataclass
+class CompiledConstraint:
+    """A constraint with its static violation-row fields precomputed."""
+
+    constraint: Constraint
+    constraint_id: str
+    shape_id: str
+    property_path: Optional[str]
+    violation_type: str
+    severity: str
+    message: str
+    context_json: str
+    signature: str
+    sig_key: str
+
+
+def _json_default(o):
+    return str(o)
+
+
+def compile_constraint(c: Constraint) -> CompiledConstraint:
+    cid = c.constraint_id
+    vtype = classify_violation_type(cid)
+    # Signature params are deliberately empty, mirroring the reference's
+    # signature factory (violation_signature_factory.py:9-10).
+    sig = signature_string(cid, c.column, vtype, {})
+    params = c.params()
+    return CompiledConstraint(
+        constraint=c,
+        constraint_id=cid,
+        shape_id=c.resolved_shape_id(),
+        property_path=c.column,
+        violation_type=vtype.value,
+        severity=c.severity,
+        message=c.message or c.default_message(),
+        context_json=json.dumps(params, sort_keys=True, default=_json_default),
+        signature=sig,
+        sig_key=signature_key(sig),
+    )
+
+
+def compile_spec(spec: ValidationSpec) -> "CompiledSpec":
+    return CompiledSpec(
+        row_local=[compile_constraint(c) for c in spec.row_local()],
+        grouped=[compile_constraint(c) for c in spec.grouped()],
+        referential=[compile_constraint(c) for c in spec.referential()],
+        id_columns=list(spec.id_columns),
+        focus_template=spec.focus_template,
+    )
+
+
+@dataclass
+class CompiledSpec:
+    row_local: List[CompiledConstraint]
+    grouped: List[CompiledConstraint]
+    referential: List[CompiledConstraint]
+    id_columns: List[str]
+    focus_template: str
+
+    def all_compiled(self) -> List[CompiledConstraint]:
+        return self.row_local + self.grouped + self.referential
+
+    def required_columns(self) -> List[str]:
+        """Columns the spec actually reads — for pruning at the read."""
+        cols: List[str] = list(self.id_columns)
+        cols += re.findall(r"{(\w+)}", self.focus_template)
+
+        def walk(c: Constraint):
+            if c.column:
+                cols.append(c.column)
+            if isinstance(c, _PairConstraint):
+                cols.append(c.other_column)
+            if isinstance(c, Not) and c.inner is not None:
+                walk(c.inner)
+            if isinstance(c, _ListConstraint):
+                for s in c.shapes:
+                    walk(s)
+            if isinstance(c, (MinCount, MaxCount)):
+                cols.extend(c.group_by)
+
+        for c in self.all_compiled():
+            walk(c.constraint)
+        seen, out = set(), []
+        for col in cols:
+            if col != "__index__" and col not in seen:
+                seen.add(col)
+                out.append(col)
+        return out

@@ -1,0 +1,120 @@
+"""Grouped cardinality / uniqueness checks (C1/C2/C11) — shuffle #1.
+
+Strategy (SURVEY.md §2.2, §4): never shuffle full rows.  Each grouped
+constraint projects to its key columns only, pre-aggregates counts
+*within each batch* via ``pyarrow.Table.group_by`` (the combiner), then runs a
+small ``groupby(keys).aggregate(Sum)`` over the per-batch partials.  The
+shuffle therefore moves one row per (key, batch) — bounded by distinct keys,
+not input rows.  At 100 TB the wide `content` column never enters the
+exchange.
+
+Violating groups are a tiny table; violation rows are built driver-side from
+it, with dynamic ``actualCount`` context exactly as the reference enriches
+cardinality context (extended_shacl_validator.py:292-318).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional
+
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..model import VIOLATION_FIELDS
+from ..spec import CompiledConstraint, CompiledSpec, MaxCount, MinCount
+from .evaluate import violations_schema
+
+
+def partial_group_counts(batch: pa.Table, keys: List[str],
+                         value_col: Optional[str]) -> pa.Table:
+    """Within-batch combiner: one row per key with a partial count."""
+    cols = list(keys) + ([value_col] if value_col and value_col not in keys else [])
+    t = batch.select(cols)
+    if value_col and value_col not in keys:
+        agg = t.group_by(keys).aggregate([(value_col, "count")])
+        n = agg.column(f"{value_col}_count")
+        agg = agg.drop_columns([f"{value_col}_count"]).append_column("partial_n", n)
+    else:
+        agg = t.group_by(keys).aggregate([([], "count_all")])
+        n = agg.column("count_all")
+        agg = agg.drop_columns(["count_all"]).append_column("partial_n", n)
+    return agg
+
+
+def group_counts(ds: "ray.data.Dataset", keys: List[str],
+                 value_col: Optional[str]) -> "ray.data.Dataset":
+    """count(value_col non-null) (or rows) per key group, pre-aggregated."""
+    partial = ds.map_batches(
+        lambda b: partial_group_counts(b, keys, value_col),
+        batch_format="pyarrow",
+    )
+    out = partial.groupby(keys).aggregate(Sum("partial_n", alias_name="actual_count"))
+    return out
+
+
+def _grouped_violation_rows(
+    groups: pa.Table,
+    cc: CompiledConstraint,
+    keys: List[str],
+    spec: CompiledSpec,
+    id_types: List[pa.DataType],
+) -> pa.Table:
+    """Build violation rows from the (small) violating-groups table."""
+    rows = groups.to_pylist()
+    params = json.loads(cc.context_json)
+    schema = violations_schema(spec.id_columns, id_types)
+    out = {name: [] for name in schema.names}
+    for r in rows:
+        focus = "group:" + "/".join(str(r[k]) for k in keys)
+        ctx = dict(params)
+        ctx["actualCount"] = int(r["actual_count"])
+        for c in spec.id_columns:
+            out[c].append(r[k] if (k := c) in r else None)
+        out["focus_node"].append(focus)
+        out["shape_id"].append(cc.shape_id)
+        out["constraint_id"].append(cc.constraint_id)
+        out["violation_type"].append(cc.violation_type)
+        out["property_path"].append(cc.property_path)
+        out["value"].append(str(int(r["actual_count"])))
+        out["message"].append(cc.message)
+        out["severity"].append(cc.severity)
+        out["context"].append(json.dumps(ctx, sort_keys=True))
+        out["signature"].append(cc.signature)
+        out["signature_key"].append(cc.sig_key)
+    return pa.table({n: pa.array(out[n], schema.field(n).type) for n in schema.names})
+
+
+def evaluate_grouped(
+    ds: "ray.data.Dataset",
+    spec: CompiledSpec,
+    id_types: Optional[List[pa.DataType]] = None,
+) -> List["ray.data.Dataset"]:
+    """Run every grouped constraint; returns one violations Dataset each.
+
+    Each constraint is an independent key-projected pre-aggregated groupby
+    (cheap); callers union the results with the row-local violations.
+    """
+    if id_types is None:
+        sch = ds.schema()
+        tmap = dict(zip(sch.names, sch.types))
+        id_types = [tmap[c] for c in spec.id_columns]
+    results = []
+    for cc in spec.grouped:
+        c = cc.constraint
+        keys = list(c.group_by)
+        counts = group_counts(ds, keys, c.column if c.column not in keys else None)
+        if isinstance(c, MaxCount):
+            bad = counts.filter(expr=f"actual_count > {int(c.max_count)}")
+        elif isinstance(c, MinCount):
+            bad = counts.filter(expr=f"actual_count < {int(c.min_count)}")
+        else:  # pragma: no cover
+            raise TypeError(f"not a grouped constraint: {c}")
+
+        def to_rows(batch: pa.Table, cc=cc, keys=keys) -> pa.Table:
+            return _grouped_violation_rows(batch, cc, keys, spec, id_types)
+
+        results.append(bad.map_batches(to_rows, batch_format="pyarrow"))
+    return results

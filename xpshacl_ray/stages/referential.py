@@ -1,0 +1,87 @@
+"""Referential / FK existence checks (C4) — broadcast anti-join.
+
+The reference's ``sh:class`` check ("the FK value's referent has the
+required type", SURVEY.md C4) becomes: broadcast the referenced key set once
+via ``ray.put`` (zero-copy Arrow in the object store), then a vectorized
+``pc.is_in`` anti-join inside ``map_batches``.  No shuffle: at 100 TB the
+fact table streams while the dimension-key set is read from shared memory by
+every task on a node.
+
+For dimension sides too big to broadcast, callers can pass a pre-bucketed
+key set per partition or fall back to a partitioned hash join (see
+``xpshacl_ray.functions.joins``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import List, Optional, Union
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..spec import CompiledConstraint, CompiledSpec, Referential
+from .evaluate import evaluate_row_local
+
+
+def distinct_keys(ref_ds: "ray.data.Dataset", column: str) -> pa.Array:
+    """Distinct key values of the referenced column (small-side only).
+
+    Pre-aggregates per batch before the distinct shuffle so only unique
+    values per block move.
+    """
+    uniq_per_batch = ref_ds.select_columns([column]).map_batches(
+        lambda b: b.group_by([column]).aggregate([]),
+        batch_format="pyarrow",
+    )
+    vals = uniq_per_batch.unique(column)
+    return pa.array(sorted(v for v in vals if v is not None))
+
+
+@dataclass
+class _RefMask:
+    """Row-local adapter: violation where column value ∉ broadcast key set."""
+
+    column: str
+    keys_ref: "ray.ObjectRef"
+
+    def mask(self, batch: pa.Table):
+        keys = ray.get(self.keys_ref)  # zero-copy from local object store
+        ok = pc.is_in(batch[self.column], value_set=keys)
+        return pc.fill_null(pc.invert(ok), True)  # null FK = dangling
+
+
+def evaluate_referential(
+    ds: "ray.data.Dataset",
+    spec: CompiledSpec,
+    ref_keys: dict,
+) -> List["ray.data.Dataset"]:
+    """Run every referential constraint as a broadcast anti-join stage.
+
+    ``ref_keys`` maps constraint ``column`` → pa.Array | ray.ObjectRef of
+    the allowed key set (call :func:`distinct_keys` to build one).
+    """
+    results = []
+    for cc in spec.referential:
+        c = cc.constraint
+        keys = ref_keys[c.column]
+        keys_ref = keys if isinstance(keys, ray.ObjectRef) else ray.put(keys)
+        adapter = _RefMask(column=c.column, keys_ref=keys_ref)
+        wrapped = replace(cc, constraint=adapter)  # reuse the fused emitter
+        sub = CompiledSpec(
+            row_local=[wrapped],
+            grouped=[],
+            referential=[],
+            id_columns=spec.id_columns,
+            focus_template=spec.focus_template,
+        )
+        results.append(
+            ds.map_batches(
+                lambda b, sub=sub: evaluate_row_local(b, sub),
+                batch_format="pyarrow",
+            )
+        )
+    return results

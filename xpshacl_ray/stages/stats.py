@@ -1,0 +1,281 @@
+"""Per-partition column statistics + distribution drift — the wide step.
+
+North-star stage (SURVEY.md ST5): count / null-rate / distinct-HLL /
+t-digest quantiles / categorical histograms computed in a SINGLE streaming
+pass by a stateful actor pool, then merged through groupby-aggregate
+shuffles keyed on the profile keys (e.g. ``(repo, lang)``), with optional
+salted two-level merging to defuse mega-repo skew (sketches are mergeable,
+so the two-level merge is exact-enough by design — SURVEY.md §4).
+
+Dataflow::
+
+    ds.map_batches(StatsActor(cfg), concurrency=N)     # partial sketch rows
+      [.groupby(keys + [salt]).map_groups(merge)]      # optional pre-merge
+      .groupby(keys).map_groups(merge)                 # final sketch rows
+      → finalize → stats rows (quantiles, estimates)   # tiny table
+      → drift vs reference profile → verdicts
+
+The shuffle moves one sketch row (KBs) per (group, input batch) — never the
+data itself; the wide ``content`` column never enters the exchange.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.sketches import (
+    CategoricalHistogram,
+    HyperLogLog,
+    TDigest,
+    ks_statistic,
+    psi,
+)
+
+QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+@dataclass
+class StatsConfig:
+    group_keys: List[str] = field(default_factory=list)
+    numeric_cols: List[str] = field(default_factory=list)
+    categorical_cols: List[str] = field(default_factory=list)
+    distinct_cols: List[str] = field(default_factory=list)
+    hll_p: int = 12
+    tdigest_delta: float = 200.0
+    salt_buckets: int = 0  # >0 enables two-level salted merge
+
+    def needed_columns(self) -> List[str]:
+        seen, out = set(), []
+        for c in (
+            list(self.group_keys)
+            + list(self.numeric_cols)
+            + list(self.categorical_cols)
+            + list(self.distinct_cols)
+        ):
+            if c not in seen:
+                seen.add(c)
+                out.append(c)
+        return out
+
+
+class StatsActor:
+    """Actor-pool combiner: per-batch partial sketch rows per group.
+
+    Stateful stage (reference analog ST2: state loaded once, reused across
+    the run — here the compiled config and reusable numpy scratch live for
+    the actor's lifetime; use via ``map_batches(StatsActor,
+    fn_constructor_kwargs=dict(cfg=cfg), concurrency=N)``).
+    """
+
+    def __init__(self, cfg: StatsConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        df = batch.select(cfg.needed_columns()).to_pandas()
+        rows: Dict[str, list] = {k: [] for k in cfg.group_keys}
+        rows["n_rows"] = []
+        for c in cfg.numeric_cols:
+            rows[f"{c}__nulls"] = []
+            rows[f"{c}__tdigest"] = []
+        for c in cfg.categorical_cols:
+            rows[f"{c}__nulls"] = []
+            rows[f"{c}__hist"] = []
+        for c in cfg.distinct_cols:
+            rows[f"{c}__hll"] = []
+        if cfg.group_keys:
+            grouped = df.groupby(list(cfg.group_keys), sort=False, dropna=False)
+        else:
+            grouped = [((), df)]
+        for key, g in grouped:
+            if not isinstance(key, tuple):
+                key = (key,)
+            for k, kv in zip(cfg.group_keys, key):
+                rows[k].append(kv)
+            rows["n_rows"].append(len(g))
+            for c in cfg.numeric_cols:
+                v = pd.to_numeric(g[c], errors="coerce").to_numpy(dtype=np.float64)
+                nulls = int(np.isnan(v).sum())
+                rows[f"{c}__nulls"].append(nulls)
+                td = TDigest(delta=cfg.tdigest_delta).add(v)
+                rows[f"{c}__tdigest"].append(td.to_bytes())
+            for c in cfg.categorical_cols:
+                col = g[c]
+                rows[f"{c}__nulls"].append(int(col.isna().sum()))
+                hist = CategoricalHistogram().add(col.dropna().tolist())
+                rows[f"{c}__hist"].append(hist.to_bytes())
+            for c in cfg.distinct_cols:
+                hll = HyperLogLog(p=cfg.hll_p)
+                hll.add(g[c].dropna().astype(str).tolist())
+                rows[f"{c}__hll"].append(hll.to_bytes())
+        t = pa.table(
+            {
+                k: pa.array(v, type=pa.binary())
+                if k.endswith(("__tdigest", "__hist", "__hll"))
+                else pa.array(v)
+                for k, v in rows.items()
+            }
+        )
+        return t
+
+
+def _merge_partials(g: pd.DataFrame, cfg: StatsConfig) -> pd.DataFrame:
+    out: Dict[str, object] = {k: [g[k].iloc[0]] for k in cfg.group_keys}
+    out["n_rows"] = [int(g["n_rows"].sum())]
+    for c in cfg.numeric_cols:
+        out[f"{c}__nulls"] = [int(g[f"{c}__nulls"].sum())]
+        out[f"{c}__tdigest"] = [TDigest.merge_many(g[f"{c}__tdigest"]).to_bytes()]
+    for c in cfg.categorical_cols:
+        out[f"{c}__nulls"] = [int(g[f"{c}__nulls"].sum())]
+        out[f"{c}__hist"] = [CategoricalHistogram.merge_many(g[f"{c}__hist"]).to_bytes()]
+    for c in cfg.distinct_cols:
+        out[f"{c}__hll"] = [HyperLogLog.merge_many(g[f"{c}__hll"]).to_bytes()]
+    return pd.DataFrame(out)
+
+
+def sketch_rows(
+    ds: "ray.data.Dataset",
+    cfg: StatsConfig,
+    concurrency: Optional[int] = None,
+    batch_size: int = 8192,
+) -> "ray.data.Dataset":
+    """Partial sketches → (optionally salted) merged sketch row per group."""
+    partials = ds.map_batches(
+        StatsActor,
+        fn_constructor_kwargs=dict(cfg=cfg),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or 4,
+    )
+    merge = lambda g: _merge_partials(g, cfg)  # noqa: E731
+    if cfg.salt_buckets > 0:
+        # level 1: spread each hot group over salt buckets
+        def add_salt(b: pa.Table) -> pa.Table:
+            salt = np.random.randint(0, cfg.salt_buckets, size=len(b))
+            return b.append_column("__salt__", pa.array(salt, pa.int32()))
+
+        salted = partials.map_batches(add_salt, batch_format="pyarrow")
+        level1 = salted.groupby(list(cfg.group_keys) + ["__salt__"]).map_groups(
+            lambda g: _merge_partials(g.drop(columns="__salt__"), cfg),
+            batch_format="pandas",
+        )
+        return level1.groupby(list(cfg.group_keys)).map_groups(
+            merge, batch_format="pandas"
+        )
+    if cfg.group_keys:
+        return partials.groupby(list(cfg.group_keys)).map_groups(
+            merge, batch_format="pandas"
+        )
+    return partials.map_batches(
+        lambda df: _merge_partials(df, cfg), batch_format="pandas", batch_size=None
+    )
+
+
+def finalize_stats(sketches: pd.DataFrame, cfg: StatsConfig) -> pd.DataFrame:
+    """Decode sketch rows into the human/stats table (tiny)."""
+    recs = []
+    for _, r in sketches.iterrows():
+        rec: Dict[str, object] = {k: r[k] for k in cfg.group_keys}
+        n = int(r["n_rows"])
+        rec["n_rows"] = n
+        for c in cfg.numeric_cols:
+            nulls = int(r[f"{c}__nulls"])
+            td = TDigest.from_bytes(r[f"{c}__tdigest"])
+            qs = td.quantile(list(QUANTILES))
+            rec[f"{c}_nulls"] = nulls
+            rec[f"{c}_null_rate"] = nulls / max(n, 1)
+            rec[f"{c}_min"] = td._min if td.count else None
+            rec[f"{c}_max"] = td._max if td.count else None
+            for q, v in zip(QUANTILES, qs):
+                rec[f"{c}_p{int(q * 100)}"] = float(v)
+        for c in cfg.categorical_cols:
+            hist = CategoricalHistogram.from_bytes(r[f"{c}__hist"])
+            rec[f"{c}_nulls"] = int(r[f"{c}__nulls"])
+            rec[f"{c}_histogram"] = json.dumps(hist.counts, sort_keys=True)
+        for c in cfg.distinct_cols:
+            hll = HyperLogLog.from_bytes(r[f"{c}__hll"])
+            rec[f"{c}_distinct_est"] = float(hll.estimate())
+        recs.append(rec)
+    return pd.DataFrame(recs)
+
+
+def profile(
+    ds: "ray.data.Dataset",
+    cfg: StatsConfig,
+    concurrency: Optional[int] = None,
+    batch_size: int = 8192,
+) -> pd.DataFrame:
+    """One-pass profile of a Dataset → small stats DataFrame per group."""
+    sk = sketch_rows(ds, cfg, concurrency=concurrency, batch_size=batch_size)
+    return finalize_stats(sk.to_pandas(), cfg)
+
+
+# ---------------------------------------------------------------------------
+# Drift: compare a profile's sketches against a reference profile
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DriftThresholds:
+    ks_max: float = 0.2
+    psi_max: float = 0.25
+    null_rate_delta_max: float = 0.05
+
+
+def drift_report(
+    current: pd.DataFrame,
+    reference: pd.DataFrame,
+    cfg: StatsConfig,
+    thresholds: DriftThresholds = DriftThresholds(),
+) -> pd.DataFrame:
+    """KS (t-digest) + PSI (histogram) drift per group vs a reference.
+
+    Inputs are *sketch* rows (from :func:`sketch_rows`), indexed by
+    ``cfg.group_keys``.  Emits one row per group with per-column KS/PSI and
+    an overall pass/fail verdict — the per-partition verdict the north star
+    requires.
+    """
+    keys = list(cfg.group_keys)
+    ref = reference.set_index(keys) if keys else reference
+    recs = []
+    for _, r in current.iterrows():
+        key = tuple(r[k] for k in keys)
+        rec: Dict[str, object] = {k: r[k] for k in keys}
+        ok = True
+        try:
+            rr = ref.loc[key if len(key) > 1 else key[0]] if keys else ref.iloc[0]
+            found = True
+        except KeyError:
+            rr, found = None, False
+        rec["reference_found"] = found
+        for c in cfg.numeric_cols:
+            if not found:
+                rec[f"{c}_ks"] = None
+                continue
+            ks = ks_statistic(
+                TDigest.from_bytes(r[f"{c}__tdigest"]),
+                TDigest.from_bytes(rr[f"{c}__tdigest"]),
+            )
+            rec[f"{c}_ks"] = ks
+            ok &= ks <= thresholds.ks_max
+        for c in cfg.categorical_cols:
+            if not found:
+                rec[f"{c}_psi"] = None
+                continue
+            p = psi(
+                CategoricalHistogram.from_bytes(rr[f"{c}__hist"]),
+                CategoricalHistogram.from_bytes(r[f"{c}__hist"]),
+            )
+            rec[f"{c}_psi"] = p
+            ok &= p <= thresholds.psi_max
+        rec["verdict"] = "pass" if (found and ok) else "fail"
+        recs.append(rec)
+    return pd.DataFrame(recs)
