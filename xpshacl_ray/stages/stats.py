@@ -148,12 +148,20 @@ def sketch_rows(
     batch_size: int = 8192,
 ) -> "ray.data.Dataset":
     """Partial sketches → (optionally salted) merged sketch row per group."""
+    if concurrency is None:
+        # autoscaling pool with min=1 so the read/shuffle stages are never
+        # starved of CPUs (a fixed pool sized == cluster CPUs wedges the
+        # streaming executor on small clusters)
+        import ray as _ray
+
+        n = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 4
+        concurrency = (1, max(2, n // 2))
     partials = ds.map_batches(
         StatsActor,
         fn_constructor_kwargs=dict(cfg=cfg),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency or 4,
+        concurrency=concurrency,
     )
     merge = lambda g: _merge_partials(g, cfg)  # noqa: E731
     if cfg.salt_buckets > 0:
