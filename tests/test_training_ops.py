@@ -1,0 +1,256 @@
+"""Training-data operator tests: text analysis, dedup, similarity, windows,
+multimodal plumbing — over the driver-generated sf0.001 tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from xpshacl_ray.functions.dedup import (
+    MinHasher,
+    cluster_labels,
+    embedding_near_dups,
+    estimate_jaccard,
+    exact_dedup,
+    hamming64,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_near_dups,
+    verify_pairs_ngram,
+)
+from xpshacl_ray.functions.similarity import (
+    ivf_assign,
+    knn_cosine_bruteforce,
+    knn_cosine_ivf,
+    train_centroids,
+)
+from xpshacl_ray.functions.text import (
+    LanguageId,
+    QualityScorer,
+    Tokenizer,
+    md5_fingerprint,
+    rolling_fingerprint,
+    sha256_column,
+    token_count_whitespace,
+)
+from xpshacl_ray.stages.multimodal import DecodeStub, decode_features, make_fake_media_table
+from xpshacl_ray.stages.window import sessionize, tumbling_aggregate
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_table(sf_dir):
+    return pq.read_table(f"{sf_dir}/documents.parquet")
+
+
+# --- text ------------------------------------------------------------------
+
+
+def test_token_count_matches_split(docs_table):
+    out = token_count_whitespace(docs_table)
+    for t, n in zip(out["text"].to_pylist()[:50], out["n_tokens"].to_pylist()[:50]):
+        assert n == len(t.split(" "))
+
+
+def test_bpeish_tokenizer(docs_table):
+    out = Tokenizer()(docs_table.slice(0, 20))
+    assert all(n > 0 for n in out["n_bpeish_tokens"].to_pylist())
+    t = pa.table({"text": ["a b-c 12 !?", None]})
+    got = Tokenizer()(t)["n_bpeish_tokens"].to_pylist()
+    assert got == [7, None]  # a, b, -, c, 12, !, ?
+
+
+def test_language_id_deterministic(docs_table):
+    out1 = LanguageId()(docs_table.slice(0, 30))
+    out2 = LanguageId()(docs_table.slice(0, 30))
+    assert out1["lang_pred"].to_pylist() == out2["lang_pred"].to_pylist()
+    t = pa.table({"text": ["the cat and the dog of the house",
+                           "der hund und die katze ist ein tier", None]})
+    preds = LanguageId()(t)["lang_pred"].to_pylist()
+    assert preds[0] == "en" and preds[1] == "de" and preds[2] is None
+
+
+def test_quality_scorer(docs_table):
+    out = QualityScorer()(docs_table.slice(0, 20))
+    scores = out["quality_score"].to_pylist()
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    t = pa.table({"text": ["!!! ??? ... ###"]})
+    assert QualityScorer()(t)["q_punct_ratio"].to_pylist()[0] > 0.5
+
+
+def test_fingerprints(docs_table):
+    out = md5_fingerprint(docs_table.slice(0, 5))
+    import hashlib
+
+    for t, f in zip(out["text"].to_pylist(), out["fingerprint_md5"].to_pylist()):
+        assert f == hashlib.md5(t.encode()).hexdigest()
+    sha = sha256_column(docs_table.slice(0, 3))
+    for t, f in zip(sha["text"].to_pylist(), sha["content_sha256"].to_pylist()):
+        assert f == hashlib.sha256(t.encode()).hexdigest()
+    r = rolling_fingerprint(["abc", "abc", "abd", None])
+    assert r[0] == r[1] and r[0] != r[2] and r[3] is None
+
+
+# --- dedup -----------------------------------------------------------------
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    # append a duplicate of doc 0 with a higher id
+    first = docs.take(1)[0]
+    dup = dict(first, doc_id=10_000)
+    ds = docs.union(ray.data.from_items([dup]))
+    out = exact_dedup(ds).to_pandas()
+    assert len(out) == docs.count()  # one group per distinct text
+    g = out[out.n_dupes > 0]
+    assert len(g) == 1
+    assert g.iloc[0]["keep_id"] == first["doc_id"]
+    assert g.iloc[0]["n_dupes"] == 1
+
+
+def test_minhash_estimates_jaccard():
+    mh = MinHasher(num_perm=128)
+    a = "the quick brown fox jumps over the lazy dog " * 5
+    b = "the quick brown fox jumps over the lazy cat " * 5
+    c = "completely different content with no overlap whatsoever"
+    sab = estimate_jaccard(mh.signature(a), mh.signature(b))
+    sac = estimate_jaccard(mh.signature(a), mh.signature(c))
+    assert sab > 0.5
+    assert sac < 0.2
+
+
+def test_minhash_lsh_finds_injected_dups(docs):
+    rows = docs.take(5)
+    near = [dict(r, doc_id=r["doc_id"] + 20_000) for r in rows]  # exact copies
+    ds = docs.union(ray.data.from_items(near))
+    pairs = minhash_lsh_candidates(ds, jaccard_threshold=0.9).to_pandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for r in rows:
+        assert (r["doc_id"], r["doc_id"] + 20_000) in found
+    labels = cluster_labels(list(found))
+    for r in rows:
+        assert labels[r["doc_id"] + 20_000] == labels[r["doc_id"]]
+
+
+def test_simhash_near_dups(docs):
+    rows = docs.take(3)
+    near = [dict(r, doc_id=r["doc_id"] + 30_000) for r in rows]
+    ds = docs.union(ray.data.from_items(near))
+    pairs = simhash_near_dups(ds, max_hamming=3).to_pandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for r in rows:
+        assert (r["doc_id"], r["doc_id"] + 30_000) in found
+    assert hamming64(0b1011, 0b0011) == 1
+
+
+def test_ngram_jaccard_verification(docs):
+    rows = docs.take(2)
+    near = [dict(r, doc_id=r["doc_id"] + 40_000) for r in rows]
+    ds = docs.union(ray.data.from_items(near))
+    cand = minhash_lsh_candidates(ds, jaccard_threshold=0.9)
+    verified = verify_pairs_ngram(ds, cand, threshold=0.99).to_pandas()
+    assert len(verified) >= 2
+    assert (verified["jaccard"] == 1.0).all()
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+
+
+# --- similarity ------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_knn_bruteforce_exact(emb, sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in
+                    t["embedding"].to_pylist()])
+    ids = np.asarray(t["vec_id"])
+    q = mat[0]
+    got = knn_cosine_bruteforce(emb, q, k=5)
+    # numpy oracle
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ (q / np.linalg.norm(q))
+    order = np.lexsort((ids, -sims))[:5]
+    assert got[got.query_idx == 0]["vec_id"].tolist() == ids[order].tolist()
+    assert got.iloc[0]["vec_id"] == 0 and got.iloc[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_knn_ivf_recall(emb, sf_dir):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in
+                    t["embedding"].to_pylist()])
+    cent = train_centroids(emb, n_centroids=8, iters=5)
+    indexed = ivf_assign(emb, cent)
+    q = mat[7]
+    exact = set(knn_cosine_bruteforce(emb, q, k=10)["vec_id"])
+    approx = set(knn_cosine_ivf(indexed, cent, q, k=10, nprobe=4)["vec_id"])
+    recall = len(exact & approx) / 10
+    assert recall >= 0.5  # nprobe=4 of 8 lists
+
+
+def test_embedding_near_dups(emb):
+    rows = emb.take(3)
+    dups = [dict(r, vec_id=r["vec_id"] + 50_000) for r in rows]
+    ds = emb.union(ray.data.from_items(dups))
+    pairs = embedding_near_dups(ds, threshold=0.999).to_pandas()
+    found = {(a, b) for a, b in zip(pairs.id_a, pairs.id_b)}
+    for r in rows:
+        assert (r["vec_id"], r["vec_id"] + 50_000) in found
+    assert (pairs.cosine >= 0.999).all()
+
+
+# --- windows ---------------------------------------------------------------
+
+
+def test_tumbling_aggregate_matches_pandas(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    got = tumbling_aggregate(ev, ["event_type"], "value", unit="hour").to_pandas()
+    pdf = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    pdf["window_start"] = pdf["ts"].dt.floor("h")
+    exact = (
+        pdf.groupby(["event_type", "window_start"])
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+    )
+    merged = got.merge(exact, on=["event_type", "window_start"],
+                       suffixes=("", "_exact"))
+    assert len(merged) == len(exact) == len(got)
+    assert (merged["n_events"] == merged["n_events_exact"]).all()
+    assert np.allclose(merged["sum_value"], merged["sum_value_exact"])
+
+
+def test_sessionize(sf_dir):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    sessions = sessionize(ev, "user_id", gap_seconds=3600).to_pandas()
+    assert (sessions["session_end"] >= sessions["session_start"]).all()
+    pdf = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    assert sessions["n_events"].sum() == len(pdf)
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_plumbing():
+    t = make_fake_media_table(12)
+    ds = ray.data.from_arrow(t)
+    feats = decode_features(ds, fake=True, batch_size=4).to_pandas()
+    assert len(feats) == 12
+    assert all(len(f) == DecodeStub.FEATURE_DIM for f in feats["features"])
+    # deterministic: same payload → same features
+    again = decode_features(ray.data.from_arrow(t), fake=True).to_pandas()
+    a = np.stack([np.asarray(x) for x in feats.sort_values("media_id")["features"]])
+    b = np.stack([np.asarray(x) for x in again.sort_values("media_id")["features"]])
+    assert np.array_equal(a, b)
+
+
+def test_multimodal_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        DecodeStub(fake=False)._decode_one(b"bytes")

@@ -1,0 +1,488 @@
+"""Deduplication operators for training-data pipelines at 100 TB scale.
+
+Five families, each expressed Ray-Data-first:
+
+- **exact**        : content-hash column → ``groupby(hash)`` → keep first.
+  The shuffle moves (hash, id) pairs only — never the text.
+- **MinHash+LSH**  : shingle → minhash signature (vectorized universal
+  hashing) → banding → ``groupby(band)`` buckets → candidate pairs with
+  estimated Jaccard.  Signature computation is embarrassingly parallel;
+  the only shuffle is over (band_hash, doc_id) pairs.
+- **SimHash**      : 64-bit sign-of-weighted-sum fingerprint; near-dup =
+  small Hamming distance, bucketed by 16-bit bands for LSH.
+- **n-gram Jaccard**: exact verification kernel over candidate pairs.
+- **embedding cosine**: near-dup via normalized dot product; brute-force
+  within LSH (random hyperplane) buckets.
+
+Connected components over candidate pairs run driver-side union-find here
+(candidate graphs are tiny relative to the corpus); at 10^12 rows swap in
+the iterative min-label-propagation (`groupby` rounds) noted in
+``cluster_labels``'s docstring.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .sketches import hash64
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def add_text_hash(batch: pa.Table, text_col: str = "text",
+                  out_col: str = "text_md5") -> pa.Table:
+    out = [
+        None if t is None else hashlib.md5(t.encode("utf-8")).hexdigest()
+        for t in batch[text_col].to_pylist()
+    ]
+    return batch.append_column(out_col, pa.array(out, pa.string()))
+
+
+def exact_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Keep the min-id row per distinct text (hash-partitioned first-wins).
+
+    Projects to (hash, id) before the shuffle — the text never moves.
+    Returns (text_md5, keep_id, n_dupes).
+    """
+    hashed = ds.map_batches(
+        lambda b: add_text_hash(b, text_col).select(["text_md5", id_col]),
+        batch_format="pyarrow",
+    )
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        ids = g[id_col]
+        return pa.table(
+            {
+                "text_md5": [g["text_md5"][0].as_py()],
+                "keep_id": [pc.min(ids).as_py()],
+                "n_dupes": pa.array([len(g) - 1], pa.int64()),
+            }
+        )
+
+    return hashed.groupby("text_md5").map_groups(keep_first,
+                                                 batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+class MinHasher:
+    """Actor: char-shingle MinHash signatures, vectorized universal hashing.
+
+    ``sig_i(doc) = min over shingles s of (a_i * h(s) + b_i) mod p`` —
+    the permutation coefficients are generated once per actor from a fixed
+    seed (setup in ``__init__``, work in ``__call__``).
+    """
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5,
+                 seed: int = 42, text_col: str = "text"):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.k = shingle_k
+        self.text_col = text_col
+
+    def shingle_hashes(self, text: str) -> np.ndarray:
+        k = self.k
+        if len(text) < k:
+            sh = [text]
+        else:
+            sh = [text[i : i + k] for i in range(len(text) - k + 1)]
+        return np.unique(hash64(sh)) & _MERSENNE
+
+    def signature(self, text: str) -> np.ndarray:
+        x = self.shingle_hashes(text)
+        # (num_perm, n_shingles) universal hash, min over shingles
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = []
+        for t in batch[self.text_col].to_pylist():
+            if not t:
+                sigs.append(np.zeros(self.num_perm, dtype=np.uint64))
+            else:
+                sigs.append(self.signature(t))
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(sigs).astype(np.uint64), pa.uint64()),
+            self.num_perm,
+        )
+        return batch.append_column("minhash", arr)
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+def explode_bands(batch: pa.Table, num_perm: int, bands: int,
+                  id_col: str = "doc_id") -> pa.Table:
+    """(doc, signature) → one row per band: (band_id, band_hash, doc_id).
+
+    The LSH shuffle key; bucket collisions become dedup candidates.
+    """
+    r = num_perm // bands
+    sigs = np.asarray(
+        batch["minhash"].combine_chunks().flatten()
+    ).reshape(-1, num_perm)
+    ids = batch[id_col].to_pylist()
+    n = len(ids)
+    band_ids, band_hashes, out_ids = [], [], []
+    for b in range(bands):
+        chunk = sigs[:, b * r : (b + 1) * r]
+        hashes = [
+            hashlib.md5(chunk[i].tobytes()).hexdigest()[:16] for i in range(n)
+        ]
+        band_ids += [b] * n
+        band_hashes += hashes
+        out_ids += ids
+    return pa.table(
+        {
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes, pa.string()),
+            id_col: pa.array(out_ids),
+        }
+    )
+
+
+def minhash_lsh_candidates(
+    ds: "ray.data.Dataset",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Candidate near-duplicate pairs with estimated Jaccard ≥ threshold.
+
+    shingle→minhash→band→bucket-groupby; within each bucket the signature
+    pairs are verified by estimated Jaccard (signature agreement).  Returns
+    (id_a, id_b, jaccard_est) with id_a < id_b, deduped across buckets.
+    """
+    with_sig = ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                                   text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    sig_and_id = with_sig.select_columns([id_col, "minhash"])
+    exploded = sig_and_id.map_batches(
+        lambda b: explode_bands(b, num_perm, bands, id_col),
+        batch_format="pyarrow",
+    )
+    # bucket → need signatures for verification: broadcast the signature
+    # table (ids + minhash) — small relative to text (num_perm*8 bytes/doc)
+    sig_table = sig_and_id.to_pandas()
+    sig_map = {
+        i: np.asarray(s, dtype=np.uint64)
+        for i, s in zip(sig_table[id_col], sig_table["minhash"])
+    }
+    import ray as _ray
+
+    sig_ref = _ray.put(sig_map)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g[id_col].tolist()))
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_est": []})
+        sigs = _ray.get(sig_ref)
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                est = estimate_jaccard(sigs[ids[i]], sigs[ids[j]])
+                if est >= jaccard_threshold:
+                    rows.append((ids[i], ids[j], round(est, 6)))
+        if not rows:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_est": []})
+        df = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard_est"])
+        return df
+
+    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # dedupe pairs found in multiple bands
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def cluster_labels(pairs: List[Tuple[int, int]]) -> Dict[int, int]:
+    """Union-find cluster labels (min id wins) over candidate pairs.
+
+    Driver-side: candidate graphs are tiny vs the corpus.  At 10^12-row
+    scale replace with iterative min-label propagation: repeat
+    ``labels = groupby(node).aggregate(Min(neighbor_label))`` until fixed
+    point (few rounds; each is a small shuffle over the pair table).
+    """
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+class SimHasher:
+    """Actor: 64-bit SimHash over word tokens (regex compiled once)."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "simhash64"):
+        import re
+
+        self.word_re = re.compile(r"\w+", re.UNICODE)
+        self.text_col = text_col
+        self.out_col = out_col
+        self.bit_idx = np.arange(64, dtype=np.uint64)
+
+    def simhash(self, text: str) -> int:
+        toks = self.word_re.findall(text.lower())
+        if not toks:
+            return 0
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        hs = hash64(uniq)
+        # bit matrix (n_tokens, 64) in {-1,+1}, weighted by counts
+        bits = ((hs[:, None] >> self.bit_idx[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        word = np.where(acc > 0, np.uint64(1), np.uint64(0))
+        return int((word << self.bit_idx).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = [
+            None if t is None else self.simhash(t)
+            for t in batch[self.text_col].to_pylist()
+        ]
+        return batch.append_column(self.out_col, pa.array(vals, pa.int64()))
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def simhash_near_dups(
+    ds: "ray.data.Dataset",
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash: LSH on 16-bit bands → verify Hamming.
+
+    A pair within Hamming distance ≤ 3 of a 64-bit hash must agree on at
+    least one of the four 16-bit bands (pigeonhole), so banding finds all
+    such pairs with one small shuffle.
+    """
+    hashed = ds.map_batches(
+        SimHasher, fn_constructor_kwargs=dict(text_col=text_col),
+        batch_format="pyarrow", concurrency=concurrency,
+    ).select_columns([id_col, "simhash64"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        h = np.asarray(b["simhash64"].combine_chunks(), dtype=np.uint64)
+        ids = b[id_col].to_pylist()
+        rows = {"band_id": [], "band_val": [], id_col: [], "simhash64": []}
+        for band in range(4):
+            vals = ((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)).tolist()
+            rows["band_id"] += [band] * len(ids)
+            rows["band_val"] += vals
+            rows[id_col] += ids
+            rows["simhash64"] += [int(x) for x in h]
+        return pa.table(
+            {
+                "band_id": pa.array(rows["band_id"], pa.int32()),
+                "band_val": pa.array(rows["band_val"], pa.int64()),
+                id_col: pa.array(rows[id_col]),
+                "simhash64": pa.array(rows["simhash64"], pa.int64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = g[id_col].tolist()
+        hs = g["simhash64"].tolist()
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = hamming64(hs[i], hs[j])
+                if d <= max_hamming:
+                    rows.append((ids[i], ids[j], d))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+    pairs = (
+        hashed.map_batches(explode, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact verification kernel)
+# ---------------------------------------------------------------------------
+
+
+def ngram_set(text: str, n: int = 3) -> set:
+    toks = text.lower().split()
+    if len(toks) < n:
+        return {tuple(toks)} if toks else set()
+    return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = ngram_set(a, n), ngram_set(b, n)
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def verify_pairs_ngram(
+    ds: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    threshold: float = 0.8,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Exact n-gram Jaccard over candidate pairs (broadcast text lookup).
+
+    The text map covers only ids appearing in candidate pairs — tiny vs
+    the corpus; at scale use a bucketed join instead of the broadcast.
+    """
+    import ray as _ray
+
+    need = set()
+    pair_rows = pairs.take_all()
+    for r in pair_rows:
+        need.add(r["id_a"])
+        need.add(r["id_b"])
+    need_ref = _ray.put(need)
+    texts = ds.map_batches(
+        lambda b: b.select([id_col, text_col]).filter(
+            pc.is_in(b[id_col], value_set=pa.array(sorted(_ray.get(need_ref))))
+        ),
+        batch_format="pyarrow",
+    ).take_all()
+    tmap = {r[id_col]: r[text_col] for r in texts}
+    out = [
+        {
+            "id_a": r["id_a"],
+            "id_b": r["id_b"],
+            "jaccard": round(ngram_jaccard(tmap[r["id_a"]], tmap[r["id_b"]], n), 6),
+        }
+        for r in pair_rows
+    ]
+    out = [r for r in out if r["jaccard"] >= threshold]
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("jaccard", pa.float64())])
+    if not out:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow(pa.Table.from_pylist(out, schema=schema))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = 8,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by cosine ≥ threshold, LSH-bucketed by random
+    hyperplane signs; exact cosine verified within buckets (numpy matmul).
+
+    High-cosine pairs agree on most hyperplane signs, so bucketing by the
+    full sign byte finds them with one shuffle; lower thresholds → use
+    multiple independent plane sets (repeat with different seeds).
+    """
+    rng = np.random.default_rng(seed)
+    sample = ds.take(1)
+    dim = len(sample[0][vec_col])
+    planes = rng.standard_normal((dim, num_planes)).astype(np.float64)
+    import ray as _ray
+
+    planes_ref = _ray.put(planes)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        p = _ray.get(planes_ref)
+        mat = np.asarray(
+            b[vec_col].combine_chunks().flatten(), dtype=np.float64
+        ).reshape(len(b), -1)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        signs = (unit @ p) > 0
+        bucket = (signs * (1 << np.arange(num_planes))).sum(axis=1)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "bucket": pa.array(bucket.astype(np.int64)),
+                "unit": pa.FixedSizeListArray.from_arrays(
+                    pa.array(unit.ravel(), pa.float64()), unit.shape[1]
+                ),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col)
+        ids = g[id_col].tolist()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        mat = np.stack([np.asarray(v) for v in g["unit"]])
+        sims = mat @ mat.T
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                c = float(sims[i, j])
+                if c >= threshold:
+                    rows.append((ids[i], ids[j], round(c, 6)))
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
