@@ -1,44 +1,656 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native validation engine (xpshacl_ray).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship explainable-validation pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator/pipeline from
+SURVEY.md §2 (plus the training-data operators); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible one.  Column names and
+float rounding match on both sides (the driver's value-hash sorts columns
+by name and is order-insensitive across rows).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in xpshacl_ray) calls ``ray.init()``/``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from xpshacl_ray import (
+    InSet,
+    MaxLength,
+    MinInclusive,
+    MinLength,
+    Referential,
+    Required,
+    ValidationEngine,
+    ValidationSpec,
+)
+from xpshacl_ray.functions.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_candidates,
+    simhash_near_dups,
+    verify_pairs_ngram,
+)
+from xpshacl_ray.functions.sketches import CategoricalHistogram, psi
+from xpshacl_ray.functions.similarity import (
+    ivf_assign,
+    knn_cosine_bruteforce,
+    knn_cosine_ivf,
+    train_centroids,
+)
+from xpshacl_ray.functions.text import (
+    LanguageId,
+    QualityScorer,
+    md5_fingerprint,
+    sha256_column,
+    token_count_whitespace,
+)
+from xpshacl_ray.stages.grouped import group_counts
+from xpshacl_ray.stages.referential import distinct_keys
+from xpshacl_ray.stages.stats import StatsConfig, profile
+from xpshacl_ray.stages.window import sessionize, tumbling_aggregate
+
+# ---------------------------------------------------------------------------
+# shared specs
+# ---------------------------------------------------------------------------
+
+DOC_LANGS = ["de", "en", "fr"]
+
+
+def _documents_spec() -> ValidationSpec:
+    """Flagship row-local constraint spec over the documents table."""
+    return ValidationSpec(
+        constraints=[
+            InSet(column="lang", allowed=DOC_LANGS),
+            MinLength(column="text", min_length=100),
+            MaxLength(column="text", max_length=400),
+            MinInclusive(column="n_chars", bound=50),
+        ],
+        id_columns=["doc_id"],
+        focus_template="doc:{doc_id}",
+    )
+
+
+def _docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+VIOLATION_COLS = [
+    "doc_id", "constraint_id", "violation_type", "property_path", "value",
+    "message", "severity",
+]
+
+# The UNION ALL oracle mirroring the four compiled constraints, with the
+# engine's exact message literals.
+_VIOLATIONS_SQL = """
+SELECT doc_id,
+       'http://www.w3.org/ns/shacl#InConstraintComponent' AS constraint_id,
+       'other' AS violation_type, 'lang' AS property_path,
+       lang AS value,
+       'Value is not in [''de'', ''en'', ''fr'']' AS message,
+       'Violation' AS severity
+FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('de','en','fr')
+UNION ALL
+SELECT doc_id, 'http://www.w3.org/ns/shacl#MinLengthConstraintComponent',
+       'other', 'text', text,
+       'String length is less than 100', 'Violation'
+FROM documents WHERE length(text) < 100
+UNION ALL
+SELECT doc_id, 'http://www.w3.org/ns/shacl#MaxLengthConstraintComponent',
+       'other', 'text', text,
+       'String length is greater than 400', 'Violation'
+FROM documents WHERE length(text) > 400
+UNION ALL
+SELECT doc_id, 'http://www.w3.org/ns/shacl#MinInclusiveConstraintComponent',
+       'value_range', 'n_chars', CAST(n_chars AS VARCHAR),
+       'Value is not >= Literal("50")', 'Violation'
+FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars >= 50)
+"""
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_violations_documents(sf_dir: str):
+    eng = ValidationEngine(_documents_spec())
+    viol = eng.validate(_docs(sf_dir))
+    return viol.select_columns(VIOLATION_COLS)
+
+
+def q_violation_summary(sf_dir: str):
+    eng = ValidationEngine(_documents_spec())
+    viol = eng.validate(_docs(sf_dir))
+    from ray.data.aggregate import Count
+
+    return viol.groupby(["constraint_id", "violation_type", "severity"]).aggregate(
+        Count(alias_name="n_violations")
+    )
+
+
+def q_cardinality_orders(sf_dir: str):
+    """sh:maxCount analog (C2): customers with more than 15 orders."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey"])
+    counts = group_counts(orders, ["o_custkey"], None)
+    return counts.filter(expr="actual_count > 15")
+
+
+def q_required_customer(sf_dir: str):
+    """sh:minCount row form (C1): customers missing an account balance."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_acctbal"])
+    spec = ValidationSpec(
+        constraints=[Required(column="c_acctbal")],
+        id_columns=["c_custkey"],
+        focus_template="customer:{c_custkey}",
+    )
+    viol = ValidationEngine(spec).validate(cust)
+    # materialize with an explicit schema: an empty Dataset loses its
+    # column list on to_pandas conversion (result is tiny by definition)
+    rows = [r["c_custkey"] for r in viol.select_columns(["c_custkey"]).take_all()]
+    return pa.table({"c_custkey": pa.array(rows, pa.int64())})
+
+
+def q_range_customer(sf_dir: str):
+    """sh:minInclusive (C6): negative account balances."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_acctbal"])
+    spec = ValidationSpec(
+        constraints=[MinInclusive(column="c_acctbal", bound=0)],
+        id_columns=["c_custkey"],
+        focus_template="customer:{c_custkey}",
+    )
+    viol = ValidationEngine(spec).validate(cust)
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "observed_balance": pc.cast(b["value"], pa.float64()),
+            }
+        )
+
+    return viol.map_batches(shape, batch_format="pyarrow")
+
+
+def q_referential_orders(sf_dir: str):
+    """sh:class / FK check (C4): orders referencing customers that are not
+    in good standing (acctbal >= 0) — broadcast anti-join."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_acctbal"])
+    good = cust.filter(expr="c_acctbal >= 0")
+    keys = distinct_keys(good, "c_custkey")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    spec = ValidationSpec(
+        constraints=[Referential(column="o_custkey", ref_table="customer",
+                                 ref_column="c_custkey")],
+        id_columns=["o_orderkey"],
+        focus_template="order:{o_orderkey}",
+    )
+    viol = ValidationEngine(spec).validate(orders,
+                                           ref_keys={"o_custkey": keys})
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b["o_orderkey"],
+                "o_custkey": pc.cast(b["value"], pa.int64()),
+            }
+        )
+
+    return viol.map_batches(shape, batch_format="pyarrow")
+
+
+def q_stats_profile_documents(sf_dir: str):
+    """One-pass sketch profile per (source, lang) — exact fields only."""
+    cfg = StatsConfig(group_keys=["source", "lang"],
+                      numeric_cols=["n_chars"], categorical_cols=["lang"],
+                      distinct_cols=["doc_id"])
+    prof = profile(_docs(sf_dir), cfg)
+    out = prof[["source", "lang", "n_rows", "n_chars_nulls", "n_chars_min",
+                "n_chars_max"]].copy()
+    out["n_rows"] = out["n_rows"].astype("int64")
+    out["n_chars_nulls"] = out["n_chars_nulls"].astype("int64")
+    out["n_chars_min"] = out["n_chars_min"].astype("float64")
+    out["n_chars_max"] = out["n_chars_max"].astype("float64")
+    return out
+
+
+def q_quantiles_nchars(sf_dir: str):
+    """Exact per-group quantiles (sort-within-group map_groups)."""
+
+    def qtiles(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_chars"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "p50": [round(float(np.percentile(v, 50)), 4)],
+                "p90": [round(float(np.percentile(v, 90)), 4)],
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["lang", "n_chars"])
+        .groupby("lang")
+        .map_groups(qtiles, batch_format="pandas")
+    )
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary: per-batch partial aggregation, one
+    small groupby over partials, averages derived from sums (G9 analog)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    keys = ["l_returnflag", "l_linestatus"]
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"],
+                                   pa.scalar(np.datetime64("1998-09-01", "us"))))
+        disc_price = pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        b = b.append_column("disc_price", disc_price)
+        agg = b.select(keys + ["l_quantity", "l_extendedprice", "disc_price",
+                               "l_discount"]).group_by(keys).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_discount", "sum"),
+             ([], "count_all")]
+        )
+        return agg.rename_columns(
+            keys + ["s_qty", "s_price", "s_disc_price", "s_disc", "n"]
+        )
+
+    from ray.data.aggregate import Sum
+
+    merged = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys)
+        .aggregate(
+            Sum("s_qty", alias_name="t_qty"),
+            Sum("s_price", alias_name="t_price"),
+            Sum("s_disc_price", alias_name="t_disc_price"),
+            Sum("s_disc", alias_name="t_disc"),
+            Sum("n", alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    out = pd.DataFrame(
+        {
+            "l_returnflag": merged["l_returnflag"],
+            "l_linestatus": merged["l_linestatus"],
+            "sum_qty": merged["t_qty"].round(2),
+            "sum_base_price": merged["t_price"].round(2),
+            "sum_disc_price": merged["t_disc_price"].round(2),
+            "avg_qty": (merged["t_qty"] / merged["count_order"]).round(4),
+            "avg_disc": (merged["t_disc"] / merged["count_order"]).round(4),
+            "count_order": merged["count_order"].astype("int64"),
+        }
+    )
+    return out
+
+
+def q_revenue_by_segment(sf_dir: str):
+    """Broadcast hash join orders⋈customer + grouped revenue."""
+    import ray as _ray
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_mktsegment"])
+    seg_map = dict(
+        zip(*(cust.to_pandas()[c] for c in ["c_custkey", "c_mktsegment"]))
+    )
+    seg_ref = _ray.put(seg_map)
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def join(b: pd.DataFrame) -> pd.DataFrame:
+        m = _ray.get(seg_ref)
+        b["c_mktsegment"] = b["o_custkey"].map(m)
+        return b[["c_mktsegment", "o_totalprice"]]
+
+    from ray.data.aggregate import Count, Sum
+
+    merged = (
+        orders.map_batches(join, batch_format="pandas")
+        .groupby("c_mktsegment")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    merged["revenue"] = merged["revenue"].round(1)
+    merged["n_orders"] = merged["n_orders"].astype("int64")
+    return merged
+
+
+def q_topk_users(sf_dir: str):
+    """Top-10 users by total event value (groupby + sort + limit)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+    from ray.data.aggregate import Sum
+
+    totals = ev.groupby("user_id").aggregate(
+        Sum("value", alias_name="total_value")).to_pandas()
+    totals["total_value"] = totals["total_value"].round(2)
+    totals = totals.sort_values(["total_value", "user_id"],
+                                ascending=[False, True]).head(10)
+    return totals.reset_index(drop=True)
+
+
+def q_window_hourly(sf_dir: str):
+    """Tumbling-window aggregate over the event log."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    out = tumbling_aggregate(ev, ["event_type"], "value", unit="hour").to_pandas()
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def q_token_counts(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .map_batches(token_count_whitespace, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .map_batches(lambda b: sha256_column(md5_fingerprint(b)),
+                     batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint_md5", "content_sha256"])
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    return exact_dedup(_docs(sf_dir))
+
+
+def q_knn_cosine(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = np.asarray(
+        emb.filter(expr="vec_id == 0").take(1)[0]["embedding"], dtype=np.float64
+    )
+    got = knn_cosine_bruteforce(emb, q0, k=10)
+    out = got[["vec_id", "cosine", "rank"]].copy()
+    out["cosine"] = out["cosine"].round(3)
+    out["rank"] = out["rank"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_dups(emb, threshold=0.99).to_pandas()
+    if "cosine" not in pairs.columns:  # empty Dataset loses its schema
+        pairs = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
+    pairs["cosine"] = pairs["cosine"].round(3)
+    return pairs
+
+
+# --- rows-only queries (no SQL-expressible oracle) --------------------------
+
+
+def q_lang_id(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .map_batches(LanguageId, batch_format="pyarrow", concurrency=(1, 4))
+        .select_columns(["doc_id", "lang_pred", "lang_score"])
+    )
+
+
+def q_quality_scores(sf_dir: str):
+    return (
+        _docs(sf_dir)
+        .map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
+        .select_columns(["doc_id", "q_len", "q_punct_ratio",
+                         "q_stopword_ratio", "quality_score"])
+    )
+
+
+def q_simhash(sf_dir: str):
+    from xpshacl_ray.functions.dedup import SimHasher
+
+    return (
+        _docs(sf_dir)
+        .map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+        .select_columns(["doc_id", "simhash64"])
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    return minhash_lsh_candidates(_docs(sf_dir), jaccard_threshold=0.8)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    ds = _docs(sf_dir)
+    cand = minhash_lsh_candidates(ds, jaccard_threshold=0.8)
+    return verify_pairs_ngram(ds, cand, threshold=0.8)
+
+
+def q_simhash_pairs(sf_dir: str):
+    return simhash_near_dups(_docs(sf_dir), max_hamming=3)
+
+
+def q_ivf_knn(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cent = train_centroids(emb, n_centroids=8, iters=5)
+    indexed = ivf_assign(emb, cent)
+    q0 = np.asarray(
+        emb.filter(expr="vec_id == 0").take(1)[0]["embedding"], dtype=np.float64
+    )
+    out = knn_cosine_ivf(indexed, cent, q0, k=10, nprobe=4)
+    out["cosine"] = out["cosine"].round(3)
+    return out[["vec_id", "cosine", "rank"]].reset_index(drop=True)
+
+
+def q_sessions(sf_dir: str):
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return sessionize(ev, "user_id", gap_seconds=1800)
+
+
+def q_drift_lang_psi(sf_dir: str):
+    """PSI of each source's lang mix vs the global mix (sketch-based)."""
+    docs = _docs(sf_dir).select_columns(["source", "lang"]).to_pandas()
+    overall = CategoricalHistogram().add(docs["lang"].tolist())
+    rows = []
+    for source, g in docs.groupby("source"):
+        h = CategoricalHistogram().add(g["lang"].tolist())
+        rows.append({"source": source, "lang_psi": round(psi(overall, h), 6)})
+    return pd.DataFrame(rows)
+
+
+def q_justification_trees(sf_dir: str):
+    eng = ValidationEngine(_documents_spec())
+    viol = eng.validate(_docs(sf_dir))
+    sigs = eng.enrich(eng.unique_signatures(viol))
+    return sigs.select_columns(
+        ["signature_key", "constraint_id", "violation_type",
+         "justification_tree", "retrieved_context"]
+    )
+
+
+def q_explanations(sf_dir: str):
+    eng = ValidationEngine(_documents_spec(), languages=["en", "pt"])
+    viol = eng.validate(_docs(sf_dir))
+    sigs = eng.enrich(eng.unique_signatures(viol))
+    return eng.explain(sigs).select_columns(
+        ["signature_key", "language", "explanation", "suggestions", "model"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship explainable-validation pipeline on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    eng = ValidationEngine(_documents_spec(), languages=["en"])
+    res = eng.run(_docs(sf_dir), save_kg=False)
+    return res["report"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "violations_documents": q_violations_documents,
+        "violation_summary": q_violation_summary,
+        "cardinality_orders": q_cardinality_orders,
+        "required_customer": q_required_customer,
+        "range_customer": q_range_customer,
+        "referential_orders": q_referential_orders,
+        "stats_profile_documents": q_stats_profile_documents,
+        "quantiles_nchars": q_quantiles_nchars,
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_segment": q_revenue_by_segment,
+        "topk_users": q_topk_users,
+        "window_hourly": q_window_hourly,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "exact_dedup": q_exact_dedup,
+        "knn_cosine": q_knn_cosine,
+        "embedding_near_dups": q_embedding_near_dups,
+        # rows-only (non-SQL-expressible):
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "simhash": q_simhash,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ivf_knn": q_ivf_knn,
+        "sessions": q_sessions,
+        "drift_lang_psi": q_drift_lang_psi,
+        "justification_trees": q_justification_trees,
+        "explanations": q_explanations,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "violations_documents": _VIOLATIONS_SQL,
+        "violation_summary": f"""
+            SELECT constraint_id, violation_type, severity,
+                   count(*) AS n_violations
+            FROM ({_VIOLATIONS_SQL})
+            GROUP BY constraint_id, violation_type, severity
+        """,
+        "cardinality_orders": """
+            SELECT o_custkey, count(*) AS actual_count
+            FROM orders GROUP BY o_custkey HAVING count(*) > 15
+        """,
+        "required_customer": """
+            SELECT c_custkey FROM customer WHERE c_acctbal IS NULL
+        """,
+        "range_customer": """
+            SELECT c_custkey, c_acctbal AS observed_balance
+            FROM customer WHERE c_acctbal < 0
+        """,
+        "referential_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_acctbal >= 0)
+        """,
+        "stats_profile_documents": """
+            SELECT source, lang, count(*) AS n_rows,
+                   count(*) - count(n_chars) AS n_chars_nulls,
+                   CAST(min(n_chars) AS DOUBLE) AS n_chars_min,
+                   CAST(max(n_chars) AS DOUBLE) AS n_chars_max
+            FROM documents GROUP BY source, lang
+        """,
+        "quantiles_nchars": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90
+            FROM documents GROUP BY lang
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc_price,
+                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
+                   round(sum(l_discount) / count(*), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   round(sum(o_totalprice), 1) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "topk_users": """
+            SELECT user_id, round(sum(value), 2) AS total_value
+            FROM events GROUP BY user_id
+            ORDER BY round(sum(value), 2) DESC, user_id
+            LIMIT 10
+        """,
+        "window_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "token_counts": """
+            SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
+                   AS n_tokens
+            FROM documents
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fingerprint_md5,
+                   sha256(text) AS content_sha256
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+                   count(*) - 1 AS n_dupes
+            FROM documents GROUP BY text
+        """,
+        "knn_cosine": """
+            WITH sims AS (
+                SELECT vec_id,
+                       list_cosine_similarity(
+                           embedding,
+                           (SELECT embedding FROM embeddings WHERE vec_id = 0)
+                       ) AS c
+                FROM embeddings
+            )
+            SELECT vec_id, round(CAST(c AS DOUBLE), 3) AS cosine,
+                   CAST(row_number() OVER (ORDER BY c DESC, vec_id)
+                        AS BIGINT) AS rank
+            FROM sims ORDER BY c DESC, vec_id LIMIT 10
+        """,
+        "embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(CAST(list_cosine_similarity(a.embedding, b.embedding)
+                              AS DOUBLE), 3) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+    }

@@ -1,0 +1,159 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "rows_per_sec": ...}
+
+``--scaling`` runs the headline pipeline twice in fresh processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency — the sandbox's stand-in for the
+north rule's N vs 4N cluster-size comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def run_benchmarks() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+    from xpshacl_ray.stages.stats import StatsConfig, sketch_rows
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    for t in ["documents", "lineitem", "orders", "customer", "events",
+              "embeddings"]:
+        ray.data.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+
+    results: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    # headline: full constraint validation over documents (the engine's
+    # flagship operator family: row-local evaluation + signature machinery)
+    def headline():
+        ds = entrymod.q_violations_documents(SF_DIR)
+        return ds.count()
+
+    sec, n_viol = _timed(headline)
+    n_docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet").count()
+    results["validate_documents"] = sec
+    rows["validate_documents"] = n_docs
+
+    bench_queries = [
+        ("violation_summary", entrymod.q_violation_summary),
+        ("cardinality_orders", entrymod.q_cardinality_orders),
+        ("referential_orders", entrymod.q_referential_orders),
+        ("stats_profile_documents", entrymod.q_stats_profile_documents),
+        ("pricing_summary", entrymod.q_pricing_summary),
+        ("revenue_by_segment", entrymod.q_revenue_by_segment),
+        ("window_hourly", entrymod.q_window_hourly),
+        ("exact_dedup", entrymod.q_exact_dedup),
+        ("minhash_pairs", entrymod.q_minhash_pairs),
+        ("knn_cosine", entrymod.q_knn_cosine),
+        ("lang_id", entrymod.q_lang_id),
+        ("quality_scores", entrymod.q_quality_scores),
+    ]
+    for name, fn in bench_queries:
+        def run(fn=fn):
+            out = fn(SF_DIR)
+            if hasattr(out, "count"):
+                return out.count()
+            return len(out)
+
+        sec, _ = _timed(run)
+        results[name] = round(sec, 3)
+
+    # lineitem-scale stats profile: the true wide-step benchmark
+    def lineitem_stats():
+        li = ray.data.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_orderkey"],
+        )
+        cfg = StatsConfig(group_keys=["l_returnflag", "l_linestatus"],
+                          numeric_cols=["l_quantity", "l_extendedprice"],
+                          categorical_cols=["l_linestatus"],
+                          distinct_cols=["l_orderkey"])
+        return sketch_rows(li, cfg).count()
+
+    sec, _ = _timed(lineitem_stats)
+    results["lineitem_stats_profile"] = round(sec, 3)
+    n_li = ray.data.read_parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    headline_sec = results["validate_documents"]
+    out = {
+        "metric": "validated docs/sec (documents constraint validation) "
+                  "+ per-pipeline wall times",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in results.items()},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows_per_sec": round(n_docs / headline_sec, 1),
+        "lineitem_rows_per_sec": round(
+            n_li / results["lineitem_stats_profile"], 1),
+        "n_violations": n_viol,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = sum(r_lo["queries"].values())
+    t_hi = sum(r_hi["queries"].values())
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency N->4N (num_cpus 8 vs 32, total "
+                  "pipeline wall time, same input)",
+        "sec_8": round(t_lo, 3),
+        "sec_32": round(t_hi, 3),
+        "rows_per_sec_8": r_lo["rows_per_sec"],
+        "rows_per_sec_32": r_hi["rows_per_sec"],
+        "lineitem_rows_per_sec_8": r_lo["lineitem_rows_per_sec"],
+        "lineitem_rows_per_sec_32": r_hi["lineitem_rows_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_benchmarks()))

@@ -204,9 +204,13 @@ def minhash_lsh_candidates(
     sig_ref = _ray.put(sig_map)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "jaccard_est": pd.Series(dtype="float64")}
+        )
         ids = sorted(set(g[id_col].tolist()))
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_est": []})
+            return empty
         sigs = _ray.get(sig_ref)
         rows = []
         for i in range(len(ids)):
@@ -215,9 +219,9 @@ def minhash_lsh_candidates(
                 if est >= jaccard_threshold:
                     rows.append((ids[i], ids[j], round(est, 6)))
         if not rows:
-            return pd.DataFrame({"id_a": [], "id_b": [], "jaccard_est": []})
-        df = pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard_est"])
-        return df
+            return empty
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard_est"]).astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard_est": "float64"})
 
     pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
@@ -342,7 +346,8 @@ def simhash_near_dups(
                 d = hamming64(hs[i], hs[j])
                 if d <= max_hamming:
                     rows.append((ids[i], ids[j], d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
+            {"id_a": "int64", "id_b": "int64", "hamming": "int64"})
 
     pairs = (
         hashed.map_batches(explode, batch_format="pyarrow")
@@ -467,10 +472,14 @@ def embedding_near_dups(
         )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+             "cosine": pd.Series(dtype="float64")}
+        )
         g = g.sort_values(id_col)
         ids = g[id_col].tolist()
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return empty
         mat = np.stack([np.asarray(v) for v in g["unit"]])
         sims = mat @ mat.T
         rows = []
@@ -479,7 +488,10 @@ def embedding_near_dups(
                 c = float(sims[i, j])
                 if c >= threshold:
                     rows.append((ids[i], ids[j], round(c, 6)))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
