@@ -219,7 +219,7 @@ def q_stats_profile_documents(sf_dir: str):
     cfg = StatsConfig(group_keys=["source", "lang"],
                       numeric_cols=["n_chars"], categorical_cols=["lang"],
                       distinct_cols=["doc_id"])
-    prof = profile(_docs(sf_dir), cfg)
+    prof = profile(_docs(sf_dir), cfg, concurrency=4)
     out = prof[["source", "lang", "n_rows", "n_chars_nulls", "n_chars_min",
                 "n_chars_max"]].copy()
     out["n_rows"] = out["n_rows"].astype("int64")
@@ -310,26 +310,34 @@ def q_revenue_by_segment(sf_dir: str):
     import ray as _ray
 
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
-                                 columns=["c_custkey", "c_mktsegment"])
-    seg_map = dict(
-        zip(*(cust.to_pandas()[c] for c in ["c_custkey", "c_mktsegment"]))
-    )
-    seg_ref = _ray.put(seg_map)
+                                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.sort_values("c_custkey")
+    # broadcast as numpy arrays (zero-copy via plasma) + searchsorted probe —
+    # a pickled dict would deserialize per task
+    keys_ref = _ray.put(cust["c_custkey"].to_numpy())
+    segs_ref = _ray.put(cust["c_mktsegment"].to_numpy())
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                    columns=["o_custkey", "o_totalprice"])
 
-    def join(b: pd.DataFrame) -> pd.DataFrame:
-        m = _ray.get(seg_ref)
-        b["c_mktsegment"] = b["o_custkey"].map(m)
-        return b[["c_mktsegment", "o_totalprice"]]
+    def join_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # probe + combiner fused: the groupby shuffle then moves one partial
+        # row per (segment, batch) instead of every order row
+        keys, segs = _ray.get(keys_ref), _ray.get(segs_ref)
+        idx = np.searchsorted(keys, b["o_custkey"].to_numpy())
+        b = b.assign(c_mktsegment=segs[idx])
+        return (
+            b.groupby("c_mktsegment", sort=False)
+            .agg(p_rev=("o_totalprice", "sum"), p_n=("o_totalprice", "size"))
+            .reset_index()
+        )
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     merged = (
-        orders.map_batches(join, batch_format="pandas")
+        orders.map_batches(join_partial, batch_format="pandas")
         .groupby("c_mktsegment")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"),
-                   Count(alias_name="n_orders"))
+        .aggregate(Sum("p_rev", alias_name="revenue"),
+                   Sum("p_n", alias_name="n_orders"))
         .to_pandas()
     )
     merged["revenue"] = merged["revenue"].round(1)

@@ -46,10 +46,17 @@ def run_benchmarks() -> dict:
     import __ray_entry__ as entrymod
     from xpshacl_ray.stages.stats import StatsConfig, sketch_rows
 
-    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    # warm the OS page cache (count() alone is metadata-only — force real
+    # reads) and spin up the worker-process pool so the first timed query
+    # doesn't pay ~10 s of process startup
+    import pyarrow.parquet as pq
+
     for t in ["documents", "lineitem", "orders", "customer", "events",
               "embeddings"]:
-        ray.data.read_parquet(f"{SF_DIR}/{t}.parquet").count()
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+    ray.data.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).count()
 
     results: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -100,7 +107,11 @@ def run_benchmarks() -> dict:
                           numeric_cols=["l_quantity", "l_extendedprice"],
                           categorical_cols=["l_linestatus"],
                           distinct_cols=["l_orderkey"])
-        return sketch_rows(li, cfg).count()
+        # fixed pool: autoscaling from min=1 adds actors one ~2 s startup
+        # at a time and dominates wall time at this scale
+        pool = max(2, min(8, NUM_CPUS // 2))
+        return sketch_rows(li, cfg, concurrency=pool,
+                           batch_size=32768).count()
 
     sec, _ = _timed(lineitem_stats)
     results["lineitem_stats_profile"] = round(sec, 3)

@@ -61,23 +61,32 @@ def exact_dedup(
     Projects to (hash, id) before the shuffle — the text never moves.
     Returns (text_md5, keep_id, n_dupes).
     """
-    hashed = ds.map_batches(
-        lambda b: add_text_hash(b, text_col).select(["text_md5", id_col]),
-        batch_format="pyarrow",
+    from ray.data.aggregate import Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = add_text_hash(b, text_col).select(["text_md5", id_col])
+        agg = h.group_by(["text_md5"]).aggregate(
+            [(id_col, "min"), ([], "count_all")]
+        )
+        return agg.rename_columns(["text_md5", "p_min", "p_n"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("p_min", alias_name="keep_id"),
+                   Sum("p_n", alias_name="n_total"))
     )
 
-    def keep_first(g: pa.Table) -> pa.Table:
-        ids = g[id_col]
+    def shape(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "text_md5": [g["text_md5"][0].as_py()],
-                "keep_id": [pc.min(ids).as_py()],
-                "n_dupes": pa.array([len(g) - 1], pa.int64()),
+                "text_md5": b["text_md5"],
+                "keep_id": b["keep_id"],
+                "n_dupes": pc.subtract(pc.cast(b["n_total"], pa.int64()), 1),
             }
         )
 
-    return hashed.groupby("text_md5").map_groups(keep_first,
-                                                 batch_format="pyarrow")
+    return merged.map_batches(shape, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -136,9 +145,12 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 def explode_bands(batch: pa.Table, num_perm: int, bands: int,
                   id_col: str = "doc_id") -> pa.Table:
-    """(doc, signature) → one row per band: (band_id, band_hash, doc_id).
+    """(doc, signature) → one row per band: (band_id, band_hash, doc_id, sig).
 
-    The LSH shuffle key; bucket collisions become dedup candidates.
+    The LSH shuffle key; bucket collisions become dedup candidates.  The
+    full signature travels with each band row (num_perm×8 B) so in-bucket
+    verification needs no broadcast side-channel and the signature pipeline
+    executes exactly once.
     """
     r = num_perm // bands
     sigs = np.asarray(
@@ -146,7 +158,8 @@ def explode_bands(batch: pa.Table, num_perm: int, bands: int,
     ).reshape(-1, num_perm)
     ids = batch[id_col].to_pylist()
     n = len(ids)
-    band_ids, band_hashes, out_ids = [], [], []
+    sig_bytes = [sigs[i].tobytes() for i in range(n)]
+    band_ids, band_hashes, out_ids, out_sigs = [], [], [], []
     for b in range(bands):
         chunk = sigs[:, b * r : (b + 1) * r]
         hashes = [
@@ -155,11 +168,13 @@ def explode_bands(batch: pa.Table, num_perm: int, bands: int,
         band_ids += [b] * n
         band_hashes += hashes
         out_ids += ids
+        out_sigs += sig_bytes
     return pa.table(
         {
             "band_id": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(band_hashes, pa.string()),
             id_col: pa.array(out_ids),
+            "sig": pa.array(out_sigs, pa.binary()),
         }
     )
 
@@ -188,47 +203,65 @@ def minhash_lsh_candidates(
         concurrency=concurrency,
     )
     sig_and_id = with_sig.select_columns([id_col, "minhash"])
-    exploded = sig_and_id.map_batches(
-        lambda b: explode_bands(b, num_perm, bands, id_col),
-        batch_format="pyarrow",
+    n_parts = 64
+
+    def explode(b: pa.Table) -> pa.Table:
+        t = explode_bands(b, num_perm, bands, id_col)
+        # co-location key: per-group map_groups over O(rows) buckets costs a
+        # Python call per bucket; hash-partitioning into n_parts lets one
+        # task sweep many buckets with a single vectorised pandas groupby
+        part = hash64(t["band_hash"].to_pylist()) % n_parts
+        return t.append_column("part", pa.array(part.astype(np.int32)))
+
+    exploded = sig_and_id.map_batches(explode, batch_format="pyarrow")
+
+    _EMPTY = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "jaccard_est": pd.Series(dtype="float64")}
     )
-    # bucket → need signatures for verification: broadcast the signature
-    # table (ids + minhash) — small relative to text (num_perm*8 bytes/doc)
-    sig_table = sig_and_id.to_pandas()
-    sig_map = {
-        i: np.asarray(s, dtype=np.uint64)
-        for i, s in zip(sig_table[id_col], sig_table["minhash"])
-    }
-    import ray as _ray
 
-    sig_ref = _ray.put(sig_map)
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in part.groupby(["band_id", "band_hash"], sort=False):
+            g = g.drop_duplicates(subset=[id_col])
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col)
+            ids = np.asarray(g[id_col].tolist())
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+            eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            ii, jj = np.triu_indices(len(ids), k=1)
+            keep = eq[ii, jj] >= jaccard_threshold
+            if keep.any():
+                out.append(pd.DataFrame(
+                    {"id_a": ids[ii[keep]].astype("int64"),
+                     "id_b": ids[jj[keep]].astype("int64"),
+                     "jaccard_est": np.round(eq[ii, jj][keep], 6)}))
+        if not out:
+            return _EMPTY
+        return pd.concat(out, ignore_index=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
-             "jaccard_est": pd.Series(dtype="float64")}
+    pairs = exploded.groupby("part").map_groups(
+        partition_pairs, batch_format="pandas"
+    )
+
+    # dedupe pairs found in multiple bands: partition by pair hash so the
+    # dedup scales (no single-node bottleneck), drop dups within partitions
+    def tag(b: pa.Table) -> pa.Table:
+        key = [f"{a}|{bb}" for a, bb in zip(b["id_a"].to_pylist(),
+                                            b["id_b"].to_pylist())]
+        part = (hash64(key) % n_parts).astype(np.int32) if key else \
+            np.empty(0, dtype=np.int32)
+        return b.append_column("pair_part", pa.array(part))
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("pair_part")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"]).drop(
+                columns="pair_part"),
+            batch_format="pandas",
         )
-        ids = sorted(set(g[id_col].tolist()))
-        if len(ids) < 2:
-            return empty
-        sigs = _ray.get(sig_ref)
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                est = estimate_jaccard(sigs[ids[i]], sigs[ids[j]])
-                if est >= jaccard_threshold:
-                    rows.append((ids[i], ids[j], round(est, 6)))
-        if not rows:
-            return empty
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard_est"]).astype(
-            {"id_a": "int64", "id_b": "int64", "jaccard_est": "float64"})
-
-    pairs = exploded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # dedupe pairs found in multiple bands
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
     )
 
 
@@ -317,6 +350,8 @@ def simhash_near_dups(
         batch_format="pyarrow", concurrency=concurrency,
     ).select_columns([id_col, "simhash64"])
 
+    n_parts = 64
+
     def explode(b: pa.Table) -> pa.Table:
         h = np.asarray(b["simhash64"].combine_chunks(), dtype=np.uint64)
         ids = b[id_col].to_pylist()
@@ -327,35 +362,63 @@ def simhash_near_dups(
             rows["band_val"] += vals
             rows[id_col] += ids
             rows["simhash64"] += [int(x) for x in h]
+        band_id = np.asarray(rows["band_id"], dtype=np.int64)
+        band_val = np.asarray(rows["band_val"], dtype=np.int64)
+        part = ((band_id * 65537 + band_val) % n_parts).astype(np.int32)
         return pa.table(
             {
-                "band_id": pa.array(rows["band_id"], pa.int32()),
-                "band_val": pa.array(rows["band_val"], pa.int64()),
+                "band_id": pa.array(band_id.astype(np.int32)),
+                "band_val": pa.array(band_val, pa.int64()),
                 id_col: pa.array(rows[id_col]),
                 "simhash64": pa.array(rows["simhash64"], pa.int64()),
+                "part": pa.array(part),
             }
         )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].tolist()
-        hs = g["simhash64"].tolist()
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                d = hamming64(hs[i], hs[j])
-                if d <= max_hamming:
-                    rows.append((ids[i], ids[j], d))
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
+    _EMPTY = pd.DataFrame(
+        {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
+         "hamming": pd.Series(dtype="int64")}
+    )
+
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in part.groupby(["band_id", "band_val"], sort=False):
+            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].tolist()
+            hs = g["simhash64"].tolist()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    d = hamming64(hs[i], hs[j])
+                    if d <= max_hamming:
+                        out.append((ids[i], ids[j], d))
+        if not out:
+            return _EMPTY
+        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]).astype(
             {"id_a": "int64", "id_b": "int64", "hamming": "int64"})
 
     pairs = (
         hashed.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("part")
+        .map_groups(partition_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+
+    def tag(b: pa.Table) -> pa.Table:
+        key = [f"{a}|{bb}" for a, bb in zip(b["id_a"].to_pylist(),
+                                            b["id_b"].to_pylist())]
+        part = (hash64(key) % n_parts).astype(np.int32) if key else \
+            np.empty(0, dtype=np.int32)
+        return b.append_column("pair_part", pa.array(part))
+
+    return (
+        pairs.map_batches(tag, batch_format="pyarrow")
+        .groupby("pair_part")
+        .map_groups(
+            lambda g: g.drop_duplicates(["id_a", "id_b"]).drop(
+                columns="pair_part"),
+            batch_format="pandas",
+        )
     )
 
 

@@ -27,8 +27,15 @@ _HASH_KEY = "0123456789123456"  # pandas default; fixed for determinism
 
 
 def hash64(values) -> np.ndarray:
-    """Deterministic uint64 hashes of a value array (C-backed, vectorized)."""
-    arr = np.asarray(values, dtype=object)
+    """Deterministic uint64 hashes of a value array (C-backed, vectorized).
+
+    Numeric ndarrays take pandas' native vectorized path; strings/objects
+    go through the cython object hasher.  Hashes are only compared within
+    one column, so the int-vs-str domain split is irrelevant.
+    """
+    arr = np.asarray(values)
+    if arr.dtype.kind in ("U", "S", "O", "V"):
+        arr = arr.astype(object)
     return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
 
 

@@ -114,7 +114,7 @@ class StatsActor:
                 rows[f"{c}__hist"].append(hist.to_bytes())
             for c in cfg.distinct_cols:
                 hll = HyperLogLog(p=cfg.hll_p)
-                hll.add(g[c].dropna().astype(str).tolist())
+                hll.add(g[c].dropna().to_numpy())
                 rows[f"{c}__hll"].append(hll.to_bytes())
         t = pa.table(
             {
