@@ -475,7 +475,42 @@ def q_ivf_knn(sf_dir: str):
 def q_sessions(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
-    return sessionize(ev, "user_id", gap_seconds=1800)
+    out = sessionize(ev, "user_id", gap_seconds=1800).to_pandas()
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
+def q_asof_purchase_signup(sf_dir: str):
+    """As-of join: each purchase matched to the user's latest prior signup."""
+    from xpshacl_ray.functions.joins import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts"])
+
+    def carry_ts(b: pa.Table) -> pa.Table:
+        return b.append_column("signup_ts", b["ts"])
+
+    signups = (
+        ev.filter(expr="event_type == 'signup'")
+        .select_columns(["user_id", "ts"])
+        .map_batches(carry_ts, batch_format="pyarrow")
+    )
+    joined = asof_join(purchases, signups, key="user_id", ts="ts")
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(b["event_id"], pa.int64()),
+                "user_id": pc.cast(b["user_id"], pa.int64()),
+                "ts": b["ts"],
+                "signup_ts": b["signup_ts"],
+            }
+        )
+
+    return joined.map_batches(shape, batch_format="pyarrow")
 
 
 def q_drift_lang_psi(sf_dir: str):
@@ -549,6 +584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "ivf_knn": q_ivf_knn,
         "sessions": q_sessions,
+        "asof_purchase_signup": q_asof_purchase_signup,
         "drift_lang_psi": q_drift_lang_psi,
         "justification_trees": q_justification_trees,
         "explanations": q_explanations,
@@ -660,5 +696,32 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE), 3) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        "sessions": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL OR
+                                 ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id, ts,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts)
+                           AS sid
+                FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, sid
+        """,
+        "asof_purchase_signup": """
+            SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts FROM events
+                  WHERE event_type = 'signup') s
+            ON p.user_id = s.user_id AND p.ts >= s.ts
         """,
     }

@@ -1,0 +1,76 @@
+"""Join strategy tests: broadcast, bucketed hash join, as-of join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from xpshacl_ray.functions.joins import asof_join, broadcast_join, hash_join
+
+
+@pytest.fixture(scope="module")
+def orders(sf_dir):
+    return ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey",
+                                          "o_totalprice"])
+
+
+@pytest.fixture(scope="module")
+def cust_df(sf_dir):
+    return pq.read_table(
+        f"{sf_dir}/customer.parquet"
+    ).select(["c_custkey", "c_mktsegment"]).to_pandas().rename(
+        columns={"c_custkey": "o_custkey"})
+
+
+def test_broadcast_join_matches_pandas(orders, cust_df, sf_dir):
+    got = broadcast_join(orders, cust_df, "o_custkey").to_pandas()
+    want = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas().merge(
+        cust_df, on="o_custkey", how="left")
+    g = got.sort_values("o_orderkey").reset_index(drop=True)
+    w = want.sort_values("o_orderkey").reset_index(drop=True)
+    assert (g["c_mktsegment"] == w["c_mktsegment"]).all()
+    assert len(g) == len(w)
+
+
+def test_broadcast_join_missing_keys_are_null(orders, cust_df):
+    sub = cust_df[cust_df["o_custkey"] <= 10]
+    got = broadcast_join(orders, sub, "o_custkey").to_pandas()
+    hit = got["o_custkey"] <= 10
+    assert got.loc[hit, "c_mktsegment"].notna().all()
+    assert got.loc[~hit, "c_mktsegment"].isna().all()
+
+
+def test_hash_join_matches_pandas(orders, cust_df, sf_dir):
+    right = ray.data.from_pandas(cust_df)
+    got = hash_join(orders, right, "o_custkey", n_buckets=8).to_pandas()
+    want = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas().merge(
+        cust_df, on="o_custkey", how="inner")
+    key = ["o_orderkey"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want[got.columns].sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["c_mktsegment"] == w["c_mktsegment"]).all()
+
+
+def test_asof_join_matches_merge_asof(sf_dir):
+    ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
+    purchases = ev[ev.event_type == "purchase"][["event_id", "user_id", "ts"]]
+    signups = ev[ev.event_type == "signup"][["user_id", "ts"]].assign(
+        signup_ts=lambda d: d["ts"])
+    want = pd.merge_asof(
+        purchases.sort_values("ts"), signups.sort_values("ts"),
+        on="ts", by="user_id", direction="backward",
+    )
+    got = asof_join(
+        ray.data.from_pandas(purchases),
+        ray.data.from_pandas(signups),
+        key="user_id", ts="ts", n_buckets=8,
+    ).to_pandas()
+    g = got.sort_values("event_id").reset_index(drop=True)
+    w = want.sort_values("event_id").reset_index(drop=True)
+    assert len(g) == len(w)
+    matched = w["signup_ts"].notna()
+    assert (g.loc[matched, "signup_ts"] == w.loc[matched, "signup_ts"]).all()
+    assert g.loc[~matched, "signup_ts"].isna().all()

@@ -122,6 +122,16 @@ def asof_join(
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lpart = g[g["__side__"] == "l"][lcols].sort_values(ts)
         rpart = g[g["__side__"] == "r"][rcols].sort_values(ts)
+        if lpart.empty:
+            # merge_asof on an empty left frame upcasts int columns to
+            # float64 and poisons the unioned block dtype — build the
+            # empty output with the left side's own dtypes instead
+            out = lpart.copy()
+            for c in rcols:
+                if c not in (key, ts):
+                    name = c + right_suffix if c in lcols else c
+                    out[name] = pd.Series(dtype=rpart[c].dtype)
+            return out
         if rpart.empty:
             # keep the same output schema as pd.merge_asof: right columns
             # minus (key, ts); suffix only on collisions
