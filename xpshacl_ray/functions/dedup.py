@@ -111,13 +111,24 @@ class MinHasher:
         self.k = shingle_k
         self.text_col = text_col
 
+    _SHINGLE_BASE = np.uint64(1099511628211)  # FNV prime
+
     def shingle_hashes(self, text: str) -> np.ndarray:
+        """Distinct k-byte-shingle hashes, fully vectorized: a polynomial
+        rolling hash is k shifted multiply-adds over the whole byte array —
+        no per-shingle Python slicing (which dominates at corpus scale)."""
         k = self.k
-        if len(text) < k:
-            sh = [text]
-        else:
-            sh = [text[i : i + k] for i in range(len(text) - k + 1)]
-        return np.unique(hash64(sh)) & _MERSENNE
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) == 0:
+            return np.zeros(1, dtype=np.uint64)
+        if len(b) < k:
+            pows = self._SHINGLE_BASE ** np.arange(len(b), dtype=np.uint64)
+            return np.array([(b * pows).sum() & _MERSENNE], dtype=np.uint64)
+        n_sh = len(b) - k + 1
+        h = np.zeros(n_sh, dtype=np.uint64)
+        for j in range(k):  # k is small (default 5): k vector ops total
+            h = h * self._SHINGLE_BASE + b[j : j + n_sh]
+        return np.unique(h & _MERSENNE)
 
     def signature(self, text: str) -> np.ndarray:
         x = self.shingle_hashes(text)
@@ -125,15 +136,39 @@ class MinHasher:
         vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         return vals.min(axis=1)
 
+    def _signatures_chunk(self, texts) -> np.ndarray:
+        """Vectorized signatures for a chunk of docs: one (num_perm,
+        total_shingles) universal-hash matrix + per-doc ``minimum.reduceat``
+        instead of a Python matrix op per document."""
+        hash_lists = [self.shingle_hashes(t) if t else
+                      np.zeros(1, dtype=np.uint64) for t in texts]
+        lengths = np.array([len(h) for h in hash_lists])
+        x = np.concatenate(hash_lists)
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        mins = np.minimum.reduceat(vals, starts, axis=1)  # (num_perm, n_docs)
+        sigs = mins.T.copy()
+        empty = np.array([not t for t in texts])
+        if empty.any():
+            sigs[empty] = 0
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        sigs = []
-        for t in batch[self.text_col].to_pylist():
-            if not t:
-                sigs.append(np.zeros(self.num_perm, dtype=np.uint64))
-            else:
-                sigs.append(self.signature(t))
+        texts = batch[self.text_col].to_pylist()
+        # chunk so the (num_perm × shingles) matrix stays ~tens of MB
+        budget = max(1, 2_000_000 // max(self.num_perm, 1))
+        sigs, i = [], 0
+        while i < len(texts):
+            j, cost = i, 0
+            while j < len(texts) and cost < budget:
+                cost += max(1, len(texts[j] or "") - self.k + 1)
+                j += 1
+            sigs.append(self._signatures_chunk(texts[i:j]))
+            i = j
+        all_sigs = np.concatenate(sigs) if sigs else np.zeros(
+            (0, self.num_perm), dtype=np.uint64)
         arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.concatenate(sigs).astype(np.uint64), pa.uint64()),
+            pa.array(all_sigs.ravel().astype(np.uint64), pa.uint64()),
             self.num_perm,
         )
         return batch.append_column("minhash", arr)

@@ -65,30 +65,51 @@ def sessionize(
     ts_col: str = "ts",
     gap_seconds: float = 1800.0,
 ) -> "ray.data.Dataset":
-    """Session windows per key: sort-within-group + gap split.
+    """Session windows per key: hash-partition keys, then one vectorized
+    sort + gap-split sweep per partition (no per-key Python call — a
+    ``map_groups`` per user costs a Python roundtrip per key and dominates
+    at millions of keys).
 
-    ``groupby(key).map_groups`` sorts each key's events by time (the only
-    per-key state needed); emits one row per session with start/end/count.
-    Assumes a single key's events fit in a worker — the same per-key bound
-    any keyed-window system needs.
+    Partitioning assumption: all events of one key land in one partition
+    (hash co-location) and a partition fits one task — the same per-key
+    bound any keyed-window system needs.
     """
+    import numpy as np
+    import pyarrow as pa
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col)
-        ts = g[ts_col]
-        gap = ts.diff().dt.total_seconds().fillna(0.0)
-        session_id = (gap > gap_seconds).cumsum()
+    from ..functions.sketches import hash64
+
+    n_parts = 64
+
+    def tag(b: pa.Table) -> pa.Table:
+        part = (hash64(np.asarray(b[key_col])) % n_parts).astype(np.int32)
+        return b.append_column("__part__", pa.array(part))
+
+    def part_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col])
+        key = df[key_col]
+        gap = df[ts_col].diff().dt.total_seconds()
+        new_session = (key != key.shift()) | (gap > gap_seconds)
+        sid = new_session.cumsum()
         out = (
-            g.assign(__s=session_id)
-            .groupby("__s")
+            df.groupby(sid, sort=False)
             .agg(
-                session_start=(ts_col, "min"),
-                session_end=(ts_col, "max"),
-                n_events=(ts_col, "size"),
+                **{
+                    key_col: (key_col, "first"),
+                    "session_start": (ts_col, "min"),
+                    "session_end": (ts_col, "max"),
+                    "n_events": (ts_col, "size"),
+                }
             )
             .reset_index(drop=True)
         )
-        out.insert(0, key_col, g[key_col].iloc[0])
         return out
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part__")
+        .map_groups(
+            lambda g: part_sessions(g.drop(columns="__part__")),
+            batch_format="pandas",
+        )
+    )
