@@ -81,8 +81,9 @@ def _documents_spec() -> ValidationSpec:
     )
 
 
-def _docs(sf_dir: str) -> "ray.data.Dataset":
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+def _docs(sf_dir: str, columns=None) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=columns)
 
 
 VIOLATION_COLS = [
@@ -125,7 +126,8 @@ FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars >= 50)
 
 def q_violations_documents(sf_dir: str):
     eng = ValidationEngine(_documents_spec())
-    viol = eng.validate(_docs(sf_dir))
+    # prune at the read: only the columns the compiled spec touches
+    viol = eng.validate(_docs(sf_dir, columns=eng.compiled.required_columns()))
     return viol.select_columns(VIOLATION_COLS)
 
 
@@ -480,6 +482,39 @@ def q_sessions(sf_dir: str):
     return out
 
 
+def q_json_extract_sum(sf_dir: str):
+    """C19 custom-UDF surface with an oracle: parse the JSON props column
+    and aggregate the extracted field per event type (per-batch combiner)."""
+    import json as _json
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "props"])
+
+    def extract_partial(b: pa.Table) -> pa.Table:
+        ks = [
+            None if p is None else int(_json.loads(p).get("k"))
+            for p in b["props"].to_pylist()
+        ]
+        t = pa.table({"event_type": b["event_type"],
+                      "k": pa.array(ks, pa.int64())})
+        agg = t.group_by(["event_type"]).aggregate(
+            [("k", "sum"), ([], "count_all")])
+        return agg.rename_columns(["event_type", "p_sum", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        ev.map_batches(extract_partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("p_sum", alias_name="sum_k"),
+                   Sum("p_n", alias_name="n_events"))
+        .to_pandas()
+    )
+    out["sum_k"] = out["sum_k"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
 def q_asof_purchase_signup(sf_dir: str):
     """As-of join: each purchase matched to the user's latest prior signup."""
     from xpshacl_ray.functions.joins import asof_join
@@ -585,6 +620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": q_ivf_knn,
         "sessions": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
+        "json_extract_sum": q_json_extract_sum,
         "drift_lang_psi": q_drift_lang_psi,
         "justification_trees": q_justification_trees,
         "explanations": q_explanations,
@@ -714,6 +750,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM numbered GROUP BY user_id, sid
+        """,
+        "json_extract_sum": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
         "asof_purchase_signup": """
             SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts

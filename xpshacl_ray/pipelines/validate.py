@@ -66,7 +66,13 @@ class ValidationEngine:
         kg_path: Optional[str] = None,
         languages: Sequence[str] = ("en",),
         model_name: str = DEFAULT_MODEL,
+        inference: Optional[str] = None,
     ):
+        # ``inference`` mirrors the reference's --inference rdfs/owlrl flag
+        # (main.py:30-33): pyshacl-internal graph pre-processing with no
+        # analog on a tabular engine — accepted and documented as a no-op
+        # (SURVEY.md §2.8).
+        self.inference = inference
         self.spec = spec
         self.compiled: CompiledSpec = compile_spec(spec)
         self.rules = list(rules)
@@ -221,9 +227,18 @@ class ValidationEngine:
         ds: "ray.data.Dataset",
         ref_datasets: Optional[Dict[str, "ray.data.Dataset"]] = None,
         out_dir: Optional[str] = None,
+        out_json: Optional[str] = None,
         save_kg: bool = True,
+        stats_config=None,
     ) -> Dict[str, object]:
-        """Full explainable-validation pipeline (main.py:49-264 analog)."""
+        """Full explainable-validation pipeline (main.py:49-264 analog).
+
+        ``out_dir`` → partitioned Parquet report (S3, the checkpoint unit);
+        ``out_json`` → additional human-readable JSON report (main.py's
+        ``json.dumps`` console/file output, :250-264);
+        ``stats_config`` → also run the one-pass sketch profile (ST5) and
+        return it as ``stats``.
+        """
         violations = self.validate(ds, ref_datasets=ref_datasets)
         sigs = self.enrich(self.unique_signatures(violations))
         expl_ds = self.explain(sigs)
@@ -236,12 +251,20 @@ class ValidationEngine:
 
             merge_kg_updates(kg, expl_table)
             kg_saved = kg.save()
+        stats = None
+        if stats_config is not None:
+            from ..stages.stats import profile
+
+            stats = profile(ds, stats_config)
         if out_dir:
             report.write_parquet(out_dir)
+        if out_json:
+            report.write_json(out_json)
         return {
             "violations": violations,
             "signatures": sigs,
             "explanations": expl_table,
             "report": report,
             "kg_path": kg_saved,
+            "stats": stats,
         }
