@@ -38,10 +38,25 @@ class TestHLL:
         whole = HyperLogLog().add(vals)
         assert merged.estimate() == whole.estimate()  # register-exact
 
-    def test_roundtrip(self):
-        h = HyperLogLog().add(["x", "y"])
-        assert np.array_equal(HyperLogLog.from_bytes(h.to_bytes()).registers,
-                              h.registers)
+    def test_roundtrip_sparse_and_dense(self):
+        h = HyperLogLog().add(["x", "y"])  # sparse mode
+        back = HyperLogLog.from_bytes(h.to_bytes())
+        assert back.registers is None
+        assert np.array_equal(back.sparse, h.sparse)
+        assert back.estimate() == 2.0
+        d = HyperLogLog().add([f"v{i}" for i in range(1000)])  # dense mode
+        back_d = HyperLogLog.from_bytes(d.to_bytes())
+        assert np.array_equal(back_d.registers, d.registers)
+
+    def test_sparse_dense_merge_consistent(self):
+        vals = [f"v{i}" for i in range(2000)]
+        small = HyperLogLog().add(vals[:50])          # sparse
+        big = HyperLogLog().add(vals[40:])            # dense
+        m1 = HyperLogLog.merge_many([small.to_bytes(), big.to_bytes()])
+        m2 = HyperLogLog.merge_many([big.to_bytes(), small.to_bytes()])
+        whole = HyperLogLog().add(vals)
+        assert m1.estimate() == whole.estimate()
+        assert m2.estimate() == whole.estimate()
 
 
 class TestTDigest:

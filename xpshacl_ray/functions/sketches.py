@@ -45,21 +45,40 @@ def hash64(values) -> np.ndarray:
 
 
 class HyperLogLog:
-    """Dense HLL distinct-count sketch. ~0.8% error at p=14; default p=12."""
+    """HLL distinct-count sketch with a sparse small-set mode.
 
-    __slots__ = ("p", "m", "registers")
+    Small inputs stay a raw uint64 hash set (exact estimate, ~8 B/value
+    serialization, no 4 KiB register allocation per tiny group — the common
+    case for per-batch partials of high-cardinality group keys); past
+    ``SPARSE_MAX`` distinct hashes the sketch densifies to classic
+    registers (~0.8% error at p=14; default p=12).  Merges handle any
+    sparse/dense combination, so the merge-of-union law still holds.
+    """
 
-    def __init__(self, p: int = 12, registers: Optional[np.ndarray] = None):
+    __slots__ = ("p", "m", "registers", "sparse")
+
+    SPARSE_MAX = 256
+
+    def __init__(self, p: int = 12, registers: Optional[np.ndarray] = None,
+                 sparse: Optional[np.ndarray] = None):
         self.p = p
         self.m = 1 << p
-        self.registers = (
-            registers if registers is not None else np.zeros(self.m, dtype=np.uint8)
-        )
+        if registers is not None:
+            self.registers: Optional[np.ndarray] = registers
+            self.sparse: Optional[np.ndarray] = None
+        else:
+            self.registers = None
+            self.sparse = sparse if sparse is not None else np.empty(
+                0, dtype=np.uint64)
 
-    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
-        if len(h) == 0:
-            return self
-        h = h.astype(np.uint64, copy=False)
+    def _densify(self) -> None:
+        if self.registers is None:
+            sparse, self.sparse = self.sparse, None
+            self.registers = np.zeros(self.m, dtype=np.uint8)
+            if len(sparse):
+                self._add_dense(sparse)
+
+    def _add_dense(self, h: np.ndarray) -> None:
         q = 64 - self.p
         idx = (h >> np.uint64(q)).astype(np.int64)
         w = h & np.uint64((1 << q) - 1)
@@ -70,6 +89,20 @@ class HyperLogLog:
         bl[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
         rho = (q - bl + 1).astype(np.uint8)
         np.maximum.at(self.registers, idx, rho)
+
+    def add_hashes(self, h: np.ndarray) -> "HyperLogLog":
+        if len(h) == 0:
+            return self
+        h = h.astype(np.uint64, copy=False)
+        if self.registers is None:
+            merged = np.unique(np.concatenate([self.sparse, h]))
+            if len(merged) <= self.SPARSE_MAX:
+                self.sparse = merged
+                return self
+            self.sparse = merged
+            self._densify()
+            return self
+        self._add_dense(h)
         return self
 
     def add(self, values) -> "HyperLogLog":
@@ -77,10 +110,15 @@ class HyperLogLog:
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         assert self.p == other.p
+        if other.registers is None:
+            return self.add_hashes(other.sparse)
+        self._densify()
         self.registers = np.maximum(self.registers, other.registers)
         return self
 
     def estimate(self) -> float:
+        if self.registers is None:
+            return float(len(self.sparse))  # exact in sparse mode
         m = float(self.m)
         alpha = 0.7213 / (1.0 + 1.079 / m)
         inv = np.exp2(-self.registers.astype(np.float64))
@@ -91,12 +129,16 @@ class HyperLogLog:
         return raw
 
     def to_bytes(self) -> bytes:
-        return struct.pack("<B", self.p) + self.registers.tobytes()
+        if self.registers is None:
+            return struct.pack("<BB", 1, self.p) + self.sparse.tobytes()
+        return struct.pack("<BB", 0, self.p) + self.registers.tobytes()
 
     @classmethod
     def from_bytes(cls, b: bytes) -> "HyperLogLog":
-        p = struct.unpack("<B", b[:1])[0]
-        return cls(p=p, registers=np.frombuffer(b[1:], dtype=np.uint8).copy())
+        mode, p = struct.unpack("<BB", b[:2])
+        if mode == 1:
+            return cls(p=p, sparse=np.frombuffer(b[2:], dtype=np.uint64).copy())
+        return cls(p=p, registers=np.frombuffer(b[2:], dtype=np.uint8).copy())
 
     @classmethod
     def merge_many(cls, blobs: Iterable[bytes]) -> "HyperLogLog":
@@ -173,6 +215,13 @@ class TDigest:
         self._min = min(self._min, float(v.min()))
         self._max = max(self._max, float(v.max()))
         v.sort(kind="mergesort")
+        if len(self.means) == 0 and len(v) <= 128:
+            # small-input fast path: raw values are exact unit centroids;
+            # compression happens on the first real merge (per-batch
+            # partials of tiny groups are the common case)
+            self.means = v
+            self.weights = np.ones(len(v))
+            return self
         all_means = np.concatenate([self.means, v])
         all_weights = np.concatenate([self.weights, np.ones(len(v))])
         self._compress(all_means, all_weights)

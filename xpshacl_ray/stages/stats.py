@@ -91,30 +91,41 @@ class StatsActor:
             rows[f"{c}__hist"] = []
         for c in cfg.distinct_cols:
             rows[f"{c}__hll"] = []
+        # segment ONCE (C-backed .indices), then slice pre-extracted numpy
+        # arrays per group — constructing a sub-DataFrame per group is the
+        # dominant cost when a batch holds thousands of (repo, lang) groups
         if cfg.group_keys:
-            grouped = df.groupby(list(cfg.group_keys), sort=False, dropna=False)
+            idx_map = df.groupby(list(cfg.group_keys), sort=False,
+                                 dropna=False).indices
         else:
-            grouped = [((), df)]
-        for key, g in grouped:
+            idx_map = {(): np.arange(len(df))}
+        num_np = {
+            c: pd.to_numeric(df[c], errors="coerce").to_numpy(dtype=np.float64)
+            for c in cfg.numeric_cols
+        }
+        cat_np = {c: df[c].to_numpy() for c in cfg.categorical_cols}
+        cat_null = {c: df[c].isna().to_numpy() for c in cfg.categorical_cols}
+        dist_np = {c: df[c].to_numpy() for c in cfg.distinct_cols}
+        dist_null = {c: df[c].isna().to_numpy() for c in cfg.distinct_cols}
+        for key, idx in idx_map.items():
             if not isinstance(key, tuple):
                 key = (key,)
             for k, kv in zip(cfg.group_keys, key):
                 rows[k].append(kv)
-            rows["n_rows"].append(len(g))
+            rows["n_rows"].append(len(idx))
             for c in cfg.numeric_cols:
-                v = pd.to_numeric(g[c], errors="coerce").to_numpy(dtype=np.float64)
-                nulls = int(np.isnan(v).sum())
-                rows[f"{c}__nulls"].append(nulls)
+                v = num_np[c][idx]
+                rows[f"{c}__nulls"].append(int(np.isnan(v).sum()))
                 td = TDigest(delta=cfg.tdigest_delta).add(v)
                 rows[f"{c}__tdigest"].append(td.to_bytes())
             for c in cfg.categorical_cols:
-                col = g[c]
-                rows[f"{c}__nulls"].append(int(col.isna().sum()))
-                hist = CategoricalHistogram().add(col.dropna().tolist())
+                nulls = cat_null[c][idx]
+                rows[f"{c}__nulls"].append(int(nulls.sum()))
+                hist = CategoricalHistogram().add(cat_np[c][idx][~nulls])
                 rows[f"{c}__hist"].append(hist.to_bytes())
             for c in cfg.distinct_cols:
                 hll = HyperLogLog(p=cfg.hll_p)
-                hll.add(g[c].dropna().to_numpy())
+                hll.add(dist_np[c][idx][~dist_null[c][idx]])
                 rows[f"{c}__hll"].append(hll.to_bytes())
         t = pa.table(
             {
