@@ -43,6 +43,9 @@ from .spec import (
     MinExclusive,
     MinInclusive,
     MinLength,
+    NodeKind,
+    LanguageIn,
+    UniqueLang,
     Not,
     Or,
     Pattern,

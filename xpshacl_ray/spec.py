@@ -287,8 +287,33 @@ class MaxExclusive(Constraint):
 
 
 @dataclass
+class NodeKind(Constraint):
+    """sh:nodeKind (C5): value-form check — the tabular analog of
+    IRI/BlankNode/Literal kinds is a syntax regex on the column (e.g.
+    commit ~ ``^[0-9a-f]{40}$``); classified VALUE_TYPE like the
+    reference (extended_shacl_validator.py:273)."""
+
+    pattern: str = ""
+    kind: str = "Literal"  # label recorded in context
+    component: str = "NodeKindConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"nodeKind": self.kind, "pattern": self.pattern}
+
+    def default_message(self) -> str:
+        return f"Value is not a well-formed {self.kind}"
+
+    def mask(self, batch: pa.Table):
+        col = batch[self.column]
+        if not pa.types.is_string(col.type):
+            col = pc.cast(col, pa.string())
+        ok = pc.match_substring_regex(col, self.pattern)
+        return pc.fill_null(pc.invert(ok), False)
+
+
+@dataclass
 class InSet(Constraint):
-    """sh:in / sh:languageIn (C10): membership in an allowed value set."""
+    """sh:in (C10): membership in an allowed value set."""
 
     allowed: Sequence[Any] = field(default_factory=list)
     component: str = "InConstraintComponent"
@@ -305,6 +330,21 @@ class InSet(Constraint):
         # a NULL has no value node → never violates sh:in (Required covers it)
         bad = pc.and_(pc.invert(ok), pc.is_valid(col))
         return pc.fill_null(bad, False)
+
+
+@dataclass
+class LanguageIn(InSet):
+    """sh:languageIn (C10): allowed language tags — an InSet over the lang
+    column with the languageIn component id (classified OTHER like the
+    reference's fallback, extended_shacl_validator.py:284-285)."""
+
+    component: str = "LanguageInConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"languageIn": list(self.allowed)}
+
+    def default_message(self) -> str:
+        return f"Language tag is not in {sorted(map(str, self.allowed))}"
 
 
 # --- property-pair constraints (C12–C14) -----------------------------------
@@ -528,6 +568,30 @@ class MaxCount(Constraint):
 
 
 @dataclass
+class UniqueLang(MaxCount):
+    """sh:uniqueLang (C11): no two values may share a language tag per
+    focus group — MaxCount(1) on ``group_by + [lang_column]`` with the
+    uniqueLang component id (shark_shapes.ttl:37,45)."""
+
+    lang_column: str = "lang"
+    component: str = "UniqueLangConstraintComponent"
+
+    def __post_init__(self):
+        self.max_count = 1
+        if self.lang_column not in self.group_by:
+            self.group_by = list(self.group_by) + [self.lang_column]
+
+    def params(self) -> Dict[str, Any]:
+        return {"uniqueLang": True}
+
+    def default_message(self) -> str:
+        return (
+            f"More than one value shares a language tag "
+            f"({self.lang_column}) per {list(self.group_by[:-1])}"
+        )
+
+
+@dataclass
 class Referential(Constraint):
     """sh:class / FK existence (C4): every value of ``column`` must exist in
     the referenced key set (broadcast small side; anti-join finds dangles)."""
@@ -550,6 +614,7 @@ ROW_LOCAL_TYPES = (
     Required,
     Datatype,
     Pattern,
+    NodeKind,
     MinLength,
     MaxLength,
     MinInclusive,
