@@ -559,6 +559,18 @@ def q_drift_lang_psi(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_curation(sf_dir: str):
+    """Full curation composition: quality → lang filter → exact dedup."""
+    from xpshacl_ray.pipelines.curate import CurationConfig, curate
+
+    docs = _docs(sf_dir)
+    curated, _report = curate(
+        docs,
+        CurationConfig(allowed_langs=["en", "de", "fr"], min_quality=0.0),
+    )
+    return curated.select_columns(["doc_id", "lang", "quality_score"])
+
+
 def q_justification_trees(sf_dir: str):
     eng = ValidationEngine(_documents_spec())
     viol = eng.validate(_docs(sf_dir))
@@ -622,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_signup": q_asof_purchase_signup,
         "json_extract_sum": q_json_extract_sum,
         "drift_lang_psi": q_drift_lang_psi,
+        "curation": q_curation,
         "justification_trees": q_justification_trees,
         "explanations": q_explanations,
     }

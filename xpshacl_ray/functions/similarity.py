@@ -144,6 +144,70 @@ def ivf_assign(
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def persist_ivf_index(
+    indexed: "ray.data.Dataset",
+    centroids: np.ndarray,
+    out_dir: str,
+) -> str:
+    """Persist the inverted index partitioned by ``list_id``.
+
+    One directory per list — at 10^9+ vectors a query touching ``nprobe``
+    lists reads only those partitions (partition pruning at the read,
+    instead of a filter over the full scan).
+    """
+    import os
+
+    import numpy as _np
+
+    os.makedirs(out_dir, exist_ok=True)
+    _np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    indexed.write_parquet(os.path.join(out_dir, "lists"),
+                          partition_cols=["list_id"])
+    return out_dir
+
+
+def load_ivf_lists(index_dir: str, list_ids) -> "ray.data.Dataset":
+    """Read only the probed inverted lists (partition-pruned read)."""
+    import os
+
+    dirs = [
+        os.path.join(index_dir, "lists", f"list_id={int(l)}")
+        for l in list_ids
+    ]
+    files = []
+    for d in dirs:
+        if os.path.isdir(d):
+            files += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                      if f.endswith(".parquet")]
+    return ray.data.read_parquet(files)
+
+
+def load_ivf_centroids(index_dir: str) -> np.ndarray:
+    import os
+
+    return np.load(os.path.join(index_dir, "centroids.npy"))
+
+
+def knn_cosine_ivf_persisted(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Top-k against a persisted IVF index — only ``nprobe`` partitions
+    are read from storage."""
+    centroids = load_ivf_centroids(index_dir)
+    q = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe_lists = np.unique(
+        np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe].ravel()
+    )
+    probed = load_ivf_lists(index_dir, probe_lists)
+    return knn_cosine_bruteforce(probed, q, k=k, id_col=id_col,
+                                 vec_col=vec_col)
+
+
 def knn_cosine_ivf(
     indexed: "ray.data.Dataset",
     centroids: np.ndarray,

@@ -1,0 +1,126 @@
+"""Training-data curation pipeline: the composition a 100 TB corpus run
+actually needs — quality-score → language filter → exact dedup → near-dup
+prune → partitioned write, all streaming.
+
+Stages (each independently tested; this module is the composition):
+
+1. ``QualityScorer`` / ``LanguageId`` actor pools score every document.
+2. A vectorized filter keeps rows with ``quality_score >= min_quality``
+   and predicted/declared language in the allow-list.
+3. Exact dedup drops non-first rows per content hash (hash-partitioned,
+   the text never shuffles — only (hash, id) pairs move).
+4. Optional MinHash-LSH near-dup pruning removes the higher-id member of
+   every candidate pair above the Jaccard threshold.
+5. Output written as partitioned Parquet (resumable unit).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.dedup import exact_dedup, minhash_lsh_candidates
+from ..functions.text import LanguageId, QualityScorer
+
+
+@dataclass
+class CurationConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    lang_col: str = "lang"
+    allowed_langs: Optional[List[str]] = None
+    min_quality: float = 0.3
+    near_dup_jaccard: Optional[float] = None  # None = skip LSH stage
+    concurrency: tuple = (1, 8)
+
+
+@dataclass
+class CurationReport:
+    n_input: int
+    n_after_filter: int
+    n_after_exact_dedup: int
+    n_after_near_dedup: int
+    dropped_low_quality_or_lang: int = 0
+    dropped_exact_dupes: int = 0
+    dropped_near_dupes: int = 0
+
+
+def curate(
+    ds: "ray.data.Dataset",
+    cfg: CurationConfig = CurationConfig(),
+) -> tuple["ray.data.Dataset", CurationReport]:
+    """Returns (curated dataset, per-stage attrition report).
+
+    No silent caps: every stage's drop count is reported.
+    """
+    n_input = ds.count()
+
+    scored = ds.map_batches(
+        QualityScorer, batch_format="pyarrow", concurrency=cfg.concurrency
+    ).map_batches(
+        LanguageId, batch_format="pyarrow", concurrency=cfg.concurrency
+    )
+
+    def keep_mask(b: pa.Table) -> pa.Table:
+        m = pc.greater_equal(b["quality_score"], cfg.min_quality)
+        if cfg.allowed_langs is not None:
+            m = pc.and_(
+                m,
+                pc.is_in(b[cfg.lang_col],
+                         value_set=pa.array(cfg.allowed_langs)),
+            )
+        return b.filter(pc.fill_null(m, False))
+
+    filtered = scored.map_batches(keep_mask, batch_format="pyarrow")
+    n_filtered = filtered.count()
+
+    # exact dedup: broadcast the tiny survivor-id set (ids only — at true
+    # scale swap for a semi-join on the hash column)
+    groups = exact_dedup(filtered, text_col=cfg.text_col, id_col=cfg.id_col)
+    keep_ids = pa.array(sorted(
+        r["keep_id"] for r in groups.select_columns(["keep_id"]).take_all()
+    ))
+    keep_ref = ray.put(keep_ids)
+
+    def keep_first(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[cfg.id_col], value_set=ray.get(keep_ref)))
+
+    deduped = filtered.map_batches(keep_first, batch_format="pyarrow")
+    n_exact = deduped.count()
+
+    n_near = n_exact
+    if cfg.near_dup_jaccard is not None:
+        pairs = minhash_lsh_candidates(
+            deduped, jaccard_threshold=cfg.near_dup_jaccard,
+            id_col=cfg.id_col, text_col=cfg.text_col,
+            concurrency=cfg.concurrency,
+        ).take_all()
+        drop = pa.array(sorted({r["id_b"] for r in pairs}))
+        drop_ref = ray.put(drop)
+
+        def drop_near(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.invert(pc.is_in(b[cfg.id_col],
+                                   value_set=ray.get(drop_ref)))
+            )
+
+        deduped = deduped.map_batches(drop_near, batch_format="pyarrow")
+        n_near = deduped.count()
+
+    report = CurationReport(
+        n_input=n_input,
+        n_after_filter=n_filtered,
+        n_after_exact_dedup=n_exact,
+        n_after_near_dedup=n_near,
+        dropped_low_quality_or_lang=n_input - n_filtered,
+        dropped_exact_dupes=n_filtered - n_exact,
+        dropped_near_dupes=n_exact - n_near,
+    )
+    return deduped, report
