@@ -559,6 +559,19 @@ def q_drift_lang_psi(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_train_test_split(sf_dir: str):
+    """Deterministic md5-bucket split — reproducible in SQL, resumes and
+    repartitionings (never random_sample, which depends on block layout)."""
+    from xpshacl_ray.functions.sampling import add_split_column
+
+    return (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(lambda b: add_split_column(b, "doc_id", 20),
+                     batch_format="pyarrow")
+        .select_columns(["doc_id", "split"])
+    )
+
+
 def q_curation(sf_dir: str):
     """Full curation composition: quality → lang filter → exact dedup."""
     from xpshacl_ray.pipelines.curate import CurationConfig, curate
@@ -635,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_sum": q_json_extract_sum,
         "drift_lang_psi": q_drift_lang_psi,
         "curation": q_curation,
+        "train_test_split": q_train_test_split,
         "justification_trees": q_justification_trees,
         "explanations": q_explanations,
     }
@@ -745,6 +759,13 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE), 3) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                             1, 8))::BIGINT % 100 < 20
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents
         """,
         "sessions": """
             WITH flagged AS (

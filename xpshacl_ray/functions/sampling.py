@@ -1,0 +1,57 @@
+"""Deterministic sampling / train-test splitting for corpus pipelines.
+
+A split must be reproducible across runs, resumes and repartitioning, so it
+hashes a stable id — never `random_sample` (which depends on block layout).
+``md5(id) % buckets`` is engine-agnostic: the same assignment is computable
+in SQL (DuckDB: ``('0x' || substr(md5(id),1,8))::BIGINT % buckets``), in a
+resume, or by a downstream consumer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def md5_bucket(values, buckets: int = 100, salt: str = "") -> np.ndarray:
+    """Deterministic bucket in [0, buckets) from md5 of the id string."""
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        h = hashlib.md5(f"{salt}{v}".encode("utf-8")).hexdigest()[:8]
+        out[i] = int(h, 16) % buckets
+    return out
+
+
+def add_split_column(
+    batch: pa.Table,
+    id_col: str,
+    test_percent: int = 20,
+    salt: str = "",
+    out_col: str = "split",
+) -> pa.Table:
+    ids = pc.cast(batch[id_col], pa.string()).to_pylist()
+    buckets = md5_bucket(ids, 100, salt)
+    split = np.where(buckets < test_percent, "test", "train")
+    return batch.append_column(out_col, pa.array(split.tolist(), pa.string()))
+
+
+def train_test_split(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    test_percent: int = 20,
+    salt: str = "",
+) -> Tuple["ray.data.Dataset", "ray.data.Dataset"]:
+    """(train, test) datasets split deterministically by id hash."""
+    tagged = ds.map_batches(
+        lambda b: add_split_column(b, id_col, test_percent, salt),
+        batch_format="pyarrow",
+    )
+    train = tagged.filter(expr="split == 'train'").drop_columns(["split"])
+    test = tagged.filter(expr="split == 'test'").drop_columns(["split"])
+    return train, test

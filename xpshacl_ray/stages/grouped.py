@@ -62,29 +62,57 @@ def _grouped_violation_rows(
     spec: CompiledSpec,
     id_types: List[pa.DataType],
 ) -> pa.Table:
-    """Build violation rows from the (small) violating-groups table."""
-    rows = groups.to_pylist()
+    """Build violation rows from violating groups — vectorized so a
+    pathological spec (every group violating) still streams."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = groups.num_rows
     params = json.loads(cc.context_json)
     schema = violations_schema(spec.id_columns, id_types)
-    out = {name: [] for name in schema.names}
-    for r in rows:
-        focus = "group:" + "/".join(str(r[k]) for k in keys)
-        ctx = dict(params)
-        ctx["actualCount"] = int(r["actual_count"])
-        for c in spec.id_columns:
-            out[c].append(r[k] if (k := c) in r else None)
-        out["focus_node"].append(focus)
-        out["shape_id"].append(cc.shape_id)
-        out["constraint_id"].append(cc.constraint_id)
-        out["violation_type"].append(cc.violation_type)
-        out["property_path"].append(cc.property_path)
-        out["value"].append(str(int(r["actual_count"])))
-        out["message"].append(cc.message)
-        out["severity"].append(cc.severity)
-        out["context"].append(json.dumps(ctx, sort_keys=True))
-        out["signature"].append(cc.signature)
-        out["signature_key"].append(cc.sig_key)
-    return pa.table({n: pa.array(out[n], schema.field(n).type) for n in schema.names})
+    counts = groups["actual_count"]
+    count_str = pc.cast(pc.cast(counts, pa.int64()), pa.string())
+
+    # focus: "group:<k1>/<k2>/..."
+    parts = [pa.array(np.repeat("group:", n))]
+    for i, k in enumerate(keys):
+        if i:
+            parts.append(pa.array(np.repeat("/", n)))
+        col = groups[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts.append(pc.cast(col, pa.string()))
+    focus = pc.binary_join_element_wise(*parts, "")
+
+    # context JSON with per-row actualCount (static params + dynamic count)
+    prefix = json.dumps(params, sort_keys=True)[:-1]  # strip closing brace
+    sep = ', "actualCount": ' if prefix.strip() != "{" else '"actualCount": '
+    ctx = pc.binary_join_element_wise(
+        pa.array(np.repeat(prefix + sep, n)), count_str,
+        pa.array(np.repeat("}", n)), "",
+    )
+
+    cols = {}
+    for c, t in zip(spec.id_columns, id_types):
+        if c in groups.column_names:
+            col = groups[c]
+            cols[c] = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        else:
+            cols[c] = pa.nulls(n, t)
+    static = {
+        "shape_id": cc.shape_id, "constraint_id": cc.constraint_id,
+        "violation_type": cc.violation_type,
+        "property_path": cc.property_path, "message": cc.message,
+        "severity": cc.severity, "signature": cc.signature,
+        "signature_key": cc.sig_key,
+    }
+    cols["focus_node"] = focus
+    cols["value"] = count_str
+    cols["context"] = ctx
+    for name, v in static.items():
+        cols[name] = (pa.nulls(n, pa.string()) if v is None
+                      else pa.array(np.repeat(v, n)))
+    return pa.table({name: cols[name] for name in schema.names})
 
 
 def evaluate_grouped(
