@@ -424,7 +424,7 @@ def q_embedding_near_dups(sf_dir: str):
 def q_lang_id(sf_dir: str):
     return (
         _docs(sf_dir)
-        .map_batches(LanguageId, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(LanguageId(), batch_format="pyarrow")
         .select_columns(["doc_id", "lang_pred", "lang_score"])
     )
 
@@ -432,7 +432,7 @@ def q_lang_id(sf_dir: str):
 def q_quality_scores(sf_dir: str):
     return (
         _docs(sf_dir)
-        .map_batches(QualityScorer, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(QualityScorer(), batch_format="pyarrow")
         .select_columns(["doc_id", "q_len", "q_punct_ratio",
                          "q_stopword_ratio", "quality_score"])
     )
@@ -443,7 +443,7 @@ def q_simhash(sf_dir: str):
 
     return (
         _docs(sf_dir)
-        .map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(SimHasher(), batch_format="pyarrow")
         .select_columns(["doc_id", "simhash64"])
     )
 

@@ -107,6 +107,19 @@ def test_explainer_actor_cache_hit_flow(tmp_path):
     assert out2[0]["explanation"] == out[0]["explanation"]
 
 
+def test_llm_backend_error_in_band():
+    # no endpoint configured → the reference's exact in-band error shape
+    # (tests/test_explanation_generator.py:130-159 analog)
+    from xpshacl_ray.explain import LLMExplanationGenerator
+
+    g = LLMExplanationGenerator(base_url=None, api_key=None)
+    g.base_url = None  # ensure env doesn't leak in
+    out = g.generate_explanation_output(viol(), ["en"])
+    expl, sugg = out["en"]
+    assert expl.startswith("Error generating explanation in en:")
+    assert sugg.startswith("Error generating correction suggestions in en:")
+
+
 def test_merge_kg_first_writer_wins():
     v = viol()
     kg = ViolationKnowledgeGraph()

@@ -54,6 +54,19 @@ def test_hash_join_matches_pandas(orders, cust_df, sf_dir):
     assert (g["c_mktsegment"] == w["c_mktsegment"]).all()
 
 
+def test_native_join_matches_pandas(orders, cust_df, sf_dir):
+    from xpshacl_ray.functions.joins import native_join
+
+    right = ray.data.from_pandas(cust_df)
+    got = native_join(orders, right, "o_custkey", num_partitions=8).to_pandas()
+    want = pq.read_table(f"{sf_dir}/orders.parquet").to_pandas().merge(
+        cust_df, on="o_custkey", how="inner")
+    g = got.sort_values("o_orderkey").reset_index(drop=True)
+    w = want[got.columns].sort_values("o_orderkey").reset_index(drop=True)
+    assert len(g) == len(w)
+    assert (g["c_mktsegment"] == w["c_mktsegment"]).all()
+
+
 def test_asof_join_matches_merge_asof(sf_dir):
     ev = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
     purchases = ev[ev.event_type == "purchase"][["event_id", "user_id", "ts"]]

@@ -185,6 +185,85 @@ class TemplateExplanationGenerator:
         }
 
 
+class LLMExplanationGenerator:
+    """Pluggable LLM backend with the reference's interface (ST3/N4).
+
+    The reference switches OpenAI-compatible base URLs by model name
+    (explanation_generator.py:52-68) and runs a local variant (:213-275).
+    This sandbox has no network, so the client is import/env-gated: without
+    ``XPSHACL_LLM_BASE_URL``/``XPSHACL_LLM_API_KEY`` (or a reachable
+    endpoint) every call returns the reference's in-band error string
+    ``"Error generating explanation in {lang}: {e}"``
+    (explanation_generator.py:93-95) — same interface as
+    :class:`TemplateExplanationGenerator`, so either drops into
+    :class:`ExplainerActor`.
+    """
+
+    def __init__(self, model_name: str = "gpt-4o-mini",
+                 base_url: Optional[str] = None,
+                 api_key: Optional[str] = None):
+        self.model_name = model_name
+        self.base_url = base_url or os.environ.get("XPSHACL_LLM_BASE_URL")
+        self.api_key = api_key or os.environ.get("XPSHACL_LLM_API_KEY")
+
+    def _chat(self, prompt: str) -> str:
+        if not self.base_url:
+            raise RuntimeError("no LLM endpoint configured "
+                               "(XPSHACL_LLM_BASE_URL unset)")
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"{self.base_url.rstrip('/')}/chat/completions",
+            data=_json.dumps({
+                "model": self.model_name,
+                "messages": [{"role": "user", "content": prompt}],
+            }).encode("utf-8"),
+            headers={"Content-Type": "application/json",
+                     "Authorization": f"Bearer {self.api_key or ''}"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            out = _json.loads(r.read())
+        return out["choices"][0]["message"]["content"].strip()
+
+    def generate_explanation_text(self, violation: Dict[str, Any],
+                                  language: str = "en") -> str:
+        prompt = (
+            f"Explain the following SHACL violation in {language} "
+            f"(ISO 639-1 code): {violation.get('message') or 'Unknown violation'}."
+        )
+        try:
+            return self._chat(prompt)
+        except Exception as e:  # error-in-band (explanation_generator.py:93-95)
+            return f"Error generating explanation in {language}: {e}"
+
+    def generate_correction_suggestions(self, violation: Dict[str, Any],
+                                        language: str = "en") -> str:
+        prompt = (
+            f"Provide possible correction suggestions for this violation in "
+            f"{language}: {violation.get('message') or 'Unknown violation'}."
+        )
+        try:
+            text = self._chat(prompt)
+            lines = [s.strip() for s in text.split("\n") if s.strip()]
+            if not lines:
+                return "No suggestions generated."
+            return SUGGESTION_SEPARATOR.join(lines)
+        except Exception as e:
+            return f"Error generating correction suggestions in {language}: {e}"
+
+    def generate_explanation_output(
+        self, violation: Dict[str, Any], languages: Sequence[str] = ("en",)
+    ) -> Dict[str, Tuple[str, str]]:
+        return {
+            lang: (
+                self.generate_explanation_text(violation, lang),
+                self.generate_correction_suggestions(violation, lang),
+            )
+            for lang in languages
+        }
+
+
 class ViolationKnowledgeGraph:
     """Signature-keyed explanation cache persisted as Parquet (S4/S5/G4-G7).
 

@@ -67,6 +67,26 @@ def _bucketize(ds: "ray.data.Dataset", key: str, n_buckets: int,
     return ds.map_batches(tag, batch_format="pyarrow")
 
 
+def native_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    how: str = "inner",
+    num_partitions: int = 32,
+    right_suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Ray's built-in hash-partitioned join (Ray >= 2.46) — the preferred
+    big-big path; :func:`hash_join` is the explicit, portable equivalent
+    (and the place to add salting when one key dominates)."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(key,),
+        right_suffix=right_suffix,
+    )
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

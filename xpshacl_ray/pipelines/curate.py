@@ -62,10 +62,12 @@ def curate(
     """
     n_input = ds.count()
 
+    # cheap-init stages run as stateless tasks (instances in the closure);
+    # swap to actor pools only when __init__ loads real models
     scored = ds.map_batches(
-        QualityScorer, batch_format="pyarrow", concurrency=cfg.concurrency
+        QualityScorer(), batch_format="pyarrow"
     ).map_batches(
-        LanguageId, batch_format="pyarrow", concurrency=cfg.concurrency
+        LanguageId(), batch_format="pyarrow"
     )
 
     def keep_mask(b: pa.Table) -> pa.Table:
