@@ -83,6 +83,37 @@ def test_e2e_exact_violation_counts(fixture_dirs):
     assert {r["severity"] for r in rows} == {"Violation"}
 
 
+def test_run_options_json_and_stats(fixture_dirs, tmp_path):
+    import os
+
+    import pyarrow.compute as pc
+
+    from xpshacl_ray.stages.stats import StatsConfig
+
+    fx, code_path, commits_path = fixture_dirs
+    eng = build_engine()
+    eng.compiled.referential.clear()
+    ds = read_code_table(code_path).map_batches(
+        lambda b: b.append_column("content_len",
+                                  pc.utf8_length(b["content"])),
+        batch_format="pyarrow",
+    )
+    res = eng.run(
+        ds,
+        out_json=str(tmp_path / "report_json"),
+        save_kg=False,
+        stats_config=StatsConfig(group_keys=["lang"],
+                                 numeric_cols=["content_len"]),
+    )
+    # human JSON report written (S3)
+    json_files = os.listdir(tmp_path / "report_json")
+    assert any(f.endswith(".json") for f in json_files)
+    # stats profile returned (ST5 in the facade)
+    assert res["stats"] is not None
+    assert "content_len_p50" in res["stats"].columns
+    assert res["stats"]["n_rows"].sum() == ds.count()
+
+
 def test_e2e_full_run_report_and_explanations(fixture_dirs, tmp_path):
     fx, code_path, commits_path = fixture_dirs
     eng = build_engine(kg_path=str(tmp_path / "kg.parquet"), languages=["en"])
