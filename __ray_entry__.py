@@ -24,6 +24,10 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from xpshacl_ray.tuning import apply_recommended_context
+
+apply_recommended_context()  # hash shuffle + quiet progress (no ray.init)
+
 from xpshacl_ray import (
     InSet,
     MaxLength,

@@ -36,13 +36,11 @@ def run_benchmarks() -> dict:
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import ray.data
-    from ray.data import DataContext
-
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
-    ctx.execution_options.verbose_progress = False
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from xpshacl_ray.tuning import apply_recommended_context
+
+    apply_recommended_context()
     import __ray_entry__ as entrymod
     from xpshacl_ray.stages.stats import StatsConfig, sketch_rows
 
@@ -190,10 +188,10 @@ def run_scaling_job() -> dict:
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
     import ray.data
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from xpshacl_ray.tuning import apply_recommended_context
+
+    apply_recommended_context()
     import pyarrow as pa
 
     import __ray_entry__ as entrymod
