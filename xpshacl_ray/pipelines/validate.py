@@ -97,8 +97,17 @@ class ValidationEngine:
         ds: "ray.data.Dataset",
         ref_datasets: Optional[Dict[str, "ray.data.Dataset"]] = None,
         ref_keys: Optional[Dict[str, pa.Array]] = None,
+        grouped_ds: Optional["ray.data.Dataset"] = None,
     ) -> "ray.data.Dataset":
-        """Full violations Dataset: row-local ∪ grouped ∪ referential."""
+        """Full violations Dataset: (row-local ∪ referential) ∪ grouped.
+
+        Referential checks are FUSED into the row-local scan — their mask
+        is row-local once the referenced key set is broadcast, so they cost
+        no extra pass over the input.  Grouped constraints need their own
+        (key-projected) pass; pass ``grouped_ds`` to run them over a
+        cheaper source (e.g. a raw read without derived lineage columns)
+        when ``ds`` carries expensive upstream transforms.
+        """
         compiled = self.compiled
         missing = set(compiled.required_columns()) - set(ds.schema().names)
         if missing:
@@ -107,10 +116,34 @@ class ValidationEngine:
                 f"{sorted(missing)} (have: {ds.schema().names})"
             )
         parts: List[ray.data.Dataset] = []
-        if compiled.row_local:
+        fused = list(compiled.row_local)
+        if compiled.referential:
+            from dataclasses import replace
+
+            from ..stages.referential import _RefMask
+
+            keys = dict(ref_keys or {})
+            for cc in compiled.referential:
+                col = cc.constraint.column
+                if col not in keys:
+                    ref_ds = (ref_datasets or {})[col]
+                    keys[col] = distinct_keys(ref_ds, cc.constraint.ref_column)
+                key_arr = keys[col]
+                key_ref = (key_arr if isinstance(key_arr, ray.ObjectRef)
+                           else ray.put(key_arr))
+                fused.append(
+                    replace(cc, constraint=_RefMask(column=col,
+                                                    keys_ref=key_ref))
+                )
+        if fused:
+            scan_spec = CompiledSpec(
+                row_local=fused, grouped=[], referential=[],
+                id_columns=compiled.id_columns,
+                focus_template=compiled.focus_template,
+            )
             parts.append(
                 ds.map_batches(
-                    lambda b, c=compiled: evaluate_row_local(b, c),
+                    lambda b, c=scan_spec: evaluate_row_local(b, c),
                     batch_format="pyarrow",
                 )
             )
@@ -118,15 +151,7 @@ class ValidationEngine:
             sch = ds.schema()
             tmap = dict(zip(sch.names, sch.types))
             id_types = [tmap[c] for c in compiled.id_columns]
-            parts += evaluate_grouped(ds, compiled, id_types)
-        if compiled.referential:
-            keys = dict(ref_keys or {})
-            for cc in compiled.referential:
-                col = cc.constraint.column
-                if col not in keys:
-                    ref_ds = (ref_datasets or {})[col]
-                    keys[col] = distinct_keys(ref_ds, cc.constraint.ref_column)
-            parts += evaluate_referential(ds, compiled, keys)
+            parts += evaluate_grouped(grouped_ds or ds, compiled, id_types)
         if not parts:
             raise ValueError("spec has no constraints")
         out = parts[0]
@@ -239,7 +264,10 @@ class ValidationEngine:
         ``stats_config`` → also run the one-pass sketch profile (ST5) and
         return it as ``stats``.
         """
-        violations = self.validate(ds, ref_datasets=ref_datasets)
+        # violations feed three consumers (dedup, report join, write);
+        # materialize once so the input pipeline executes exactly once —
+        # the violations table is small relative to the input by design
+        violations = self.validate(ds, ref_datasets=ref_datasets).materialize()
         sigs = self.enrich(self.unique_signatures(violations))
         expl_ds = self.explain(sigs)
         expl_table = pa.Table.from_pylist(expl_ds.take_all())  # tiny
