@@ -98,6 +98,7 @@ class ValidationEngine:
         ref_datasets: Optional[Dict[str, "ray.data.Dataset"]] = None,
         ref_keys: Optional[Dict[str, pa.Array]] = None,
         grouped_ds: Optional["ray.data.Dataset"] = None,
+        grouped_strategy: str = "keys",
     ) -> "ray.data.Dataset":
         """Full violations Dataset: (row-local ∪ referential) ∪ grouped.
 
@@ -151,7 +152,8 @@ class ValidationEngine:
             sch = ds.schema()
             tmap = dict(zip(sch.names, sch.types))
             id_types = [tmap[c] for c in compiled.id_columns]
-            parts += evaluate_grouped(grouped_ds or ds, compiled, id_types)
+            parts += evaluate_grouped(grouped_ds or ds, compiled, id_types,
+                                      strategy=grouped_strategy)
         if not parts:
             raise ValueError("spec has no constraints")
         out = parts[0]

@@ -18,6 +18,7 @@ from __future__ import annotations
 import json
 from typing import List, Optional
 
+import numpy as np
 import pyarrow as pa
 
 import ray.data
@@ -115,16 +116,56 @@ def _grouped_violation_rows(
     return pa.table({name: cols[name] for name in schema.names})
 
 
+def _key_hashes(batch: pa.Table, keys: List[str]) -> np.ndarray:
+    """64-bit hash of the composite key (vectorized)."""
+    import pyarrow.compute as pc
+
+    from ..functions.sketches import hash64
+
+    parts = []
+    for i, k in enumerate(keys):
+        if i:
+            parts.append(pa.array(np.repeat("\x1f", len(batch))))
+        col = batch[k]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts.append(pc.fill_null(pc.cast(col, pa.string()), "\x00"))
+    joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(
+        *parts, "")
+    return hash64(joined.to_pylist()).astype(np.uint64)
+
+
 def evaluate_grouped(
     ds: "ray.data.Dataset",
     spec: CompiledSpec,
     id_types: Optional[List[pa.DataType]] = None,
+    strategy: str = "keys",
 ) -> List["ray.data.Dataset"]:
     """Run every grouped constraint; returns one violations Dataset each.
 
-    Each constraint is an independent key-projected pre-aggregated groupby
-    (cheap); callers union the results with the row-local violations.
+    Two exchange strategies (measured trade-off, see BASELINE.md):
+
+    - ``"keys"`` (default): lazy pre-aggregated groupby on the key columns.
+      Stays fully pipelined with the row-local scan (they execute
+      concurrently inside one streaming execution) — fastest up to the
+      point where shuffling the key strings dominates.
+    - ``"hashed"``: the all-to-all moves one (uint64 key hash, int64
+      partial count) pair per (group, batch) — never the key strings —
+      then ONE broadcast-filtered scan recovers the key tuples of the
+      (rare by design) violating groups.  ~6× fewer shuffle bytes for
+      string keys; costs an execution barrier + a second input scan, so it
+      wins only when the exchange itself is the bottleneck (10^9+ groups).
     """
+    if strategy == "keys":
+        return _evaluate_grouped_keys(ds, spec, id_types)
+    return _evaluate_grouped_hashed(ds, spec, id_types)
+
+
+def _evaluate_grouped_keys(
+    ds: "ray.data.Dataset",
+    spec: CompiledSpec,
+    id_types: Optional[List[pa.DataType]] = None,
+) -> List["ray.data.Dataset"]:
     if id_types is None:
         sch = ds.schema()
         tmap = dict(zip(sch.names, sch.types))
@@ -133,7 +174,8 @@ def evaluate_grouped(
     for cc in spec.grouped:
         c = cc.constraint
         keys = list(c.group_by)
-        counts = group_counts(ds, keys, c.column if c.column not in keys else None)
+        counts = group_counts(ds, keys,
+                              c.column if c.column not in keys else None)
         if isinstance(c, MaxCount):
             bad = counts.filter(expr=f"actual_count > {int(c.max_count)}")
         elif isinstance(c, MinCount):
@@ -145,4 +187,92 @@ def evaluate_grouped(
             return _grouped_violation_rows(batch, cc, keys, spec, id_types)
 
         results.append(bad.map_batches(to_rows, batch_format="pyarrow"))
+    return results
+
+
+def _evaluate_grouped_hashed(
+    ds: "ray.data.Dataset",
+    spec: CompiledSpec,
+    id_types: Optional[List[pa.DataType]] = None,
+) -> List["ray.data.Dataset"]:
+    import ray as _ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    if id_types is None:
+        sch = ds.schema()
+        tmap = dict(zip(sch.names, sch.types))
+        id_types = [tmap[c] for c in spec.id_columns]
+    results = []
+    for cc in spec.grouped:
+        c = cc.constraint
+        keys = list(c.group_by)
+        value_col = c.column if c.column and c.column not in keys else None
+        proj = keys + ([value_col] if value_col else [])
+
+        def partial_hashed(b: pa.Table, keys=keys, value_col=value_col,
+                           proj=proj) -> pa.Table:
+            import pyarrow.compute as pc
+
+            b = b.select(proj)
+            kh = _key_hashes(b, keys)
+            if value_col:
+                cnt = np.asarray(
+                    pc.is_valid(b[value_col]).combine_chunks()
+                    if isinstance(b[value_col], pa.ChunkedArray)
+                    else pc.is_valid(b[value_col])
+                ).astype(np.int64)
+            else:
+                cnt = np.ones(len(b), dtype=np.int64)
+            t = pa.table({"kh": pa.array(kh), "partial_n": pa.array(cnt)})
+            return t.group_by(["kh"]).aggregate([("partial_n", "sum")]) \
+                .rename_columns(["kh", "partial_n"])
+
+        counts = ds.map_batches(partial_hashed, batch_format="pyarrow") \
+            .groupby("kh").aggregate(Sum("partial_n", alias_name="actual_count"))
+        if isinstance(c, MaxCount):
+            bad = counts.filter(expr=f"actual_count > {int(c.max_count)}")
+        elif isinstance(c, MinCount):
+            bad = counts.filter(expr=f"actual_count < {int(c.min_count)}")
+        else:  # pragma: no cover
+            raise TypeError(f"not a grouped constraint: {c}")
+
+        # violating groups are small by design: collect (hash -> count),
+        # broadcast, and recover the key tuples with one filtered scan
+        bad_rows = bad.take_all()
+        if not bad_rows:
+            results.append(
+                rd.from_arrow(
+                    violations_schema(spec.id_columns, id_types).empty_table())
+            )
+            continue
+        count_map = {np.uint64(r["kh"]): int(r["actual_count"])
+                     for r in bad_rows}
+        bad_set_ref = _ray.put(
+            pa.array(np.array(sorted(count_map), dtype=np.uint64)))
+
+        def recover_keys(b: pa.Table, keys=keys) -> pa.Table:
+            import pyarrow.compute as pc
+
+            kh = _key_hashes(b, keys)
+            mask = pc.is_in(pa.array(kh), value_set=_ray.get(bad_set_ref))
+            t = b.select(keys).append_column("kh", pa.array(kh)).filter(mask)
+            return t.group_by(keys + ["kh"]).aggregate([])
+
+        groups_tbl = pa.concat_tables(
+            [b for b in ds.map_batches(recover_keys, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+        )
+        # dedupe across batches, attach counts
+        groups_tbl = groups_tbl.group_by(keys + ["kh"]).aggregate([])
+        actual = pa.array(
+            [count_map[np.uint64(h)] for h in groups_tbl["kh"].to_pylist()],
+            pa.int64(),
+        )
+        groups_tbl = groups_tbl.drop_columns(["kh"]).append_column(
+            "actual_count", actual)
+
+        viol_rows = _grouped_violation_rows(groups_tbl, cc, keys, spec,
+                                            id_types)
+        results.append(rd.from_arrow(viol_rows))
     return results
