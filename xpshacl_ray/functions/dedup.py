@@ -23,7 +23,7 @@ the iterative min-label-propagation (`groupby` rounds) noted in
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 import pandas as pd

@@ -16,7 +16,7 @@ Three tiers, picked by side sizes:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd

@@ -10,7 +10,7 @@ resume, or by a downstream consumer.
 from __future__ import annotations
 
 import hashlib
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import pyarrow as pa

@@ -18,7 +18,7 @@ Public algorithms: HyperLogLog (Flajolet et al., 2007) and the t-digest
 from __future__ import annotations
 
 import struct
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, Optional, Sequence
 
 import numpy as np
 import pandas as pd

@@ -15,7 +15,6 @@ import re
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -23,11 +23,8 @@ Referential(commit)         commit absent from commits dim      (C4)
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
-import pyarrow as pa
-
-import ray.data
 
 from ..context import DomainRule
 from ..sources.fixtures import LANGS, MAX_CONTENT_LEN

@@ -20,7 +20,6 @@ import ray.data
 from ray.data.aggregate import Count
 
 from ..pipelines.validate import ValidationEngine
-from ..spec import ValidationSpec
 
 
 @dataclass

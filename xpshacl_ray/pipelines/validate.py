@@ -34,7 +34,7 @@ from ..justify import tree_json_for_row
 from ..spec import CompiledSpec, ValidationSpec, compile_spec
 from ..stages.evaluate import evaluate_row_local
 from ..stages.grouped import evaluate_grouped
-from ..stages.referential import distinct_keys, evaluate_referential
+from ..stages.referential import distinct_keys
 
 
 @dataclass

@@ -14,7 +14,7 @@ while the plumbing (dataset shape, error-row schema) stays testable with
 
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import pyarrow as pa
 

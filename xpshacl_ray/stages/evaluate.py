@@ -22,7 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..model import VIOLATION_FIELDS
-from ..spec import CompiledConstraint, CompiledSpec
+from ..spec import CompiledSpec
 
 
 def render_focus(batch: pa.Table, template: str, offset: int = 0) -> pa.Array:

@@ -24,7 +24,6 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
-from ..model import VIOLATION_FIELDS
 from ..spec import CompiledConstraint, CompiledSpec, MaxCount, MinCount
 from .evaluate import violations_schema
 

@@ -15,7 +15,7 @@ key set per partition or fall back to a partitioned hash join (see
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import List, Optional, Union
+from typing import List
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..spec import CompiledConstraint, CompiledSpec, Referential
+from ..spec import CompiledSpec
 from .evaluate import evaluate_row_local
 
 

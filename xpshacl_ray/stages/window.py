@@ -10,14 +10,14 @@ need per-key sorted ``map_groups`` (see ``sessionize``).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Sum
 
 
 def add_tumbling_window(
