@@ -375,6 +375,68 @@ def q_window_hourly(sf_dir: str):
     return out
 
 
+def q_rolling_window(sf_dir: str):
+    """Sliding window: 15-min buckets + 2-bucket rolling sum per type."""
+    from xpshacl_ray.stages.window import rolling_window_aggregate
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "value"])
+    out = rolling_window_aggregate(ev, ["event_type"], "value").to_pandas()
+    out["bucket_sum"] = out["bucket_sum"].round(2)
+    out["rolling_sum"] = out["rolling_sum"].round(2)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["rolling_n"] = out["rolling_n"].astype("int64")
+    return out
+
+
+def q_topk_per_group(sf_dir: str):
+    """Top-2 users by total value per event type (grouped top-k)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["event_type", "user_id"]).aggregate(
+            [("value", "sum")])
+        return agg.rename_columns(["event_type", "user_id", "p_sum"])
+
+    from ray.data.aggregate import Sum
+
+    totals = (
+        ev.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("p_sum", alias_name="total_value"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(total_value=g["total_value"].round(2))
+        g = g.sort_values(["total_value", "user_id"],
+                          ascending=[False, True]).head(2)
+        g["rnk"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    return totals.groupby("event_type").map_groups(topk,
+                                                   batch_format="pandas")
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact distinct count per group, pre-deduplicated per batch."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id"])
+    pairs = ev.map_batches(
+        lambda b: b.group_by(["event_type", "user_id"]).aggregate([]),
+        batch_format="pyarrow",
+    )
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"event_type": [g["event_type"].iloc[0]],
+             "n_users": np.array([g["user_id"].nunique()], dtype="int64")}
+        )
+
+    return pairs.groupby("event_type").map_groups(count_distinct,
+                                                  batch_format="pandas")
+
+
 def q_token_counts(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -634,6 +696,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_segment": q_revenue_by_segment,
         "topk_users": q_topk_users,
         "window_hourly": q_window_hourly,
+        "rolling_window": q_rolling_window,
+        "topk_per_group": q_topk_per_group,
+        "distinct_users": q_distinct_users,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -727,6 +792,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "rolling_window": """
+            WITH buckets AS (
+                SELECT event_type,
+                       time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+                       count(*) AS n_events,
+                       round(sum(value), 2) AS bucket_sum,
+                       sum(value) AS raw_sum
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, bucket_start, n_events, bucket_sum,
+                   round(sum(raw_sum) OVER w, 2) AS rolling_sum,
+                   CAST(sum(n_events) OVER w AS BIGINT) AS rolling_n
+            FROM buckets
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
+                         ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+        """,
+        "topk_per_group": """
+            WITH totals AS (
+                SELECT event_type, user_id,
+                       round(sum(value), 2) AS total_value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, user_id, total_value, rnk FROM (
+                SELECT *, CAST(row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY total_value DESC, user_id) AS BIGINT)
+                       AS rnk
+                FROM totals
+            ) WHERE rnk <= 2
+        """,
+        "distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type
         """,
         "token_counts": """
             SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)

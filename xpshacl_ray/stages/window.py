@@ -59,6 +59,60 @@ def tumbling_aggregate(
     )
 
 
+def rolling_window_aggregate(
+    ds: "ray.data.Dataset",
+    key_cols: Sequence[str],
+    value_col: str,
+    ts_col: str = "ts",
+    bucket_minutes: int = 15,
+    window_buckets: int = 2,
+) -> "ray.data.Dataset":
+    """Sliding-window aggregate as tumbling buckets + per-key rolling sum.
+
+    The classic batch formulation of a sliding window: aggregate into
+    ``bucket_minutes`` tumbling buckets (pre-aggregated shuffle, tiny),
+    then a per-key ordered rolling sum over ``window_buckets`` buckets —
+    the bucket table is buckets × keys rows, so the rolling pass is small
+    regardless of input size.
+    """
+    import pyarrow.compute as pc
+
+    keys = list(key_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(batch[ts_col], multiple=bucket_minutes,
+                              unit="minute")
+        b = batch.append_column("bucket_start", w)
+        agg = b.select(keys + ["bucket_start", value_col]).group_by(
+            keys + ["bucket_start"]
+        ).aggregate([(value_col, "sum"), (value_col, "count")])
+        return agg.rename_columns(keys + ["bucket_start", "p_sum", "p_n"])
+
+    from ray.data.aggregate import Sum
+
+    buckets = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(keys + ["bucket_start"])
+        .aggregate(Sum("p_n", alias_name="n_events"),
+                   Sum("p_sum", alias_name="bucket_sum"))
+    )
+
+    def rolling(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket_start")
+        g["rolling_sum"] = (
+            g["bucket_sum"].rolling(window=window_buckets, min_periods=1).sum()
+        )
+        g["rolling_n"] = (
+            g["n_events"].rolling(window=window_buckets, min_periods=1).sum()
+        ).astype("int64")
+        return g
+
+    if len(keys) == 1:
+        return buckets.groupby(keys[0]).map_groups(rolling,
+                                                   batch_format="pandas")
+    return buckets.groupby(keys).map_groups(rolling, batch_format="pandas")
+
+
 def sessionize(
     ds: "ray.data.Dataset",
     key_col: str,
