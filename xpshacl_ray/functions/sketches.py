@@ -150,6 +150,77 @@ class HyperLogLog:
 
 
 # ---------------------------------------------------------------------------
+# Bloom filter (membership; the broadcast-side scale path for huge key sets)
+# ---------------------------------------------------------------------------
+
+
+class BloomFilter:
+    """Vectorized Bloom filter: ``m`` bits, ``k`` probes by double hashing.
+
+    Scale role (referential checks, C4): broadcasting 10^9 dimension keys
+    as raw values costs ~8+ GB; at 10 bits/key a Bloom filter is ~1.2 GB
+    with ~1% false positives.  Semantics for an anti-join are one-sided:
+    ``might_contain == False`` ⇒ certainly dangling (definite violation);
+    ``True`` ⇒ present OR false positive, i.e. up to ``fp_rate`` of truly
+    dangling refs are missed.  Use where a quantified miss rate is
+    acceptable (continuous monitoring) or as a pre-filter before an exact
+    partitioned join over the survivors.
+    """
+
+    __slots__ = ("m", "k", "bits")
+
+    def __init__(self, n_items: int = 1000, fp_rate: float = 0.01,
+                 bits: Optional[np.ndarray] = None, m: Optional[int] = None,
+                 k: Optional[int] = None):
+        if bits is not None:
+            self.bits = bits
+            self.m = m if m is not None else len(bits) * 8
+            self.k = k or 7
+            return
+        m_bits = max(64, int(-n_items * np.log(fp_rate) / (np.log(2) ** 2)))
+        self.m = ((m_bits + 63) // 64) * 64
+        self.k = max(1, int(round(self.m / max(n_items, 1) * np.log(2))))
+        self.bits = np.zeros(self.m // 8, dtype=np.uint8)
+
+    def _positions(self, values) -> np.ndarray:
+        h1 = hash64(values)
+        h2 = hash64([f"\x01{v}" for v in values])
+        i = np.arange(self.k, dtype=np.uint64)
+        # double hashing: pos_j = (h1 + j*h2) mod m   (shape: n × k)
+        return ((h1[:, None] + i[None, :] * h2[:, None])
+                % np.uint64(self.m)).astype(np.int64)
+
+    def add(self, values) -> "BloomFilter":
+        if len(values) == 0:
+            return self
+        pos = self._positions(values).ravel()
+        np.bitwise_or.at(self.bits, pos // 8,
+                         (1 << (pos % 8)).astype(np.uint8))
+        return self
+
+    def might_contain(self, values) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(values)
+        probed = (self.bits[pos // 8] >> (pos % 8)) & 1
+        return probed.all(axis=1)
+
+    def merge(self, other: "BloomFilter") -> "BloomFilter":
+        assert self.m == other.m and self.k == other.k
+        self.bits = np.bitwise_or(self.bits, other.bits)
+        return self
+
+    def to_bytes(self) -> bytes:
+        return struct.pack("<qq", self.m, self.k) + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "BloomFilter":
+        m, k = struct.unpack("<qq", b[:16])
+        return cls(bits=np.frombuffer(b[16:], dtype=np.uint8).copy(),
+                   m=m, k=k)
+
+
+# ---------------------------------------------------------------------------
 # t-digest (merging variant, fully vectorized compression)
 # ---------------------------------------------------------------------------
 

@@ -43,15 +43,55 @@ def distinct_keys(ref_ds: "ray.data.Dataset", column: str) -> pa.Array:
 
 @dataclass
 class _RefMask:
-    """Row-local adapter: violation where column value ∉ broadcast key set."""
+    """Row-local adapter: violation where column value ∉ broadcast key set.
+
+    The broadcast payload is either the exact key array (``pc.is_in``) or a
+    :class:`~xpshacl_ray.functions.sketches.BloomFilter` — the scale path
+    for dimension sides too large to ship exactly (one-sided error: a
+    Bloom "absent" is a certain violation; up to fp_rate of true
+    violations are missed — quantified, documented trade-off).
+    """
 
     column: str
     keys_ref: "ray.ObjectRef"
 
     def mask(self, batch: pa.Table):
+        from ..functions.sketches import BloomFilter
+
         keys = ray.get(self.keys_ref)  # zero-copy from local object store
-        ok = pc.is_in(batch[self.column], value_set=keys)
+        col = batch[self.column]
+        if isinstance(keys, BloomFilter):
+            import numpy as np
+
+            vals = col.to_pylist()
+            present = keys.might_contain([str(v) for v in vals])
+            nulls = np.array([v is None for v in vals])
+            return pa.array(~present | nulls)
+        ok = pc.is_in(col, value_set=keys)
         return pc.fill_null(pc.invert(ok), True)  # null FK = dangling
+
+
+def bloom_keys(ref_ds: "ray.data.Dataset", column: str,
+               expected_items: int, fp_rate: float = 0.01):
+    """Mergeable Bloom filter of the referenced key set (one pass, no
+    distinct shuffle: per-batch partial filters OR-merge on the driver)."""
+    from ..functions.sketches import BloomFilter
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = BloomFilter(n_items=expected_items, fp_rate=fp_rate)
+        vals = [str(v) for v in b[column].to_pylist() if v is not None]
+        f.add(vals)
+        return pa.table({"bloom": pa.array([f.to_bytes()], pa.binary())})
+
+    blobs = ref_ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow"
+    ).take_all()
+    out = None
+    for r in blobs:
+        f = BloomFilter.from_bytes(r["bloom"])
+        out = f if out is None else out.merge(f)
+    return out if out is not None else BloomFilter(n_items=expected_items,
+                                                   fp_rate=fp_rate)
 
 
 def evaluate_referential(
