@@ -650,6 +650,30 @@ def q_curation(sf_dir: str):
     return curated.select_columns(["doc_id", "lang", "quality_score"])
 
 
+def q_partition_verdicts(sf_dir: str):
+    """North-star per-partition pass/fail: violations + self-drift by lang."""
+    from xpshacl_ray.pipelines.verdicts import VerdictConfig, partition_verdicts
+    from xpshacl_ray.stages.stats import StatsConfig, sketch_rows
+
+    eng = ValidationEngine(_documents_spec())
+    eng.compiled.id_columns = ["doc_id", "lang"]
+    docs = _docs(sf_dir)
+    viol = eng.validate(docs).materialize()
+    cfg = StatsConfig(group_keys=["lang"], numeric_cols=["n_chars"],
+                      categorical_cols=["source"])
+    ref = sketch_rows(docs, cfg, concurrency=2).to_pandas()
+    out = partition_verdicts(
+        viol,
+        VerdictConfig(partition_keys=["lang"], max_violations=0),
+        current_sketches=ref, reference_sketches=ref, stats_cfg=cfg,
+    )
+    out = out[["lang", "n_violations", "n_chars_ks", "source_psi",
+               "verdict"]].copy()
+    out["n_chars_ks"] = out["n_chars_ks"].round(6)
+    out["source_psi"] = out["source_psi"].round(6)
+    return out
+
+
 def q_justification_trees(sf_dir: str):
     eng = ValidationEngine(_documents_spec())
     viol = eng.validate(_docs(sf_dir))
@@ -716,6 +740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_signup": q_asof_purchase_signup,
         "json_extract_sum": q_json_extract_sum,
         "drift_lang_psi": q_drift_lang_psi,
+        "partition_verdicts": q_partition_verdicts,
         "curation": q_curation,
         "train_test_split": q_train_test_split,
         "justification_trees": q_justification_trees,

@@ -208,3 +208,23 @@ def test_required_columns_pruning():
     )
     cols = compile_spec(spec).required_columns()
     assert cols == ["n", "lang", "m"]
+
+
+def test_large_string_columns():
+    # content at corpus scale may arrive as Arrow large_string — every
+    # row-local kernel must handle it
+    t = pa.table({
+        "s": pa.array(["short", "x" * 50, None], pa.large_string()),
+        "id": [1, 2, 3],
+    })
+    spec = ValidationSpec(
+        constraints=[MaxLength(column="s", max_length=10),
+                     Pattern(column="s", pattern="^[a-z]+$"),
+                     Required(column="s")],
+        id_columns=["id"],
+        focus_template="r:{id}",
+    )
+    out = evaluate_row_local(t, compile_spec(spec))
+    comps = sorted(r["constraint_id"].rsplit("#")[-1] for r in out.to_pylist())
+    assert comps == ["MaxLengthConstraintComponent",
+                     "MinCountConstraintComponent"]
