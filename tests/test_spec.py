@@ -228,3 +228,11 @@ def test_large_string_columns():
     comps = sorted(r["constraint_id"].rsplit("#")[-1] for r in out.to_pylist())
     assert comps == ["MaxLengthConstraintComponent",
                      "MinCountConstraintComponent"]
+
+
+def test_pattern_lookahead_python_fallback():
+    # RE2 rejects lookarounds; the engine falls back to Python re so SHACL
+    # (ECMA-style) patterns keep working
+    t = pa.table({"s": ["password1", "nope", None]})
+    p = Pattern(column="s", pattern=r"^(?=.*\d).+$")
+    assert mask_list(p, t) == [False, True, False]

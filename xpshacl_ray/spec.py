@@ -180,7 +180,17 @@ class Pattern(Constraint):
         col = batch[self.column]
         if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type):
             col = pc.cast(col, pa.string())
-        ok = pc.match_substring_regex(col, self._full_pattern())
+        try:
+            ok = pc.match_substring_regex(col, self._full_pattern())
+        except pa.ArrowInvalid:
+            # Arrow uses RE2, which rejects lookarounds/backrefs that SHACL
+            # (ECMA regex) allows — fall back to Python re for those
+            flags = re.IGNORECASE if (self.flags and "i" in self.flags) else 0
+            rx = re.compile(self.pattern, flags)
+            ok = pa.array(
+                [None if v is None else bool(rx.search(v))
+                 for v in col.to_pylist()]
+            )
         return pc.fill_null(pc.invert(ok), False)
 
 
