@@ -43,6 +43,21 @@ def test_curate_pipeline(sf_dir):
             ) == report.n_after_near_dedup
 
 
+def test_curate_join_strategy_matches_broadcast(sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.take(3)
+    dupes = [dict(r, doc_id=r["doc_id"] + 80_000) for r in rows]
+    ds = docs.union(ray.data.from_items(dupes))
+    cfg_b = CurationConfig(min_quality=0.0)
+    cfg_j = CurationConfig(min_quality=0.0, dedup_strategy="join")
+    out_b, rep_b = curate(ds, cfg_b)
+    out_j, rep_j = curate(ds, cfg_j)
+    ids_b = sorted(r["doc_id"] for r in out_b.select_columns(["doc_id"]).take_all())
+    ids_j = sorted(r["doc_id"] for r in out_j.select_columns(["doc_id"]).take_all())
+    assert ids_b == ids_j
+    assert rep_b.dropped_exact_dupes == rep_j.dropped_exact_dupes == 3
+
+
 def test_curate_lang_filter(sf_dir):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     curated, report = curate(

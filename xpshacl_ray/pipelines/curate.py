@@ -38,6 +38,11 @@ class CurationConfig:
     min_quality: float = 0.3
     near_dup_jaccard: Optional[float] = None  # None = skip LSH stage
     concurrency: tuple = (1, 8)
+    #: "broadcast" ships the surviving-id set to every task (fine while the
+    #: survivor set fits memory); "join" co-partitions rows and keep-ids by
+    #: content-hash bucket — the 10^12-row path with no broadcast at all
+    dedup_strategy: str = "broadcast"
+    join_buckets: int = 64
 
 
 @dataclass
@@ -49,6 +54,33 @@ class CurationReport:
     dropped_low_quality_or_lang: int = 0
     dropped_exact_dupes: int = 0
     dropped_near_dupes: int = 0
+
+
+def _dedup_semi_join(ds: "ray.data.Dataset",
+                     cfg: "CurationConfig") -> "ray.data.Dataset":
+    """Exact dedup with NO broadcast: co-partition rows by content-hash
+    bucket and keep the min-id row per hash within each bucket task."""
+    import pandas as pd
+
+    from ..functions.dedup import add_text_hash
+    from ..functions.sketches import hash64
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = add_text_hash(b, cfg.text_col)
+        part = (hash64(h["text_md5"].to_pylist())
+                % cfg.join_buckets).astype("int32")
+        return h.append_column("__part__", pa.array(part))
+
+    def keep_min_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(cfg.id_col)
+        out = g.drop_duplicates(subset=["text_md5"], keep="first")
+        return out.drop(columns=["text_md5", "__part__"])
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part__")
+        .map_groups(keep_min_per_hash, batch_format="pandas")
+    )
 
 
 def curate(
@@ -82,18 +114,24 @@ def curate(
     filtered = scored.map_batches(keep_mask, batch_format="pyarrow")
     n_filtered = filtered.count()
 
-    # exact dedup: broadcast the tiny survivor-id set (ids only — at true
-    # scale swap for a semi-join on the hash column)
-    groups = exact_dedup(filtered, text_col=cfg.text_col, id_col=cfg.id_col)
-    keep_ids = pa.array(sorted(
-        r["keep_id"] for r in groups.select_columns(["keep_id"]).take_all()
-    ))
-    keep_ref = ray.put(keep_ids)
+    if cfg.dedup_strategy == "join":
+        deduped = _dedup_semi_join(filtered, cfg)
+    else:
+        # broadcast the surviving-id set (ids only; survivor set must fit
+        # worker memory — the "join" strategy removes that bound)
+        groups = exact_dedup(filtered, text_col=cfg.text_col,
+                             id_col=cfg.id_col)
+        keep_ids = pa.array(sorted(
+            r["keep_id"]
+            for r in groups.select_columns(["keep_id"]).take_all()
+        ))
+        keep_ref = ray.put(keep_ids)
 
-    def keep_first(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b[cfg.id_col], value_set=ray.get(keep_ref)))
+        def keep_first(b: pa.Table) -> pa.Table:
+            return b.filter(
+                pc.is_in(b[cfg.id_col], value_set=ray.get(keep_ref)))
 
-    deduped = filtered.map_batches(keep_first, batch_format="pyarrow")
+        deduped = filtered.map_batches(keep_first, batch_format="pyarrow")
     n_exact = deduped.count()
 
     n_near = n_exact
