@@ -153,6 +153,15 @@ def q_cardinality_orders(sf_dir: str):
     return counts.filter(expr="actual_count > 15")
 
 
+def q_mincount_clicks(sf_dir: str):
+    """sh:minCount grouped (C1): users with fewer than 10 click events."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    counts = group_counts(clicks, ["user_id"], None)
+    return counts.filter(expr="actual_count < 10")
+
+
 def q_required_customer(sf_dir: str):
     """sh:minCount row form (C1): customers missing an account balance."""
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
@@ -711,6 +720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "violations_documents": q_violations_documents,
         "violation_summary": q_violation_summary,
         "cardinality_orders": q_cardinality_orders,
+        "mincount_clicks": q_mincount_clicks,
         "required_customer": q_required_customer,
         "range_customer": q_range_customer,
         "referential_orders": q_referential_orders,
@@ -760,6 +770,11 @@ def oracle_sql() -> dict[str, str]:
         "cardinality_orders": """
             SELECT o_custkey, count(*) AS actual_count
             FROM orders GROUP BY o_custkey HAVING count(*) > 15
+        """,
+        "mincount_clicks": """
+            SELECT user_id, count(*) AS actual_count
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id HAVING count(*) < 10
         """,
         "required_customer": """
             SELECT c_custkey FROM customer WHERE c_acctbal IS NULL
