@@ -95,6 +95,34 @@ def run_benchmarks() -> dict:
         sec, _ = _timed(run)
         results[name] = round(sec, 3)
 
+    # the north-star metric: validated files/sec over the code table
+    # (full spec: row-local + fused referential + grouped uniqueness)
+    import pyarrow.parquet as _pq
+
+    code_dir = "/tmp/xpshacl_bench_code"
+    code_path = os.path.join(code_dir, "code.parquet")
+    commits_path = os.path.join(code_dir, "commits.parquet")
+    if not os.path.exists(code_path):
+        from xpshacl_ray.sources.fixtures import generate_code_files
+
+        os.makedirs(code_dir, exist_ok=True)
+        fx = generate_code_files(60_000, seed=42)
+        _pq.write_table(fx.table, code_path)
+        _pq.write_table(fx.commits, commits_path)
+    n_code = _pq.ParquetFile(code_path).metadata.num_rows
+
+    def code_validate():
+        from xpshacl_ray.pipelines.code_files import build_engine
+        from xpshacl_ray.sources.ingest import read_code_table
+
+        eng = build_engine()
+        commits = ray.data.read_parquet(commits_path)
+        ds = read_code_table(code_path)
+        return eng.validate(ds, ref_datasets={"commit": commits}).count()
+
+    sec, n_code_viol = _timed(code_validate)
+    results["code_files_validate"] = round(sec, 3)
+
     # lineitem-scale stats profile: the true wide-step benchmark
     def lineitem_stats():
         li = ray.data.read_parquet(
@@ -128,6 +156,8 @@ def run_benchmarks() -> dict:
         "rows_per_sec": round(n_docs / headline_sec, 1),
         "lineitem_rows_per_sec": round(
             n_li / results["lineitem_stats_profile"], 1),
+        "code_files_per_sec": round(
+            n_code / results["code_files_validate"], 1),
         "n_violations": n_viol,
     }
     ray.shutdown()
