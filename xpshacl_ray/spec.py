@@ -103,7 +103,9 @@ class Required(Constraint):
     def mask(self, batch: pa.Table) -> pa.ChunkedArray:
         col = batch[self.column]
         m = pc.is_null(col)
-        if self.treat_empty_string_as_null and pa.types.is_string(col.type):
+        if self.treat_empty_string_as_null and (
+            pa.types.is_string(col.type) or pa.types.is_large_string(col.type)
+        ):
             m = pc.or_(m, pc.equal(pc.coalesce(col, ""), ""))
         return pc.fill_null(m, True)
 
