@@ -255,18 +255,30 @@ def minhash_lsh_candidates(
          "jaccard_est": pd.Series(dtype="float64")}
     )
 
+    r = num_perm // bands
+
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, g in part.groupby(["band_id", "band_hash"], sort=False):
+        for (band_id, _), g in part.groupby(["band_id", "band_hash"],
+                                            sort=False):
             g = g.drop_duplicates(subset=[id_col])
             if len(g) < 2:
                 continue
             g = g.sort_values(id_col)
             ids = np.asarray(g[id_col].tolist())
             sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-            eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            eq3 = sigs[:, None, :] == sigs[None, :, :]
+            eq = eq3.mean(axis=2)
             ii, jj = np.triu_indices(len(ids), k=1)
             keep = eq[ii, jj] >= jaccard_threshold
+            if not keep.any():
+                continue
+            # global dedup WITHOUT a second shuffle: a pair colliding in
+            # several bands is emitted only by its FIRST matching band,
+            # computable locally from the carried signatures
+            band_eq = eq3.reshape(len(ids), len(ids), bands, r).all(axis=3)
+            first_band = band_eq.argmax(axis=2)  # first True index
+            keep &= first_band[ii, jj] == band_id
             if keep.any():
                 out.append(pd.DataFrame(
                     {"id_a": ids[ii[keep]].astype("int64"),
@@ -276,27 +288,8 @@ def minhash_lsh_candidates(
             return _EMPTY
         return pd.concat(out, ignore_index=True)
 
-    pairs = exploded.groupby("part").map_groups(
+    return exploded.groupby("part").map_groups(
         partition_pairs, batch_format="pandas"
-    )
-
-    # dedupe pairs found in multiple bands: partition by pair hash so the
-    # dedup scales (no single-node bottleneck), drop dups within partitions
-    def tag(b: pa.Table) -> pa.Table:
-        key = [f"{a}|{bb}" for a, bb in zip(b["id_a"].to_pylist(),
-                                            b["id_b"].to_pylist())]
-        part = (hash64(key) % n_parts).astype(np.int32) if key else \
-            np.empty(0, dtype=np.int32)
-        return b.append_column("pair_part", pa.array(part))
-
-    return (
-        pairs.map_batches(tag, batch_format="pyarrow")
-        .groupby("pair_part")
-        .map_groups(
-            lambda g: g.drop_duplicates(["id_a", "id_b"]).drop(
-                columns="pair_part"),
-            batch_format="pandas",
-        )
     )
 
 
