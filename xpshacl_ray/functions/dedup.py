@@ -410,7 +410,8 @@ def simhash_near_dups(
 
     def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for _, g in part.groupby(["band_id", "band_val"], sort=False):
+        for (band_id, _), g in part.groupby(["band_id", "band_val"],
+                                            sort=False):
             g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
             if len(g) < 2:
                 continue
@@ -418,8 +419,18 @@ def simhash_near_dups(
             hs = g["simhash64"].tolist()
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
-                    d = hamming64(hs[i], hs[j])
-                    if d <= max_hamming:
+                    a, b = np.uint64(hs[i]), np.uint64(hs[j])
+                    d = hamming64(int(a), int(b))
+                    if d > max_hamming:
+                        continue
+                    # emit only from the FIRST band on which the two
+                    # hashes agree — global dedup with no second shuffle
+                    first = next(
+                        bb for bb in range(4)
+                        if ((a >> np.uint64(bb * 16)) & np.uint64(0xFFFF))
+                        == ((b >> np.uint64(bb * 16)) & np.uint64(0xFFFF))
+                    )
+                    if first == band_id:
                         out.append((ids[i], ids[j], d))
         if not out:
             return _EMPTY
@@ -432,22 +443,7 @@ def simhash_near_dups(
         .map_groups(partition_pairs, batch_format="pandas")
     )
 
-    def tag(b: pa.Table) -> pa.Table:
-        key = [f"{a}|{bb}" for a, bb in zip(b["id_a"].to_pylist(),
-                                            b["id_b"].to_pylist())]
-        part = (hash64(key) % n_parts).astype(np.int32) if key else \
-            np.empty(0, dtype=np.int32)
-        return b.append_column("pair_part", pa.array(part))
-
-    return (
-        pairs.map_batches(tag, batch_format="pyarrow")
-        .groupby("pair_part")
-        .map_groups(
-            lambda g: g.drop_duplicates(["id_a", "id_b"]).drop(
-                columns="pair_part"),
-            batch_format="pandas",
-        )
-    )
+    return pairs
 
 
 # ---------------------------------------------------------------------------
