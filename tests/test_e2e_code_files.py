@@ -135,3 +135,33 @@ def test_e2e_full_run_report_and_explanations(fixture_dirs, tmp_path):
     # report written and re-readable (S3 resume path S2)
     back = ray.data.read_parquet(str(tmp_path / "report"))
     assert back.count() == n
+
+
+def test_wide_content_rows(tmp_path):
+    """Multi-hundred-KB content rows flow through ingest + validation
+    without pathological block splitting (the multimodal/wide-row regime)."""
+    import numpy as np
+    import ray.data
+
+    from xpshacl_ray.pipelines.code_files import build_engine
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta"]
+    big = " ".join(rng.choice(words, 60_000))[:400_000]
+    t = pa.table({
+        "repo": pa.array([f"org/r{i % 3}" for i in range(64)]),
+        "path": pa.array([f"src/f{i}.py" for i in range(64)]),
+        "commit": pa.array(["ab" * 20] * 64),
+        "lang": pa.array(["python"] * 64),
+        "content": pa.array([big + str(i) for i in range(64)]),
+    })
+    pq.write_table(t, tmp_path / "wide.parquet")
+    from xpshacl_ray.sources.ingest import read_code_table
+
+    eng = build_engine(max_content_len=10_000_000)
+    eng.compiled.referential.clear()
+    ds = read_code_table(str(tmp_path / "wide.parquet"))
+    viol = eng.validate(ds)
+    assert viol.count() == 0
+    got = ds.select_columns(["content_sha256"]).take(2)
+    assert all(len(r["content_sha256"]) == 64 for r in got)
