@@ -39,9 +39,11 @@ class CurationConfig:
     near_dup_jaccard: Optional[float] = None  # None = skip LSH stage
     concurrency: tuple = (1, 8)
     #: "broadcast" ships the surviving-id set to every task (fine while the
-    #: survivor set fits memory); "join" co-partitions rows and keep-ids by
-    #: content-hash bucket — the 10^12-row path with no broadcast at all
-    dedup_strategy: str = "broadcast"
+    #: survivor set fits memory); "join" co-partitions rows by content-hash
+    #: bucket — the 10^12-row path with no broadcast at all; "auto" picks
+    #: "join" once the filtered corpus exceeds auto_join_threshold rows
+    dedup_strategy: str = "auto"
+    auto_join_threshold: int = 2_000_000
     join_buckets: int = 64
 
 
@@ -114,7 +116,11 @@ def curate(
     filtered = scored.map_batches(keep_mask, batch_format="pyarrow")
     n_filtered = filtered.count()
 
-    if cfg.dedup_strategy == "join":
+    strategy = cfg.dedup_strategy
+    if strategy == "auto":
+        strategy = ("join" if n_filtered > cfg.auto_join_threshold
+                    else "broadcast")
+    if strategy == "join":
         deduped = _dedup_semi_join(filtered, cfg)
     else:
         # broadcast the surviving-id set (ids only; survivor set must fit
