@@ -114,3 +114,22 @@ def test_manifest_records_metrics(sharded_input, tmp_path):
     assert m.rows_out > 0
     assert m.wall_time_s > 0
     assert m.input_files == [sorted(sharded_input[:1])[0]]
+
+
+def test_delta_prunes_stale_partitions(sharded_input, tmp_path):
+    out = str(tmp_path / "out")
+    run_resumable(sharded_input, out, _process)
+    # the input set shrinks (one shard removed / replaced) → the stale
+    # partition's output and manifest must be pruned on the next run
+    reduced = sharded_input[:-1]
+    r = run_resumable(reduced, out, _process)
+    assert len(r["pruned"]) == 1
+    assert len(r["skipped"]) == len(reduced)
+    # downstream read sees only live partitions
+    live = ray.data.read_parquet(r["data_dir"]).count()
+    fresh = str(tmp_path / "fresh")
+    expected = run_resumable(reduced, fresh, _process)
+    assert live == ray.data.read_parquet(expected["data_dir"]).count()
+    # nothing pruned when the input set is unchanged
+    r2 = run_resumable(reduced, out, _process)
+    assert r2["pruned"] == [] and len(r2["skipped"]) == len(reduced)

@@ -109,6 +109,30 @@ def partition_input_files(files: Sequence[str],
     return out
 
 
+def prune_stale_partitions(
+    out_dir: str, stage: str, live_partition_ids: Sequence[str]
+) -> List[str]:
+    """Delete outputs + manifests of partitions no longer in the input set.
+
+    Delta semantics: partition ids are content-addressed by their input
+    file list, so a changed/removed shard simply stops appearing in the
+    live set — its stale output must not leak into downstream reads of
+    ``data/<stage>/*``.
+    """
+    store = ManifestStore(os.path.join(out_dir, "manifests"))
+    live = set(live_partition_ids)
+    pruned = []
+    for pid in store.completed(stage):
+        if pid in live:
+            continue
+        m = store.load(stage, pid)
+        if m is not None and os.path.isdir(m.output_path):
+            shutil.rmtree(m.output_path, ignore_errors=True)
+        os.remove(store._path(stage, pid))
+        pruned.append(pid)
+    return pruned
+
+
 def run_resumable(
     input_files: Sequence[str],
     out_dir: str,
@@ -116,6 +140,7 @@ def run_resumable(
     stage: str = "violations",
     files_per_partition: int = 1,
     max_partitions: Optional[int] = None,
+    prune_stale: bool = True,
 ) -> Dict[str, object]:
     """Shard → process each shard → partitioned Parquet + manifest.
 
@@ -131,6 +156,11 @@ def run_resumable(
     """
     store = ManifestStore(os.path.join(out_dir, "manifests"))
     parts = partition_input_files(input_files, files_per_partition)
+    pruned = (
+        prune_stale_partitions(out_dir, stage, list(parts))
+        if prune_stale and max_partitions is None
+        else []
+    )
     ran, skipped = [], []
     for n, (pid, files) in enumerate(parts.items()):
         if max_partitions is not None and n >= max_partitions:
@@ -163,5 +193,5 @@ def run_resumable(
             )
         )
         ran.append(pid)
-    return {"ran": ran, "skipped": skipped,
+    return {"ran": ran, "skipped": skipped, "pruned": pruned,
             "data_dir": os.path.join(out_dir, "data", stage)}
