@@ -94,3 +94,13 @@ def test_drift_missing_reference_group_fails(docs_ds):
     rep = drift_report(cur, ref_no_en, CFG)
     assert (rep["verdict"] == "fail").all()
     assert not rep["reference_found"].iloc[0]
+
+
+def test_estimate_group_count_no_shuffle(docs_ds):
+    from xpshacl_ray.stages.grouped import estimate_group_count
+
+    est = estimate_group_count(docs_ds, ["lang"])
+    assert abs(est - 5) < 1  # 5 langs, sparse-HLL exact at this cardinality
+    est2 = estimate_group_count(docs_ds, ["source", "lang"])
+    exact = docs_ds.to_pandas().groupby(["source", "lang"]).ngroups
+    assert abs(est2 - exact) / exact < 0.05

@@ -134,6 +134,29 @@ def _key_hashes(batch: pa.Table, keys: List[str]) -> np.ndarray:
     return hash64(joined.to_pylist()).astype(np.uint64)
 
 
+def estimate_group_count(ds: "ray.data.Dataset", keys: List[str],
+                         hll_p: int = 14) -> float:
+    """Distinct-group estimate in ONE streaming pass with NO shuffle.
+
+    Per-batch HLL sketches of the composite key hash (one ~16 KB row per
+    batch) merge on the driver — the planning primitive for choosing the
+    grouped exchange strategy / pre-sizing a shuffle ("Every Row Counts",
+    CIDR 2019 motivates sketch-based group-by estimates).
+    """
+    from ..functions.sketches import HyperLogLog
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = HyperLogLog(p=hll_p)
+        h.add_hashes(_key_hashes(b, keys))
+        return pa.table({"hll": pa.array([h.to_bytes()], pa.binary())})
+
+    blobs = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    from ..functions.sketches import HyperLogLog as _H
+
+    merged = _H.merge_many([r["hll"] for r in blobs])
+    return merged.estimate() if blobs else 0.0
+
+
 def evaluate_grouped(
     ds: "ray.data.Dataset",
     spec: CompiledSpec,
