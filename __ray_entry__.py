@@ -338,8 +338,10 @@ def q_revenue_by_segment(sf_dir: str):
         # probe + combiner fused: the groupby shuffle then moves one partial
         # row per (segment, batch) instead of every order row
         keys, segs = _ray.get(keys_ref), _ray.get(segs_ref)
-        idx = np.searchsorted(keys, b["o_custkey"].to_numpy())
-        b = b.assign(c_mktsegment=segs[idx])
+        lk = b["o_custkey"].to_numpy()
+        idx = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
+        hit = keys[idx] == lk  # orphan FKs drop (inner join), never mis-map
+        b = b.loc[hit].assign(c_mktsegment=segs[idx][hit])
         return (
             b.groupby("c_mktsegment", sort=False)
             .agg(p_rev=("o_totalprice", "sum"), p_n=("o_totalprice", "size"))

@@ -1,0 +1,167 @@
+"""Round-2 fixes: null-FK semantics, join miss-checks, LSH hardening
+(validation, hot-bucket caps, digest exchange parity), SimHash full-64-bit
+fingerprints + vectorized sweep, kNN empty-batch + distributed merge."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from xpshacl_ray import Referential, ValidationEngine, ValidationSpec
+from xpshacl_ray.functions.dedup import (
+    SimHasher,
+    hamming64,
+    minhash_lsh_candidates,
+    popcount_u64,
+    simhash_near_dups,
+    verify_pairs_ngram,
+)
+from xpshacl_ray.functions.similarity import knn_cosine_bruteforce
+
+
+# --- null FK semantics (ADVICE: referential.py) ----------------------------
+
+
+def _ref_violations(null_is_violation):
+    t = pa.table({"oid": [1, 2, 3, 4],
+                  "fk": pa.array([10, 99, None, 10], pa.int64())})
+    ds = ray.data.from_arrow(t)
+    spec = ValidationSpec(
+        constraints=[Referential(column="fk", ref_table="dim",
+                                 ref_column="k",
+                                 null_is_violation=null_is_violation)],
+        id_columns=["oid"],
+        focus_template="row:{oid}",
+    )
+    viol = ValidationEngine(spec).validate(
+        ds, ref_keys={"fk": pa.array([10, 20])})
+    return sorted(r["oid"] for r in viol.select_columns(["oid"]).take_all())
+
+
+def test_null_fk_not_violating_by_default():
+    # oid=2 dangles (99); oid=3 is NULL → excused (Required's job),
+    # matching the SQL NOT-IN oracle semantics
+    assert _ref_violations(False) == [2]
+
+
+def test_null_fk_flagged_when_opted_in():
+    assert _ref_violations(True) == [2, 3]
+
+
+# --- revenue_by_segment orphan FK (ADVICE: __ray_entry__.py) ---------------
+
+
+def test_revenue_by_segment_orphan_custkey(tmp_path):
+    import __ray_entry__ as entrymod
+
+    cust = pa.table({"c_custkey": [1, 2, 3],
+                     "c_mktsegment": ["A", "B", "A"]})
+    orders = pa.table(
+        {"o_custkey": [1, 2, 3, 999, 0],  # 999 above max, 0 below min
+         "o_totalprice": [10.0, 20.0, 30.0, 1000.0, 2000.0]})
+    pq.write_table(cust, str(tmp_path / "customer.parquet"))
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    out = entrymod.q_revenue_by_segment(str(tmp_path))
+    out = out.sort_values("c_mktsegment").reset_index(drop=True)
+    # orphans neither crash (IndexError) nor mis-map into a segment
+    assert out["c_mktsegment"].tolist() == ["A", "B"]
+    assert out["revenue"].tolist() == [40.0, 20.0]
+    assert out["n_orders"].tolist() == [2, 1]
+
+
+# --- MinHash LSH hardening -------------------------------------------------
+
+
+def test_minhash_rejects_indivisible_bands(sf_dir):
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(ds, num_perm=64, bands=7)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.take(5)
+    near = [dict(r, doc_id=r["doc_id"] + 20_000) for r in rows]
+    return docs.union(ray.data.from_items(near))
+
+
+def test_digest_and_signature_carry_agree(docs_with_dups):
+    def key(df):
+        return sorted(zip(df.id_a, df.id_b, df.jaccard_est))
+
+    dig = minhash_lsh_candidates(docs_with_dups, jaccard_threshold=0.9,
+                                 carry="digest").to_pandas()
+    sig = minhash_lsh_candidates(docs_with_dups, jaccard_threshold=0.9,
+                                 carry="signature").to_pandas()
+    assert len(dig) >= 5
+    assert key(dig) == key(sig)
+
+
+def test_ngram_verify_join_path_matches_broadcast(docs_with_dups):
+    cand = minhash_lsh_candidates(docs_with_dups, jaccard_threshold=0.9)
+    bcast = verify_pairs_ngram(docs_with_dups, cand,
+                               threshold=0.9).to_pandas()
+    joined = verify_pairs_ngram(docs_with_dups, cand, threshold=0.9,
+                                broadcast_limit=1).to_pandas()
+    key = lambda df: sorted(zip(df.id_a, df.id_b, df.jaccard))  # noqa: E731
+    assert len(bcast) >= 5
+    assert key(bcast) == key(joined)
+
+
+def test_hot_bucket_cap_degenerate_simhash_completes():
+    # 10k empty docs all simhash to 0 → one degenerate bucket per band;
+    # the capped vectorized sweep must complete (was O(n²) pure Python)
+    n = 10_000
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": [""] * n})
+    pairs = simhash_near_dups(ray.data.from_arrow(t), max_hamming=3,
+                              hot_bucket_cap=256).to_pandas()
+    # capped: exactly C(256, 2) pairs from the one hot bucket, all hamming 0
+    assert len(pairs) == 256 * 255 // 2
+    assert (pairs["hamming"] == 0).all()
+    # deterministic cap: lowest ids kept
+    assert pairs["id_a"].min() == 0 and pairs["id_b"].max() == 255
+
+
+# --- SimHash full-64-bit fingerprints (ADVICE bit-63) ----------------------
+
+
+def test_simhash_uses_full_64_bits():
+    sh = SimHasher()
+    # find any doc whose top bit is set — int64 view must go negative
+    # (the old masked version could never produce a negative value)
+    texts = [f"word{i} token{i * 7} thing{i * 13} stuff{i}" for i in range(200)]
+    vals = [sh.simhash(t) for t in texts]
+    assert any(v < 0 for v in vals), "bit 63 never set — still masked?"
+    assert all(-(1 << 63) <= v < (1 << 63) for v in vals)
+
+
+def test_popcount_and_hamming_agree():
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, 1 << 63, size=100, dtype=np.uint64)
+    ys = rng.integers(0, 1 << 63, size=100, dtype=np.uint64)
+    got = popcount_u64(xs ^ ys)
+    for x, y, g in zip(xs, ys, got):
+        a = int(x) - (1 << 64) if int(x) >= (1 << 63) else int(x)
+        b = int(y) - (1 << 64) if int(y) >= (1 << 63) else int(y)
+        assert hamming64(a, b) == int(g)
+    assert hamming64(-1, 0) == 64  # all 64 bits differ — bit 63 counted
+
+
+# --- kNN empty batch + distributed merge -----------------------------------
+
+
+def test_knn_handles_empty_blocks(sf_dir):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = np.asarray(emb.take(1)[0]["embedding"], dtype=np.float64)
+    # a filter that empties some blocks entirely
+    few = emb.filter(expr="vec_id < 3")
+    got = knn_cosine_bruteforce(few, q, k=10)
+    assert set(got["vec_id"]) == {0, 1, 2}
+    none = emb.filter(expr="vec_id < 0")
+    got_empty = knn_cosine_bruteforce(none, q, k=10)
+    assert len(got_empty) == 0
+    assert list(got_empty.columns) == ["query_idx", "vec_id", "cosine", "rank"]

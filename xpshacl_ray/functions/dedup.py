@@ -6,13 +6,27 @@ Five families, each expressed Ray-Data-first:
   The shuffle moves (hash, id) pairs only — never the text.
 - **MinHash+LSH**  : shingle → minhash signature (vectorized universal
   hashing) → banding → ``groupby(band)`` buckets → candidate pairs with
-  estimated Jaccard.  Signature computation is embarrassingly parallel;
-  the only shuffle is over (band_hash, doc_id) pairs.
+  estimated Jaccard.  Signature computation is embarrassingly parallel.
+  Two exchange strategies (``carry=``): **digest** (default) ships one
+  ~20 B (band_id, band_hash, doc_id) row per band — candidate pairs are
+  then verified against signatures recomputed for the (small) candidate
+  set only; **signature** ships the full signature with every band row
+  (num_perm×8 B) so verification happens in-bucket with no driver-side
+  candidate materialization — the path for corpora where near-dups are a
+  large fraction of all rows.
 - **SimHash**      : 64-bit sign-of-weighted-sum fingerprint; near-dup =
-  small Hamming distance, bucketed by 16-bit bands for LSH.
-- **n-gram Jaccard**: exact verification kernel over candidate pairs.
+  small Hamming distance, bucketed by 16-bit bands for LSH.  The bucket
+  sweep is fully vectorized (XOR + SWAR popcount over pair index arrays).
+- **n-gram Jaccard**: exact verification kernel over candidate pairs —
+  broadcast text lookup for small candidate sets, bucketed hash join past
+  ``broadcast_limit``.
 - **embedding cosine**: near-dup via normalized dot product; brute-force
   within LSH (random hyperplane) buckets.
+
+Hot buckets (e.g. thousands of empty/identical docs hashing to one LSH
+bucket) are capped at ``hot_bucket_cap`` members per bucket with a
+``logging.warning`` of exactly how many pairs were dropped — no silent
+caps.
 
 Connected components over candidate pairs run driver-side union-find here
 (candidate graphs are tiny relative to the corpus); at 10^12 rows swap in
@@ -23,6 +37,7 @@ the iterative min-label-propagation (`groupby` rounds) noted in
 from __future__ import annotations
 
 import hashlib
+import logging
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -34,7 +49,36 @@ import ray.data
 
 from .sketches import hash64
 
+logger = logging.getLogger(__name__)
+
 _MERSENNE = np.uint64((1 << 61) - 1)
+
+# SWAR popcount constants (no np.bitwise_count on numpy 1.x)
+_P1 = np.uint64(0x5555555555555555)
+_P2 = np.uint64(0x3333333333333333)
+_P3 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_P4 = np.uint64(0x0101010101010101)
+
+
+def popcount_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) over a uint64 ndarray."""
+    x = x - ((x >> np.uint64(1)) & _P1)
+    x = (x & _P2) + ((x >> np.uint64(2)) & _P2)
+    x = (x + (x >> np.uint64(4))) & _P3
+    return (x * _P4) >> np.uint64(56)
+
+
+def _cap_bucket(g: pd.DataFrame, cap: int, label: str) -> pd.DataFrame:
+    """Deterministically cap a hot bucket (keep lowest ids), loudly."""
+    n = len(g)
+    if n <= cap:
+        return g
+    dropped = n * (n - 1) // 2 - cap * (cap - 1) // 2
+    logger.warning(
+        "hot %s bucket with %d members capped to %d — %d candidate pairs "
+        "dropped (raise hot_bucket_cap to keep them)", label, n, cap, dropped,
+    )
+    return g.head(cap)
 
 
 # ---------------------------------------------------------------------------
@@ -178,40 +222,111 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((sig_a == sig_b).mean())
 
 
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n_docs, bands) uint64 band digests: a 64-bit polynomial fold of
+    each signature band's ``r`` values, vectorized over documents.  Band
+    index is mixed into the seed so equal chunks in different bands don't
+    collide.  Replaces the per-doc md5-per-band Python loop (16n hashlib
+    calls) AND shrinks the LSH exchange to 8 B per band row."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    prime = np.uint64(1099511628211)
+    out = np.empty((n, bands), dtype=np.uint64)
+    for b in range(bands):
+        h = np.full(n, np.uint64(14695981039346656037) ^ np.uint64(b),
+                    dtype=np.uint64)
+        for j in range(r):
+            h = (h ^ sigs[:, b * r + j]) * prime
+        out[:, b] = h
+    return out
+
+
 def explode_bands(batch: pa.Table, num_perm: int, bands: int,
                   id_col: str = "doc_id") -> pa.Table:
     """(doc, signature) → one row per band: (band_id, band_hash, doc_id, sig).
 
-    The LSH shuffle key; bucket collisions become dedup candidates.  The
-    full signature travels with each band row (num_perm×8 B) so in-bucket
-    verification needs no broadcast side-channel and the signature pipeline
-    executes exactly once.
+    Signature-carrying variant (``carry="signature"``): the full signature
+    travels with each band row (num_perm×8 B) so in-bucket verification
+    needs no second pass — use when near-dups are a large corpus fraction.
     """
-    r = num_perm // bands
     sigs = np.asarray(
         batch["minhash"].combine_chunks().flatten()
     ).reshape(-1, num_perm)
     ids = batch[id_col].to_pylist()
     n = len(ids)
+    bh = _band_hashes(sigs, bands)
     sig_bytes = [sigs[i].tobytes() for i in range(n)]
     band_ids, band_hashes, out_ids, out_sigs = [], [], [], []
     for b in range(bands):
-        chunk = sigs[:, b * r : (b + 1) * r]
-        hashes = [
-            hashlib.md5(chunk[i].tobytes()).hexdigest()[:16] for i in range(n)
-        ]
         band_ids += [b] * n
-        band_hashes += hashes
+        band_hashes += bh[:, b].view(np.int64).tolist()
         out_ids += ids
         out_sigs += sig_bytes
     return pa.table(
         {
             "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.string()),
+            "band_hash": pa.array(band_hashes, pa.int64()),
             id_col: pa.array(out_ids),
             "sig": pa.array(out_sigs, pa.binary()),
         }
     )
+
+
+def explode_bands_digest(batch: pa.Table, num_perm: int, bands: int,
+                         id_col: str = "doc_id") -> pa.Table:
+    """(doc, signature) → one ~20 B row per band: (band_id, band_hash, id).
+
+    The default LSH exchange: nothing but the digest and the id moves —
+    at 16 bands this is ~320 B/doc through the shuffle vs ~8 KB/doc for
+    the signature-carrying variant."""
+    sigs = np.asarray(
+        batch["minhash"].combine_chunks().flatten()
+    ).reshape(-1, num_perm)
+    ids = batch[id_col].to_pylist()
+    n = len(ids)
+    bh = _band_hashes(sigs, bands)
+    band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
+    return pa.table(
+        {
+            "band_id": pa.array(band_ids),
+            "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
+            id_col: pa.array(ids * bands),
+        }
+    )
+
+
+def _signatures_for_ids(
+    ds: "ray.data.Dataset",
+    ids: List[int],
+    num_perm: int,
+    shingle_k: int,
+    id_col: str,
+    text_col: str,
+) -> Dict[int, np.ndarray]:
+    """Recompute MinHash signatures for a (small) id set: pruned scan →
+    MinHasher over the matching rows only.  At 10^12 rows, persist the
+    (id, minhash) table once (``write_parquet``) and read it id-pruned
+    here instead of re-scanning the text column."""
+    import ray as _ray
+
+    ids_arr = pa.array(sorted(ids))
+    ids_ref = _ray.put(ids_arr)
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.select([id_col, text_col]).filter(
+            pc.is_in(b[id_col], value_set=_ray.get(ids_ref)))
+
+    sub = ds.map_batches(keep, batch_format="pyarrow").map_batches(
+        MinHasher,
+        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
+                                   text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    out: Dict[int, np.ndarray] = {}
+    for row in sub.select_columns([id_col, "minhash"]).take_all():
+        out[row[id_col]] = np.asarray(row["minhash"], dtype=np.uint64)
+    return out
 
 
 def minhash_lsh_candidates(
@@ -223,13 +338,27 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
     concurrency=(1, 8),
+    carry: str = "digest",
+    hot_bucket_cap: int = 1024,
 ) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs with estimated Jaccard ≥ threshold.
 
-    shingle→minhash→band→bucket-groupby; within each bucket the signature
-    pairs are verified by estimated Jaccard (signature agreement).  Returns
-    (id_a, id_b, jaccard_est) with id_a < id_b, deduped across buckets.
+    shingle→minhash→band→bucket-groupby; pairs colliding in ≥1 band are
+    candidates, verified by estimated Jaccard (signature agreement).
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b, deduped across
+    buckets.  Both ``carry`` strategies produce the identical pair set:
+
+    - ``"digest"`` (default): band rows are ~20 B; cross-band pair dedup is
+      a tiny groupby over candidate pairs; signatures are recomputed for
+      candidate ids only (small by construction on mostly-unique corpora).
+    - ``"signature"``: band rows carry the full signature; verification and
+      cross-band dedup (first-matching-band rule) happen in-bucket with no
+      driver-side candidate materialization — for high-dup corpora.
     """
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
+            "tail permutations would silently drop from band hashing")
     with_sig = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
@@ -240,13 +369,69 @@ def minhash_lsh_candidates(
     sig_and_id = with_sig.select_columns([id_col, "minhash"])
     n_parts = 64
 
+    if carry == "digest":
+        def explode(b: pa.Table) -> pa.Table:
+            t = explode_bands_digest(b, num_perm, bands, id_col)
+            part = (np.asarray(t["band_hash"], dtype=np.int64)
+                    % n_parts).astype(np.int32)
+            return t.append_column("part", pa.array(np.abs(part)))
+
+        exploded = sig_and_id.map_batches(explode, batch_format="pyarrow")
+
+        _EMPTY_CAND = pd.DataFrame(
+            {"id_a": pd.Series(dtype="int64"),
+             "id_b": pd.Series(dtype="int64")})
+
+        def bucket_candidates(part: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for _, g in part.groupby(["band_id", "band_hash"], sort=False):
+                g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+                if len(g) < 2:
+                    continue
+                g = _cap_bucket(g, hot_bucket_cap, "minhash-LSH")
+                ids = g[id_col].to_numpy()
+                ii, jj = np.triu_indices(len(ids), k=1)
+                out.append(pd.DataFrame(
+                    {"id_a": ids[ii].astype("int64"),
+                     "id_b": ids[jj].astype("int64")}))
+            if not out:
+                return _EMPTY_CAND
+            return pd.concat(out, ignore_index=True)
+
+        from ray.data.aggregate import Count
+
+        # cross-band dedup: one groupby over candidate PAIRS (≪ corpus)
+        cand = (
+            exploded.groupby("part")
+            .map_groups(bucket_candidates, batch_format="pandas")
+            .groupby(["id_a", "id_b"])
+            .aggregate(Count(alias_name="n_bands"))
+        )
+        pair_rows = cand.take_all()  # candidates only — documented bound;
+        # for high-dup corpora use carry="signature" (no materialization)
+        schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("jaccard_est", pa.float64())])
+        if not pair_rows:
+            return ray.data.from_arrow(schema.empty_table())
+        need = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
+        sig_map = _signatures_for_ids(ds, list(need), num_perm, shingle_k,
+                                      id_col, text_col)
+        out = []
+        for r in pair_rows:
+            est = estimate_jaccard(sig_map[r["id_a"]], sig_map[r["id_b"]])
+            if est >= jaccard_threshold:
+                out.append({"id_a": r["id_a"], "id_b": r["id_b"],
+                            "jaccard_est": round(est, 6)})
+        if not out:
+            return ray.data.from_arrow(schema.empty_table())
+        return ray.data.from_arrow(pa.Table.from_pylist(out, schema=schema))
+
+    # --- carry == "signature": in-bucket verification, no driver candidates
     def explode(b: pa.Table) -> pa.Table:
         t = explode_bands(b, num_perm, bands, id_col)
-        # co-location key: per-group map_groups over O(rows) buckets costs a
-        # Python call per bucket; hash-partitioning into n_parts lets one
-        # task sweep many buckets with a single vectorised pandas groupby
-        part = hash64(t["band_hash"].to_pylist()) % n_parts
-        return t.append_column("part", pa.array(part.astype(np.int32)))
+        part = (np.asarray(t["band_hash"], dtype=np.int64)
+                % n_parts).astype(np.int32)
+        return t.append_column("part", pa.array(np.abs(part)))
 
     exploded = sig_and_id.map_batches(explode, batch_format="pyarrow")
 
@@ -265,6 +450,7 @@ def minhash_lsh_candidates(
             if len(g) < 2:
                 continue
             g = g.sort_values(id_col)
+            g = _cap_bucket(g, hot_bucket_cap, "minhash-LSH")
             ids = np.asarray(g[id_col].tolist())
             sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
             eq3 = sigs[:, None, :] == sigs[None, :, :]
@@ -323,7 +509,11 @@ def cluster_labels(pairs: List[Tuple[int, int]]) -> Dict[int, int]:
 
 
 class SimHasher:
-    """Actor: 64-bit SimHash over word tokens (regex compiled once)."""
+    """Actor: 64-bit SimHash over word tokens (regex compiled once).
+
+    The full 64-bit fingerprint is kept — stored as the int64
+    reinterpretation of the uint64 hash (bit 63 intact, so all four
+    16-bit bands carry 16 effective bits; values may be negative)."""
 
     def __init__(self, text_col: str = "text", out_col: str = "simhash64"):
         import re
@@ -346,7 +536,8 @@ class SimHasher:
         )
         acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
         word = np.where(acc > 0, np.uint64(1), np.uint64(0))
-        return int((word << self.bit_idx).sum() & np.uint64(0x7FFFFFFFFFFFFFFF))
+        h = int((word << self.bit_idx).sum())
+        return h - (1 << 64) if h >= (1 << 63) else h  # int64 view
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vals = [
@@ -356,8 +547,11 @@ class SimHasher:
         return batch.append_column(self.out_col, pa.array(vals, pa.int64()))
 
 
+_U64_MASK = (1 << 64) - 1
+
+
 def hamming64(a: int, b: int) -> int:
-    return bin(a ^ b).count("1")
+    return bin((a ^ b) & _U64_MASK).count("1")
 
 
 def simhash_near_dups(
@@ -366,12 +560,16 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     concurrency=(1, 8),
+    hot_bucket_cap: int = 2048,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash: LSH on 16-bit bands → verify Hamming.
 
     A pair within Hamming distance ≤ 3 of a 64-bit hash must agree on at
     least one of the four 16-bit bands (pigeonhole), so banding finds all
-    such pairs with one small shuffle.
+    such pairs with one small shuffle.  The in-bucket sweep is fully
+    vectorized: XOR + SWAR popcount over pair index arrays (no Python
+    per-pair loop, no (n, n) tensor — memory is O(pairs)); hot buckets
+    (e.g. thousands of empty docs at band value 0) are capped loudly.
     """
     hashed = ds.map_batches(
         SimHasher, fn_constructor_kwargs=dict(text_col=text_col),
@@ -381,15 +579,18 @@ def simhash_near_dups(
     n_parts = 64
 
     def explode(b: pa.Table) -> pa.Table:
-        h = np.asarray(b["simhash64"].combine_chunks(), dtype=np.uint64)
+        h = np.ascontiguousarray(
+            np.asarray(b["simhash64"].combine_chunks(), dtype=np.int64)
+        ).view(np.uint64)
         ids = b[id_col].to_pylist()
         rows = {"band_id": [], "band_val": [], id_col: [], "simhash64": []}
+        h_i64 = h.view(np.int64)
         for band in range(4):
             vals = ((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)).tolist()
             rows["band_id"] += [band] * len(ids)
             rows["band_val"] += vals
             rows[id_col] += ids
-            rows["simhash64"] += [int(x) for x in h]
+            rows["simhash64"] += h_i64.tolist()
         band_id = np.asarray(rows["band_id"], dtype=np.int64)
         band_val = np.asarray(rows["band_val"], dtype=np.int64)
         part = ((band_id * 65537 + band_val) % n_parts).astype(np.int32)
@@ -415,27 +616,31 @@ def simhash_near_dups(
             g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
             if len(g) < 2:
                 continue
-            ids = g[id_col].tolist()
-            hs = g["simhash64"].tolist()
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a, b = np.uint64(hs[i]), np.uint64(hs[j])
-                    d = hamming64(int(a), int(b))
-                    if d > max_hamming:
-                        continue
-                    # emit only from the FIRST band on which the two
-                    # hashes agree — global dedup with no second shuffle
-                    first = next(
-                        bb for bb in range(4)
-                        if ((a >> np.uint64(bb * 16)) & np.uint64(0xFFFF))
-                        == ((b >> np.uint64(bb * 16)) & np.uint64(0xFFFF))
-                    )
-                    if first == band_id:
-                        out.append((ids[i], ids[j], d))
+            g = _cap_bucket(g, hot_bucket_cap, "simhash")
+            ids = g[id_col].to_numpy()
+            hs = np.ascontiguousarray(
+                g["simhash64"].to_numpy(dtype=np.int64)).view(np.uint64)
+            n = len(ids)
+            ii, jj = np.triu_indices(n, k=1)
+            d = popcount_u64(hs[ii] ^ hs[jj]).astype(np.int64)
+            keep = d <= max_hamming
+            if not keep.any():
+                continue
+            # emit only from the FIRST band on which the two hashes agree
+            # — global dedup with no second shuffle, fully vectorized
+            bands_mat = (
+                hs[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64))
+            ) & np.uint64(0xFFFF)  # (n, 4)
+            first = (bands_mat[ii] == bands_mat[jj]).argmax(axis=1)
+            keep &= first == band_id
+            if keep.any():
+                out.append(pd.DataFrame(
+                    {"id_a": ids[ii[keep]].astype("int64"),
+                     "id_b": ids[jj[keep]].astype("int64"),
+                     "hamming": d[keep]}))
         if not out:
             return _EMPTY
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]).astype(
-            {"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+        return pd.concat(out, ignore_index=True)
 
     pairs = (
         hashed.map_batches(explode, batch_format="pyarrow")
@@ -473,12 +678,26 @@ def verify_pairs_ngram(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_limit: int = 100_000,
 ) -> "ray.data.Dataset":
-    """Exact n-gram Jaccard over candidate pairs (broadcast text lookup).
+    """Exact n-gram Jaccard over candidate pairs.
 
-    The text map covers only ids appearing in candidate pairs — tiny vs
-    the corpus; at scale use a bucketed join instead of the broadcast.
+    Below ``broadcast_limit`` candidate pairs: broadcast text lookup (the
+    text map covers candidate ids only — tiny vs the corpus).  Above it:
+    bucketed hash joins attach ``text_a``/``text_b`` with no driver-side
+    materialization at all — the 100 TB high-dup path.  Both produce the
+    identical pair set.
     """
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                        ("jaccard", pa.float64())])
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return ray.data.from_arrow(schema.empty_table())
+
+    if n_pairs > broadcast_limit:
+        return _verify_pairs_ngram_join(ds, pairs, threshold, n, id_col,
+                                        text_col, schema)
+
     import ray as _ray
 
     need = set()
@@ -503,11 +722,43 @@ def verify_pairs_ngram(
         for r in pair_rows
     ]
     out = [r for r in out if r["jaccard"] >= threshold]
-    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                        ("jaccard", pa.float64())])
     if not out:
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow(pa.Table.from_pylist(out, schema=schema))
+
+
+def _verify_pairs_ngram_join(ds, pairs, threshold, n, id_col, text_col,
+                             schema) -> "ray.data.Dataset":
+    """Join path: two bucketed hash joins attach both texts, then the exact
+    Jaccard kernel runs per batch.  The text column moves through the
+    shuffle once per side; at 10^12 rows pre-filter the text table with a
+    Bloom filter of candidate ids to prune non-candidates before the
+    exchange."""
+    from .joins import hash_join
+
+    def rename(side: str):
+        def _r(b: pa.Table) -> pa.Table:
+            return pa.table({f"id_{side}": pc.cast(b[id_col], pa.int64()),
+                             f"text_{side}": b[text_col]})
+        return _r
+
+    texts_a = ds.map_batches(rename("a"), batch_format="pyarrow")
+    texts_b = ds.map_batches(rename("b"), batch_format="pyarrow")
+    p = pairs.select_columns(["id_a", "id_b"])
+    j1 = hash_join(p, texts_a, key="id_a")
+    j2 = hash_join(j1, texts_b, key="id_b")
+
+    def score(b: pa.Table) -> pa.Table:
+        ja = [
+            round(ngram_jaccard(a, c, n), 6)
+            for a, c in zip(b["text_a"].to_pylist(), b["text_b"].to_pylist())
+        ]
+        t = pa.table({"id_a": pc.cast(b["id_a"], pa.int64()),
+                      "id_b": pc.cast(b["id_b"], pa.int64()),
+                      "jaccard": pa.array(ja, pa.float64())})
+        return t.filter(pc.greater_equal(t["jaccard"], pa.scalar(threshold)))
+
+    return j2.map_batches(score, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -522,6 +773,7 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     num_planes: int = 8,
     seed: int = 42,
+    hot_bucket_cap: int = 4096,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by cosine ≥ threshold, LSH-bucketed by random
     hyperplane signs; exact cosine verified within buckets (numpy matmul).
@@ -564,21 +816,21 @@ def embedding_near_dups(
              "cosine": pd.Series(dtype="float64")}
         )
         g = g.sort_values(id_col)
-        ids = g[id_col].tolist()
-        if len(ids) < 2:
+        if len(g) < 2:
             return empty
+        g = _cap_bucket(g, hot_bucket_cap, "hyperplane-LSH")
+        ids = g[id_col].to_numpy()
         mat = np.stack([np.asarray(v) for v in g["unit"]])
         sims = mat @ mat.T
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                c = float(sims[i, j])
-                if c >= threshold:
-                    rows.append((ids[i], ids[j], round(c, 6)))
-        if not rows:
+        ii, jj = np.triu_indices(len(ids), k=1)
+        c = sims[ii, jj]
+        keep = c >= threshold
+        if not keep.any():
             return empty
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"]).astype(
-            {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        return pd.DataFrame(
+            {"id_a": ids[ii[keep]].astype("int64"),
+             "id_b": ids[jj[keep]].astype("int64"),
+             "cosine": np.round(c[keep], 6)})
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")

@@ -104,13 +104,42 @@ def hash_join(
     lt = _bucketize(left, key, n_buckets, "l")
     rt = _bucketize(right, key, n_buckets, "r")
     both = lt.union(rt)
-    lcols = left.schema().names
-    rcols = right.schema().names
+    lsch, rsch = left.schema(), right.schema()
+    lcols, rcols = lsch.names, rsch.names
+
+    def _empty_pdf(sch) -> pd.DataFrame:
+        # Ray Schema types are Arrow DataTypes for Arrow blocks but numpy
+        # dtypes for pandas blocks — handle both
+        cols = {}
+        for nm, t in zip(sch.names, sch.types):
+            dt = t.to_pandas_dtype() if isinstance(t, pa.DataType) else t
+            cols[nm] = pd.Series(dtype=dt)
+        return pd.DataFrame(cols)
+
+    # canonical empty output with the REAL dtypes: a bucket holding only
+    # one side must not emit object-dtype columns that poison the unioned
+    # block schema (same pitfall asof_join documents)
+    empty_out = _empty_pdf(lsch).merge(_empty_pdf(rsch), on=key, how="inner",
+                                       suffixes=("", right_suffix))
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lpart = g[g["__side__"] == "l"][lcols]
-        rpart = g[g["__side__"] == "r"][rcols]
+        lmask = g["__side__"] == "l"
+        lpart, rpart = g[lmask], g[~lmask]
+        if how == "inner" and (lpart.empty or rpart.empty):
+            return empty_out.copy()
+        lpart = lpart.reindex(columns=lcols)
+        rpart = rpart.reindex(columns=rcols)
         out = lpart.merge(rpart, on=key, how=how, suffixes=("", right_suffix))
+        if out.empty:
+            return empty_out.copy()
+        # restore dtypes a mixed-schema group frame may have widened
+        # (int64 → float64 via NaN fill on the absent side's columns)
+        for c in out.columns:
+            if c in empty_out.columns and out[c].dtype != empty_out[c].dtype:
+                try:
+                    out[c] = out[c].astype(empty_out[c].dtype)
+                except (ValueError, TypeError):
+                    pass
         return out
 
     return both.groupby("__bucket__").map_groups(join_bucket,

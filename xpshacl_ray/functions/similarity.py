@@ -56,8 +56,19 @@ def knn_cosine_bruteforce(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        mat = _normalize(_as_matrix(batch, vec_col))
         ids = np.asarray(batch[id_col])
+        empty = pa.table(
+            {
+                "query_idx": pa.array([], pa.int32()),
+                id_col: batch[id_col].combine_chunks().slice(0, 0)
+                if isinstance(batch[id_col], pa.ChunkedArray)
+                else batch[id_col].slice(0, 0),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        if len(ids) == 0:  # empty blocks happen downstream of IVF probing
+            return empty
+        mat = _normalize(_as_matrix(batch, vec_col))
         sims = mat @ qm.T  # (n_batch, n_q)
         rows: Dict[str, list] = {"query_idx": [], id_col: [], "cosine": []}
         kk = min(k, len(ids))
@@ -75,17 +86,30 @@ def knn_cosine_bruteforce(
             }
         )
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    out = []
-    for qi, g in partials.groupby("query_idx"):
+    def combine_topk(df: pd.DataFrame) -> pd.DataFrame:
+        """Block-local reduce: re-top-k each query within a block of
+        partials — the tree-merge level between per-batch partials and the
+        final per-query merge, so the shuffle moves ≤ k rows per (query,
+        block) instead of k × n_batches rows to one task."""
+        if df.empty:
+            return df
+        df = df.sort_values(["cosine", id_col], ascending=[False, True])
+        return df.groupby("query_idx", sort=False).head(k)
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", id_col], ascending=[False, True]).head(k)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        out.append(g)
-    return (
-        pd.concat(out, ignore_index=True)
-        if out
-        else pd.DataFrame(columns=["query_idx", id_col, "cosine", "rank"])
+        return g.assign(rank=np.arange(1, len(g) + 1, dtype="int64"))
+
+    merged = (
+        ds.map_batches(partial_topk, batch_format="pyarrow")
+        .map_batches(combine_topk, batch_format="pandas")
+        .groupby("query_idx")
+        .map_groups(merge_topk, batch_format="pandas")
+        .to_pandas()
     )
+    if merged.empty:
+        return pd.DataFrame(columns=["query_idx", id_col, "cosine", "rank"])
+    return merged.sort_values(["query_idx", "rank"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

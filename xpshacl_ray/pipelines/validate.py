@@ -133,8 +133,12 @@ class ValidationEngine:
                 key_ref = (key_arr if isinstance(key_arr, ray.ObjectRef)
                            else ray.put(key_arr))
                 fused.append(
-                    replace(cc, constraint=_RefMask(column=col,
-                                                    keys_ref=key_ref))
+                    replace(cc, constraint=_RefMask(
+                        column=col,
+                        keys_ref=key_ref,
+                        null_is_violation=getattr(
+                            cc.constraint, "null_is_violation", False),
+                    ))
                 )
         if fused:
             scan_spec = CompiledSpec(

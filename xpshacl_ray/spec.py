@@ -606,10 +606,18 @@ class UniqueLang(MaxCount):
 @dataclass
 class Referential(Constraint):
     """sh:class / FK existence (C4): every value of ``column`` must exist in
-    the referenced key set (broadcast small side; anti-join finds dangles)."""
+    the referenced key set (broadcast small side; anti-join finds dangles).
+
+    A NULL FK is *not* a violation by default — consistent with the rest of
+    the engine's SHACL null semantics (``InSet`` etc. excuse nulls; a
+    missing value is ``Required``'s job, not a dangling reference) and with
+    the SQL ``NOT IN`` oracle, which never returns NULL keys.  Set
+    ``null_is_violation=True`` to flag nulls too (mirror the oracle with
+    ``OR fk IS NULL`` in that case)."""
 
     ref_table: str = ""  # label only (for messages/params)
     ref_column: str = ""
+    null_is_violation: bool = False
     component: str = "ClassConstraintComponent"
 
     def params(self) -> Dict[str, Any]:

@@ -50,10 +50,15 @@ class _RefMask:
     for dimension sides too large to ship exactly (one-sided error: a
     Bloom "absent" is a certain violation; up to fp_rate of true
     violations are missed — quantified, documented trade-off).
+
+    ``null_is_violation=False`` (the default) excuses NULL FKs, matching
+    the engine-wide SHACL null policy and the ``NOT IN`` oracle semantics;
+    missing values are ``Required``'s responsibility.
     """
 
     column: str
     keys_ref: "ray.ObjectRef"
+    null_is_violation: bool = False
 
     def mask(self, batch: pa.Table):
         from ..functions.sketches import BloomFilter
@@ -66,9 +71,15 @@ class _RefMask:
             vals = col.to_pylist()
             present = keys.might_contain([str(v) for v in vals])
             nulls = np.array([v is None for v in vals])
-            return pa.array(~present | nulls)
-        ok = pc.is_in(col, value_set=keys)
-        return pc.fill_null(pc.invert(ok), True)  # null FK = dangling
+            if self.null_is_violation:
+                return pa.array(~present | nulls)
+            return pa.array(~present & ~nulls)
+        # pc.is_in yields False (not null) for null inputs, so gate on
+        # validity explicitly rather than via fill_null
+        bad = pc.invert(pc.is_in(col, value_set=keys))
+        if self.null_is_violation:
+            return pc.fill_null(pc.or_(bad, pc.is_null(col)), True)
+        return pc.fill_null(pc.and_(bad, pc.is_valid(col)), False)
 
 
 def bloom_keys(ref_ds: "ray.data.Dataset", column: str,
@@ -109,7 +120,11 @@ def evaluate_referential(
         c = cc.constraint
         keys = ref_keys[c.column]
         keys_ref = keys if isinstance(keys, ray.ObjectRef) else ray.put(keys)
-        adapter = _RefMask(column=c.column, keys_ref=keys_ref)
+        adapter = _RefMask(
+            column=c.column,
+            keys_ref=keys_ref,
+            null_is_violation=getattr(c, "null_is_violation", False),
+        )
         wrapped = replace(cc, constraint=adapter)  # reuse the fused emitter
         sub = CompiledSpec(
             row_local=[wrapped],
