@@ -123,6 +123,84 @@ FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars >= 50)
 """
 
 
+# QualityScorer's formula transcribed to DuckDB SQL (same RE2 character
+# classes, same factor order so the float products are bit-identical):
+# len/punct/stopword ratios + dup-line ratio → quality_score ∈ [0, 1].
+_STOP_SQL = ("'the','a','of','and','to','in','is','it','you','that',"
+             "'was','for','on','are'")
+_NB_SQL = "list_filter(str_split(text, chr(10)), x -> trim(x) <> '')"
+_TOKS_SQL = "str_split_regex(lower(text), '[^\\p{L}]+')"
+_NTOK_SQL = f"len(list_filter({_TOKS_SQL}, x -> length(x) > 0))"
+_PUNCT_SQL = "length(regexp_replace(text, '[\\p{L}\\p{N}_\\s]', '', 'g'))"
+
+# LanguageId's stopword profiles transcribed to SQL (xpshacl_ray.functions
+# .text._STOPWORDS); argmax with first-max-by-sorted-language tie-breaking.
+_LANG_STOPWORDS = {
+    "de": "der die das und ist ich nicht ein zu es du wir",
+    "en": "the a of and to in is it you that was for on are",
+    "es": "el la los y es no un una que de en se",
+    "fr": "le la les et est je ne pas un une que des",
+    "pt": "o a os e é não um uma que de em para",
+}
+_LANGS_SORTED = sorted(_LANG_STOPWORDS)
+
+
+def _lang_score_sql(lang: str) -> str:
+    lst = ",".join(f"'{w}'" for w in sorted(_LANG_STOPWORDS[lang].split()))
+    return (f"len(list_filter({_TOKS_SQL}, x -> x IN ({lst}))) * 1.0"
+            f" / greatest({_NTOK_SQL}, 1)")
+
+
+def _lang_argmax_sql() -> str:
+    cases = []
+    for lang in _LANGS_SORTED:
+        others = " AND ".join(f"s_{lang} >= s_{o}"
+                              for o in _LANGS_SORTED if o != lang)
+        cases.append(f"WHEN {others} THEN '{lang}'")
+    return "CASE " + " ".join(cases) + " END"
+
+
+_LANG_ID_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, text, {_NTOK_SQL} AS n_tok,
+               {", ".join(f"{_lang_score_sql(lg)} AS s_{lg}"
+                          for lg in _LANGS_SORTED)}
+        FROM documents)
+    SELECT doc_id,
+           CASE WHEN text IS NULL OR length(text) = 0 OR n_tok = 0 THEN NULL
+                ELSE {_lang_argmax_sql()} END AS lang_pred,
+           CASE WHEN text IS NULL OR length(text) = 0 THEN NULL
+                WHEN n_tok = 0 THEN 0.0
+                ELSE round(greatest({", ".join(f"s_{lg}" for lg in _LANGS_SORTED)}), 6)
+           END AS lang_score
+    FROM t
+"""
+_QUALITY_SQL = f"""
+    SELECT doc_id, lang, text,
+           CASE WHEN text IS NULL OR length(text) = 0 THEN 0.0 ELSE
+           round(
+             (CASE WHEN length(text) < 50 OR length(text) > 100000
+                   THEN 0.5 ELSE 1.0 END)
+           * (CASE WHEN length(regexp_replace(
+                        text, '[\\p{{L}}\\p{{N}}_\\s]', '', 'g')) * 1.0
+                        / greatest(length(text), 1) > 0.3
+                   THEN 0.5 ELSE 1.0 END)
+           * (CASE WHEN (CASE WHEN len(list_filter({_TOKS_SQL},
+                                       x -> length(x) > 0)) > 0
+                         THEN len(list_filter({_TOKS_SQL},
+                                  x -> x IN ({_STOP_SQL}))) * 1.0
+                              / len(list_filter({_TOKS_SQL},
+                                    x -> length(x) > 0))
+                         ELSE 0.0 END) < 0.01 THEN 0.7 ELSE 1.0 END)
+           * (1.0 - CASE WHEN contains(text, chr(10)) THEN
+                      CASE WHEN len({_NB_SQL}) = 0 THEN 0.0
+                           ELSE 1.0 - len(list_distinct({_NB_SQL})) * 1.0
+                                      / len({_NB_SQL}) END
+                    ELSE 0.0 END), 6) END AS quality_score
+    FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -626,13 +704,26 @@ def q_asof_purchase_signup(sf_dir: str):
 
 
 def q_drift_lang_psi(sf_dir: str):
-    """PSI of each source's lang mix vs the global mix (sketch-based)."""
-    docs = _docs(sf_dir).select_columns(["source", "lang"]).to_pandas()
-    overall = CategoricalHistogram().add(docs["lang"].tolist())
-    rows = []
-    for source, g in docs.groupby("source"):
-        h = CategoricalHistogram().add(g["lang"].tolist())
-        rows.append({"source": source, "lang_psi": round(psi(overall, h), 6)})
+    """PSI of each source's lang mix vs the global mix — fully distributed:
+    one ``sketch_rows`` pass builds a mergeable histogram per source (the
+    shuffle moves sketch rows only, never documents), the driver merges a
+    handful of per-source histogram blobs into the global mix and emits one
+    PSI row per source."""
+    from xpshacl_ray.stages.stats import sketch_rows
+
+    cfg = StatsConfig(group_keys=["source"], categorical_cols=["lang"])
+    sk = sketch_rows(_docs(sf_dir, columns=["source", "lang"]), cfg,
+                     concurrency=2).to_pandas()
+    overall = CategoricalHistogram.merge_many(sk["lang__hist"])
+    rows = [
+        {
+            "source": r["source"],
+            "lang_psi": round(
+                psi(overall, CategoricalHistogram.from_bytes(r["lang__hist"])),
+                6),
+        }
+        for _, r in sk.sort_values("source").iterrows()
+    ]
     return pd.DataFrame(rows)
 
 
@@ -650,13 +741,17 @@ def q_train_test_split(sf_dir: str):
 
 
 def q_curation(sf_dir: str):
-    """Full curation composition: quality → lang filter → exact dedup."""
+    """Full curation composition: quality → lang filter → exact dedup.
+
+    min_quality=0.3 makes the quality gate bite (short docs score 0.35,
+    most score 0.7 on this corpus); the DuckDB oracle reproduces the whole
+    composition including the quality formula."""
     from xpshacl_ray.pipelines.curate import CurationConfig, curate
 
     docs = _docs(sf_dir)
     curated, _report = curate(
         docs,
-        CurationConfig(allowed_langs=["en", "de", "fr"], min_quality=0.0),
+        CurationConfig(allowed_langs=["en", "de", "fr"], min_quality=0.3),
     )
     return curated.select_columns(["doc_id", "lang", "quality_score"])
 
@@ -946,5 +1041,80 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT user_id, ts FROM events
                   WHERE event_type = 'signup') s
             ON p.user_id = s.user_id AND p.ts >= s.ts
+        """,
+        # LanguageId heuristic transcribed to SQL: per-language stopword-hit
+        # ratios over the same tokenization, argmax with the engine's
+        # first-max-by-sorted-language tie-break
+        "lang_id": _LANG_ID_SQL,
+        # QualityScorer's signals transcribed to SQL (same RE2 classes,
+        # same ratio and rounding structure; quality_score reuses the
+        # factor product verified by the curation oracle)
+        "quality_scores": f"""
+            WITH scored AS ({_QUALITY_SQL})
+            SELECT d.doc_id,
+                   coalesce(length(d.text), 0) AS q_len,
+                   CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN NULL
+                        ELSE round({_PUNCT_SQL.replace('text', 'd.text')} * 1.0
+                                   / greatest(length(d.text), 1), 6)
+                   END AS q_punct_ratio,
+                   CASE WHEN d.text IS NULL OR length(d.text) = 0 THEN NULL
+                        ELSE round(CASE WHEN {_NTOK_SQL.replace('text', 'd.text')} > 0
+                             THEN len(list_filter({_TOKS_SQL.replace('text', 'd.text')},
+                                      x -> x IN ({_STOP_SQL}))) * 1.0
+                                  / greatest({_NTOK_SQL.replace('text', 'd.text')}, 1)
+                             ELSE 0.0 END, 6)
+                   END AS q_stopword_ratio,
+                   s.quality_score
+            FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        # closed-form PSI: p/q are the global/source lang shares + the
+        # engine's 1e-6 epsilon, summed over the union of categories
+        "drift_lang_psi": """
+            WITH total AS (SELECT count(*) AS n FROM documents
+                           WHERE lang IS NOT NULL),
+            langs AS (SELECT lang, count(*) AS cnt FROM documents
+                      WHERE lang IS NOT NULL GROUP BY lang),
+            srcs AS (SELECT source, count(*) AS n FROM documents
+                     WHERE lang IS NOT NULL GROUP BY source),
+            sl AS (SELECT source, lang, count(*) AS cnt FROM documents
+                   WHERE lang IS NOT NULL GROUP BY source, lang),
+            grid AS (
+              SELECT s.source,
+                     l.cnt * 1.0 / t.n + 1e-6 AS p,
+                     coalesce(x.cnt, 0) * 1.0 / s.n + 1e-6 AS q
+              FROM srcs s CROSS JOIN langs l CROSS JOIN total t
+              LEFT JOIN sl x ON x.source = s.source AND x.lang = l.lang)
+            SELECT source, round(sum((q - p) * ln(q / p)), 6) AS lang_psi
+            FROM grid GROUP BY source
+        """,
+        # self-drift is exactly 0 (same sketch both sides); the verdict
+        # reduces to the per-lang violation budget
+        "partition_verdicts": """
+            WITH v AS (
+              SELECT lang FROM documents
+              WHERE lang IS NOT NULL AND lang NOT IN ('de','en','fr')
+              UNION ALL SELECT lang FROM documents WHERE length(text) < 100
+              UNION ALL SELECT lang FROM documents WHERE length(text) > 400
+              UNION ALL SELECT lang FROM documents
+              WHERE n_chars IS NOT NULL AND NOT (n_chars >= 50)
+            ), vc AS (SELECT lang, count(*) AS n FROM v
+                      WHERE lang IS NOT NULL GROUP BY lang),
+            langs AS (SELECT DISTINCT lang FROM documents
+                      WHERE lang IS NOT NULL)
+            SELECT l.lang, CAST(coalesce(vc.n, 0) AS BIGINT) AS n_violations,
+                   0.0 AS n_chars_ks, 0.0 AS source_psi,
+                   CASE WHEN coalesce(vc.n, 0) <= 0
+                        THEN 'pass' ELSE 'fail' END AS verdict
+            FROM langs l LEFT JOIN vc ON l.lang = vc.lang
+        """,
+        # full compositional oracle: quality formula → lang+quality filter
+        # → keep min-doc_id per distinct text
+        "curation": f"""
+            WITH scored AS ({_QUALITY_SQL}),
+            kept AS (SELECT * FROM scored
+                     WHERE quality_score >= 0.3
+                       AND lang IN ('en','de','fr'))
+            SELECT doc_id, lang, quality_score FROM kept
+            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
         """,
     }
