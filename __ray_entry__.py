@@ -856,7 +856,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # Golden oracles (VALUES-literal SQL generated by tools/make_goldens.py)
+    # for queries with no closed-form SQL: brute-force all-pairs ground
+    # truth for the LSH/ANN family (independent reimplementation) + frozen
+    # snapshots for the explanation strings.
+    from xpshacl_ray.goldens import GOLDEN_SQL
+
     return {
+        **GOLDEN_SQL,
         "violations_documents": _VIOLATIONS_SQL,
         "violation_summary": f"""
             SELECT constraint_id, violation_type, severity,

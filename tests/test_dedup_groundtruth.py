@@ -1,0 +1,103 @@
+"""Dedup quality bounds vs brute-force all-pairs ground truth.
+
+Not row counts: recall/precision of the LSH pipelines is asserted against
+the quadratic sweep (every pair, no banding) computed by the INDEPENDENT
+reimplementations in tools/make_goldens.py — the same code that generates
+the driver's golden oracles."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+sys.path.insert(0, "/root/repo/tools")
+import make_goldens as mg  # noqa: E402  (independent reimplementation)
+
+from xpshacl_ray.functions.dedup import (  # noqa: E402
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash_near_dups,
+    verify_pairs_ngram,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(sf_dir):
+    """Base docs + exact copies + lightly perturbed copies (true near-dups)
+    + a shuffled distant cousin (true negative at high thresholds)."""
+    base = ray.data.read_parquet(f"{sf_dir}/documents.parquet").take(30)
+    rows = [{"doc_id": r["doc_id"], "text": r["text"]} for r in base]
+    nxt = 100_000
+    for r in base[:8]:
+        rows.append({"doc_id": nxt, "text": r["text"]})  # exact copy
+        nxt += 1
+    for r in base[8:16]:
+        toks = r["text"].split()
+        toks[len(toks) // 2] = "zzzperturbed"
+        rows.append({"doc_id": nxt, "text": " ".join(toks)})  # near-dup
+        nxt += 1
+    for r in base[16:20]:
+        toks = r["text"].split()[::-1]
+        rows.append({"doc_id": nxt, "text": " ".join(toks)})  # scrambled
+        nxt += 1
+    df = pd.DataFrame(rows)
+    return df, ray.data.from_pandas(df)
+
+
+def _true_pairs(df, threshold):
+    ids = df["doc_id"].tolist()
+    texts = df["text"].tolist()
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if ngram_jaccard(texts[i], texts[j]) >= threshold:
+                a, b = sorted((ids[i], ids[j]))
+                out.add((a, b))
+    return out
+
+
+def test_minhash_recall_and_verify_precision(corpus):
+    df, ds = corpus
+    truth_high = _true_pairs(df, 0.95)  # exact + near-exact pairs
+    assert len(truth_high) >= 8
+    cand = minhash_lsh_candidates(ds, jaccard_threshold=0.5)
+    found = {tuple(sorted((a, b)))
+             for a, b in zip(*[cand.to_pandas()[c] for c in ("id_a", "id_b")])}
+    recall = len(truth_high & found) / len(truth_high)
+    assert recall >= 0.9, f"high-Jaccard recall {recall} below bound"
+
+    verified = verify_pairs_ngram(ds, cand, threshold=0.8).to_pandas()
+    # exact-verification precision is 1.0 BY CONSTRUCTION — check it
+    tmap = dict(zip(df["doc_id"], df["text"]))
+    for a, b, j in zip(verified.id_a, verified.id_b, verified.jaccard):
+        assert j == round(ngram_jaccard(tmap[a], tmap[b]), 6)
+        assert j >= 0.8
+    # and the scrambled cousins (low n-gram overlap) never survive verify
+    scrambled = set(df["doc_id"][df["doc_id"] >= 100_016])
+    assert not any(a in scrambled or b in scrambled
+                   for a, b in zip(verified.id_a, verified.id_b))
+
+
+def test_minhash_pairs_match_bruteforce_groundtruth(corpus):
+    df, ds = corpus
+    sigs = mg.minhash_signatures(df["text"].tolist())
+    want = mg.brute_minhash_pairs(np.asarray(df["doc_id"]), sigs,
+                                  threshold=0.8)
+    got = minhash_lsh_candidates(ds, jaccard_threshold=0.8).to_pandas()
+    key = lambda d: sorted(zip(d.id_a, d.id_b, d.jaccard_est))  # noqa: E731
+    assert key(got) == key(want)
+
+
+def test_simhash_pairs_match_bruteforce_groundtruth(corpus):
+    df, ds = corpus
+    sh = mg.simhash64(df["text"].tolist())
+    want = mg.brute_simhash_pairs(np.asarray(df["doc_id"]), sh,
+                                  max_hamming=3)
+    got = simhash_near_dups(ds, max_hamming=3).to_pandas()
+    key = lambda d: sorted(zip(d.id_a, d.id_b, d.hamming))  # noqa: E731
+    assert key(got) == key(want)
+    # exact copies must collide at hamming 0
+    zero = got[got.hamming == 0]
+    assert len(zero) >= 8

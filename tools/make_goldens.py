@@ -1,0 +1,302 @@
+"""Generate golden oracles for the non-SQL-expressible driver queries.
+
+Writes ``xpshacl_ray/goldens.py``: a dict of self-contained DuckDB
+``VALUES``-literal SELECT statements, one per query, computed at sf0.01
+(the scale the driver's correctness gate runs at).
+
+Two golden classes, labeled per entry:
+
+- **independent**: a from-scratch reimplementation in this file (pure
+  numpy/pandas over the parquet — NO xpshacl_ray imports) of the
+  documented algorithm.  For pair queries it is a BRUTE-FORCE all-pairs
+  sweep (every pair with ≥1 agreeing LSH band and metric past threshold),
+  so it checks the engine's bucketed/sharded LSH plumbing against the
+  quadratic ground truth, not against itself.
+- **frozen**: engine output snapshotted to pin regressions (justification
+  trees / explanations — reference-parity strings already pinned by
+  goldens in tests/).
+
+Run:  python tools/make_goldens.py  (owns its own ray.init for the frozen
+entries; everything else is ray-free).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF_DIR = "/root/testdata/sf0.01"
+OUT = "/root/repo/xpshacl_ray/goldens.py"
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_HASH_KEY = "0123456789123456"
+
+
+# ---------------------------------------------------------------------------
+# independent reimplementations (documented algorithms, no engine imports)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(texts, num_perm=64, shingle_k=5, seed=42):
+    """Spec: sig_i = min over distinct k-byte shingles s of
+    (a_i*h(s)+b_i) mod (2^61-1); h = FNV-prime polynomial over bytes."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    base = np.uint64(1099511628211)
+    sigs = np.zeros((len(texts), num_perm), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        by = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(by) < shingle_k:
+            pows = base ** np.arange(len(by), dtype=np.uint64)
+            x = np.array([(by * pows).sum() & _MERSENNE], dtype=np.uint64)
+        else:
+            n_sh = len(by) - shingle_k + 1
+            h = np.zeros(n_sh, dtype=np.uint64)
+            for j in range(shingle_k):
+                h = h * base + by[j : j + n_sh]
+            x = np.unique(h & _MERSENNE)
+        vals = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE
+        sigs[i] = vals.min(axis=1)
+    return sigs
+
+
+def brute_minhash_pairs(ids, sigs, bands=16, threshold=0.8):
+    """ALL-pairs ground truth: emitted iff ≥1 of the 16 band chunks agree
+    (the LSH candidate condition) AND signature-agreement Jaccard ≥ t."""
+    n, num_perm = sigs.shape
+    r = num_perm // bands
+    chunks = sigs.reshape(n, bands, r)
+    rows = []
+    for i in range(n):
+        eq = (sigs[i][None, :] == sigs[i + 1 :]).mean(axis=1)
+        band_agree = (chunks[i][None, :, :] == chunks[i + 1 :]).all(
+            axis=2).any(axis=1)
+        for off in np.flatnonzero((eq >= threshold) & band_agree):
+            j = i + 1 + off
+            rows.append((int(ids[i]), int(ids[j]), round(float(eq[off]), 6)))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard_est"])
+
+
+def word_ngram_jaccard(a, b, n=3):
+    ta, tb = a.lower().split(), b.lower().split()
+    sa = ({tuple(ta[i : i + n]) for i in range(len(ta) - n + 1)}
+          if len(ta) >= n else ({tuple(ta)} if ta else set()))
+    sb = ({tuple(tb[i : i + n]) for i in range(len(tb) - n + 1)}
+          if len(tb) >= n else ({tuple(tb)} if tb else set()))
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def brute_ngram_pairs(ids, texts, sigs, bands=16, cand_threshold=0.8,
+                      threshold=0.8):
+    cand = brute_minhash_pairs(ids, sigs, bands, cand_threshold)
+    tmap = dict(zip(ids, texts))
+    rows = []
+    for a, b in zip(cand["id_a"], cand["id_b"]):
+        j = round(word_ngram_jaccard(tmap[a], tmap[b]), 6)
+        if j >= threshold:
+            rows.append((a, b, j))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+
+def simhash64(texts):
+    """Spec: 64-bit SimHash over \\w+ word tokens of lower(text), token
+    hashes = pandas hash_array (fixed key), count-weighted sign sum;
+    stored as the int64 reinterpretation of the uint64 fingerprint."""
+    word_re = re.compile(r"\w+", re.UNICODE)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    out = []
+    for t in texts:
+        if t is None:
+            out.append(None)
+            continue
+        toks = word_re.findall(t.lower())
+        if not toks:
+            out.append(0)
+            continue
+        uniq, counts = np.unique(np.asarray(toks, dtype=object),
+                                 return_counts=True)
+        hs = pd.util.hash_array(uniq.astype(object), hash_key=_HASH_KEY,
+                                categorize=False)
+        bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+            np.int64)
+        acc = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+        word = np.where(acc > 0, np.uint64(1), np.uint64(0))
+        h = int((word << bit_idx).sum())
+        out.append(h - (1 << 64) if h >= (1 << 63) else h)
+    return out
+
+
+def brute_simhash_pairs(ids, hashes_i64, max_hamming=3):
+    """ALL-pairs ground truth: Hamming ≤ max AND ≥1 agreeing 16-bit band
+    (the banded-LSH candidate condition — pigeonhole-complete for ≤3)."""
+    h = np.ascontiguousarray(np.asarray(hashes_i64, dtype=np.int64)).view(
+        np.uint64)
+    bands = np.stack(
+        [(h >> np.uint64(bb * 16)) & np.uint64(0xFFFF) for bb in range(4)],
+        axis=1)
+    rows = []
+    for i in range(len(ids)):
+        x = h[i] ^ h[i + 1 :]
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        d = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+        agree = (bands[i][None, :] == bands[i + 1 :]).any(axis=1)
+        for off in np.flatnonzero((d <= max_hamming) & agree):
+            j = i + 1 + off
+            rows.append((int(ids[i]), int(ids[j]), int(d[off])))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+
+
+def ivf_knn_golden(emb_path, n_centroids=8, iters=5, k=10, nprobe=4,
+                   sample_pct=20, seed=42):
+    """Spec: deterministic md5-bucket sample → cosine k-means (argmax
+    assignment, mean+renormalize update) → assign all vectors → probe the
+    nprobe nearest lists → exact cosine top-k within them."""
+    t = pq.read_table(emb_path)
+    ids = np.asarray(t["vec_id"])
+    mat = np.asarray(t["embedding"].combine_chunks().flatten(),
+                     dtype=np.float64).reshape(len(ids), -1)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+
+    def bucket(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+
+    keep = np.array([bucket(v) < sample_pct for v in ids])
+    order = np.argsort(ids[keep])
+    sample = unit[keep][order]
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            m = sample[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                nn = np.linalg.norm(v)
+                if nn > 0:
+                    cent[c] = v / nn
+    lists = (unit @ cent.T).argmax(axis=1)
+    q = unit[ids.tolist().index(0)]
+    probe = np.argsort(-(cent @ q))[:nprobe]
+    mask = np.isin(lists, probe)
+    sims = unit[mask] @ q
+    sub_ids = ids[mask]
+    order = np.lexsort((sub_ids, -sims))[:k]
+    return pd.DataFrame(
+        {"vec_id": sub_ids[order].astype("int64"),
+         "cosine": np.round(sims[order], 3),
+         "rank": np.arange(1, len(order) + 1, dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# VALUES-literal SQL emission
+# ---------------------------------------------------------------------------
+
+_SQL_TYPES = {"int64": "BIGINT", "int32": "INTEGER", "float64": "DOUBLE",
+              "object": "VARCHAR", "bool": "BOOLEAN"}
+
+
+def _lit(v):
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "NULL"
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))  # repr round-trips the exact double
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+def df_to_values_sql(df: pd.DataFrame) -> str:
+    cols = list(df.columns)
+    casts = ", ".join(
+        f"CAST({c} AS {_SQL_TYPES[str(df[c].dtype)]}) AS {c}" for c in cols)
+    rows = ",\n".join(
+        "(" + ", ".join(_lit(v) for v in row) + ")"
+        for row in df.itertuples(index=False))
+    return (f"SELECT {casts} FROM (VALUES\n{rows}\n) AS t({', '.join(cols)})")
+
+
+def main():
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet")
+    ids = np.asarray(docs["doc_id"])
+    texts = docs["text"].to_pylist()
+
+    goldens = {}
+
+    sh = simhash64(texts)
+    goldens["simhash"] = ("independent", pd.DataFrame(
+        {"doc_id": ids.astype("int64"),
+         "simhash64": pd.array(sh, dtype="int64")}).astype(
+             {"simhash64": "int64"}))
+
+    sigs = minhash_signatures(texts)
+    goldens["minhash_pairs"] = ("independent",
+                                brute_minhash_pairs(ids, sigs))
+    goldens["ngram_jaccard_pairs"] = ("independent",
+                                      brute_ngram_pairs(ids, texts, sigs))
+    goldens["simhash_pairs"] = ("independent", brute_simhash_pairs(ids, sh))
+    goldens["ivf_knn"] = ("independent",
+                          ivf_knn_golden(f"{SF_DIR}/embeddings.parquet"))
+
+    # frozen engine snapshots (reference-parity strings pinned in tests/)
+    import ray
+
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             logging_level="ERROR")
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    for name in ["justification_trees", "explanations"]:
+        got = entrymod.queries()[name](SF_DIR)
+        df = got.to_pandas() if hasattr(got, "to_pandas") else got
+        goldens[name] = ("frozen", df.sort_values(list(df.columns)[0])
+                         .reset_index(drop=True))
+    ray.shutdown()
+
+    lines = [
+        '"""AUTO-GENERATED by tools/make_goldens.py — do not hand-edit.',
+        "",
+        "Golden oracles (DuckDB VALUES-literal SQL) for driver queries with",
+        "no closed-form SQL equivalent, computed at sf0.01.  Entries tagged",
+        "'independent' come from from-scratch brute-force reimplementations",
+        "in tools/make_goldens.py (all-pairs ground truth, no engine code);",
+        "'frozen' entries snapshot engine output to pin regressions.",
+        '"""',
+        "",
+        "GOLDEN_KIND = {",
+    ]
+    for name, (kind, _) in goldens.items():
+        lines.append(f"    {name!r}: {kind!r},")
+    lines.append("}")
+    lines.append("")
+    lines.append("GOLDEN_SQL = {")
+    for name, (_, df) in goldens.items():
+        # repr() escapes backslashes/quotes correctly for the generated
+        # module (JSON goldens contain \" and \n that must survive import)
+        lines.append(f"    {name!r}: {df_to_values_sql(df)!r},")
+    lines.append("}")
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    for name, (kind, df) in goldens.items():
+        print(f"{name}: {kind}, {len(df)} rows")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -124,11 +124,27 @@ def train_centroids(
     iters: int = 10,
     vec_col: str = "embedding",
     seed: int = 42,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Lloyd's k-means on a driver-side sample (sample is small by design)."""
-    sample = ds.random_sample(sample_fraction, seed=seed).take_all()
+    """Lloyd's k-means on a driver-side sample (sample is small by design).
+
+    The sample is DETERMINISTIC — ``md5(id) % 100 < fraction*100`` — never
+    ``random_sample``, which depends on block layout: the trained index must
+    be reproducible across runs, resumes and repartitionings (same policy
+    as ``functions.sampling``)."""
+    from .sampling import md5_bucket
+
+    pct = max(1, int(round(sample_fraction * 100)))
+
+    def keep_sampled(b: pa.Table) -> pa.Table:
+        ids = [str(v) for v in b[id_col].to_pylist()]
+        mask = md5_bucket(ids, 100) < pct
+        return b.filter(pa.array(mask))
+
+    sample = ds.map_batches(keep_sampled, batch_format="pyarrow").take_all()
     if len(sample) < n_centroids:
         sample = ds.take_all()
+    sample.sort(key=lambda r: r[id_col])  # order-stable across block layouts
     mat = _normalize(
         np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     )
