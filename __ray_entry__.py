@@ -35,6 +35,7 @@ from xpshacl_ray import (
     MinLength,
     Referential,
     Required,
+    SqlCheck,
     ValidationEngine,
     ValidationSpec,
 )
@@ -703,6 +704,25 @@ def q_asof_purchase_signup(sf_dir: str):
     return joined.map_batches(shape, batch_format="pyarrow")
 
 
+def q_sql_check(sf_dir: str):
+    """C19 declarative variant ("constraint as data"): a SQL-string
+    predicate evaluated per Arrow batch by DuckDB inside the fused
+    row-local scan — the tabular analog of the reference's SPARQL-string
+    constraints (shark_shapes.ttl), no Python callable required."""
+    spec = ValidationSpec(
+        constraints=[
+            SqlCheck(column="n_chars", name="short_de_doc",
+                     where="lang = 'de' AND n_chars < 150",
+                     columns=["lang", "n_chars"]),
+        ],
+        id_columns=["doc_id"],
+        focus_template="doc:{doc_id}",
+    )
+    eng = ValidationEngine(spec)
+    viol = eng.validate(_docs(sf_dir, columns=eng.compiled.required_columns()))
+    return viol.select_columns(["doc_id", "constraint_id", "message", "value"])
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -846,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
         "json_extract_sum": q_json_extract_sum,
+        "sql_check": q_sql_check,
         "drift_lang_psi": q_drift_lang_psi,
         "partition_verdicts": q_partition_verdicts,
         "curation": q_curation,
@@ -1073,6 +1094,14 @@ def oracle_sql() -> dict[str, str]:
                    END AS q_stopword_ratio,
                    s.quality_score
             FROM documents d JOIN scored s ON d.doc_id = s.doc_id
+        """,
+        "sql_check": """
+            SELECT doc_id,
+                   'http://www.w3.org/ns/shacl#SPARQLConstraintComponent'
+                       AS constraint_id,
+                   'SQL constraint ''short_de_doc'' failed' AS message,
+                   CAST(n_chars AS VARCHAR) AS value
+            FROM documents WHERE lang = 'de' AND n_chars < 150
         """,
         # closed-form PSI: p/q are the global/source lang shares + the
         # engine's 1e-6 epsilon, summed over the union of categories

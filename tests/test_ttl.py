@@ -1,0 +1,94 @@
+"""Turtle ingestion shim: parser subset + head-to-head parity with the
+reference's own example fixtures (README example: 4 violations —
+resource1 minInclusive + minCount, resource2 minCount, resource3
+minCount; the MinInclusive message is byte-identical to the reference's
+pyshacl rendering)."""
+
+import pyarrow as pa
+import pytest
+
+from xpshacl_ray.sources.ttl import (
+    entity_table,
+    load_turtle,
+    parse_turtle,
+    shapes_to_specs,
+    triples_table,
+    validate_ttl,
+)
+
+EX = "http://example.org/"
+SH = "http://www.w3.org/ns/shacl#"
+REF_DATA = "/root/reference/data/example_data.ttl"
+REF_SHAPES = "/root/reference/data/example_shapes.ttl"
+
+
+def test_parser_subset():
+    triples, prefixes = parse_turtle(
+        """@prefix ex: <http://example.org/> .
+        @prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        ex:r1 a ex:Person ; ex:age "-20"^^xsd:integer ;
+              ex:name "A \\"quoted\\" name"@en , "second" .
+        ex:r2 ex:score 3.5 ; ex:n 7 .
+        """)
+    assert prefixes["ex"] == EX
+    d = {(t.s, t.p, t.o) for t in triples}
+    assert (EX + "r1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+            EX + "Person") in d
+    lit = [t for t in triples if t.p == EX + "age"][0]
+    assert lit.o == "-20" and lit.datatype.endswith("integer")
+    names = [t for t in triples if t.p == EX + "name"]
+    assert len(names) == 2 and names[0].o == 'A "quoted" name'
+    assert names[0].lang == "en"
+    nums = {t.o: t.datatype for t in triples if t.s == EX + "r2"}
+    assert nums["3.5"].endswith("decimal") and nums["7"].endswith("integer")
+
+
+def test_entity_table_hydrates_numeric_datatypes():
+    triples, _ = load_turtle(REF_DATA)
+    t = entity_table(triples, EX + "Person")
+    assert t.num_rows == 2
+    age = t[EX + "hasAge"]
+    assert pa.types.is_int64(age.type)
+    assert sorted(x for x in age.to_pylist() if x is not None) == [-20]
+    raw = triples_table(triples)
+    assert raw.num_rows == len(triples)
+
+
+def test_shapes_compile():
+    triples, _ = load_turtle(REF_SHAPES)
+    specs = shapes_to_specs(triples)
+    assert set(specs) == {EX + "Person", EX + "Organization"}
+    person = specs[EX + "Person"]
+    comps = sorted(c.component for c in person.constraints)
+    assert comps == ["DatatypeConstraintComponent",
+                     "MaxInclusiveConstraintComponent",
+                     "MinCountConstraintComponent",
+                     "MinInclusiveConstraintComponent"]
+
+
+def test_reference_example_parity():
+    viol = validate_ttl(REF_DATA, REF_SHAPES).to_pandas()
+    got = sorted(zip(viol["subject"], viol["constraint_id"],
+                     viol["property_path"], viol["value"].fillna("")))
+    want = sorted([
+        (EX + "resource1", SH + "MinCountConstraintComponent",
+         EX + "hasName", ""),
+        (EX + "resource1", SH + "MinInclusiveConstraintComponent",
+         EX + "hasAge", "-20"),
+        (EX + "resource2", SH + "MinCountConstraintComponent",
+         EX + "hasName", ""),
+        (EX + "resource3", SH + "MinCountConstraintComponent",
+         EX + "foundedOn", ""),
+    ])
+    assert got == want
+    # byte-parity with the reference README's pyshacl message rendering
+    msg = viol.loc[viol["constraint_id"] ==
+                   SH + "MinInclusiveConstraintComponent", "message"].iloc[0]
+    assert msg == 'Value is not >= Literal("0", datatype=xsd:integer)'
+
+
+def test_validate_ttl_rejects_shapeless_input(tmp_path):
+    p = tmp_path / "empty_shapes.ttl"
+    p.write_text("@prefix ex: <http://example.org/> .\n")
+    with pytest.raises(ValueError, match="no applicable"):
+        validate_ttl(REF_DATA, str(p))

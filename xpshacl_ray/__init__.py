@@ -51,6 +51,7 @@ from .spec import (
     Pattern,
     Referential,
     Required,
+    SqlCheck,
     ValidationSpec,
     Xone,
     compile_spec,

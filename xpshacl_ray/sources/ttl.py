@@ -1,0 +1,441 @@
+"""Turtle ingestion shim — the on-ramp from the reference's ``.ttl``
+fixtures to the engine's tabular model.
+
+The reference's entry point parses RDF with
+``Graph().parse(path, format="ttl")`` (``/root/reference/src/main.py``);
+this module gives a user holding those same fixtures a direct path into
+the Ray engine with NO rdflib dependency: a stdlib recursive-descent
+parser for the Turtle subset the fixtures use (prefixes, ``a``, ``;``/``,``
+continuations, blank-node property lists, typed/tagged literals, bare
+numeric literals), then
+
+- :func:`entity_table` pivots the triples into one Arrow row per subject
+  of a target class (columns = predicate IRIs, numeric xsd datatypes
+  hydrated to int64/float64), and
+- :func:`shapes_to_specs` compiles ``sh:NodeShape``/``sh:property`` blocks
+  (minCount 1, datatype, min/maxInclusive, min/maxExclusive, min/maxLength,
+  pattern) into :class:`~xpshacl_ray.spec.ValidationSpec` per target class,
+  with pyshacl-style bound-literal messages
+  (``Value is not >= Literal("0", datatype=xsd:integer)``) for byte-level
+  message parity with the reference's README example.
+
+Scope: the declarative subset the reference's example fixtures exercise.
+SPARQL-string constraints go through :class:`xpshacl_ray.spec.SqlCheck` /
+``CustomCheck`` instead; ``sh:in`` RDF collections and property paths
+beyond a single predicate are out of scope (documented, not silent).
+"""
+
+from __future__ import annotations
+
+import itertools
+import re
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+SH_NS = "http://www.w3.org/ns/shacl#"
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+_INT_TYPES = {XSD + t for t in
+              ("integer", "int", "long", "short", "byte",
+               "nonNegativeInteger", "positiveInteger")}
+_FLOAT_TYPES = {XSD + t for t in ("decimal", "double", "float")}
+
+
+@dataclass(frozen=True)
+class Triple:
+    s: str
+    p: str
+    o: str
+    kind: str  # "iri" | "bnode" | "literal"
+    datatype: Optional[str] = None
+    lang: Optional[str] = None
+
+
+# ---------------------------------------------------------------------------
+# tokenizer + recursive-descent parser (Turtle subset)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>\#[^\n]*)
+    | (?P<prefix_kw>@prefix\b)
+    | (?P<iriref><[^>]*>)
+    | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<dtype_marker>\^\^)
+    | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<number>[+-]?(?:\d+\.\d+|\d+))
+    | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[A-Za-z0-9_][\w.-]*|)
+    | (?P<a_kw>\ba\b)
+    | (?P<punct>[.;,\[\]()])
+    """,
+    re.X,
+)
+
+_ESCAPES = {'"': '"', "\\": "\\", "n": "\n", "t": "\t", "r": "\r"}
+
+
+def _unescape(s: str) -> str:
+    out, i = [], 0
+    while i < len(s):
+        c = s[i]
+        if c == "\\" and i + 1 < len(s):
+            out.append(_ESCAPES.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.tokens = []
+        pos = 0
+        while pos < len(text):
+            m = _TOKEN_RE.match(text, pos)
+            if m is None:
+                raise ValueError(
+                    f"turtle parse error at offset {pos}: {text[pos:pos+30]!r}")
+            pos = m.end()
+            kind = m.lastgroup
+            if kind in ("ws", "comment"):
+                continue
+            if kind == "local":  # pname match sets the last group to local
+                kind = "pname"
+            self.tokens.append((kind, m))
+        self.i = 0
+        self.prefixes: Dict[str, str] = {}
+        self.triples: List[Triple] = []
+        self._bnode = itertools.count()
+
+    # --- token helpers ---
+    def _peek(self):
+        return self.tokens[self.i] if self.i < len(self.tokens) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect_punct(self, ch: str):
+        kind, m = self._next()
+        if kind != "punct" or m.group("punct") != ch:
+            raise ValueError(f"expected {ch!r}, got {m.group(0) if m else 'EOF'}")
+
+    def _resolve_pname(self, m) -> str:
+        prefix = m.group("pname") or ""
+        local = m.group("local")
+        if prefix not in self.prefixes:
+            raise ValueError(f"undefined prefix {prefix!r}:")
+        return self.prefixes[prefix] + local
+
+    # --- grammar ---
+    def parse(self) -> "_Parser":
+        while self.i < len(self.tokens):
+            kind, m = self._peek()
+            if kind == "prefix_kw":
+                self._next()
+                _, pm = self._next()  # pname token "ex:"
+                prefix = pm.group("pname") or ""
+                _, im = self._next()
+                self.prefixes[prefix] = im.group("iriref")[1:-1]
+                self._expect_punct(".")
+            else:
+                subj = self._node(as_subject=True)
+                self._predicate_object_list(subj)
+                self._expect_punct(".")
+        return self
+
+    def _node(self, as_subject=False) -> str:
+        kind, m = self._next()
+        if kind == "iriref":
+            return m.group("iriref")[1:-1]
+        if kind == "pname":
+            return self._resolve_pname(m)
+        if kind == "punct" and m.group("punct") == "[":
+            label = f"_:b{next(self._bnode)}"
+            nk, nm = self._peek()
+            if not (nk == "punct" and nm.group("punct") == "]"):
+                self._predicate_object_list(label)
+            self._expect_punct("]")
+            return label
+        raise ValueError(f"unexpected token {m.group(0)!r} for node")
+
+    def _predicate_object_list(self, subj: str) -> None:
+        while True:
+            kind, m = self._next()
+            if kind == "a_kw":
+                pred = RDF_TYPE
+            elif kind == "iriref":
+                pred = m.group("iriref")[1:-1]
+            elif kind == "pname":
+                pred = self._resolve_pname(m)
+            else:
+                raise ValueError(f"unexpected predicate {m.group(0)!r}")
+            self._object_list(subj, pred)
+            kind, m = self._peek()
+            if kind == "punct" and m.group("punct") == ";":
+                self._next()
+                # trailing ';' before '.' or ']' is legal Turtle
+                nk, nm = self._peek()
+                if nk == "punct" and nm.group("punct") in (".", "]"):
+                    return
+                continue
+            return
+
+    def _object_list(self, subj: str, pred: str) -> None:
+        while True:
+            self._object(subj, pred)
+            kind, m = self._peek()
+            if kind == "punct" and m.group("punct") == ",":
+                self._next()
+                continue
+            return
+
+    def _object(self, subj: str, pred: str) -> None:
+        kind, m = self._peek()
+        if kind == "string":
+            self._next()
+            lex = _unescape(m.group("string")[1:-1])
+            dt, lang = None, None
+            nk, nm = self._peek()
+            if nk == "dtype_marker":
+                self._next()
+                dk, dm = self._next()
+                dt = (dm.group("iriref")[1:-1] if dk == "iriref"
+                      else self._resolve_pname(dm))
+            elif nk == "langtag":
+                self._next()
+                lang = nm.group("langtag")[1:]
+            self.triples.append(Triple(subj, pred, lex, "literal", dt, lang))
+            return
+        if kind == "number":
+            self._next()
+            lex = m.group("number")
+            dt = XSD + ("decimal" if "." in lex else "integer")
+            self.triples.append(Triple(subj, pred, lex, "literal", dt))
+            return
+        if kind == "punct" and m.group("punct") == "[":
+            label = self._node()
+            self.triples.append(Triple(subj, pred, label, "bnode"))
+            return
+        node = self._node()
+        self.triples.append(Triple(subj, pred, node, "iri"))
+
+
+def parse_turtle(text: str) -> Tuple[List[Triple], Dict[str, str]]:
+    p = _Parser(text).parse()
+    return p.triples, p.prefixes
+
+
+def load_turtle(path: str) -> Tuple[List[Triple], Dict[str, str]]:
+    with open(path, "r", encoding="utf-8") as f:
+        return parse_turtle(f.read())
+
+
+# ---------------------------------------------------------------------------
+# triples → Arrow entity table
+# ---------------------------------------------------------------------------
+
+
+def triples_table(triples: List[Triple]) -> pa.Table:
+    """Raw triples as an Arrow table (subject/predicate/object/kind/...)."""
+    return pa.table(
+        {
+            "subject": pa.array([t.s for t in triples], pa.string()),
+            "predicate": pa.array([t.p for t in triples], pa.string()),
+            "object": pa.array([t.o for t in triples], pa.string()),
+            "kind": pa.array([t.kind for t in triples], pa.string()),
+            "datatype": pa.array([t.datatype for t in triples], pa.string()),
+            "lang": pa.array([t.lang for t in triples], pa.string()),
+        }
+    )
+
+
+def entity_table(triples: List[Triple],
+                 target_class: Optional[str] = None) -> pa.Table:
+    """One row per subject (of ``target_class`` if given); one column per
+    predicate (full IRI), holding the FIRST value; numeric xsd datatypes
+    hydrate to int64/float64 when every value parses.
+
+    Multi-valued predicates keep the first value — grouped cardinality
+    checks should run on :func:`triples_table` with the engine's grouped
+    MinCount/MaxCount instead (documented scope)."""
+    subjects: List[str] = []
+    seen = set()
+    for t in triples:
+        if t.p == RDF_TYPE and (target_class is None or t.o == target_class):
+            if t.s not in seen:
+                seen.add(t.s)
+                subjects.append(t.s)
+    by_sp: Dict[Tuple[str, str], Triple] = {}
+    preds: List[str] = []
+    for t in triples:
+        if t.p == RDF_TYPE or t.s not in seen:
+            continue
+        if (t.s, t.p) not in by_sp:
+            by_sp[(t.s, t.p)] = t
+        if t.p not in preds:
+            preds.append(t.p)
+    cols: Dict[str, pa.Array] = {"subject": pa.array(subjects, pa.string())}
+    for p in preds:
+        vals = [by_sp.get((s, p)) for s in subjects]
+        dts = {v.datatype for v in vals if v is not None}
+        lex = [None if v is None else v.o for v in vals]
+        if dts and dts <= _INT_TYPES:
+            try:
+                cols[p] = pa.array(
+                    [None if x is None else int(x) for x in lex], pa.int64())
+                continue
+            except ValueError:
+                pass
+        if dts and dts <= (_INT_TYPES | _FLOAT_TYPES):
+            try:
+                cols[p] = pa.array(
+                    [None if x is None else float(x) for x in lex],
+                    pa.float64())
+                continue
+            except ValueError:
+                pass
+        cols[p] = pa.array(lex, pa.string())
+    return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# SHACL shapes (.ttl) → ValidationSpec per target class
+# ---------------------------------------------------------------------------
+
+
+def _xsd_curie(iri: Optional[str]) -> Optional[str]:
+    if iri and iri.startswith(XSD):
+        return "xsd:" + iri[len(XSD):]
+    return iri
+
+
+def _literal_msg(op: str, t: Triple) -> str:
+    """pyshacl-style bound rendering: bare turtle ints carry
+    datatype=xsd:integer, matching the reference README output."""
+    if t.datatype:
+        return f'Value is not {op} Literal("{t.o}", datatype={_xsd_curie(t.datatype)})'
+    return f'Value is not {op} Literal("{t.o}")'
+
+
+def shapes_to_specs(triples: List[Triple]):
+    """Compile NodeShapes into {target_class: ValidationSpec}."""
+    from ..spec import (
+        Datatype,
+        MaxExclusive,
+        MaxInclusive,
+        MaxLength,
+        MinExclusive,
+        MinInclusive,
+        MinLength,
+        Pattern,
+        Required,
+        ValidationSpec,
+    )
+
+    obj: Dict[Tuple[str, str], List[Triple]] = {}
+    for t in triples:
+        obj.setdefault((t.s, t.p), []).append(t)
+
+    def first(s, p):
+        lst = obj.get((s, p))
+        return lst[0] if lst else None
+
+    specs: Dict[str, ValidationSpec] = {}
+    node_shapes = [t.s for t in triples
+                   if t.p == RDF_TYPE and t.o == SH_NS + "NodeShape"]
+    for shape in node_shapes:
+        tc = first(shape, SH_NS + "targetClass")
+        if tc is None:
+            continue
+        constraints = []
+        for pt in obj.get((shape, SH_NS + "property"), []):
+            pshape = pt.o
+            path_t = first(pshape, SH_NS + "path")
+            if path_t is None:
+                continue
+            col = path_t.o
+            mc = first(pshape, SH_NS + "minCount")
+            if mc is not None and int(mc.o) >= 1:
+                # minCount 1 → row-form Required (MinCountConstraintComponent);
+                # minCount > 1 needs the grouped form over triples_table
+                constraints.append(
+                    Required(column=col, shape_id=pshape,
+                             treat_empty_string_as_null=False))
+            dt = first(pshape, SH_NS + "datatype")
+            if dt is not None:
+                arrow = ("int64" if dt.o in _INT_TYPES
+                         else "float64" if dt.o in _FLOAT_TYPES
+                         else "string")
+                constraints.append(
+                    Datatype(column=col, shape_id=pshape, datatype=arrow))
+            for pred, cls, op in (
+                ("minInclusive", MinInclusive, ">="),
+                ("maxInclusive", MaxInclusive, "<="),
+                ("minExclusive", MinExclusive, ">"),
+                ("maxExclusive", MaxExclusive, "<"),
+            ):
+                b = first(pshape, SH_NS + pred)
+                if b is not None:
+                    bound = float(b.o) if "." in b.o else int(b.o)
+                    constraints.append(
+                        cls(column=col, shape_id=pshape, bound=bound,
+                            message=_literal_msg(op, b)))
+            for pred, cls, kw in (
+                ("minLength", MinLength, "min_length"),
+                ("maxLength", MaxLength, "max_length"),
+            ):
+                b = first(pshape, SH_NS + pred)
+                if b is not None:
+                    constraints.append(
+                        cls(column=col, shape_id=pshape, **{kw: int(b.o)}))
+            pat = first(pshape, SH_NS + "pattern")
+            if pat is not None:
+                constraints.append(
+                    Pattern(column=col, shape_id=pshape, pattern=pat.o))
+        if constraints:
+            specs[tc.o] = ValidationSpec(
+                constraints=constraints,
+                id_columns=["subject"],
+                focus_template="{subject}",
+            )
+    return specs
+
+
+def validate_ttl(data_path: str, shapes_path: str):
+    """End-to-end: parse both files, build one entity table + spec per
+    target class, run the engine, union the violations.
+
+    Returns a ray Dataset of violation rows (focus_node = full subject
+    IRI, property_path = full predicate IRI, pyshacl-style messages)."""
+    import ray.data
+
+    from ..pipelines.validate import ValidationEngine
+
+    data_triples, _ = load_turtle(data_path)
+    shape_triples, _ = load_turtle(shapes_path)
+    specs = shapes_to_specs(shape_triples)
+    parts = []
+    for target_class, spec in sorted(specs.items()):
+        table = entity_table(data_triples, target_class)
+        if table.num_rows == 0:
+            continue
+        have = set(table.column_names)
+        needed = {c.column for c in spec.constraints}
+        for col in sorted(needed - have):  # absent predicate = all-null col
+            table = table.append_column(
+                col, pa.nulls(table.num_rows, pa.string()))
+        eng = ValidationEngine(spec)
+        parts.append(eng.validate(ray.data.from_arrow(table)))
+    if not parts:
+        raise ValueError("no applicable shapes/targets found")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -543,6 +543,63 @@ class CustomConstraint(Constraint):
         return pc.fill_null(m, False)
 
 
+_DUCK_CON = None  # lazy per-worker-process DuckDB connection for SqlCheck
+
+
+def _duck():
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+
+        _DUCK_CON = duckdb.connect()
+        # single-threaded + insertion-order-preserving scans: the returned
+        # mask must align row-for-row with the input batch
+        _DUCK_CON.execute("SET threads TO 1")
+        _DUCK_CON.execute("SET preserve_insertion_order = true")
+    return _DUCK_CON
+
+
+@dataclass
+class SqlCheck(Constraint):
+    """Declarative C19 variant: "constraint as data".
+
+    The reference ships arbitrary SPARQL strings inside its shapes
+    (``data/shark_shapes.ttl:48-149``, generated by
+    ``synthetic_data_generator.py:144-177``); the tabular analog is a SQL
+    boolean expression over the batch's columns, evaluated zero-copy by
+    DuckDB on each Arrow batch — no Python callable required, so the
+    constraint is pure data (serializable, storable, auditable).
+
+    ``where``: rows where the expression is TRUE are violations (mirrors
+    SPARQL constraints, which SELECT the violating bindings).
+    ``columns``: the columns the SQL reads — declared explicitly so
+    ``required_columns()`` can still prune the Parquet read.
+    """
+
+    where: str = "FALSE"
+    name: str = "sql"
+    columns: Sequence[str] = field(default_factory=list)
+    component: str = "SPARQLConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"name": self.name, "sql": self.where}
+
+    def default_message(self) -> str:
+        return f"SQL constraint '{self.name}' failed"
+
+    def mask(self, batch: pa.Table):
+        con = _duck()
+        con.register("__batch__", batch)
+        try:
+            out = con.execute(
+                f"SELECT coalesce(({self.where}), FALSE) AS __viol__ "
+                f"FROM __batch__"
+            ).fetch_arrow_table()
+        finally:
+            con.unregister("__batch__")
+        return out["__viol__"].combine_chunks()
+
+
 # --- grouped / referential declarations (compiled elsewhere) ----------------
 
 
@@ -651,6 +708,7 @@ ROW_LOCAL_TYPES = (
     Or,
     Xone,
     CustomConstraint,
+    SqlCheck,
 )
 GROUPED_TYPES = (MinCount, MaxCount)
 
@@ -762,6 +820,8 @@ class CompiledSpec:
                     walk(s)
             if isinstance(c, (MinCount, MaxCount)):
                 cols.extend(c.group_by)
+            if isinstance(c, SqlCheck):
+                cols.extend(c.columns)
 
         for c in self.all_compiled():
             walk(c.constraint)
