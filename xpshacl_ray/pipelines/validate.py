@@ -165,6 +165,43 @@ class ValidationEngine:
             out = out.union(p)
         return out
 
+    def validate_delta(
+        self,
+        input_files,
+        out_dir: str,
+        ref_keys=None,
+        files_per_partition: int = 1,
+        stage: str = "violations",
+    ):
+        """Incremental validation as a first-class API: re-validate ONLY
+        the shards that changed since the last run.
+
+        Partitions are content-addressed by (path, size, mtime_ns) of
+        their input files, so an in-place rewritten shard gets a new
+        partition id — its stale output is pruned and only it recomputes;
+        unchanged shards are skipped end-to-end (their violation Parquet +
+        manifest are reused untouched).  Returns the
+        :func:`~xpshacl_ray.state.manifest.run_resumable` report dict
+        (``ran`` / ``skipped`` / ``pruned`` / ``data_dir``) — read the
+        combined violations from ``data_dir``.
+
+        Partitioning assumption (same as ``run_resumable``): grouped
+        constraints see one shard at a time, so shard boundaries must
+        align with group keys.
+        """
+        from ..state.manifest import run_resumable
+
+        cols = self.compiled.required_columns()
+
+        def process(files):
+            ds = ray.data.read_parquet(files, columns=cols)
+            return self.validate(ds, ref_keys=ref_keys)
+
+        return run_resumable(
+            list(input_files), out_dir, process, stage=stage,
+            files_per_partition=files_per_partition, fingerprint="stat",
+        )
+
     # -- signature dedup + enrichment -----------------------------------
 
     def unique_signatures(self, violations: "ray.data.Dataset") -> "ray.data.Dataset":

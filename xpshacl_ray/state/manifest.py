@@ -97,14 +97,31 @@ class ManifestStore:
         )
 
 
-def partition_input_files(files: Sequence[str],
-                          files_per_partition: int = 1) -> Dict[str, List[str]]:
-    """Deterministic partition ids from sorted input file groups."""
+def partition_input_files(
+    files: Sequence[str],
+    files_per_partition: int = 1,
+    fingerprint: str = "path",
+) -> Dict[str, List[str]]:
+    """Deterministic partition ids from sorted input file groups.
+
+    ``fingerprint="path"`` content-addresses a partition by its file PATH
+    list only (resume semantics: same paths = same work).
+    ``fingerprint="stat"`` folds each file's size + mtime_ns into the id —
+    DELTA semantics: an in-place rewritten shard gets a NEW partition id,
+    so its stale output is pruned and only it recomputes."""
     files = sorted(files)
     out: Dict[str, List[str]] = {}
     for i in range(0, len(files), files_per_partition):
         group = files[i : i + files_per_partition]
-        key = hashlib.md5("|".join(group).encode()).hexdigest()[:12]
+        if fingerprint == "stat":
+            parts = []
+            for f in group:
+                st = os.stat(f)
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+            key_src = "|".join(parts)
+        else:
+            key_src = "|".join(group)
+        key = hashlib.md5(key_src.encode()).hexdigest()[:12]
         out[f"p{i // files_per_partition:05d}_{key}"] = group
     return out
 
@@ -141,6 +158,7 @@ def run_resumable(
     files_per_partition: int = 1,
     max_partitions: Optional[int] = None,
     prune_stale: bool = True,
+    fingerprint: str = "path",
 ) -> Dict[str, object]:
     """Shard → process each shard → partitioned Parquet + manifest.
 
@@ -155,7 +173,8 @@ def run_resumable(
     assumption any partitioned validation holds at 10^12-file scale.
     """
     store = ManifestStore(os.path.join(out_dir, "manifests"))
-    parts = partition_input_files(input_files, files_per_partition)
+    parts = partition_input_files(input_files, files_per_partition,
+                                  fingerprint=fingerprint)
     pruned = (
         prune_stale_partitions(out_dir, stage, list(parts))
         if prune_stale and max_partitions is None
