@@ -88,16 +88,22 @@ def docs_with_dups(sf_dir):
     return docs.union(ray.data.from_items(near))
 
 
-def test_digest_and_signature_carry_agree(docs_with_dups):
+def test_quantized_and_full_width_sigs_agree(docs_with_dups):
+    # 16-bit slot quantization (the 128 B-exchange default) finds the same
+    # pair set as full 64-bit slots on this fixture
     def key(df):
-        return sorted(zip(df.id_a, df.id_b, df.jaccard_est))
+        return sorted(zip(df.id_a, df.id_b))
 
-    dig = minhash_lsh_candidates(docs_with_dups, jaccard_threshold=0.9,
-                                 carry="digest").to_pandas()
-    sig = minhash_lsh_candidates(docs_with_dups, jaccard_threshold=0.9,
-                                 carry="signature").to_pandas()
-    assert len(dig) >= 5
-    assert key(dig) == key(sig)
+    q16 = minhash_lsh_candidates(docs_with_dups, jaccard_threshold=0.9,
+                                 sig_bits=16).to_pandas()
+    q64 = minhash_lsh_candidates(docs_with_dups, jaccard_threshold=0.9,
+                                 sig_bits=64).to_pandas()
+    assert len(q16) >= 5
+    assert key(q16) == key(q64)
+    # exact copies estimate 1.0 under both widths
+    assert (q16.sort_values(["id_a", "id_b"]).jaccard_est.iloc[0] == 1.0)
+    with pytest.raises(ValueError, match="sig_bits"):
+        minhash_lsh_candidates(docs_with_dups, sig_bits=32)
 
 
 def test_ngram_verify_join_path_matches_broadcast(docs_with_dups):

@@ -68,9 +68,13 @@ def minhash_signatures(texts, num_perm=64, shingle_k=5, seed=42):
     return sigs
 
 
-def brute_minhash_pairs(ids, sigs, bands=16, threshold=0.8):
+def brute_minhash_pairs(ids, sigs, bands=16, threshold=0.8, sig_bits=16):
     """ALL-pairs ground truth: emitted iff ≥1 of the 16 band chunks agree
-    (the LSH candidate condition) AND signature-agreement Jaccard ≥ t."""
+    (the LSH candidate condition) AND signature-agreement Jaccard ≥ t.
+    ``sig_bits=16`` applies the engine's default slot quantization (low 16
+    bits) so banding + estimation match the documented algorithm."""
+    if sig_bits == 16:
+        sigs = (sigs & np.uint64(0xFFFF)).astype(np.uint16)
     n, num_perm = sigs.shape
     r = num_perm // bands
     chunks = sigs.reshape(n, bands, r)

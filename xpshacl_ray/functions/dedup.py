@@ -6,14 +6,16 @@ Five families, each expressed Ray-Data-first:
   The shuffle moves (hash, id) pairs only — never the text.
 - **MinHash+LSH**  : shingle → minhash signature (vectorized universal
   hashing) → banding → ``groupby(band)`` buckets → candidate pairs with
-  estimated Jaccard.  Signature computation is embarrassingly parallel.
-  Two exchange strategies (``carry=``): **digest** (default) ships one
-  ~20 B (band_id, band_hash, doc_id) row per band — candidate pairs are
-  then verified against signatures recomputed for the (small) candidate
-  set only; **signature** ships the full signature with every band row
-  (num_perm×8 B) so verification happens in-bucket with no driver-side
-  candidate materialization — the path for corpora where near-dups are a
-  large fraction of all rows.
+  estimated Jaccard, verified in-bucket (no driver-side candidate
+  materialization, so high-dup corpora are safe).  Signature computation
+  is embarrassingly parallel; the only shuffle carries (band_id,
+  band_hash, id, sig) rows where ``sig`` is 16-bit-quantized by default —
+  128 B instead of 512 B per band row (``sig_bits=64`` restores full
+  slots).  A digest-only exchange (ship ids, re-derive signatures for
+  candidates) was measured and REJECTED: without in-bucket thresholds a
+  high-overlap corpus materializes every band collision as a pair row
+  (272 s vs 4.7 s at sf0.1) — quantization gets the exchange shrink
+  without that failure mode.
 - **SimHash**      : 64-bit sign-of-weighted-sum fingerprint; near-dup =
   small Hamming distance, bucketed by 16-bit bands for LSH.  The bucket
   sweep is fully vectorized (XOR + SWAR popcount over pair index arrays).
@@ -227,7 +229,7 @@ def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
     each signature band's ``r`` values, vectorized over documents.  Band
     index is mixed into the seed so equal chunks in different bands don't
     collide.  Replaces the per-doc md5-per-band Python loop (16n hashlib
-    calls) AND shrinks the LSH exchange to 8 B per band row."""
+    calls)."""
     n, num_perm = sigs.shape
     r = num_perm // bands
     prime = np.uint64(1099511628211)
@@ -242,19 +244,29 @@ def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
 
 
 def explode_bands(batch: pa.Table, num_perm: int, bands: int,
-                  id_col: str = "doc_id") -> pa.Table:
+                  id_col: str = "doc_id",
+                  sig_bits: int = 16) -> pa.Table:
     """(doc, signature) → one row per band: (band_id, band_hash, doc_id, sig).
 
-    Signature-carrying variant (``carry="signature"``): the full signature
-    travels with each band row (num_perm×8 B) so in-bucket verification
-    needs no second pass — use when near-dups are a large corpus fraction.
-    """
+    ``sig_bits=16`` (default) quantizes each signature slot to its low 16
+    bits before banding AND verification — the carried signature shrinks
+    from num_perm×8 B to num_perm×2 B (512 B → 128 B at 64 perms), cutting
+    the LSH exchange ~3.6× while keeping verification in-bucket (no second
+    pass, no driver-side candidate materialization).  Quantization is
+    self-consistent: bucket keys fold the SAME quantized values the
+    estimator compares, so banding, first-matching-band dedup and the
+    Jaccard estimate all see one algorithm ("16-bit MinHash").  A slot
+    false-match costs 2^-16 ≈ 1.5e-5 estimator bias — negligible against
+    the 1/num_perm estimator granularity.  ``sig_bits=64`` keeps the full
+    slots."""
     sigs = np.asarray(
         batch["minhash"].combine_chunks().flatten()
     ).reshape(-1, num_perm)
+    if sig_bits == 16:
+        sigs = (sigs & np.uint64(0xFFFF)).astype(np.uint16)
     ids = batch[id_col].to_pylist()
     n = len(ids)
-    bh = _band_hashes(sigs, bands)
+    bh = _band_hashes(sigs.astype(np.uint64), bands)
     sig_bytes = [sigs[i].tobytes() for i in range(n)]
     band_ids, band_hashes, out_ids, out_sigs = [], [], [], []
     for b in range(bands):
@@ -272,63 +284,6 @@ def explode_bands(batch: pa.Table, num_perm: int, bands: int,
     )
 
 
-def explode_bands_digest(batch: pa.Table, num_perm: int, bands: int,
-                         id_col: str = "doc_id") -> pa.Table:
-    """(doc, signature) → one ~20 B row per band: (band_id, band_hash, id).
-
-    The default LSH exchange: nothing but the digest and the id moves —
-    at 16 bands this is ~320 B/doc through the shuffle vs ~8 KB/doc for
-    the signature-carrying variant."""
-    sigs = np.asarray(
-        batch["minhash"].combine_chunks().flatten()
-    ).reshape(-1, num_perm)
-    ids = batch[id_col].to_pylist()
-    n = len(ids)
-    bh = _band_hashes(sigs, bands)
-    band_ids = np.repeat(np.arange(bands, dtype=np.int32), n)
-    return pa.table(
-        {
-            "band_id": pa.array(band_ids),
-            "band_hash": pa.array(bh.T.reshape(-1).view(np.int64)),
-            id_col: pa.array(ids * bands),
-        }
-    )
-
-
-def _signatures_for_ids(
-    ds: "ray.data.Dataset",
-    ids: List[int],
-    num_perm: int,
-    shingle_k: int,
-    id_col: str,
-    text_col: str,
-) -> Dict[int, np.ndarray]:
-    """Recompute MinHash signatures for a (small) id set: pruned scan →
-    MinHasher over the matching rows only.  At 10^12 rows, persist the
-    (id, minhash) table once (``write_parquet``) and read it id-pruned
-    here instead of re-scanning the text column."""
-    import ray as _ray
-
-    ids_arr = pa.array(sorted(ids))
-    ids_ref = _ray.put(ids_arr)
-
-    def keep(b: pa.Table) -> pa.Table:
-        return b.select([id_col, text_col]).filter(
-            pc.is_in(b[id_col], value_set=_ray.get(ids_ref)))
-
-    sub = ds.map_batches(keep, batch_format="pyarrow").map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
-                                   text_col=text_col),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
-    )
-    out: Dict[int, np.ndarray] = {}
-    for row in sub.select_columns([id_col, "minhash"]).take_all():
-        out[row[id_col]] = np.asarray(row["minhash"], dtype=np.uint64)
-    return out
-
-
 def minhash_lsh_candidates(
     ds: "ray.data.Dataset",
     num_perm: int = 64,
@@ -338,27 +293,28 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
     concurrency=(1, 8),
-    carry: str = "digest",
+    sig_bits: int = 16,
     hot_bucket_cap: int = 1024,
 ) -> "ray.data.Dataset":
     """Candidate near-duplicate pairs with estimated Jaccard ≥ threshold.
 
-    shingle→minhash→band→bucket-groupby; pairs colliding in ≥1 band are
-    candidates, verified by estimated Jaccard (signature agreement).
-    Returns (id_a, id_b, jaccard_est) with id_a < id_b, deduped across
-    buckets.  Both ``carry`` strategies produce the identical pair set:
+    shingle→minhash→band→bucket-groupby; within each bucket the signature
+    pairs are verified by estimated Jaccard (signature-slot agreement) and
+    a pair colliding in several bands is emitted only by its FIRST
+    matching band (cross-bucket dedup with no second shuffle).  Returns
+    (id_a, id_b, jaccard_est) with id_a < id_b.
 
-    - ``"digest"`` (default): band rows are ~20 B; cross-band pair dedup is
-      a tiny groupby over candidate pairs; signatures are recomputed for
-      candidate ids only (small by construction on mostly-unique corpora).
-    - ``"signature"``: band rows carry the full signature; verification and
-      cross-band dedup (first-matching-band rule) happen in-bucket with no
-      driver-side candidate materialization — for high-dup corpora.
-    """
+    ``sig_bits=16`` (default) carries 2-byte quantized slots through the
+    shuffle — 128 B/band-row instead of 512 B (see :func:`explode_bands`);
+    verification stays in-bucket either way, so high-dup corpora never
+    materialize candidates driver-side.  Hot buckets (e.g. thousands of
+    identical docs) are capped loudly at ``hot_bucket_cap`` members."""
     if num_perm % bands != 0:
         raise ValueError(
             f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
             "tail permutations would silently drop from band hashing")
+    if sig_bits not in (16, 64):
+        raise ValueError("sig_bits must be 16 or 64")
     with_sig = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(num_perm=num_perm, shingle_k=shingle_k,
@@ -368,67 +324,10 @@ def minhash_lsh_candidates(
     )
     sig_and_id = with_sig.select_columns([id_col, "minhash"])
     n_parts = 64
+    sig_dtype = np.uint16 if sig_bits == 16 else np.uint64
 
-    if carry == "digest":
-        def explode(b: pa.Table) -> pa.Table:
-            t = explode_bands_digest(b, num_perm, bands, id_col)
-            part = (np.asarray(t["band_hash"], dtype=np.int64)
-                    % n_parts).astype(np.int32)
-            return t.append_column("part", pa.array(np.abs(part)))
-
-        exploded = sig_and_id.map_batches(explode, batch_format="pyarrow")
-
-        _EMPTY_CAND = pd.DataFrame(
-            {"id_a": pd.Series(dtype="int64"),
-             "id_b": pd.Series(dtype="int64")})
-
-        def bucket_candidates(part: pd.DataFrame) -> pd.DataFrame:
-            out = []
-            for _, g in part.groupby(["band_id", "band_hash"], sort=False):
-                g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-                if len(g) < 2:
-                    continue
-                g = _cap_bucket(g, hot_bucket_cap, "minhash-LSH")
-                ids = g[id_col].to_numpy()
-                ii, jj = np.triu_indices(len(ids), k=1)
-                out.append(pd.DataFrame(
-                    {"id_a": ids[ii].astype("int64"),
-                     "id_b": ids[jj].astype("int64")}))
-            if not out:
-                return _EMPTY_CAND
-            return pd.concat(out, ignore_index=True)
-
-        from ray.data.aggregate import Count
-
-        # cross-band dedup: one groupby over candidate PAIRS (≪ corpus)
-        cand = (
-            exploded.groupby("part")
-            .map_groups(bucket_candidates, batch_format="pandas")
-            .groupby(["id_a", "id_b"])
-            .aggregate(Count(alias_name="n_bands"))
-        )
-        pair_rows = cand.take_all()  # candidates only — documented bound;
-        # for high-dup corpora use carry="signature" (no materialization)
-        schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                            ("jaccard_est", pa.float64())])
-        if not pair_rows:
-            return ray.data.from_arrow(schema.empty_table())
-        need = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
-        sig_map = _signatures_for_ids(ds, list(need), num_perm, shingle_k,
-                                      id_col, text_col)
-        out = []
-        for r in pair_rows:
-            est = estimate_jaccard(sig_map[r["id_a"]], sig_map[r["id_b"]])
-            if est >= jaccard_threshold:
-                out.append({"id_a": r["id_a"], "id_b": r["id_b"],
-                            "jaccard_est": round(est, 6)})
-        if not out:
-            return ray.data.from_arrow(schema.empty_table())
-        return ray.data.from_arrow(pa.Table.from_pylist(out, schema=schema))
-
-    # --- carry == "signature": in-bucket verification, no driver candidates
     def explode(b: pa.Table) -> pa.Table:
-        t = explode_bands(b, num_perm, bands, id_col)
+        t = explode_bands(b, num_perm, bands, id_col, sig_bits=sig_bits)
         part = (np.asarray(t["band_hash"], dtype=np.int64)
                 % n_parts).astype(np.int32)
         return t.append_column("part", pa.array(np.abs(part)))
@@ -452,7 +351,8 @@ def minhash_lsh_candidates(
             g = g.sort_values(id_col)
             g = _cap_bucket(g, hot_bucket_cap, "minhash-LSH")
             ids = np.asarray(g[id_col].tolist())
-            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
+            sigs = np.stack(
+                [np.frombuffer(s, dtype=sig_dtype) for s in g["sig"]])
             eq3 = sigs[:, None, :] == sigs[None, :, :]
             eq = eq3.mean(axis=2)
             ii, jj = np.triu_indices(len(ids), k=1)
