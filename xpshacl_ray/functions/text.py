@@ -242,23 +242,25 @@ def rolling_fingerprint(values: Sequence[Optional[str]]) -> List[Optional[int]]:
     """Deterministic 63-bit polynomial rolling hash per document."""
     out: List[Optional[int]] = []
     mask = np.uint64(0x7FFFFFFFFFFFFFFF)
-    for t in values:
-        if t is None:
-            out.append(None)
-            continue
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-        h = np.uint64(5381)
-        # vectorised Horner via precomputed powers in chunks
-        for chunk in np.array_split(b, max(1, len(b) // 4096)):
-            powers = np.empty(len(chunk), dtype=np.uint64)
-            if len(chunk) == 0:
+    with np.errstate(over="ignore"):  # uint64 wraparound IS the hash
+        for t in values:
+            if t is None:
+                out.append(None)
                 continue
-            powers[0] = np.uint64(1)
-            for i in range(1, len(chunk)):
-                powers[i] = powers[i - 1] * _ROLL_BASE
-            base_pow = powers[-1] * _ROLL_BASE
-            h = h * base_pow + (chunk[::-1] * powers).sum()
-        out.append(int(h & mask))
+            b = np.frombuffer(t.encode("utf-8"),
+                              dtype=np.uint8).astype(np.uint64)
+            h = np.uint64(5381)
+            # vectorised Horner via precomputed powers in chunks
+            for chunk in np.array_split(b, max(1, len(b) // 4096)):
+                powers = np.empty(len(chunk), dtype=np.uint64)
+                if len(chunk) == 0:
+                    continue
+                powers[0] = np.uint64(1)
+                for i in range(1, len(chunk)):
+                    powers[i] = powers[i - 1] * _ROLL_BASE
+                base_pow = powers[-1] * _ROLL_BASE
+                h = h * base_pow + (chunk[::-1] * powers).sum()
+            out.append(int(h & mask))
     return out
 
 
