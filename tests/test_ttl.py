@@ -87,6 +87,37 @@ def test_reference_example_parity():
     assert msg == 'Value is not >= Literal("0", datatype=xsd:integer)'
 
 
+def test_run_ttl_explainable_end_to_end(tmp_path):
+    from xpshacl_ray.sources.ttl import run_ttl
+
+    res = run_ttl(REF_DATA, REF_SHAPES, languages=["en"],
+                  kg_path=str(tmp_path / "kg.parquet"),
+                  out_dir=str(tmp_path / "out"))
+    report = res["report"].to_pandas()
+    assert len(report) == 4
+    # every instance got its signature's explanation fanned back on
+    assert report["explanation_en"].notna().all()
+    assert report["signature_key"].nunique() == 3  # minCount on
+    # hasName / minCount on foundedOn / minInclusive on hasAge — the
+    # signature carries the property path, like the reference KG key
+    sigs = res["signatures"].to_pandas()
+    assert set(sigs["language"]) == {"en"}
+    assert (tmp_path / "out" / "report").exists()
+
+
+def test_cli_validate_ttl(tmp_path, capsys):
+    import json
+
+    from xpshacl_ray.cli import main
+
+    rc = main(["validate-ttl", "--data", REF_DATA, "--shapes", REF_SHAPES,
+               "--out", str(tmp_path / "o"), "--language", "en"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_violations"] == 4
+    assert summary["n_signatures"] == 3
+
+
 def test_validate_ttl_rejects_shapeless_input(tmp_path):
     p = tmp_path / "empty_shapes.ttl"
     p.write_text("@prefix ex: <http://example.org/> .\n")

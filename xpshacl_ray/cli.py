@@ -46,6 +46,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also emit the per-(repo,lang) sketch profile")
     v.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
+
+    t = sub.add_parser(
+        "validate-ttl",
+        help="the reference CLI surface: validate Turtle data against "
+             "SHACL shapes (src/main.py analog, rdflib-free)")
+    t.add_argument("--data", required=True, help="RDF data .ttl file")
+    t.add_argument("--shapes", required=True, help="SHACL shapes .ttl file")
+    t.add_argument("--out", default=None, help="output directory (Parquet)")
+    t.add_argument("--kg", default=None,
+                   help="explanation-cache parquet (reference KG analog)")
+    t.add_argument("--language", default="en",
+                   help="comma-separated explanation languages")
+    t.add_argument("--model", default="template-nlg-v1",
+                   help="accepted for reference parity; template backend")
+    t.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
     return p
 
 
@@ -129,10 +145,35 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_validate_ttl(args) -> int:
+    _init_ray(args.num_cpus)
+    from .sources.ttl import run_ttl
+
+    t0 = time.perf_counter()
+    languages = [x.strip() for x in args.language.split(",") if x.strip()]
+    res = run_ttl(args.data, args.shapes, languages=languages,
+                  kg_path=args.kg, out_dir=args.out)
+    report = res["report"].to_pandas()
+    summary = {
+        "data": args.data,
+        "shapes": args.shapes,
+        "n_violations": len(report),
+        "n_signatures": int(report["signature_key"].nunique()),
+        "languages": languages,
+        "wall_time_s": round(time.perf_counter() - t0, 3),
+    }
+    if args.out:
+        summary["out"] = args.out
+    print(json.dumps(summary, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "validate":
         return cmd_validate(args)
+    if args.command == "validate-ttl":
+        return cmd_validate_ttl(args)
     return 2  # pragma: no cover
 
 

@@ -408,6 +408,48 @@ def shapes_to_specs(triples: List[Triple]):
     return specs
 
 
+def run_ttl(
+    data_path: str,
+    shapes_path: str,
+    languages=("en",),
+    kg_path: Optional[str] = None,
+    out_dir: Optional[str] = None,
+):
+    """The reference's full ``main.py`` surface over Turtle inputs:
+    validate → signature dedup → justification trees + context →
+    (cached) explanations → report fan-out.
+
+    Returns a dict with ``violations``, ``signatures`` (enriched +
+    explained, one row per (signature, language)) and ``report`` (every
+    violation instance with ``explanation_<lang>`` columns fanned back
+    on).  Writes partitioned Parquet under ``out_dir`` if given."""
+    import pyarrow as _pa
+
+    from ..pipelines.validate import ValidationEngine
+
+    data_triples, _ = load_turtle(data_path)
+    shape_triples, _ = load_turtle(shapes_path)
+    specs = shapes_to_specs(shape_triples)
+    if not specs:
+        raise ValueError("no applicable shapes/targets found")
+    viol = validate_ttl(data_path, shapes_path)
+    # enrichment/explanation stages consume violation rows, not the spec —
+    # any compiled engine drives them; reuse the first class's spec
+    first_spec = specs[sorted(specs)[0]]
+    eng = ValidationEngine(first_spec, kg_path=kg_path,
+                           languages=list(languages))
+    sigs = eng.enrich(eng.unique_signatures(viol)).materialize()
+    expl = eng.explain(sigs)
+    expl_tbl = _pa.Table.from_pandas(expl.to_pandas())
+    report = eng.report(viol, expl_tbl)
+    if out_dir is not None:
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        report.write_parquet(os.path.join(out_dir, "report"))
+    return {"violations": viol, "signatures": expl_tbl, "report": report}
+
+
 def validate_ttl(data_path: str, shapes_path: str):
     """End-to-end: parse both files, build one entity table + spec per
     target class, run the engine, union the violations.
