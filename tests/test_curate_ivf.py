@@ -58,6 +58,29 @@ def test_curate_join_strategy_matches_broadcast(sf_dir):
     assert rep_b.dropped_exact_dupes == rep_j.dropped_exact_dupes == 3
 
 
+def test_curate_near_dup_anti_join_matches_broadcast(sf_dir):
+    # near-dup prune via the no-broadcast anti-join path (strategy=join)
+    # must keep exactly the same survivor set as the broadcast path
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    rows = docs.take(4)
+    dupes = [dict(r, doc_id=r["doc_id"] + 90_000) for r in rows]
+    ds = docs.union(ray.data.from_items(dupes))
+    cfg_b = CurationConfig(min_quality=0.0, near_dup_jaccard=0.95)
+    cfg_j = CurationConfig(min_quality=0.0, near_dup_jaccard=0.95,
+                           dedup_strategy="join")
+    out_b, rep_b = curate(ds, cfg_b)
+    out_j, rep_j = curate(ds, cfg_j)
+    ids_b = sorted(r["doc_id"] for r in
+                   out_b.select_columns(["doc_id"]).take_all())
+    ids_j = sorted(r["doc_id"] for r in
+                   out_j.select_columns(["doc_id"]).take_all())
+    assert ids_b == ids_j
+    assert rep_b.n_after_near_dedup == rep_j.n_after_near_dedup
+    # schema/dtypes survive the mixed-schema anti-join buckets
+    sch = dict(zip(out_j.schema().names, out_j.schema().types))
+    assert str(sch["doc_id"]) == "int64"
+
+
 def test_curate_lang_filter(sf_dir):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     curated, report = curate(

@@ -85,6 +85,66 @@ def _dedup_semi_join(ds: "ray.data.Dataset",
     )
 
 
+def _drop_ids_anti_join(ds: "ray.data.Dataset",
+                        drop_ids: "ray.data.Dataset",
+                        cfg: "CurationConfig") -> "ray.data.Dataset":
+    """Drop every row whose id appears in ``drop_ids`` — WITHOUT
+    broadcasting the id set: both sides co-partition by id-hash bucket and
+    each bucket task filters locally (the 10^12-row path when the drop set
+    itself is huge)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.sketches import hash64
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        h = (hash64(b[cfg.id_col].to_pylist())
+             % cfg.join_buckets).astype("int32")
+        return b.append_column("__part__", pa.array(h)).append_column(
+            "__drop__", pa.array(np.zeros(len(b), dtype=bool)))
+
+    def tag_drops(b: pa.Table) -> pa.Table:
+        ids = b["id_b"]
+        h = (hash64(ids.to_pylist()) % cfg.join_buckets).astype("int32")
+        t = pa.table({cfg.id_col: ids})
+        return t.append_column("__part__", pa.array(h)).append_column(
+            "__drop__", pa.array(np.ones(len(b), dtype=bool)))
+
+    sch = ds.schema()
+    row_cols = sch.names
+    # canonical empty frame with real dtypes: a bucket holding only drop
+    # rows must not emit object-dtype columns (same pitfall hash_join
+    # handles); group frames over a mixed-schema union may also widen
+    # int64 → float64 via NaN fill, so dtypes are restored on the way out
+    empty_rows = pd.DataFrame({
+        n: pd.Series(dtype=(t.to_pandas_dtype()
+                            if isinstance(t, pa.DataType) else t))
+        for n, t in zip(sch.names, sch.types)
+    })
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_drop = g["__drop__"].fillna(False).astype(bool)
+        rows = g[~is_drop]
+        if rows.empty:
+            return empty_rows.copy()
+        bad = set(g.loc[is_drop, cfg.id_col])
+        keep = rows[~rows[cfg.id_col].isin(bad)].reindex(columns=row_cols)
+        if keep.empty:
+            return empty_rows.copy()
+        for c in keep.columns:
+            if keep[c].dtype != empty_rows[c].dtype:
+                try:
+                    keep[c] = keep[c].astype(empty_rows[c].dtype)
+                except (ValueError, TypeError):
+                    pass
+        return keep
+
+    tagged = ds.map_batches(tag_rows, batch_format="pyarrow").union(
+        drop_ids.map_batches(tag_drops, batch_format="pyarrow"))
+    return tagged.groupby("__part__").map_groups(filter_bucket,
+                                                 batch_format="pandas")
+
+
 def curate(
     ds: "ray.data.Dataset",
     cfg: CurationConfig = CurationConfig(),
@@ -146,17 +206,26 @@ def curate(
             deduped, jaccard_threshold=cfg.near_dup_jaccard,
             id_col=cfg.id_col, text_col=cfg.text_col,
             concurrency=cfg.concurrency,
-        ).take_all()
-        drop = pa.array(sorted({r["id_b"] for r in pairs}))
-        drop_ref = ray.put(drop)
+        )
+        n_pairs = pairs.count()
+        if strategy == "join" or n_pairs > cfg.auto_join_threshold:
+            # anti-join path: no broadcast — drop-ids co-partition with
+            # the rows by id-hash bucket (the high-dup-corpus scale path,
+            # mirroring the exact-dedup 'join' strategy)
+            deduped = _drop_ids_anti_join(
+                deduped, pairs.select_columns(["id_b"]), cfg)
+        else:
+            drop = pa.array(sorted(
+                {r["id_b"] for r in pairs.take_all()}))
+            drop_ref = ray.put(drop)
 
-        def drop_near(b: pa.Table) -> pa.Table:
-            return b.filter(
-                pc.invert(pc.is_in(b[cfg.id_col],
-                                   value_set=ray.get(drop_ref)))
-            )
+            def drop_near(b: pa.Table) -> pa.Table:
+                return b.filter(
+                    pc.invert(pc.is_in(b[cfg.id_col],
+                                       value_set=ray.get(drop_ref)))
+                )
 
-        deduped = deduped.map_batches(drop_near, batch_format="pyarrow")
+            deduped = deduped.map_batches(drop_near, batch_format="pyarrow")
         n_near = deduped.count()
 
     report = CurationReport(
