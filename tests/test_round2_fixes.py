@@ -171,3 +171,37 @@ def test_knn_handles_empty_blocks(sf_dir):
     got_empty = knn_cosine_bruteforce(none, q, k=10)
     assert len(got_empty) == 0
     assert list(got_empty.columns) == ["query_idx", "vec_id", "cosine", "rank"]
+
+
+# --- auto grouped-strategy planning (sketch-based) -------------------------
+
+
+def test_grouped_auto_strategy_picks_and_agrees():
+    import pyarrow as pa
+
+    from xpshacl_ray import MaxCount, ValidationSpec, compile_spec
+    from xpshacl_ray.stages.grouped import estimate_group_count, evaluate_grouped
+
+    t = pa.table({"k": [1, 1, 1, 2, 2], "v": ["a", "b", "c", "d", "e"]})
+    ds = ray.data.from_arrow(t)
+    spec = compile_spec(ValidationSpec(
+        constraints=[MaxCount(column="v", group_by=["k"], max_count=2)],
+        id_columns=[], focus_template="g:{k}"))
+
+    est = estimate_group_count(ds.select_columns(["k"]), ["k"])
+    assert 1 <= est <= 4  # ~2 groups, sketch tolerance
+
+    def rows(strategy, **kw):
+        parts = evaluate_grouped(ds, spec, strategy=strategy, **kw)
+        out = parts[0].to_pandas()
+        return sorted(out["focus_node"])
+
+    keys_rows = rows("keys")
+    # auto with the default threshold plans "keys" (2 groups << 50M)
+    assert rows("auto") == keys_rows
+    # auto with threshold 0 forces the hashed exchange — same violations
+    assert rows("auto", auto_hashed_groups=0) == keys_rows
+    assert keys_rows == ["group:1"]
+
+    with pytest.raises(ValueError, match="unknown grouped strategy"):
+        evaluate_grouped(ds, spec, strategy="nope")

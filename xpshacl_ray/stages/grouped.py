@@ -157,11 +157,19 @@ def estimate_group_count(ds: "ray.data.Dataset", keys: List[str],
     return merged.estimate() if blobs else 0.0
 
 
+#: group-cardinality above which "auto" picks the hashed exchange — the
+#: measured crossover is where shuffling key strings dominates (BASELINE.md
+#: puts it far beyond bench scale; the default is deliberately high so
+#: small/medium runs keep the pipelined keys strategy)
+AUTO_HASHED_GROUPS = 50_000_000
+
+
 def evaluate_grouped(
     ds: "ray.data.Dataset",
     spec: CompiledSpec,
     id_types: Optional[List[pa.DataType]] = None,
     strategy: str = "keys",
+    auto_hashed_groups: float = AUTO_HASHED_GROUPS,
 ) -> List["ray.data.Dataset"]:
     """Run every grouped constraint; returns one violations Dataset each.
 
@@ -177,10 +185,32 @@ def evaluate_grouped(
       (rare by design) violating groups.  ~6× fewer shuffle bytes for
       string keys; costs an execution barrier + a second input scan, so it
       wins only when the exchange itself is the bottleneck (10^9+ groups).
+    - ``"auto"``: plans per constraint from a one-pass NO-shuffle HLL
+      group-cardinality estimate (:func:`estimate_group_count` over the
+      pruned key columns — the CIDR'19 sketch-planning pattern): hashed
+      iff the estimate exceeds ``auto_hashed_groups``.  The planning pass
+      costs one scan of the key columns; at scale that is small against
+      the exchange it can shrink ~6×.
     """
     if strategy == "keys":
         return _evaluate_grouped_keys(ds, spec, id_types)
-    return _evaluate_grouped_hashed(ds, spec, id_types)
+    if strategy == "hashed":
+        return _evaluate_grouped_hashed(ds, spec, id_types)
+    if strategy != "auto":
+        raise ValueError(f"unknown grouped strategy {strategy!r}")
+    results: List["ray.data.Dataset"] = []
+    for cc in spec.grouped:
+        keys = list(cc.constraint.group_by)
+        est = estimate_group_count(ds.select_columns(keys), keys)
+        sub = CompiledSpec(
+            row_local=[], grouped=[cc], referential=[],
+            id_columns=spec.id_columns,
+            focus_template=spec.focus_template,
+        )
+        impl = (_evaluate_grouped_hashed if est > auto_hashed_groups
+                else _evaluate_grouped_keys)
+        results += impl(ds, sub, id_types)
+    return results
 
 
 def _evaluate_grouped_keys(
