@@ -101,3 +101,22 @@ def test_simhash_pairs_match_bruteforce_groundtruth(corpus):
     # exact copies must collide at hamming 0
     zero = got[got.hamming == 0]
     assert len(zero) >= 8
+
+
+def test_distributed_cluster_labels_match_union_find():
+    from xpshacl_ray.functions.dedup import (
+        cluster_labels,
+        cluster_labels_distributed,
+    )
+
+    # components incl. a short chain (exercises multi-round propagation);
+    # kept small because each propagation round is a real shuffle
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4)]               # chain
+    pairs += [(100, 101), (101, 102), (100, 102)]          # triangle
+    pairs += [(200, 201), (300, 301), (301, 300)]          # pairs + dup edge
+    want = cluster_labels(pairs)
+
+    ds = ray.data.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    got = {r["node"]: r["label"]
+           for r in cluster_labels_distributed(ds, n_buckets=4).take_all()}
+    assert got == {k: v for k, v in want.items()}

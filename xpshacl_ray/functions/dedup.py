@@ -379,13 +379,83 @@ def minhash_lsh_candidates(
     )
 
 
+def cluster_labels_distributed(
+    pairs: "ray.data.Dataset",
+    max_rounds: int = 50,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Connected components over candidate pairs WITHOUT driver state:
+    iterative min-label propagation, one small groupby shuffle per round.
+
+    Returns a Dataset of (node, label) where ``label`` is the minimum id
+    in the node's component — the distributed equivalent of
+    :func:`cluster_labels` for candidate graphs too large to union-find
+    on the driver.  Each round every node adopts
+    ``min(own label, neighbours' labels)``; labels only decrease, so the
+    driver-side convergence check is one cheap ``Sum`` aggregate per
+    round (stop when the label sum stops falling).  Rounds needed ≈ graph
+    diameter of the largest component — near-dup clusters are shallow, so
+    a handful in practice.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = pc.cast(b["id_a"], pa.int64())
+        c = pc.cast(b["id_b"], pa.int64())
+        return pa.table({"src": pa.chunked_array([a, c]).combine_chunks(),
+                         "dst": pa.chunked_array([c, a]).combine_chunks()})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    # init: label(node) = node
+    labels = (
+        edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
+        .map_batches(
+            lambda b: pa.table(
+                {"node": b["src"],
+                 "label": pc.min_element_wise(b["src"], b["nbr_min"])}),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+    prev_sum = None
+    for _ in range(max_rounds):
+        cur = labels.sum("label")
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
+
+        # propagate: dst receives src's label, then node = min(all offers)
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table({"src": b["node"], "offer": b["label"]})
+
+        offers_self = labels.map_batches(
+            lambda b: pa.table({"dst": b["node"], "offer": b["label"]}),
+            batch_format="pyarrow")
+        from .joins import hash_join
+
+        edge_offers = hash_join(
+            edges, labels.map_batches(rename, batch_format="pyarrow"),
+            key="src", n_buckets=n_buckets,
+        ).map_batches(
+            lambda b: pa.table({"dst": b["dst"], "offer": b["offer"]}),
+            batch_format="pyarrow")
+        labels = (
+            edge_offers.union(offers_self)
+            .groupby("dst")
+            .aggregate(Min("offer", alias_name="label"))
+            .map_batches(
+                lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
+                batch_format="pyarrow")
+            .materialize()
+        )
+    return labels
+
+
 def cluster_labels(pairs: List[Tuple[int, int]]) -> Dict[int, int]:
     """Union-find cluster labels (min id wins) over candidate pairs.
 
     Driver-side: candidate graphs are tiny vs the corpus.  At 10^12-row
-    scale replace with iterative min-label propagation: repeat
-    ``labels = groupby(node).aggregate(Min(neighbor_label))`` until fixed
-    point (few rounds; each is a small shuffle over the pair table).
+    scale use :func:`cluster_labels_distributed` — iterative min-label
+    propagation, one small shuffle over the pair table per round.
     """
     parent: Dict[int, int] = {}
 
