@@ -205,3 +205,20 @@ def test_grouped_auto_strategy_picks_and_agrees():
 
     with pytest.raises(ValueError, match="unknown grouped strategy"):
         evaluate_grouped(ds, spec, strategy="nope")
+
+
+def test_choose_bands_s_curve(docs_with_dups):
+    from xpshacl_ray.functions.dedup import choose_bands
+
+    b_high = choose_bands(64, 0.9)
+    b_mid = choose_bands(64, 0.8)
+    b_low = choose_bands(64, 0.3)
+    # lower thresholds need more bands (smaller rows per band)
+    assert b_high <= b_mid <= b_low
+    assert 64 % b_mid == 0
+    with pytest.raises(ValueError):
+        choose_bands(64, 1.5)
+    # bands=None autotunes and still finds the injected dups
+    pairs = minhash_lsh_candidates(docs_with_dups, bands=None,
+                                   jaccard_threshold=0.9).to_pandas()
+    assert len(pairs) >= 5

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import hashlib
 import logging
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -224,6 +224,34 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((sig_a == sig_b).mean())
 
 
+def choose_bands(num_perm: int, jaccard_threshold: float,
+                 fp_weight: float = 0.5, fn_weight: float = 0.5) -> int:
+    """Pick the LSH band count minimizing weighted false-positive +
+    false-negative mass around the threshold.
+
+    P(candidate | J) = 1 - (1 - J^r)^b with r = num_perm / b; the chosen b
+    minimizes ``fp_weight·∫₀^t P + fn_weight·∫ₜ¹ (1-P)`` (the standard
+    S-curve tuning, numerically integrated).  Lower thresholds want more
+    bands (smaller r); dedup-grade thresholds (~0.8) land at b=16 for 64
+    permutations — the module default."""
+    if not 0 < jaccard_threshold < 1:
+        raise ValueError("jaccard_threshold must be in (0, 1)")
+    xs = np.linspace(0, 1, 501)
+    best_b, best_err = 1, np.inf
+    for b in range(1, num_perm + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+        p = 1.0 - (1.0 - xs ** r) ** b
+        below = xs <= jaccard_threshold
+        fp = np.trapz(p[below], xs[below])
+        fn = np.trapz(1.0 - p[~below], xs[~below])
+        err = fp_weight * fp + fn_weight * fn
+        if err < best_err:
+            best_b, best_err = b, err
+    return best_b
+
+
 def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
     """(n_docs, bands) uint64 band digests: a 64-bit polynomial fold of
     each signature band's ``r`` values, vectorized over documents.  Band
@@ -287,7 +315,7 @@ def explode_bands(batch: pa.Table, num_perm: int, bands: int,
 def minhash_lsh_candidates(
     ds: "ray.data.Dataset",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: Optional[int] = 16,
     shingle_k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -309,6 +337,8 @@ def minhash_lsh_candidates(
     verification stays in-bucket either way, so high-dup corpora never
     materialize candidates driver-side.  Hot buckets (e.g. thousands of
     identical docs) are capped loudly at ``hot_bucket_cap`` members."""
+    if bands is None:  # autotune from the threshold's S-curve
+        bands = choose_bands(num_perm, jaccard_threshold)
     if num_perm % bands != 0:
         raise ValueError(
             f"num_perm ({num_perm}) must be divisible by bands ({bands}); "
