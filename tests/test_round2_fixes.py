@@ -222,3 +222,22 @@ def test_choose_bands_s_curve(docs_with_dups):
     pairs = minhash_lsh_candidates(docs_with_dups, bands=None,
                                    jaccard_threshold=0.9).to_pandas()
     assert len(pairs) >= 5
+
+
+def test_embedding_near_dups_multi_table(sf_dir):
+    from xpshacl_ray.functions.dedup import embedding_near_dups
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.take(3)
+    dups = [dict(r, vec_id=r["vec_id"] + 60_000) for r in rows]
+    ds = emb.union(ray.data.from_items(dups))
+    one = embedding_near_dups(ds, threshold=0.9, num_tables=1).to_pandas()
+    multi = embedding_near_dups(ds, threshold=0.9, num_tables=3).to_pandas()
+    # no duplicate pair rows despite 3 tables (first-catching-table rule)
+    assert not multi.duplicated(["id_a", "id_b"]).any()
+    # multi-table recall dominates single-table
+    k1 = set(zip(one.id_a, one.id_b))
+    k3 = set(zip(multi.id_a, multi.id_b))
+    assert k1 <= k3
+    for r in rows:  # exact copies always caught
+        assert (r["vec_id"], r["vec_id"] + 60_000) in k3

@@ -774,21 +774,32 @@ def embedding_near_dups(
     num_planes: int = 8,
     seed: int = 42,
     hot_bucket_cap: int = 4096,
+    num_tables: int = 1,
 ) -> "ray.data.Dataset":
     """Near-dup pairs by cosine ≥ threshold, LSH-bucketed by random
     hyperplane signs; exact cosine verified within buckets (numpy matmul).
 
     High-cosine pairs agree on most hyperplane signs, so bucketing by the
-    full sign byte finds them with one shuffle; lower thresholds → use
-    multiple independent plane sets (repeat with different seeds).
+    full sign byte finds them with one shuffle.  For lower thresholds the
+    single-table miss rate grows — set ``num_tables>1``: every table uses
+    an independent plane set (seed+i) and each vector lands in one bucket
+    PER table (the multi-table LSH recall amplifier); a pair is emitted
+    only by the FIRST table whose bucket catches it (vectorized sign-byte
+    check against the carried per-table buckets), so no cross-table dedup
+    shuffle is needed.
     """
     rng = np.random.default_rng(seed)
     sample = ds.take(1)
     dim = len(sample[0][vec_col])
-    planes = rng.standard_normal((dim, num_planes)).astype(np.float64)
+    planes = np.stack([
+        np.random.default_rng(seed + i).standard_normal((dim, num_planes))
+        for i in range(num_tables)
+    ]) if num_tables > 1 else rng.standard_normal(
+        (1, dim, num_planes))
     import ray as _ray
 
-    planes_ref = _ray.put(planes)
+    planes_ref = _ray.put(planes.astype(np.float64))
+    pow2 = 1 << np.arange(num_planes)
 
     def bucketize(b: pa.Table) -> pa.Table:
         p = _ray.get(planes_ref)
@@ -798,15 +809,26 @@ def embedding_near_dups(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = mat / norms
-        signs = (unit @ p) > 0
-        bucket = (signs * (1 << np.arange(num_planes))).sum(axis=1)
+        # (n, num_tables) bucket byte per table
+        buckets = np.stack(
+            [((unit @ p[t]) > 0) @ pow2 for t in range(len(p))], axis=1)
+        n = len(b)
+        unit_arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(unit, (len(p), 1)).ravel(), pa.float64()),
+            unit.shape[1])
+        all_bk = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.tile(buckets, (len(p), 1)).ravel(), pa.int64()),
+            buckets.shape[1])
+        ids = b[id_col].combine_chunks() if isinstance(
+            b[id_col], pa.ChunkedArray) else b[id_col]
         return pa.table(
             {
-                id_col: b[id_col],
-                "bucket": pa.array(bucket.astype(np.int64)),
-                "unit": pa.FixedSizeListArray.from_arrays(
-                    pa.array(unit.ravel(), pa.float64()), unit.shape[1]
-                ),
+                id_col: pa.chunked_array([ids] * len(p)).combine_chunks(),
+                "table_id": pa.array(
+                    np.repeat(np.arange(len(p)), n).astype(np.int32)),
+                "bucket": pa.array(buckets.T.reshape(-1).astype(np.int64)),
+                "buckets_all": all_bk,
+                "unit": unit_arr,
             }
         )
 
@@ -815,25 +837,45 @@ def embedding_near_dups(
             {"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64"),
              "cosine": pd.Series(dtype="float64")}
         )
-        g = g.sort_values(id_col)
-        if len(g) < 2:
+        out = []
+        for (table_id, _), gg in g.groupby(["table_id", "bucket"],
+                                           sort=False):
+            gg = gg.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(gg) < 2:
+                continue
+            gg = _cap_bucket(gg, hot_bucket_cap, "hyperplane-LSH")
+            ids = gg[id_col].to_numpy()
+            mat = np.stack([np.asarray(v) for v in gg["unit"]])
+            sims = mat @ mat.T
+            ii, jj = np.triu_indices(len(ids), k=1)
+            c = sims[ii, jj]
+            keep = c >= threshold
+            if not keep.any():
+                continue
+            # first-catching-table rule: cross-table dedup with no shuffle
+            bks = np.stack([np.asarray(v) for v in gg["buckets_all"]])
+            first = (bks[ii] == bks[jj]).argmax(axis=1)
+            keep &= first == table_id
+            if not keep.any():
+                continue
+            out.append(pd.DataFrame(
+                {"id_a": ids[ii[keep]].astype("int64"),
+                 "id_b": ids[jj[keep]].astype("int64"),
+                 "cosine": np.round(c[keep], 6)}))
+        if not out:
             return empty
-        g = _cap_bucket(g, hot_bucket_cap, "hyperplane-LSH")
-        ids = g[id_col].to_numpy()
-        mat = np.stack([np.asarray(v) for v in g["unit"]])
-        sims = mat @ mat.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        c = sims[ii, jj]
-        keep = c >= threshold
-        if not keep.any():
-            return empty
-        return pd.DataFrame(
-            {"id_a": ids[ii[keep]].astype("int64"),
-             "id_b": ids[jj[keep]].astype("int64"),
-             "cosine": np.round(c[keep], 6)})
+        return pd.concat(out, ignore_index=True)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        part = (
+            (np.asarray(b["table_id"], dtype=np.int64) * 1_000_003
+             + np.asarray(b["bucket"], dtype=np.int64)) % 64
+        ).astype(np.int32)
+        return b.append_column("part", pa.array(part))
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
