@@ -730,16 +730,34 @@ def verify_pairs_ngram(
 def _verify_pairs_ngram_join(ds, pairs, threshold, n, id_col, text_col,
                              schema) -> "ray.data.Dataset":
     """Join path: two bucketed hash joins attach both texts, then the exact
-    Jaccard kernel runs per batch.  The text column moves through the
-    shuffle once per side; at 10^12 rows pre-filter the text table with a
-    Bloom filter of candidate ids to prune non-candidates before the
-    exchange."""
+    Jaccard kernel runs per batch.  Before the exchange, the text table is
+    pruned with a Bloom filter of the candidate ids (built distributed,
+    ~1.2 MB per million candidates at 1% fp, broadcast once) — only
+    candidate texts (plus ≤ fp_rate false positives, which the inner join
+    then drops) pay the shuffle; the wide non-candidate majority never
+    moves."""
+    import ray as _ray
+
+    from ..stages.referential import bloom_keys
     from .joins import hash_join
+
+    n_pairs = pairs.count()
+    bloom = bloom_keys(
+        pairs.select_columns(["id_a"]).union(
+            pairs.map_batches(
+                lambda b: pa.table({"id_a": b["id_b"]}),
+                batch_format="pyarrow")),
+        "id_a", expected_items=max(64, 2 * n_pairs), fp_rate=0.01)
+    bloom_ref = _ray.put(bloom)
 
     def rename(side: str):
         def _r(b: pa.Table) -> pa.Table:
-            return pa.table({f"id_{side}": pc.cast(b[id_col], pa.int64()),
-                             f"text_{side}": b[text_col]})
+            f = _ray.get(bloom_ref)
+            ids = b[id_col].to_pylist()
+            keep = f.might_contain([str(v) for v in ids])
+            t = pa.table({f"id_{side}": pc.cast(b[id_col], pa.int64()),
+                          f"text_{side}": b[text_col]})
+            return t.filter(pa.array(keep))
         return _r
 
     texts_a = ds.map_batches(rename("a"), batch_format="pyarrow")
