@@ -723,6 +723,42 @@ def q_sql_check(sf_dir: str):
     return viol.select_columns(["doc_id", "constraint_id", "message", "value"])
 
 
+def q_ttl_parity(sf_dir: str):
+    """Head-to-head with the reference on its OWN fixtures: parse the
+    reference's example_data.ttl + example_shapes.ttl with the stdlib
+    Turtle shim, validate, and emit the violation rows — the oracle pins
+    the README example's 4 violations including the byte-exact pyshacl
+    MinInclusive message.  (sf_dir-independent by design.)"""
+    from xpshacl_ray.sources.ttl import validate_ttl
+
+    viol = validate_ttl("/root/reference/data/example_data.ttl",
+                        "/root/reference/data/example_shapes.ttl")
+    return viol.select_columns(
+        ["subject", "constraint_id", "property_path", "value", "message"])
+
+
+_TTL_PARITY_SQL = """
+    SELECT * FROM (VALUES
+      ('http://example.org/resource1',
+       'http://www.w3.org/ns/shacl#MinCountConstraintComponent',
+       'http://example.org/hasName', NULL,
+       'Less than 1 values on http://example.org/hasName'),
+      ('http://example.org/resource1',
+       'http://www.w3.org/ns/shacl#MinInclusiveConstraintComponent',
+       'http://example.org/hasAge', '-20',
+       'Value is not >= Literal("0", datatype=xsd:integer)'),
+      ('http://example.org/resource2',
+       'http://www.w3.org/ns/shacl#MinCountConstraintComponent',
+       'http://example.org/hasName', NULL,
+       'Less than 1 values on http://example.org/hasName'),
+      ('http://example.org/resource3',
+       'http://www.w3.org/ns/shacl#MinCountConstraintComponent',
+       'http://example.org/foundedOn', NULL,
+       'Less than 1 values on http://example.org/foundedOn')
+    ) AS t(subject, constraint_id, property_path, value, message)
+"""
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -867,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_signup": q_asof_purchase_signup,
         "json_extract_sum": q_json_extract_sum,
         "sql_check": q_sql_check,
+        "ttl_parity": q_ttl_parity,
         "drift_lang_psi": q_drift_lang_psi,
         "partition_verdicts": q_partition_verdicts,
         "curation": q_curation,
@@ -1095,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
                    s.quality_score
             FROM documents d JOIN scored s ON d.doc_id = s.doc_id
         """,
+        "ttl_parity": _TTL_PARITY_SQL,
         "sql_check": """
             SELECT doc_id,
                    'http://www.w3.org/ns/shacl#SPARQLConstraintComponent'
