@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis) for round-2 components: SWAR
+popcount, LSH band tuning, 16-bit quantization invariants, SqlCheck
+equivalence, and a Turtle serialize→parse roundtrip."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xpshacl_ray.functions.dedup import choose_bands, hamming64, popcount_u64
+from xpshacl_ray.sources.ttl import parse_turtle
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1),
+                min_size=1, max_size=50))
+def test_popcount_matches_python(xs):
+    arr = np.array(xs, dtype=np.uint64)
+    got = popcount_u64(arr)
+    for x, g in zip(xs, got):
+        assert int(g) == bin(x).count("1")
+
+
+@given(st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1),
+       st.integers(min_value=-(1 << 63), max_value=(1 << 63) - 1))
+def test_hamming_symmetric_and_bounded(a, b):
+    d = hamming64(a, b)
+    assert 0 <= d <= 64
+    assert d == hamming64(b, a)
+    assert hamming64(a, a) == 0
+
+
+@given(st.sampled_from([16, 32, 64, 128]),
+       st.floats(min_value=0.05, max_value=0.95))
+def test_choose_bands_divides_and_tracks_threshold(num_perm, t):
+    b = choose_bands(num_perm, t)
+    assert num_perm % b == 0
+    # a clearly higher threshold never wants MORE bands
+    if t <= 0.85:
+        assert choose_bands(num_perm, min(t + 0.1, 0.95)) <= b
+
+
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 61) - 1),
+                min_size=4, max_size=64))
+def test_quantization_never_lowers_slot_agreement(sig):
+    # 16-bit truncation can only merge slots, never split them: the
+    # quantized agreement count dominates the full-width one
+    rng = np.random.default_rng(0)
+    a = np.array(sig, dtype=np.uint64)
+    b = a.copy()
+    flip = rng.random(len(b)) < 0.5
+    b[flip] ^= np.uint64(0x10000)  # differ only above the low 16 bits
+    full = (a == b).mean()
+    quant = ((a & np.uint64(0xFFFF)) == (b & np.uint64(0xFFFF))).mean()
+    assert quant >= full
+
+
+_IDENT = st.from_regex(r"[a-z][a-z0-9]{0,8}", fullmatch=True)
+_TEXT = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+    max_size=40)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(
+    st.tuples(_IDENT, _IDENT,
+              st.one_of(_TEXT.map(lambda s: ("lit", s)),
+                        _IDENT.map(lambda s: ("iri", s)))),
+    min_size=1, max_size=12))
+def test_turtle_roundtrip(triples):
+    def esc(s):
+        return s.replace("\\", "\\\\").replace('"', '\\"') \
+                .replace("\n", "\\n").replace("\r", "\\r") \
+                .replace("\t", "\\t")
+
+    lines = ["@prefix ex: <http://example.org/> ."]
+    for s, p, (kind, o) in triples:
+        if kind == "lit":
+            lines.append(f'ex:{s} ex:{p} "{esc(o)}" .')
+        else:
+            lines.append(f"ex:{s} ex:{p} ex:{o} .")
+    parsed, _ = parse_turtle("\n".join(lines))
+    got = {(t.s, t.p, t.o, t.kind) for t in parsed}
+    want = {
+        (f"http://example.org/{s}", f"http://example.org/{p}",
+         (o if kind == "lit" else f"http://example.org/{o}"),
+         ("literal" if kind == "lit" else "iri"))
+        for s, p, (kind, o) in triples
+    }
+    assert got == want
+
+
+def test_sqlcheck_equals_python_predicate():
+    import ray.data
+    from hypothesis import find  # noqa: F401  (hypothesis import sanity)
+
+    from xpshacl_ray import SqlCheck, ValidationEngine, ValidationSpec
+
+    rng = np.random.default_rng(3)
+    n = 500
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "x": pa.array(rng.integers(-50, 50, n), pa.int64())})
+    spec = ValidationSpec(
+        constraints=[SqlCheck(column="x", where="x*x > 900", columns=["x"])],
+        id_columns=["id"], focus_template="r:{id}")
+    out = ValidationEngine(spec).validate(ray.data.from_arrow(t)).to_pandas()
+    xs = np.asarray(t["x"])
+    assert sorted(out["id"]) == [int(i) for i in np.flatnonzero(xs * xs > 900)]
