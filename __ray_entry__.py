@@ -759,6 +759,28 @@ _TTL_PARITY_SQL = """
 """
 
 
+def q_media_features(sf_dir: str):
+    """Real multimodal decode pipeline: deterministic synthesized media
+    (P6 PPM / 24-bit BMP images, PCM WAV audio — stdlib+numpy codecs, no
+    media libraries) → actor-pool decode → 8 real features per row.
+    (sf_dir-independent: the media table is synthesized with a fixed
+    seed.)"""
+    from xpshacl_ray.stages.multimodal import (
+        decode_features,
+        make_real_media_table,
+    )
+
+    ds = ray.data.from_arrow(make_real_media_table(12))
+    out = decode_features(ds, real=True, batch_size=4).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    feats = np.stack([np.asarray(f) for f in out["features"]])
+    res = pd.DataFrame({"media_id": out["media_id"].astype("int64"),
+                        "mime": out["mime"]})
+    for i in range(feats.shape[1]):
+        res[f"f{i}"] = np.round(feats[:, i], 6)
+    return res
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -904,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_extract_sum": q_json_extract_sum,
         "sql_check": q_sql_check,
         "ttl_parity": q_ttl_parity,
+        "media_features": q_media_features,
         "drift_lang_psi": q_drift_lang_psi,
         "partition_verdicts": q_partition_verdicts,
         "curation": q_curation,

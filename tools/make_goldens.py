@@ -30,6 +30,8 @@ import numpy as np
 import pandas as pd
 import pyarrow.parquet as pq
 
+sys.path.insert(0, "/root/repo")
+
 SF_DIR = "/root/testdata/sf0.01"
 OUT = "/root/repo/xpshacl_ray/goldens.py"
 
@@ -257,6 +259,22 @@ def main():
     goldens["simhash_pairs"] = ("independent", brute_simhash_pairs(ids, sh))
     goldens["ivf_knn"] = ("independent",
                           ivf_knn_golden(f"{SF_DIR}/embeddings.parquet"))
+
+    # media features: ray-free direct decode (deterministic synthesized
+    # PPM/BMP/WAV media; stdlib+numpy codecs) — frozen snapshot
+    from xpshacl_ray.stages.multimodal import MediaDecoder, make_real_media_table
+
+    mt = make_real_media_table(12)
+    dec = MediaDecoder()
+    feats = np.stack([
+        dec._decode_one(m, p)
+        for m, p in zip(mt["mime"].to_pylist(), mt["payload"].to_pylist())
+    ])
+    mdf = pd.DataFrame({"media_id": np.asarray(mt["media_id"]).astype("int64"),
+                        "mime": mt["mime"].to_pylist()})
+    for i in range(feats.shape[1]):
+        mdf[f"f{i}"] = np.round(feats[:, i], 6)
+    goldens["media_features"] = ("frozen", mdf)
 
     # frozen engine snapshots (reference-parity strings pinned in tests/)
     import ray

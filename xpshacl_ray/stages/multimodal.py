@@ -1,22 +1,35 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, with REAL
+decoding for every container the standard library can parse.
 
 Image/audio/video travel as Arrow ``binary`` columns next to a metadata
 struct (mime, width/height or sample rate, frame count).  The Ray-side
 plumbing — schema, small batch sizes for wide rows, actor-pool stage
-shape, output layout — is real and tested; the codec itself is STUBBED
-(no image/audio libraries in this environment): ``DecodeStub`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake feature vector so pipelines are exercisable end-to-end.
+shape, output layout — is real and tested, and so is the decode path for
+uncompressed containers:
 
-Swap ``DecodeStub`` for a real decoder (PIL/torchaudio/decord) by keeping
-the same actor signature: heavy model/codec setup in ``__init__``, batched
-decode in ``__call__``, ``batch_size`` small because payload rows are MBs.
+- **PPM (P6)** and **24-bit BMP** images decode to ``(h, w, 3)`` uint8
+  numpy arrays (pure numpy header/pixel parsing), with a real
+  nearest-neighbour ``resize`` kernel and real color/shape features.
+- **WAV (PCM)** audio decodes via the stdlib ``wave`` module to float64
+  samples, with real duration/RMS/zero-crossing/peak features.
+
+Compressed codecs (PNG/JPEG/MP3/MP4...) still raise
+``NotImplementedError`` — no codec libraries exist in this environment;
+the error message marks exactly where PIL/torchaudio/decord plug in
+(same actor signature: heavy setup in ``__init__``, batched decode in
+``__call__``, ``batch_size`` small because payload rows are MBs).
+
+``DecodeStub`` (deterministic sha256-based fake features) remains for
+pipeline tests that need arbitrary payload bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Optional
+import io
+import struct
+import wave
+from typing import Optional, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -30,6 +43,148 @@ MEDIA_SCHEMA = pa.schema(
                             ("n_frames", pa.int32())])),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# real codecs (stdlib + numpy only)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval — whitespace/comment separated
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    pos += 1  # single whitespace after maxval
+    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return pix.reshape(h, w, 3).copy()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → 24-bit uncompressed BMP (BI_RGB, bottom-up)."""
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = b"".join(
+        img[y, :, ::-1].tobytes() + b"\x00" * pad  # BGR rows, bottom-up
+        for y in range(h - 1, -1, -1)
+    )
+    size = 14 + 40 + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 (handles bottom-up rows
+    and 4-byte row padding)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    header_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    flip = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = (row + 3) & ~3
+    out = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        src = offset + y * stride
+        line = np.frombuffer(payload, np.uint8, count=row, offset=src)
+        out[h - 1 - y if flip else y] = line.reshape(w, 3)[:, ::-1]  # BGR→RGB
+    return out
+
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """PCM WAV → (float64 samples in [-1, 1] per channel-mean, rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        n, ch, width, rate = (f.getnframes(), f.getnchannels(),
+                              f.getsampwidth(), f.getframerate())
+        raw = f.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit WAV not supported")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
+    """float64 samples in [-1, 1] → 16-bit mono PCM WAV."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(
+            np.clip(samples * 32767, -32768, 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour resize, pure-numpy index gather."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    xs = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
+_DECODABLE_IMAGE = {"image/x-portable-pixmap": decode_ppm,
+                    "image/bmp": decode_bmp}
+_DECODABLE_AUDIO = {"audio/wav": decode_wav, "audio/x-wav": decode_wav}
+
+
+def image_features(img: np.ndarray) -> np.ndarray:
+    """8 real signals: per-channel mean + std, aspect ratio, luma mean."""
+    f = img.astype(np.float64) / 255.0
+    mean = f.mean(axis=(0, 1))
+    std = f.std(axis=(0, 1))
+    luma = float((f * [0.2126, 0.7152, 0.0722]).sum(axis=2).mean())
+    aspect = img.shape[1] / img.shape[0]
+    return np.array([*mean, *std, aspect, luma])
+
+
+def audio_features(x: np.ndarray, rate: int) -> np.ndarray:
+    """8 real signals: duration, rms, zcr, peak, mean, std, rate, length."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(8)
+    zcr = float((np.signbit(x[1:]) != np.signbit(x[:-1])).mean()) if n > 1 else 0.0
+    return np.array([
+        n / rate, float(np.sqrt((x ** 2).mean())), zcr,
+        float(np.abs(x).max()), float(x.mean()), float(x.std()),
+        rate / 48_000.0, n / 1e6,
+    ])
 
 
 def make_fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
@@ -51,25 +206,104 @@ def make_fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
     )
 
 
-class DecodeStub:
-    """Actor-pool decode/feature-extract stage (STUB — see module docstring).
+def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
+    """Deterministic REAL media rows: round-robin P6 PPM / 24-bit BMP
+    images and 16-bit PCM WAV clips, all synthesized with stdlib+numpy."""
+    rng = np.random.default_rng(seed)
+    ids, mimes, payloads, metas = [], [], [], []
+    for i in range(n):
+        kind = i % 3
+        if kind == 0:
+            w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_ppm(img))
+            mimes.append("image/x-portable-pixmap")
+            metas.append({"width": w, "height": h, "n_frames": 1})
+        elif kind == 1:
+            w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_bmp(img))
+            mimes.append("image/bmp")
+            metas.append({"width": w, "height": h, "n_frames": 1})
+        else:
+            rate = 8_000
+            t = np.arange(int(rng.integers(400, 4000))) / rate
+            x = 0.5 * np.sin(2 * np.pi * float(rng.integers(100, 900)) * t)
+            payloads.append(encode_wav(x, rate))
+            mimes.append("audio/wav")
+            metas.append({"width": 0, "height": 0, "n_frames": len(t)})
+        ids.append(i)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "mime": pa.array(mimes, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, MEDIA_SCHEMA.field("meta").type),
+        }
+    )
 
-    ``fake=True`` → deterministic 8-dim feature from the payload sha256
-    (real plumbing, fake math).  ``fake=False`` → NotImplementedError, the
-    explicit marker that a real codec belongs here.
+
+class MediaDecoder:
+    """Actor-pool decode/feature-extract stage with REAL codecs for the
+    stdlib-parseable containers (PPM/BMP images, PCM WAV audio) and an
+    explicit ``NotImplementedError`` for compressed formats.
+
+    ``resize_to=(w, h)`` runs the real nearest-neighbour resize before
+    image feature extraction (the decode→resize→featurize shape of a
+    production media pipeline)."""
+
+    FEATURE_DIM = 8
+
+    def __init__(self, resize_to: Optional[Tuple[int, int]] = None):
+        self.resize_to = resize_to
+        # compressed-codec libraries (PIL/torchaudio/decord) load HERE,
+        # once per actor, when present in the environment
+
+    def _decode_one(self, mime: str, payload: bytes) -> np.ndarray:
+        if mime in _DECODABLE_IMAGE:
+            img = _DECODABLE_IMAGE[mime](payload)
+            if self.resize_to is not None:
+                img = resize_nearest(img, *self.resize_to)
+            return image_features(img)
+        if mime in _DECODABLE_AUDIO:
+            return audio_features(*_DECODABLE_AUDIO[mime](payload))
+        raise NotImplementedError(
+            f"no codec for {mime!r} in this environment: PPM/BMP/WAV decode "
+            "natively; PNG/JPEG/MP3/video need PIL/torchaudio/decord here")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self._decode_one(m, p)
+            for m, p in zip(batch["mime"].to_pylist(),
+                            batch["payload"].to_pylist())
+        ]
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats), pa.float64()), self.FEATURE_DIM
+        )
+        return (
+            batch.select(["media_id", "mime"]).append_column("features", arr)
+        )
+
+
+class DecodeStub:
+    """Deterministic fake-feature stage for arbitrary payload bytes (kept
+    for pipeline tests; real decoding lives in :class:`MediaDecoder`).
+
+    ``fake=True`` → 8-dim feature from the payload sha256 (real plumbing,
+    fake math).  ``fake=False`` → NotImplementedError, the explicit marker
+    that a real codec belongs here.
     """
 
     FEATURE_DIM = 8
 
     def __init__(self, fake: bool = False):
         self.fake = fake
-        # a real implementation loads its codec/model HERE, once per actor
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
         if not self.fake:
             raise NotImplementedError(
-                "media decode requires an image/audio library not present in "
-                "this environment; construct DecodeStub(fake=True) for the "
+                "DecodeStub decodes nothing; use MediaDecoder for PPM/BMP/"
+                "WAV payloads or construct DecodeStub(fake=True) for the "
                 "deterministic test path"
             )
         digest = hashlib.sha256(payload).digest()
@@ -94,12 +328,24 @@ def decode_features(
     fake: bool = False,
     batch_size: int = 64,
     concurrency=(1, 4),
+    real: bool = False,
+    resize_to: Optional[Tuple[int, int]] = None,
 ):
     """Media dataset → (media_id, mime, features).
 
-    Small ``batch_size``: payload rows are large, so batch × concurrency
-    must fit the worker heap (the multimodal sizing rule).
+    ``real=True`` uses :class:`MediaDecoder` (actual PPM/BMP/WAV decoding
+    + optional resize); otherwise the sha256 stub path.  Small
+    ``batch_size``: payload rows are large, so batch × concurrency must
+    fit the worker heap (the multimodal sizing rule).
     """
+    if real:
+        return ds.map_batches(
+            MediaDecoder,
+            fn_constructor_kwargs=dict(resize_to=resize_to),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return ds.map_batches(
         DecodeStub,
         fn_constructor_kwargs=dict(fake=fake),
