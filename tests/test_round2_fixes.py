@@ -241,3 +241,18 @@ def test_embedding_near_dups_multi_table(sf_dir):
     assert k1 <= k3
     for r in rows:  # exact copies always caught
         assert (r["vec_id"], r["vec_id"] + 60_000) in k3
+
+
+def test_hot_bucket_cap_degenerate_minhash_completes():
+    # thousands of IDENTICAL texts collide in every band of minhash LSH;
+    # the capped bucket sweep must complete and stay deterministic
+    n = 4000
+    t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": ["same exact document text here"] * n})
+    pairs = minhash_lsh_candidates(ray.data.from_arrow(t),
+                                   jaccard_threshold=0.9,
+                                   hot_bucket_cap=128).to_pandas()
+    # identical docs agree on band 0 first → one capped bucket emits
+    assert len(pairs) == 128 * 127 // 2
+    assert (pairs["jaccard_est"] == 1.0).all()
+    assert pairs["id_a"].min() == 0 and pairs["id_b"].max() == 127
