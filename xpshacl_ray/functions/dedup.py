@@ -579,27 +579,25 @@ def simhash_near_dups(
     n_parts = 64
 
     def explode(b: pa.Table) -> pa.Table:
+        # fully vectorized band explode: no per-row Python list building
         h = np.ascontiguousarray(
             np.asarray(b["simhash64"].combine_chunks(), dtype=np.int64)
         ).view(np.uint64)
-        ids = b[id_col].to_pylist()
-        rows = {"band_id": [], "band_val": [], id_col: [], "simhash64": []}
-        h_i64 = h.view(np.int64)
-        for band in range(4):
-            vals = ((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)).tolist()
-            rows["band_id"] += [band] * len(ids)
-            rows["band_val"] += vals
-            rows[id_col] += ids
-            rows["simhash64"] += h_i64.tolist()
-        band_id = np.asarray(rows["band_id"], dtype=np.int64)
-        band_val = np.asarray(rows["band_val"], dtype=np.int64)
+        n = len(h)
+        ids = (b[id_col].combine_chunks()
+               if isinstance(b[id_col], pa.ChunkedArray) else b[id_col])
+        band_id = np.repeat(np.arange(4, dtype=np.int64), n)
+        band_val = np.concatenate(
+            [((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)).view(np.int64)
+             for band in range(4)])
         part = ((band_id * 65537 + band_val) % n_parts).astype(np.int32)
         return pa.table(
             {
                 "band_id": pa.array(band_id.astype(np.int32)),
                 "band_val": pa.array(band_val, pa.int64()),
-                id_col: pa.array(rows[id_col]),
-                "simhash64": pa.array(rows["simhash64"], pa.int64()),
+                id_col: pa.chunked_array([ids] * 4).combine_chunks(),
+                "simhash64": pa.array(np.tile(h.view(np.int64), 4),
+                                      pa.int64()),
                 "part": pa.array(part),
             }
         )
