@@ -123,3 +123,25 @@ def test_validate_ttl_rejects_shapeless_input(tmp_path):
     p.write_text("@prefix ex: <http://example.org/> .\n")
     with pytest.raises(ValueError, match="no applicable"):
         validate_ttl(REF_DATA, str(p))
+
+
+def test_parser_handles_all_reference_fixtures():
+    # shark_shapes.ttl exercises long literals ("""...""" SPARQL bodies),
+    # boolean literals (sh:uniqueLang true) and 6 prefixes
+    from xpshacl_ray.sources.ttl import load_turtle, sparql_constraints
+
+    counts = {}
+    for f in ["example_data", "example_shapes", "shark_shapes",
+              "xpshacl_ontology"]:
+        triples, prefixes = load_turtle(f"/root/reference/data/{f}.ttl")
+        counts[f] = len(triples)
+        assert len(triples) > 0 and len(prefixes) >= 2
+    assert counts["shark_shapes"] == 95
+    shark, _ = load_turtle("/root/reference/data/shark_shapes.ttl")
+    sparqls = sparql_constraints(shark)
+    assert len(sparqls) == 9
+    for c in sparqls:
+        assert "SELECT" in c["select"] and c["message"]
+    # boolean literal captured with xsd:boolean datatype
+    bools = [t for t in shark if t.datatype and t.datatype.endswith("boolean")]
+    assert bools and all(t.o in ("true", "false") for t in bools)

@@ -64,10 +64,12 @@ _TOKEN_RE = re.compile(
     | (?P<comment>\#[^\n]*)
     | (?P<prefix_kw>@prefix\b)
     | (?P<iriref><[^>]*>)
+    | (?P<longstring>\"{3}(?s:.*?)\"{3})
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<dtype_marker>\^\^)
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<number>[+-]?(?:\d+\.\d+|\d+))
+    | (?P<bool_kw>\btrue\b|\bfalse\b)
     | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[A-Za-z0-9_][\w.-]*|)
     | (?P<a_kw>\ba\b)
     | (?P<punct>[.;,\[\]()])
@@ -198,6 +200,26 @@ class _Parser:
 
     def _object(self, subj: str, pred: str) -> None:
         kind, m = self._peek()
+        if kind == "longstring":  # \"\"\"...\"\"\" — raw, newlines allowed
+            self._next()
+            lex = m.group("longstring")[3:-3]
+            dt, lang = None, None
+            nk, nm = self._peek()
+            if nk == "dtype_marker":
+                self._next()
+                dk, dm = self._next()
+                dt = (dm.group("iriref")[1:-1] if dk == "iriref"
+                      else self._resolve_pname(dm))
+            elif nk == "langtag":
+                self._next()
+                lang = nm.group("langtag")[1:]
+            self.triples.append(Triple(subj, pred, lex, "literal", dt, lang))
+            return
+        if kind == "bool_kw":
+            self._next()
+            self.triples.append(Triple(subj, pred, m.group("bool_kw"),
+                                       "literal", XSD + "boolean"))
+            return
         if kind == "string":
             self._next()
             lex = _unescape(m.group("string")[1:-1])
@@ -406,6 +428,31 @@ def shapes_to_specs(triples: List[Triple]):
                 focus_template="{subject}",
             )
     return specs
+
+
+def sparql_constraints(triples: List[Triple]) -> List[Dict[str, str]]:
+    """The reference's ``sh:sparql`` blocks surfaced as data: one dict per
+    block with ``shape``, ``message`` and the raw ``select`` string
+    (``shark_shapes.ttl:48-149``).  SPARQL itself is not executable on the
+    tabular engine — map each to a :class:`~xpshacl_ray.spec.SqlCheck`
+    SQL predicate over the pivoted entity/triples tables (the C19
+    constraint-as-data surface)."""
+    obj: Dict[Tuple[str, str], List[Triple]] = {}
+    for t in triples:
+        obj.setdefault((t.s, t.p), []).append(t)
+    out = []
+    for t in triples:
+        if t.p != SH_NS + "sparql":
+            continue
+        block = t.o
+        msg = obj.get((block, SH_NS + "message"))
+        sel = obj.get((block, SH_NS + "select"))
+        out.append({
+            "shape": t.s,
+            "message": msg[0].o if msg else "",
+            "select": sel[0].o if sel else "",
+        })
+    return out
 
 
 def run_ttl(
