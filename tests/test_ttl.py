@@ -145,3 +145,38 @@ def test_parser_handles_all_reference_fixtures():
     # boolean literal captured with xsd:boolean datatype
     bools = [t for t in shark if t.datatype and t.datatype.endswith("boolean")]
     assert bools and all(t.o in ("true", "false") for t in bools)
+
+
+def test_shark_shapes_against_reference_ontology(tmp_path):
+    # the reference's own ontology conforms to its own guideline shapes
+    # (every owl:Class/Property carries label + comment) — and a mutated
+    # copy with a dropped comment is caught
+    from xpshacl_ray.sources.ttl import load_turtle, shapes_to_specs
+
+    sh, _ = load_turtle("/root/reference/data/shark_shapes.ttl")
+    specs = shapes_to_specs(sh)
+    assert any(t.endswith("#Class") for t in specs)
+    conf = validate_ttl("/root/reference/data/xpshacl_ontology.ttl",
+                        "/root/reference/data/shark_shapes.ttl").to_pandas()
+    assert len(conf) == 0
+
+    src = open("/root/reference/data/xpshacl_ontology.ttl").read()
+    # drop one class's rdfs:comment line (keep the statement valid)
+    lines = src.splitlines()
+    out, dropped = [], False
+    for ln in lines:
+        if not dropped and "rdfs:comment" in ln:
+            dropped = True
+            if ln.rstrip().endswith("."):
+                # re-terminate the previous line's statement
+                out[-1] = out[-1].rstrip().rstrip(";") + " ."
+            continue
+        out.append(ln)
+    assert dropped
+    mut = tmp_path / "mut.ttl"
+    mut.write_text("\n".join(out))
+    viol = validate_ttl(str(mut),
+                        "/root/reference/data/shark_shapes.ttl").to_pandas()
+    assert len(viol) >= 1
+    assert (viol["property_path"] ==
+            "http://www.w3.org/2000/01/rdf-schema#comment").any()

@@ -370,8 +370,11 @@ def shapes_to_specs(triples: List[Triple]):
         return lst[0] if lst else None
 
     specs: Dict[str, ValidationSpec] = {}
+    # the reference's fixtures declare both `a sh:NodeShape` and the
+    # older `a sh:Shape` (shark_shapes.ttl:29) — accept either
     node_shapes = [t.s for t in triples
-                   if t.p == RDF_TYPE and t.o == SH_NS + "NodeShape"]
+                   if t.p == RDF_TYPE
+                   and t.o in (SH_NS + "NodeShape", SH_NS + "Shape")]
     for shape in node_shapes:
         tc = first(shape, SH_NS + "targetClass")
         if tc is None:
@@ -390,7 +393,10 @@ def shapes_to_specs(triples: List[Triple]):
                 constraints.append(
                     Required(column=col, shape_id=pshape,
                              treat_empty_string_as_null=False))
-            dt = first(pshape, SH_NS + "datatype")
+            # shark_shapes.ttl writes the nonstandard `sh:dataType`
+            # (capital T) — accept both spellings like the reference does
+            dt = (first(pshape, SH_NS + "datatype")
+                  or first(pshape, SH_NS + "dataType"))
             if dt is not None:
                 arrow = ("int64" if dt.o in _INT_TYPES
                          else "float64" if dt.o in _FLOAT_TYPES
