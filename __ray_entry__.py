@@ -207,6 +207,22 @@ _QUALITY_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
+
+def _money_cents(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
+    """Replace a cents-exact float column with int64 cents — sums become
+    exact integer arithmetic, so results are independent of summation
+    order (repartition/resume-stable) and bit-identical to fixed-point
+    oracle SQL (float sums drift ~1e-8 with order and can flip rounding
+    at a boundary — observed on pricing_summary at sf0.001)."""
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = np.round(
+            np.asarray(b[col], dtype=np.float64) * 100).astype(np.int64)
+        return b.set_column(b.schema.get_field_index(col), col, pa.array(c))
+
+    return ds.map_batches(to_cents, batch_format="pyarrow")
+
+
 def q_violations_documents(sf_dir: str):
     eng = ValidationEngine(_documents_spec())
     # prune at the read: only the columns the compiled spec touches
@@ -346,7 +362,15 @@ def q_quantiles_nchars(sf_dir: str):
 
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary: per-batch partial aggregation, one
-    small groupby over partials, averages derived from sums (G9 analog)."""
+    small groupby over partials, averages derived from sums (G9 analog).
+
+    All money math runs in EXACT integer space (prices are cent-exact,
+    discounts basis-point-exact in this data): per-row cents/bp integers,
+    int64 partial sums, integer half-away-from-zero rounding for derived
+    values.  This makes the result independent of summation order —
+    stable across repartitions/resumes and bit-identical to the DuckDB
+    oracle computing the same fixed-point formula (float sums drift by
+    ~1e-8 with order, which flips cent-boundary rounding)."""
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
@@ -357,14 +381,22 @@ def q_pricing_summary(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less_equal(b["l_shipdate"],
                                    pa.scalar(np.datetime64("1998-09-01", "us"))))
-        disc_price = pc.multiply(b["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        b = b.append_column("disc_price", disc_price)
-        agg = b.select(keys + ["l_quantity", "l_extendedprice", "disc_price",
-                               "l_discount"]).group_by(keys).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_discount", "sum"),
-             ([], "count_all")]
+        qty = np.round(np.asarray(b["l_quantity"], dtype=np.float64)
+                       ).astype(np.int64)
+        ep_c = np.round(np.asarray(b["l_extendedprice"], dtype=np.float64)
+                        * 100).astype(np.int64)
+        disc_bp = np.round(np.asarray(b["l_discount"], dtype=np.float64)
+                           * 100).astype(np.int64)
+        t = pa.table({
+            keys[0]: b[keys[0]], keys[1]: b[keys[1]],
+            "qty_i": pa.array(qty),
+            "ep_c": pa.array(ep_c),
+            "dp_e4": pa.array(ep_c * (100 - disc_bp)),
+            "disc_bp": pa.array(disc_bp),
+        })
+        agg = t.group_by(keys).aggregate(
+            [("qty_i", "sum"), ("ep_c", "sum"), ("dp_e4", "sum"),
+             ("disc_bp", "sum"), ([], "count_all")]
         )
         return agg.rename_columns(
             keys + ["s_qty", "s_price", "s_disc_price", "s_disc", "n"]
@@ -384,16 +416,21 @@ def q_pricing_summary(sf_dir: str):
         )
         .to_pandas()
     )
+    n = merged["count_order"].astype("int64")
+    t_qty = merged["t_qty"].astype("int64")
+    t_disc = merged["t_disc"].astype("int64")
     out = pd.DataFrame(
         {
             "l_returnflag": merged["l_returnflag"],
             "l_linestatus": merged["l_linestatus"],
-            "sum_qty": merged["t_qty"].round(2),
-            "sum_base_price": merged["t_price"].round(2),
-            "sum_disc_price": merged["t_disc_price"].round(2),
-            "avg_qty": (merged["t_qty"] / merged["count_order"]).round(4),
-            "avg_disc": (merged["t_disc"] / merged["count_order"]).round(4),
-            "count_order": merged["count_order"].astype("int64"),
+            "sum_qty": t_qty.astype("float64"),
+            "sum_base_price": merged["t_price"].astype("int64") / 100.0,
+            # integer half-away rounding of the e4 fixed-point sum
+            "sum_disc_price": ((merged["t_disc_price"].astype("int64") + 50)
+                               // 100) / 100.0,
+            "avg_qty": ((t_qty * 10_000 + n // 2) // n) / 10_000.0,
+            "avg_disc": ((t_disc * 100 + n // 2) // n) / 10_000.0,
+            "count_order": n,
         }
     )
     return out
@@ -415,15 +452,18 @@ def q_revenue_by_segment(sf_dir: str):
 
     def join_partial(b: pd.DataFrame) -> pd.DataFrame:
         # probe + combiner fused: the groupby shuffle then moves one partial
-        # row per (segment, batch) instead of every order row
+        # row per (segment, batch) instead of every order row; revenue in
+        # exact int64 cents (order-insensitive, see _money_cents)
         keys, segs = _ray.get(keys_ref), _ray.get(segs_ref)
         lk = b["o_custkey"].to_numpy()
         idx = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
         hit = keys[idx] == lk  # orphan FKs drop (inner join), never mis-map
-        b = b.loc[hit].assign(c_mktsegment=segs[idx][hit])
+        cents = np.round(
+            b["o_totalprice"].to_numpy()[hit] * 100).astype(np.int64)
+        b = pd.DataFrame({"c_mktsegment": segs[idx][hit], "p_rev": cents})
         return (
             b.groupby("c_mktsegment", sort=False)
-            .agg(p_rev=("o_totalprice", "sum"), p_n=("o_totalprice", "size"))
+            .agg(p_rev=("p_rev", "sum"), p_n=("p_rev", "size"))
             .reset_index()
         )
 
@@ -436,20 +476,22 @@ def q_revenue_by_segment(sf_dir: str):
                    Sum("p_n", alias_name="n_orders"))
         .to_pandas()
     )
-    merged["revenue"] = merged["revenue"].round(1)
+    cents = merged["revenue"].astype("int64")
+    merged["revenue"] = ((cents + 5) // 10) / 10.0  # half-away round(1)
     merged["n_orders"] = merged["n_orders"].astype("int64")
     return merged
 
 
 def q_topk_users(sf_dir: str):
     """Top-10 users by total event value (groupby + sort + limit)."""
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["user_id", "value"])
+    ev = _money_cents(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["user_id", "value"]), "value")
     from ray.data.aggregate import Sum
 
     totals = ev.groupby("user_id").aggregate(
         Sum("value", alias_name="total_value")).to_pandas()
-    totals["total_value"] = totals["total_value"].round(2)
+    totals["total_value"] = totals["total_value"].astype("int64") / 100.0
     totals = totals.sort_values(["total_value", "user_id"],
                                 ascending=[False, True]).head(10)
     return totals.reset_index(drop=True)
@@ -457,10 +499,12 @@ def q_topk_users(sf_dir: str):
 
 def q_window_hourly(sf_dir: str):
     """Tumbling-window aggregate over the event log."""
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "ts", "value"])
+    ev = _money_cents(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "ts", "value"]), "value")
     out = tumbling_aggregate(ev, ["event_type"], "value", unit="hour").to_pandas()
-    out["sum_value"] = out["sum_value"].round(2)
+    out["sum_value"] = out["sum_value"].astype("int64") / 100.0
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
     out["n_events"] = out["n_events"].astype("int64")
     return out
 
@@ -469,11 +513,13 @@ def q_rolling_window(sf_dir: str):
     """Sliding window: 15-min buckets + 2-bucket rolling sum per type."""
     from xpshacl_ray.stages.window import rolling_window_aggregate
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "ts", "value"])
+    ev = _money_cents(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "ts", "value"]), "value")
     out = rolling_window_aggregate(ev, ["event_type"], "value").to_pandas()
-    out["bucket_sum"] = out["bucket_sum"].round(2)
-    out["rolling_sum"] = out["rolling_sum"].round(2)
+    out["bucket_sum"] = out["bucket_sum"].astype("int64") / 100.0
+    out["rolling_sum"] = out["rolling_sum"].astype("int64") / 100.0
+    out["bucket_start"] = out["bucket_start"].astype("datetime64[us]")
     out["n_events"] = out["n_events"].astype("int64")
     out["rolling_n"] = out["rolling_n"].astype("int64")
     return out
@@ -481,8 +527,10 @@ def q_rolling_window(sf_dir: str):
 
 def q_topk_per_group(sf_dir: str):
     """Top-2 users by total value per event type (grouped top-k)."""
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
-                               columns=["event_type", "user_id", "value"])
+    ev = _money_cents(
+        ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_type", "user_id", "value"]),
+        "value")
 
     def partial(b: pa.Table) -> pa.Table:
         agg = b.group_by(["event_type", "user_id"]).aggregate(
@@ -498,7 +546,7 @@ def q_topk_per_group(sf_dir: str):
     )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(total_value=g["total_value"].round(2))
+        g = g.assign(total_value=g["total_value"].astype("int64") / 100.0)
         g = g.sort_values(["total_value", "user_id"],
                           ascending=[False, True]).head(2)
         g["rnk"] = np.arange(1, len(g) + 1, dtype="int64")
@@ -986,36 +1034,52 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.9), 4) AS p90
             FROM documents GROUP BY lang
         """,
+        # exact fixed-point arithmetic mirroring the engine: cent/bp
+        # integers per row, int64 sums, integer half-away rounding —
+        # order-insensitive on both sides (float sums drift ~1e-8 with
+        # summation order and flip cent-boundary rounding)
         "pricing_summary": """
+            WITH f AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(round(l_quantity) AS BIGINT) AS qty_i,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+                       CAST(round(l_discount * 100) AS BIGINT) AS disc_bp
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            )
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS sum_disc_price,
-                   round(sum(l_quantity) / count(*), 4) AS avg_qty,
-                   round(sum(l_discount) / count(*), 4) AS avg_disc,
+                   CAST(sum(qty_i) AS DOUBLE) AS sum_qty,
+                   CAST(sum(ep_c) AS DOUBLE) / 100 AS sum_base_price,
+                   CAST((sum(ep_c * (100 - disc_bp)) + 50) // 100 AS DOUBLE)
+                       / 100 AS sum_disc_price,
+                   CAST((sum(qty_i) * 10000 + count(*) // 2) // count(*)
+                        AS DOUBLE) / 10000 AS avg_qty,
+                   CAST((sum(disc_bp) * 100 + count(*) // 2) // count(*)
+                        AS DOUBLE) / 10000 AS avg_disc,
                    count(*) AS count_order
-            FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-            GROUP BY l_returnflag, l_linestatus
+            FROM f GROUP BY l_returnflag, l_linestatus
         """,
         "revenue_by_segment": """
             SELECT c_mktsegment,
-                   round(sum(o_totalprice), 1) AS revenue,
+                   CAST((sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 5)
+                        // 10 AS DOUBLE) / 10 AS revenue,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
         "topk_users": """
-            SELECT user_id, round(sum(value), 2) AS total_value
+            SELECT user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100 AS total_value
             FROM events GROUP BY user_id
-            ORDER BY round(sum(value), 2) DESC, user_id
+            ORDER BY total_value DESC, user_id
             LIMIT 10
         """,
         "window_hourly": """
             SELECT event_type, date_trunc('hour', ts) AS window_start,
                    count(*) AS n_events,
-                   round(sum(value), 2) AS sum_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100 AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "rolling_window": """
@@ -1023,12 +1087,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_type,
                        time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
                        count(*) AS n_events,
-                       round(sum(value), 2) AS bucket_sum,
-                       sum(value) AS raw_sum
+                       sum(CAST(round(value * 100) AS BIGINT)) AS cents
                 FROM events GROUP BY 1, 2
             )
-            SELECT event_type, bucket_start, n_events, bucket_sum,
-                   round(sum(raw_sum) OVER w, 2) AS rolling_sum,
+            SELECT event_type, bucket_start, n_events,
+                   CAST(cents AS DOUBLE) / 100 AS bucket_sum,
+                   CAST(sum(cents) OVER w AS DOUBLE) / 100 AS rolling_sum,
                    CAST(sum(n_events) OVER w AS BIGINT) AS rolling_n
             FROM buckets
             WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start
@@ -1037,7 +1101,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_per_group": """
             WITH totals AS (
                 SELECT event_type, user_id,
-                       round(sum(value), 2) AS total_value
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                           / 100 AS total_value
                 FROM events GROUP BY 1, 2
             )
             SELECT event_type, user_id, total_value, rnk FROM (
