@@ -180,3 +180,39 @@ def test_shark_shapes_against_reference_ontology(tmp_path):
     assert len(viol) >= 1
     assert (viol["property_path"] ==
             "http://www.w3.org/2000/01/rdf-schema#comment").any()
+
+
+def test_unique_lang_over_triples(tmp_path):
+    # shark shapes declare sh:uniqueLang true on rdfs:label/comment —
+    # evaluated over the TRIPLES table (multi-valued lang-tagged literals)
+    from xpshacl_ray.sources.ttl import (
+        load_turtle,
+        unique_lang_constraints,
+        validate_unique_lang,
+    )
+
+    sh, _ = load_turtle("/root/reference/data/shark_shapes.ttl")
+    pairs = unique_lang_constraints(sh)
+    assert ("http://www.w3.org/2002/07/owl#Class",
+            "http://www.w3.org/2000/01/rdf-schema#label") in pairs
+
+    # the reference ontology itself conforms (one label per lang)
+    ont, _ = load_turtle("/root/reference/data/xpshacl_ontology.ttl")
+    viol = validate_unique_lang(ont, sh)
+    assert viol is None or viol.count() == 0
+
+    # a class with TWO @en labels is caught
+    bad = tmp_path / "bad.ttl"
+    bad.write_text("""@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix ex: <http://example.org/> .
+ex:Thing a owl:Class ;
+    rdfs:label "Thing"@en , "Thingy"@en , "Ding"@de ;
+    rdfs:comment "A thing."@en .
+""")
+    bad_triples, _ = load_turtle(str(bad))
+    viol = validate_unique_lang(bad_triples, sh)
+    rows = viol.to_pandas()
+    assert len(rows) == 1
+    assert "UniqueLang" in rows["constraint_id"].iloc[0]
+    assert "http://example.org/Thing" in rows["focus_node"].iloc[0]

@@ -436,6 +436,77 @@ def shapes_to_specs(triples: List[Triple]):
     return specs
 
 
+def unique_lang_constraints(triples: List[Triple]):
+    """``sh:uniqueLang true`` property shapes (shark_shapes.ttl) →
+    [(target_class, predicate)] — evaluated over the TRIPLES table (the
+    entity pivot keeps only first values, so multi-valued lang-tagged
+    literals need the long form)."""
+    obj: Dict[Tuple[str, str], List[Triple]] = {}
+    for t in triples:
+        obj.setdefault((t.s, t.p), []).append(t)
+
+    def first(s, p):
+        lst = obj.get((s, p))
+        return lst[0] if lst else None
+
+    out = []
+    for t in triples:
+        if t.p != RDF_TYPE or t.o not in (SH_NS + "NodeShape",
+                                          SH_NS + "Shape"):
+            continue
+        tc = first(t.s, SH_NS + "targetClass")
+        if tc is None:
+            continue
+        for pt in obj.get((t.s, SH_NS + "property"), []):
+            path_t = first(pt.o, SH_NS + "path")
+            ul = first(pt.o, SH_NS + "uniqueLang")
+            if path_t is not None and ul is not None and ul.o == "true":
+                out.append((tc.o, path_t.o))
+    return out
+
+
+def validate_unique_lang(data_triples: List[Triple],
+                         shape_triples: List[Triple]):
+    """C11 over Turtle input: for every ``sh:uniqueLang true`` property
+    shape, flag subjects of the target class carrying >1 value of the
+    predicate with the SAME language tag.  Runs the engine's grouped
+    UniqueLang constraint over the triples table (per-batch combiner +
+    small groupby — the long-form path the entity pivot can't express)."""
+    import ray.data
+
+    from ..pipelines.validate import ValidationEngine
+    from ..spec import UniqueLang, ValidationSpec
+
+    pairs = unique_lang_constraints(shape_triples)
+    types: Dict[str, set] = {}
+    for t in data_triples:
+        if t.p == RDF_TYPE:
+            types.setdefault(t.s, set()).add(t.o)
+    parts = []
+    for target_class, pred in sorted(set(pairs)):
+        rows = [
+            {"subject": t.s, "object": t.o, "lang": t.lang or ""}
+            for t in data_triples
+            if t.p == pred and target_class in types.get(t.s, ())
+        ]
+        if not rows:
+            continue
+        ds = ray.data.from_items(rows)
+        spec = ValidationSpec(
+            constraints=[UniqueLang(column="object", group_by=["subject"],
+                                    lang_column="lang", shape_id=pred)],
+            id_columns=[],
+            focus_template="{subject}",
+        )
+        parts.append(ValidationEngine(spec).validate(ds))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def sparql_constraints(triples: List[Triple]) -> List[Dict[str, str]]:
     """The reference's ``sh:sparql`` blocks surfaced as data: one dict per
     block with ``shape``, ``message`` and the raw ``select`` string
