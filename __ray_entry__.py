@@ -208,16 +208,27 @@ _QUALITY_SQL = f"""
 
 
 
+def _to_scaled_int(x: np.ndarray, scale: float) -> np.ndarray:
+    """float → int64 at ``scale`` with HALF-AWAY-FROM-ZERO rounding —
+    matching DuckDB's round(), NOT numpy's half-to-even (1.125*100 =
+    112.5 exactly: np.round → 112, DuckDB → 113).  NaN/None contribute 0,
+    matching SQL SUM's ignore-NULL semantics."""
+    v = np.where(np.isnan(x), 0.0, x) * scale
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+
+
 def _money_cents(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
     """Replace a cents-exact float column with int64 cents — sums become
     exact integer arithmetic, so results are independent of summation
     order (repartition/resume-stable) and bit-identical to fixed-point
     oracle SQL (float sums drift ~1e-8 with order and can flip rounding
-    at a boundary — observed on pricing_summary at sf0.001)."""
+    at a boundary — observed on pricing_summary at sf0.001).  Rounding is
+    half-away (DuckDB round()) and nulls contribute 0 (SQL SUM)."""
 
     def to_cents(b: pa.Table) -> pa.Table:
-        c = np.round(
-            np.asarray(b[col], dtype=np.float64) * 100).astype(np.int64)
+        x = np.asarray(
+            pc.cast(b[col], pa.float64()).to_numpy(zero_copy_only=False))
+        c = _to_scaled_int(x, 100)
         return b.set_column(b.schema.get_field_index(col), col, pa.array(c))
 
     return ds.map_batches(to_cents, batch_format="pyarrow")
@@ -381,12 +392,12 @@ def q_pricing_summary(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less_equal(b["l_shipdate"],
                                    pa.scalar(np.datetime64("1998-09-01", "us"))))
-        qty = np.round(np.asarray(b["l_quantity"], dtype=np.float64)
-                       ).astype(np.int64)
-        ep_c = np.round(np.asarray(b["l_extendedprice"], dtype=np.float64)
-                        * 100).astype(np.int64)
-        disc_bp = np.round(np.asarray(b["l_discount"], dtype=np.float64)
-                           * 100).astype(np.int64)
+        qty = _to_scaled_int(
+            np.asarray(b["l_quantity"], dtype=np.float64), 1)
+        ep_c = _to_scaled_int(
+            np.asarray(b["l_extendedprice"], dtype=np.float64), 100)
+        disc_bp = _to_scaled_int(
+            np.asarray(b["l_discount"], dtype=np.float64), 100)
         t = pa.table({
             keys[0]: b[keys[0]], keys[1]: b[keys[1]],
             "qty_i": pa.array(qty),
@@ -458,8 +469,7 @@ def q_revenue_by_segment(sf_dir: str):
         lk = b["o_custkey"].to_numpy()
         idx = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
         hit = keys[idx] == lk  # orphan FKs drop (inner join), never mis-map
-        cents = np.round(
-            b["o_totalprice"].to_numpy()[hit] * 100).astype(np.int64)
+        cents = _to_scaled_int(b["o_totalprice"].to_numpy()[hit], 100)
         b = pd.DataFrame({"c_mktsegment": segs[idx][hit], "p_rev": cents})
         return (
             b.groupby("c_mktsegment", sort=False)

@@ -1,0 +1,88 @@
+"""Regression tests for the round-2 code-review findings."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+import __ray_entry__ as entrymod
+from xpshacl_ray.functions.dedup import cluster_labels_distributed
+from xpshacl_ray.functions.similarity import train_centroids
+from xpshacl_ray.sources.ttl import parse_turtle, validate_ttl
+from xpshacl_ray.stages.multimodal import MediaDecoder, make_real_media_table
+
+
+def test_ttl_numeric_bound_with_absent_predicate(tmp_path):
+    # no Person carries hasAge: the MinCount violation must be REPORTED,
+    # not crash on a string-null column under a numeric bound
+    data = tmp_path / "d.ttl"
+    data.write_text("""@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:hasName "A" .
+""")
+    shapes = tmp_path / "s.ttl"
+    shapes.write_text("""@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:PersonShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [ sh:path ex:hasAge ; sh:minCount 1 ;
+                  sh:minInclusive 0 ] .
+""")
+    viol = validate_ttl(str(data), str(shapes)).to_pandas()
+    assert len(viol) == 1
+    assert viol["constraint_id"].iloc[0].endswith(
+        "MinCountConstraintComponent")
+
+
+def test_numeric_bound_on_string_column_flags_unparseable():
+    # untyped Turtle literals hydrate as strings: non-numeric values under
+    # a numeric bound are not comparable -> violation (pyshacl semantics)
+    from xpshacl_ray import MinInclusive, ValidationEngine, ValidationSpec
+
+    t = pa.table({"id": [1, 2, 3, 4],
+                  "x": ["5", "-2", "abc", None]})
+    spec = ValidationSpec(
+        constraints=[MinInclusive(column="x", bound=0)],
+        id_columns=["id"], focus_template="r:{id}")
+    out = ValidationEngine(spec).validate(ray.data.from_arrow(t)).to_pandas()
+    assert sorted(out["id"]) == [2, 3]  # -2 below bound, abc unparseable
+
+
+def test_pname_trailing_dot_is_statement_terminator():
+    triples, _ = parse_turtle(
+        "@prefix ex: <http://example.org/> .\nex:r1 a ex:Person.")
+    assert len(triples) == 1
+    assert triples[0].o == "http://example.org/Person"
+
+
+def test_scaled_int_rounds_half_away_and_zeroes_nan():
+    x = np.array([1.125, -1.125, float("nan"), 2.0])
+    got = entrymod._to_scaled_int(x, 100)
+    # DuckDB round(): half away from zero; NULL contributes 0 like SQL SUM
+    assert got.tolist() == [113, -113, 0, 200]
+
+
+def test_cluster_labels_distributed_empty_pairs_fast():
+    import pandas as pd
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                      "id_b": pd.Series(dtype="int64")}))
+    out = cluster_labels_distributed(empty)
+    assert out.count() == 0
+
+
+def test_media_decoder_empty_batch():
+    t = make_real_media_table(4).slice(0, 0)
+    out = MediaDecoder()(t)
+    assert len(out) == 0
+    assert out.column_names == ["media_id", "mime", "features"]
+
+
+def test_train_centroids_without_id_column(sf_dir):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    no_id = emb.select_columns(["embedding"])
+    cent = train_centroids(no_id, n_centroids=4, iters=3)
+    assert cent.shape[0] == 4
+    # deterministic across block layouts
+    cent2 = train_centroids(no_id.repartition(7), n_centroids=4, iters=3)
+    assert np.allclose(cent, cent2)

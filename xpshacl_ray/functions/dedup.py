@@ -436,6 +436,10 @@ def cluster_labels_distributed(
                          "dst": pa.chunked_array([c, a]).combine_chunks()})
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:  # no pairs → no components; Sum() on an empty
+        # dataset returns None, which would defeat the convergence check
+        return ray.data.from_arrow(pa.schema(
+            [("node", pa.int64()), ("label", pa.int64())]).empty_table())
     # init: label(node) = node
     labels = (
         edges.groupby("src").aggregate(Min("dst", alias_name="nbr_min"))
@@ -449,7 +453,7 @@ def cluster_labels_distributed(
     prev_sum = None
     for _ in range(max_rounds):
         cur = labels.sum("label")
-        if prev_sum is not None and cur == prev_sum:
+        if cur is None or (prev_sum is not None and cur == prev_sum):
             break
         prev_sum = cur
 
@@ -688,13 +692,17 @@ def verify_pairs_ngram(
     """
     schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
                         ("jaccard", pa.float64())])
+    # candidates usually arrive as the UNMATERIALIZED LSH pipeline —
+    # pin them once so count / Bloom build / join don't re-run the
+    # signature+shuffle stages (pairs are small relative to the corpus)
+    pairs = pairs.materialize()
     n_pairs = pairs.count()
     if n_pairs == 0:
         return ray.data.from_arrow(schema.empty_table())
 
     if n_pairs > broadcast_limit:
-        return _verify_pairs_ngram_join(ds, pairs, threshold, n, id_col,
-                                        text_col, schema)
+        return _verify_pairs_ngram_join(ds, pairs, n_pairs, threshold, n,
+                                        id_col, text_col, schema)
 
     import ray as _ray
 
@@ -725,8 +733,8 @@ def verify_pairs_ngram(
     return ray.data.from_arrow(pa.Table.from_pylist(out, schema=schema))
 
 
-def _verify_pairs_ngram_join(ds, pairs, threshold, n, id_col, text_col,
-                             schema) -> "ray.data.Dataset":
+def _verify_pairs_ngram_join(ds, pairs, n_pairs, threshold, n, id_col,
+                             text_col, schema) -> "ray.data.Dataset":
     """Join path: two bucketed hash joins attach both texts, then the exact
     Jaccard kernel runs per batch.  Before the exchange, the text table is
     pruned with a Bloom filter of the candidate ids (built distributed,
@@ -739,7 +747,6 @@ def _verify_pairs_ngram_join(ds, pairs, threshold, n, id_col, text_col,
     from ..stages.referential import bloom_keys
     from .joins import hash_join
 
-    n_pairs = pairs.count()
     bloom = bloom_keys(
         pairs.select_columns(["id_a"]).union(
             pairs.map_batches(

@@ -28,6 +28,34 @@ import ray.data
 from .sketches import hash64
 
 
+def schema_empty_pdf(sch) -> pd.DataFrame:
+    """Empty pandas frame with the REAL dtypes of a Ray/Arrow schema.
+
+    Ray Schema types are Arrow DataTypes for Arrow blocks but numpy
+    dtypes for pandas blocks — handle both.  Used by every mixed-schema
+    bucket task (hash_join, curate's anti-join): a bucket holding only
+    one side must not emit object-dtype columns that poison the unioned
+    block schema."""
+    cols = {}
+    for nm, t in zip(sch.names, sch.types):
+        dt = t.to_pandas_dtype() if isinstance(t, pa.DataType) else t
+        cols[nm] = pd.Series(dtype=dt)
+    return pd.DataFrame(cols)
+
+
+def restore_dtypes(df: pd.DataFrame, template: pd.DataFrame) -> pd.DataFrame:
+    """Cast columns back to the template's dtypes where possible — group
+    frames over a mixed-schema union widen int64 → float64 via NaN fill
+    on the absent side's columns."""
+    for c in df.columns:
+        if c in template.columns and df[c].dtype != template[c].dtype:
+            try:
+                df[c] = df[c].astype(template[c].dtype)
+            except (ValueError, TypeError):
+                pass
+    return df
+
+
 def broadcast_join(
     left: "ray.data.Dataset",
     right_df: pd.DataFrame,
@@ -106,21 +134,9 @@ def hash_join(
     both = lt.union(rt)
     lsch, rsch = left.schema(), right.schema()
     lcols, rcols = lsch.names, rsch.names
-
-    def _empty_pdf(sch) -> pd.DataFrame:
-        # Ray Schema types are Arrow DataTypes for Arrow blocks but numpy
-        # dtypes for pandas blocks — handle both
-        cols = {}
-        for nm, t in zip(sch.names, sch.types):
-            dt = t.to_pandas_dtype() if isinstance(t, pa.DataType) else t
-            cols[nm] = pd.Series(dtype=dt)
-        return pd.DataFrame(cols)
-
-    # canonical empty output with the REAL dtypes: a bucket holding only
-    # one side must not emit object-dtype columns that poison the unioned
-    # block schema (same pitfall asof_join documents)
-    empty_out = _empty_pdf(lsch).merge(_empty_pdf(rsch), on=key, how="inner",
-                                       suffixes=("", right_suffix))
+    empty_out = schema_empty_pdf(lsch).merge(
+        schema_empty_pdf(rsch), on=key, how="inner",
+        suffixes=("", right_suffix))
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lmask = g["__side__"] == "l"
@@ -132,15 +148,7 @@ def hash_join(
         out = lpart.merge(rpart, on=key, how=how, suffixes=("", right_suffix))
         if out.empty:
             return empty_out.copy()
-        # restore dtypes a mixed-schema group frame may have widened
-        # (int64 → float64 via NaN fill on the absent side's columns)
-        for c in out.columns:
-            if c in empty_out.columns and out[c].dtype != empty_out[c].dtype:
-                try:
-                    out[c] = out[c].astype(empty_out[c].dtype)
-                except (ValueError, TypeError):
-                    pass
-        return out
+        return restore_dtypes(out, empty_out)
 
     return both.groupby("__bucket__").map_groups(join_bucket,
                                                  batch_format="pandas")

@@ -131,20 +131,32 @@ def train_centroids(
     The sample is DETERMINISTIC — ``md5(id) % 100 < fraction*100`` — never
     ``random_sample``, which depends on block layout: the trained index must
     be reproducible across runs, resumes and repartitionings (same policy
-    as ``functions.sampling``)."""
+    as ``functions.sampling``).  Datasets without an ``id_col`` fall back
+    to hashing the vector bytes themselves (equally layout-stable)."""
     from .sampling import md5_bucket
 
     pct = max(1, int(round(sample_fraction * 100)))
+    has_id = id_col in ds.schema().names
+
+    def _keys(b: pa.Table) -> list:
+        if has_id:
+            return [str(v) for v in b[id_col].to_pylist()]
+        return [
+            np.asarray(v, dtype=np.float64).tobytes().hex()
+            for v in b[vec_col].to_pylist()
+        ]
 
     def keep_sampled(b: pa.Table) -> pa.Table:
-        ids = [str(v) for v in b[id_col].to_pylist()]
-        mask = md5_bucket(ids, 100) < pct
+        mask = md5_bucket(_keys(b), 100) < pct
         return b.filter(pa.array(mask))
 
     sample = ds.map_batches(keep_sampled, batch_format="pyarrow").take_all()
     if len(sample) < n_centroids:
         sample = ds.take_all()
-    sample.sort(key=lambda r: r[id_col])  # order-stable across block layouts
+    sort_key = ((lambda r: r[id_col]) if has_id else
+                (lambda r: np.asarray(r[vec_col],
+                                      dtype=np.float64).tobytes()))
+    sample.sort(key=sort_key)  # order-stable across block layouts
     mat = _normalize(
         np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample])
     )

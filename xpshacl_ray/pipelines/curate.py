@@ -110,17 +110,13 @@ def _drop_ids_anti_join(ds: "ray.data.Dataset",
         return t.append_column("__part__", pa.array(h)).append_column(
             "__drop__", pa.array(np.ones(len(b), dtype=bool)))
 
+    from ..functions.joins import restore_dtypes, schema_empty_pdf
+
     sch = ds.schema()
     row_cols = sch.names
-    # canonical empty frame with real dtypes: a bucket holding only drop
-    # rows must not emit object-dtype columns (same pitfall hash_join
-    # handles); group frames over a mixed-schema union may also widen
-    # int64 → float64 via NaN fill, so dtypes are restored on the way out
-    empty_rows = pd.DataFrame({
-        n: pd.Series(dtype=(t.to_pandas_dtype()
-                            if isinstance(t, pa.DataType) else t))
-        for n, t in zip(sch.names, sch.types)
-    })
+    # shared mixed-schema bucket machinery with hash_join: typed empty
+    # frames + dtype restore (see joins.schema_empty_pdf docstring)
+    empty_rows = schema_empty_pdf(sch)
 
     def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
         is_drop = g["__drop__"].fillna(False).astype(bool)
@@ -131,13 +127,7 @@ def _drop_ids_anti_join(ds: "ray.data.Dataset",
         keep = rows[~rows[cfg.id_col].isin(bad)].reindex(columns=row_cols)
         if keep.empty:
             return empty_rows.copy()
-        for c in keep.columns:
-            if keep[c].dtype != empty_rows[c].dtype:
-                try:
-                    keep[c] = keep[c].astype(empty_rows[c].dtype)
-                except (ValueError, TypeError):
-                    pass
-        return keep
+        return restore_dtypes(keep, empty_rows)
 
     tagged = ds.map_batches(tag_rows, batch_format="pyarrow").union(
         drop_ids.map_batches(tag_drops, batch_format="pyarrow"))
@@ -202,11 +192,13 @@ def curate(
 
     n_near = n_exact
     if cfg.near_dup_jaccard is not None:
+        # pin the candidate pairs once: the count (strategy choice) and the
+        # consumption below must not re-run the LSH signature+shuffle
         pairs = minhash_lsh_candidates(
             deduped, jaccard_threshold=cfg.near_dup_jaccard,
             id_col=cfg.id_col, text_col=cfg.text_col,
             concurrency=cfg.concurrency,
-        )
+        ).materialize()
         n_pairs = pairs.count()
         if strategy == "join" or n_pairs > cfg.auto_join_threshold:
             # anti-join path: no broadcast — drop-ids co-partition with

@@ -70,7 +70,7 @@ _TOKEN_RE = re.compile(
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<number>[+-]?(?:\d+\.\d+|\d+))
     | (?P<bool_kw>\btrue\b|\bfalse\b)
-    | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[A-Za-z0-9_][\w.-]*|)
+    | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[A-Za-z0-9_](?:[\w.-]*[\w-])?|)
     | (?P<a_kw>\ba\b)
     | (?P<punct>[.;,\[\]()])
     """,
@@ -594,9 +594,18 @@ def validate_ttl(data_path: str, shapes_path: str):
             continue
         have = set(table.column_names)
         needed = {c.column for c in spec.constraints}
-        for col in sorted(needed - have):  # absent predicate = all-null col
-            table = table.append_column(
-                col, pa.nulls(table.num_rows, pa.string()))
+        # absent predicate = all-null column, typed to what the column's
+        # constraints expect (a string null column under a numeric bound
+        # crashes the Arrow comparison kernel instead of reporting the
+        # MinCount violation)
+        numeric_cols = set()
+        for c in spec.constraints:
+            if (hasattr(c, "bound")
+                    or getattr(c, "datatype", None) in ("int64", "float64")):
+                numeric_cols.add(c.column)
+        for col in sorted(needed - have):
+            typ = pa.float64() if col in numeric_cols else pa.string()
+            table = table.append_column(col, pa.nulls(table.num_rows, typ))
         eng = ValidationEngine(spec)
         parts.append(eng.validate(ray.data.from_arrow(table)))
     if not parts:

@@ -233,7 +233,26 @@ class MaxLength(Constraint):
 
 
 def _bound_mask(col, op, bound):
-    return pc.fill_null(pc.invert(op(col, bound)), False)
+    try:
+        return pc.fill_null(pc.invert(op(col, bound)), False)
+    except (pa.ArrowNotImplementedError, pa.ArrowInvalid):
+        # non-numeric column under a numeric bound (e.g. untyped Turtle
+        # literals hydrated as strings): a value that doesn't parse as a
+        # number is not comparable → violation (pyshacl semantics);
+        # parsed values compare normally.  Cold path, per-value probe.
+        vals = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col).to_pylist()
+        parsed, unparseable = [], []
+        for v in vals:
+            try:
+                parsed.append(None if v is None else float(v))
+                unparseable.append(False)
+            except (TypeError, ValueError):
+                parsed.append(None)
+                unparseable.append(v is not None)
+        arr = pa.array(parsed, pa.float64())
+        cmp_bad = pc.fill_null(pc.invert(op(arr, float(bound))), False)
+        return pc.or_(cmp_bad, pa.array(unparseable))
 
 
 @dataclass

@@ -272,6 +272,13 @@ class MediaDecoder:
             "natively; PNG/JPEG/MP3/video need PIL/torchaudio/decord here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # empty blocks happen downstream of filters
+            return pa.table({
+                "media_id": batch["media_id"],
+                "mime": batch["mime"],
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.float64()), self.FEATURE_DIM),
+            })
         feats = [
             self._decode_one(m, p)
             for m, p in zip(batch["mime"].to_pylist(),
@@ -314,6 +321,13 @@ class DecodeStub:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # empty blocks happen downstream of filters
+            return pa.table({
+                "media_id": batch["media_id"],
+                "mime": batch["mime"],
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.float64()), self.FEATURE_DIM),
+            })
         feats = [self._decode_one(p) for p in batch["payload"].to_pylist()]
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(np.concatenate(feats), pa.float64()), self.FEATURE_DIM
