@@ -105,3 +105,20 @@ def test_sqlcheck_equals_python_predicate():
     out = ValidationEngine(spec).validate(ray.data.from_arrow(t)).to_pandas()
     xs = np.asarray(t["x"])
     assert sorted(out["id"]) == [int(i) for i in np.flatnonzero(xs * xs > 900)]
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=20))
+def test_scaled_int_matches_duckdb_round(xs):
+    import duckdb
+
+    import __ray_entry__ as entrymod
+
+    got = entrymod._to_scaled_int(np.array(xs), 100)
+    con = duckdb.connect()
+    for x, g in zip(xs, got):
+        want = con.execute(
+            "SELECT CAST(round(? * 100) AS BIGINT)", [x]).fetchone()[0]
+        assert int(g) == want, (x, int(g), want)
