@@ -104,3 +104,47 @@ def test_estimate_group_count_no_shuffle(docs_ds):
     est2 = estimate_group_count(docs_ds, ["source", "lang"])
     exact = docs_ds.to_pandas().groupby(["source", "lang"]).ngroups
     assert abs(est2 - exact) / exact < 0.05
+
+
+def test_merge_sketch_tables_incremental_reference(sf_dir):
+    """Profile(full) == merge(profile(half A), profile(half B)) — the
+    incremental-reference-maintenance property: sketches merge across
+    RUNS, not just within one."""
+    import pandas as pd
+
+    from xpshacl_ray.stages.stats import (
+        StatsConfig,
+        finalize_stats,
+        merge_sketch_tables,
+        sketch_rows,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    cfg = StatsConfig(group_keys=["lang"], numeric_cols=["n_chars"],
+                      categorical_cols=["source"], distinct_cols=["doc_id"])
+    full = sketch_rows(docs, cfg, concurrency=2).to_pandas()
+    import pyarrow.compute as _pc
+
+    def _half(rem):
+        return docs.map_batches(
+            lambda t, rem=rem: t.filter(
+                _pc.equal(_pc.bit_wise_and(t["doc_id"], 1), rem)),
+            batch_format="pyarrow")
+
+    a = sketch_rows(_half(0), cfg, concurrency=2).to_pandas()
+    b = sketch_rows(_half(1), cfg, concurrency=2).to_pandas()
+    merged = merge_sketch_tables([a, b], cfg)
+
+    f_full = finalize_stats(full, cfg).set_index("lang").sort_index()
+    f_merged = finalize_stats(merged, cfg).set_index("lang").sort_index()
+    assert f_full.index.equals(f_merged.index)
+    for col in ["n_rows", "n_chars_nulls", "n_chars_min", "n_chars_max",
+                "doc_id_distinct_est"]:
+        assert (f_full[col] == f_merged[col]).all(), col
+    # histogram merge is exact
+    assert (f_full["source_histogram"] == f_merged["source_histogram"]).all()
+    # t-digest quantiles agree within sketch tolerance
+    import numpy as np
+
+    assert np.allclose(f_full["n_chars_p50"], f_merged["n_chars_p50"],
+                       rtol=0.05)

@@ -266,6 +266,27 @@ def profile(
     return finalize_stats(sk.to_pandas(), cfg)
 
 
+def merge_sketch_tables(frames: List[pd.DataFrame],
+                        cfg: StatsConfig) -> pd.DataFrame:
+    """Merge sketch-row tables from SEPARATE runs into one profile.
+
+    Sketches are mergeable, so a reference profile can be maintained
+    incrementally: profile yesterday's partitions, merge with the running
+    reference, drift-check today against it — no re-scan of history.
+    Driver-side pandas: sketch tables are one small row per group."""
+    frames = [f for f in frames if f is not None and len(f)]
+    if not frames:
+        raise ValueError("no sketch tables to merge")
+    allrows = pd.concat(frames, ignore_index=True)
+    if not cfg.group_keys:
+        return _merge_partials(allrows, cfg)
+    out = []
+    for _, g in allrows.groupby(list(cfg.group_keys), sort=False,
+                                dropna=False):
+        out.append(_merge_partials(g, cfg))
+    return pd.concat(out, ignore_index=True)
+
+
 # ---------------------------------------------------------------------------
 # Drift: compare a profile's sketches against a reference profile
 # ---------------------------------------------------------------------------
