@@ -194,7 +194,27 @@ def run_resumable(
         shutil.rmtree(tmp_dir, ignore_errors=True)
         shutil.rmtree(final_dir, ignore_errors=True)
         ds.write_parquet(tmp_dir)
-        rows_out = ray.data.read_parquet(tmp_dir).count()
+        # a zero-row result writes NOTHING (not even the directory) —
+        # a fully-conforming shard must still produce a resumable,
+        # schema-stable partition (empty parquet), not a read crash
+        os.makedirs(tmp_dir, exist_ok=True)
+        has_files = any(n.endswith(".parquet") for n in os.listdir(tmp_dir))
+        if has_files:
+            rows_out = ray.data.read_parquet(tmp_dir).count()
+        else:
+            rows_out = 0
+            sch = ds.schema(fetch_if_missing=True)
+            if sch is not None:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+
+                try:
+                    empty = pa.schema(
+                        list(zip(sch.names, sch.types))).empty_table()
+                    pq.write_table(empty,
+                                   os.path.join(tmp_dir, "empty.parquet"))
+                except (TypeError, pa.ArrowInvalid):
+                    pass  # non-Arrow schema types: directory stays empty
         os.replace(tmp_dir, final_dir)
         wall = time.perf_counter() - t0
         store.write(
