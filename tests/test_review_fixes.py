@@ -86,3 +86,24 @@ def test_train_centroids_without_id_column(sf_dir):
     # deterministic across block layouts
     cent2 = train_centroids(no_id.repartition(7), n_centroids=4, iters=3)
     assert np.allclose(cent, cent2)
+
+
+def test_run_with_zero_violations_writes_readable_report(tmp_path):
+    import pyarrow.dataset as pads
+
+    from xpshacl_ray import MinInclusive, ValidationSpec
+
+    t = pa.table({"id": pa.array([1, 2, 3], pa.int64()),
+                  "x": pa.array([5, 6, 7], pa.int64())})
+    eng_spec = ValidationSpec(
+        constraints=[MinInclusive(column="x", bound=0)],
+        id_columns=["id"], focus_template="r:{id}")
+    from xpshacl_ray import ValidationEngine
+
+    out = str(tmp_path / "report")
+    res = ValidationEngine(eng_spec).run(
+        ray.data.from_arrow(t), out_dir=out, save_kg=False)
+    assert res["report"].count() == 0
+    dset = pads.dataset(out)
+    assert dset.count_rows() == 0
+    assert "constraint_id" in dset.schema.names

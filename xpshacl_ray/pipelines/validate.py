@@ -329,6 +329,37 @@ class ValidationEngine:
             stats = profile(ds, stats_config)
         if out_dir:
             report.write_parquet(out_dir)
+            # a fully-conforming run emits ZERO rows and write_parquet
+            # then writes nothing at all — keep the report location
+            # readable and schema-stable (same guard as run_resumable)
+            import os
+
+            os.makedirs(out_dir, exist_ok=True)
+            if not any(n.endswith(".parquet") for n in os.listdir(out_dir)):
+                sch = report.schema(fetch_if_missing=True)
+                fields = (list(zip(sch.names, sch.types))
+                          if sch is not None and sch.names else None)
+                if not fields:
+                    # Ray loses the schema of fully-empty datasets —
+                    # reconstruct: violations columns + per-language
+                    # explanation fan-out columns
+                    vs = violations.schema(fetch_if_missing=True)
+                    if vs is not None and vs.names:
+                        fields = list(zip(vs.names, vs.types))
+                        for lang in self.languages:
+                            fields.append((f"explanation_{lang}",
+                                           pa.string()))
+                            fields.append((f"suggestions_{lang}",
+                                           pa.string()))
+                if fields:
+                    try:
+                        import pyarrow.parquet as _pq
+
+                        _pq.write_table(
+                            pa.schema(fields).empty_table(),
+                            os.path.join(out_dir, "empty.parquet"))
+                    except (TypeError, pa.ArrowInvalid):
+                        pass
         if out_json:
             report.write_json(out_json)
         return {
