@@ -217,6 +217,14 @@ def _to_scaled_int(x: np.ndarray, scale: float) -> np.ndarray:
     return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
 
 
+def _div_round_half_away(num, den):
+    """Integer division with HALF-AWAY-FROM-ZERO rounding, sign-correct
+    (plain ``(x + h) // den`` is half-up and disagrees with DuckDB
+    round() for negative totals, e.g. refunds)."""
+    num = np.asarray(num, dtype=np.int64)
+    return np.sign(num) * ((np.abs(num) + den // 2) // den)
+
+
 def _money_cents(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
     """Replace a cents-exact float column with int64 cents — sums become
     exact integer arithmetic, so results are independent of summation
@@ -436,11 +444,11 @@ def q_pricing_summary(sf_dir: str):
             "l_linestatus": merged["l_linestatus"],
             "sum_qty": t_qty.astype("float64"),
             "sum_base_price": merged["t_price"].astype("int64") / 100.0,
-            # integer half-away rounding of the e4 fixed-point sum
-            "sum_disc_price": ((merged["t_disc_price"].astype("int64") + 50)
-                               // 100) / 100.0,
-            "avg_qty": ((t_qty * 10_000 + n // 2) // n) / 10_000.0,
-            "avg_disc": ((t_disc * 100 + n // 2) // n) / 10_000.0,
+            # sign-correct integer half-away rounding of fixed-point sums
+            "sum_disc_price": _div_round_half_away(
+                merged["t_disc_price"].astype("int64"), 100) / 100.0,
+            "avg_qty": _div_round_half_away(t_qty * 10_000, n) / 10_000.0,
+            "avg_disc": _div_round_half_away(t_disc * 100, n) / 10_000.0,
             "count_order": n,
         }
     )
@@ -487,7 +495,7 @@ def q_revenue_by_segment(sf_dir: str):
         .to_pandas()
     )
     cents = merged["revenue"].astype("int64")
-    merged["revenue"] = ((cents + 5) // 10) / 10.0  # half-away round(1)
+    merged["revenue"] = _div_round_half_away(cents, 10) / 10.0
     merged["n_orders"] = merged["n_orders"].astype("int64")
     return merged
 
@@ -1060,19 +1068,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(qty_i) AS DOUBLE) AS sum_qty,
                    CAST(sum(ep_c) AS DOUBLE) / 100 AS sum_base_price,
-                   CAST((sum(ep_c * (100 - disc_bp)) + 50) // 100 AS DOUBLE)
-                       / 100 AS sum_disc_price,
-                   CAST((sum(qty_i) * 10000 + count(*) // 2) // count(*)
-                        AS DOUBLE) / 10000 AS avg_qty,
-                   CAST((sum(disc_bp) * 100 + count(*) // 2) // count(*)
-                        AS DOUBLE) / 10000 AS avg_disc,
+                   CAST(CASE WHEN sum(ep_c * (100 - disc_bp)) >= 0
+                        THEN (sum(ep_c * (100 - disc_bp)) + 50) // 100
+                        ELSE -((-sum(ep_c * (100 - disc_bp)) + 50) // 100)
+                        END AS DOUBLE) / 100 AS sum_disc_price,
+                   CAST(CASE WHEN sum(qty_i) >= 0
+                        THEN (sum(qty_i) * 10000 + count(*) // 2) // count(*)
+                        ELSE -((-sum(qty_i) * 10000 + count(*) // 2)
+                               // count(*))
+                        END AS DOUBLE) / 10000 AS avg_qty,
+                   CAST(CASE WHEN sum(disc_bp) >= 0
+                        THEN (sum(disc_bp) * 100 + count(*) // 2) // count(*)
+                        ELSE -((-sum(disc_bp) * 100 + count(*) // 2)
+                               // count(*))
+                        END AS DOUBLE) / 10000 AS avg_disc,
                    count(*) AS count_order
             FROM f GROUP BY l_returnflag, l_linestatus
         """,
         "revenue_by_segment": """
             SELECT c_mktsegment,
-                   CAST((sum(CAST(round(o_totalprice * 100) AS BIGINT)) + 5)
-                        // 10 AS DOUBLE) / 10 AS revenue,
+                   CAST(CASE WHEN sum(CAST(round(o_totalprice * 100)
+                                            AS BIGINT)) >= 0
+                        THEN (sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              + 5) // 10
+                        ELSE -((-sum(CAST(round(o_totalprice * 100)
+                                          AS BIGINT)) + 5) // 10)
+                        END AS DOUBLE) / 10 AS revenue,
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment

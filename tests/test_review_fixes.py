@@ -107,3 +107,43 @@ def test_run_with_zero_violations_writes_readable_report(tmp_path):
     dset = pads.dataset(out)
     assert dset.count_rows() == 0
     assert "constraint_id" in dset.schema.names
+
+
+def test_turtle_true_prefix_and_long_literal_edges():
+    # 'true'/'false' as prefix names must lex as pnames, not booleans
+    triples, prefixes = parse_turtle(
+        "@prefix true: <http://example.org/t/> .\n"
+        "true:x a true:Thing .")
+    assert prefixes["true"] == "http://example.org/t/"
+    assert triples[0].s == "http://example.org/t/x"
+    # long literal: content with inner quotes, double quotes, escapes
+    triples, _ = parse_turtle(
+        '@prefix ex: <http://example.org/> .\n'
+        'ex:r ex:p """say "hi" and ""twice"" plus \\"esc\\"\nline2""" .')
+    assert triples[0].o == 'say "hi" and ""twice"" plus "esc"\nline2'
+    # boolean literals still work as objects
+    triples, _ = parse_turtle(
+        "@prefix ex: <http://example.org/> .\nex:r ex:flag true .")
+    assert triples[0].o == "true"
+    assert triples[0].datatype.endswith("boolean")
+
+
+def test_ttl_mixed_numeric_and_length_facets_on_absent_predicate(tmp_path):
+    # minInclusive + maxLength on one absent path: report the MinCount
+    # violation, no Arrow kernel crash on the typed-null column
+    data = tmp_path / "d.ttl"
+    data.write_text("""@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:hasName "A" .
+""")
+    shapes = tmp_path / "s.ttl"
+    shapes.write_text("""@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:PersonShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [ sh:path ex:hasCode ; sh:minCount 1 ;
+                  sh:minInclusive 0 ; sh:maxLength 10 ] .
+""")
+    viol = validate_ttl(str(data), str(shapes)).to_pandas()
+    assert len(viol) == 1
+    assert viol["constraint_id"].iloc[0].endswith(
+        "MinCountConstraintComponent")

@@ -336,6 +336,8 @@ class ValidationEngine:
 
             os.makedirs(out_dir, exist_ok=True)
             if not any(n.endswith(".parquet") for n in os.listdir(out_dir)):
+                from ..state.manifest import write_empty_parquet
+
                 sch = report.schema(fetch_if_missing=True)
                 fields = (list(zip(sch.names, sch.types))
                           if sch is not None and sch.names else None)
@@ -351,15 +353,7 @@ class ValidationEngine:
                                            pa.string()))
                             fields.append((f"suggestions_{lang}",
                                            pa.string()))
-                if fields:
-                    try:
-                        import pyarrow.parquet as _pq
-
-                        _pq.write_table(
-                            pa.schema(fields).empty_table(),
-                            os.path.join(out_dir, "empty.parquet"))
-                    except (TypeError, pa.ArrowInvalid):
-                        pass
+                write_empty_parquet(out_dir, fields=fields)
         if out_json:
             report.write_json(out_json)
         return {

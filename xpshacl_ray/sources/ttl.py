@@ -64,12 +64,12 @@ _TOKEN_RE = re.compile(
     | (?P<comment>\#[^\n]*)
     | (?P<prefix_kw>@prefix\b)
     | (?P<iriref><[^>]*>)
-    | (?P<longstring>\"{3}(?s:.*?)\"{3})
+    | (?P<longstring>\"{3}(?s:(?:\"{1,2}(?!\")|[^"\\]|\\.)*)\"{3})
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<dtype_marker>\^\^)
     | (?P<langtag>@[A-Za-z][A-Za-z0-9-]*)
     | (?P<number>[+-]?(?:\d+\.\d+|\d+))
-    | (?P<bool_kw>\btrue\b|\bfalse\b)
+    | (?P<bool_kw>\b(?:true|false)\b(?!:))
     | (?P<pname>[A-Za-z_][\w.-]*)?:(?P<local>[A-Za-z0-9_](?:[\w.-]*[\w-])?|)
     | (?P<a_kw>\ba\b)
     | (?P<punct>[.;,\[\]()])
@@ -200,9 +200,9 @@ class _Parser:
 
     def _object(self, subj: str, pred: str) -> None:
         kind, m = self._peek()
-        if kind == "longstring":  # \"\"\"...\"\"\" — raw, newlines allowed
+        if kind == "longstring":  # \"\"\"...\"\"\" — newlines allowed
             self._next()
-            lex = m.group("longstring")[3:-3]
+            lex = _unescape(m.group("longstring")[3:-3])
             dt, lang = None, None
             nk, nm = self._peek()
             if nk == "dtype_marker":
@@ -346,6 +346,32 @@ def _literal_msg(op: str, t: Triple) -> str:
     return f'Value is not {op} Literal("{t.o}")'
 
 
+def _sp_index(triples: List[Triple]) -> Dict[Tuple[str, str], List[Triple]]:
+    """(subject, predicate) → triples index shared by the shape walkers."""
+    obj: Dict[Tuple[str, str], List[Triple]] = {}
+    for t in triples:
+        obj.setdefault((t.s, t.p), []).append(t)
+    return obj
+
+
+def _first(obj, s, p) -> Optional[Triple]:
+    lst = obj.get((s, p))
+    return lst[0] if lst else None
+
+
+def _node_shapes_with_target(triples, obj) -> List[Tuple[str, str]]:
+    """[(shape, target_class)] for `a sh:NodeShape` / `a sh:Shape`
+    declarations carrying sh:targetClass — ONE place for the type
+    spellings the reference fixtures use."""
+    out = []
+    for t in triples:
+        if t.p == RDF_TYPE and t.o in (SH_NS + "NodeShape", SH_NS + "Shape"):
+            tc = _first(obj, t.s, SH_NS + "targetClass")
+            if tc is not None:
+                out.append((t.s, tc.o))
+    return out
+
+
 def shapes_to_specs(triples: List[Triple]):
     """Compile NodeShapes into {target_class: ValidationSpec}."""
     from ..spec import (
@@ -361,24 +387,13 @@ def shapes_to_specs(triples: List[Triple]):
         ValidationSpec,
     )
 
-    obj: Dict[Tuple[str, str], List[Triple]] = {}
-    for t in triples:
-        obj.setdefault((t.s, t.p), []).append(t)
+    obj = _sp_index(triples)
 
     def first(s, p):
-        lst = obj.get((s, p))
-        return lst[0] if lst else None
+        return _first(obj, s, p)
 
     specs: Dict[str, ValidationSpec] = {}
-    # the reference's fixtures declare both `a sh:NodeShape` and the
-    # older `a sh:Shape` (shark_shapes.ttl:29) — accept either
-    node_shapes = [t.s for t in triples
-                   if t.p == RDF_TYPE
-                   and t.o in (SH_NS + "NodeShape", SH_NS + "Shape")]
-    for shape in node_shapes:
-        tc = first(shape, SH_NS + "targetClass")
-        if tc is None:
-            continue
+    for shape, target in _node_shapes_with_target(triples, obj):
         constraints = []
         for pt in obj.get((shape, SH_NS + "property"), []):
             pshape = pt.o
@@ -428,7 +443,7 @@ def shapes_to_specs(triples: List[Triple]):
                 constraints.append(
                     Pattern(column=col, shape_id=pshape, pattern=pat.o))
         if constraints:
-            specs[tc.o] = ValidationSpec(
+            specs[target] = ValidationSpec(
                 constraints=constraints,
                 id_columns=["subject"],
                 focus_template="{subject}",
@@ -441,27 +456,14 @@ def unique_lang_constraints(triples: List[Triple]):
     [(target_class, predicate)] — evaluated over the TRIPLES table (the
     entity pivot keeps only first values, so multi-valued lang-tagged
     literals need the long form)."""
-    obj: Dict[Tuple[str, str], List[Triple]] = {}
-    for t in triples:
-        obj.setdefault((t.s, t.p), []).append(t)
-
-    def first(s, p):
-        lst = obj.get((s, p))
-        return lst[0] if lst else None
-
+    obj = _sp_index(triples)
     out = []
-    for t in triples:
-        if t.p != RDF_TYPE or t.o not in (SH_NS + "NodeShape",
-                                          SH_NS + "Shape"):
-            continue
-        tc = first(t.s, SH_NS + "targetClass")
-        if tc is None:
-            continue
-        for pt in obj.get((t.s, SH_NS + "property"), []):
-            path_t = first(pt.o, SH_NS + "path")
-            ul = first(pt.o, SH_NS + "uniqueLang")
+    for shape, target in _node_shapes_with_target(triples, obj):
+        for pt in obj.get((shape, SH_NS + "property"), []):
+            path_t = _first(obj, pt.o, SH_NS + "path")
+            ul = _first(obj, pt.o, SH_NS + "uniqueLang")
             if path_t is not None and ul is not None and ul.o == "true":
-                out.append((tc.o, path_t.o))
+                out.append((target, path_t.o))
     return out
 
 
@@ -514,20 +516,17 @@ def sparql_constraints(triples: List[Triple]) -> List[Dict[str, str]]:
     tabular engine — map each to a :class:`~xpshacl_ray.spec.SqlCheck`
     SQL predicate over the pivoted entity/triples tables (the C19
     constraint-as-data surface)."""
-    obj: Dict[Tuple[str, str], List[Triple]] = {}
-    for t in triples:
-        obj.setdefault((t.s, t.p), []).append(t)
+    obj = _sp_index(triples)
     out = []
     for t in triples:
         if t.p != SH_NS + "sparql":
             continue
-        block = t.o
-        msg = obj.get((block, SH_NS + "message"))
-        sel = obj.get((block, SH_NS + "select"))
+        msg = _first(obj, t.o, SH_NS + "message")
+        sel = _first(obj, t.o, SH_NS + "select")
         out.append({
             "shape": t.s,
-            "message": msg[0].o if msg else "",
-            "select": sel[0].o if sel else "",
+            "message": msg.o if msg else "",
+            "select": sel.o if sel else "",
         })
     return out
 
@@ -594,18 +593,14 @@ def validate_ttl(data_path: str, shapes_path: str):
             continue
         have = set(table.column_names)
         needed = {c.column for c in spec.constraints}
-        # absent predicate = all-null column, typed to what the column's
-        # constraints expect (a string null column under a numeric bound
-        # crashes the Arrow comparison kernel instead of reporting the
-        # MinCount violation)
-        numeric_cols = set()
-        for c in spec.constraints:
-            if (hasattr(c, "bound")
-                    or getattr(c, "datatype", None) in ("int64", "float64")):
-                numeric_cols.add(c.column)
+        # absent predicate = all-null STRING column: every constraint
+        # family handles it (length/pattern kernels natively; numeric
+        # bounds via _bound_mask's non-numeric fallback, which excuses
+        # nulls) — a float column would instead crash min/maxLength when
+        # a shape mixes string and numeric facets on one path
         for col in sorted(needed - have):
-            typ = pa.float64() if col in numeric_cols else pa.string()
-            table = table.append_column(col, pa.nulls(table.num_rows, typ))
+            table = table.append_column(
+                col, pa.nulls(table.num_rows, pa.string()))
         eng = ValidationEngine(spec)
         parts.append(eng.validate(ray.data.from_arrow(table)))
     if not parts:

@@ -164,6 +164,18 @@ _DECODABLE_IMAGE = {"image/x-portable-pixmap": decode_ppm,
 _DECODABLE_AUDIO = {"audio/wav": decode_wav, "audio/x-wav": decode_wav}
 
 
+def _empty_features_table(batch: pa.Table, dim: int) -> pa.Table:
+    """Zero-row (media_id, mime, features) output — shared empty-batch
+    guard for the decode stages (empty blocks happen downstream of
+    filters)."""
+    return pa.table({
+        "media_id": batch["media_id"],
+        "mime": batch["mime"],
+        "features": pa.FixedSizeListArray.from_arrays(
+            pa.array([], pa.float64()), dim),
+    })
+
+
 def image_features(img: np.ndarray) -> np.ndarray:
     """8 real signals: per-channel mean + std, aspect ratio, luma mean."""
     f = img.astype(np.float64) / 255.0
@@ -272,13 +284,8 @@ class MediaDecoder:
             "natively; PNG/JPEG/MP3/video need PIL/torchaudio/decord here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:  # empty blocks happen downstream of filters
-            return pa.table({
-                "media_id": batch["media_id"],
-                "mime": batch["mime"],
-                "features": pa.FixedSizeListArray.from_arrays(
-                    pa.array([], pa.float64()), self.FEATURE_DIM),
-            })
+        if len(batch) == 0:
+            return _empty_features_table(batch, self.FEATURE_DIM)
         feats = [
             self._decode_one(m, p)
             for m, p in zip(batch["mime"].to_pylist(),
@@ -321,13 +328,8 @@ class DecodeStub:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:  # empty blocks happen downstream of filters
-            return pa.table({
-                "media_id": batch["media_id"],
-                "mime": batch["mime"],
-                "features": pa.FixedSizeListArray.from_arrays(
-                    pa.array([], pa.float64()), self.FEATURE_DIM),
-            })
+        if len(batch) == 0:
+            return _empty_features_table(batch, self.FEATURE_DIM)
         feats = [self._decode_one(p) for p in batch["payload"].to_pylist()]
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(np.concatenate(feats), pa.float64()), self.FEATURE_DIM

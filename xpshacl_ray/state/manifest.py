@@ -53,6 +53,29 @@ def _dir_sha(path: str) -> str:
     return h.hexdigest()
 
 
+def write_empty_parquet(dir_path: str, schema=None,
+                        fields=None) -> Optional[str]:
+    """Write a zero-row, SCHEMA-STABLE parquet into ``dir_path`` so a
+    fully-conforming partition stays readable downstream.  ``schema`` is
+    a Ray Schema (skipped when absent/nameless — Ray loses the schema of
+    fully-empty datasets); ``fields`` overrides with explicit
+    (name, arrow_type) pairs.  Shared by run_resumable and
+    ValidationEngine.run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if fields is None:
+        if schema is None or not schema.names:
+            return None
+        fields = list(zip(schema.names, schema.types))
+    try:
+        path = os.path.join(dir_path, "empty.parquet")
+        pq.write_table(pa.schema(fields).empty_table(), path)
+        return path
+    except (TypeError, pa.ArrowInvalid):
+        return None  # non-Arrow schema types: directory stays empty
+
+
 class ManifestStore:
     def __init__(self, root: str):
         self.root = root
@@ -188,7 +211,10 @@ def run_resumable(
             skipped.append(pid)
             continue
         t0 = time.perf_counter()
-        ds = process(list(files))
+        # materialize once: the write consumes the pipeline and the
+        # zero-row schema fallback below must not re-run the whole shard
+        # validation a second time (violations are small vs the shard)
+        ds = process(list(files)).materialize()
         final_dir = os.path.join(out_dir, "data", stage, pid)
         tmp_dir = final_dir + ".tmp"
         shutil.rmtree(tmp_dir, ignore_errors=True)
@@ -203,18 +229,7 @@ def run_resumable(
             rows_out = ray.data.read_parquet(tmp_dir).count()
         else:
             rows_out = 0
-            sch = ds.schema(fetch_if_missing=True)
-            if sch is not None:
-                import pyarrow as pa
-                import pyarrow.parquet as pq
-
-                try:
-                    empty = pa.schema(
-                        list(zip(sch.names, sch.types))).empty_table()
-                    pq.write_table(empty,
-                                   os.path.join(tmp_dir, "empty.parquet"))
-                except (TypeError, pa.ArrowInvalid):
-                    pass  # non-Arrow schema types: directory stays empty
+            write_empty_parquet(tmp_dir, ds.schema(fetch_if_missing=True))
         os.replace(tmp_dir, final_dir)
         wall = time.perf_counter() - t0
         store.write(
