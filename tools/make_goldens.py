@@ -291,6 +291,14 @@ def main():
                          .reset_index(drop=True))
     ray.shutdown()
 
+    # record the input fingerprint: goldens are pinned to THIS sf0.01
+    # data — if the driver ever regenerates testdata differently, a red
+    # golden row traces here instead of looking like an engine bug
+    fps = {}
+    for t in ["documents", "embeddings"]:
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as f:
+            fps[t] = hashlib.sha256(f.read()).hexdigest()
+
     lines = [
         '"""AUTO-GENERATED by tools/make_goldens.py — do not hand-edit.',
         "",
@@ -300,6 +308,9 @@ def main():
         "in tools/make_goldens.py (all-pairs ground truth, no engine code);",
         "'frozen' entries snapshot engine output to pin regressions.",
         '"""',
+        "",
+        "# sha256 of the input parquet these goldens were computed from",
+        f"INPUT_FINGERPRINT = {fps!r}",
         "",
         "GOLDEN_KIND = {",
     ]
