@@ -256,3 +256,33 @@ def test_hot_bucket_cap_degenerate_minhash_completes():
     assert len(pairs) == 128 * 127 // 2
     assert (pairs["jaccard_est"] == 1.0).all()
     assert pairs["id_a"].min() == 0 and pairs["id_b"].max() == 127
+
+
+def test_hashed_strategy_join_recovery_matches_broadcast(monkeypatch):
+    # force the join-recovery path (violating set "too big to broadcast")
+    # and check identical violations vs broadcast recovery and keys
+    import pyarrow as pa
+
+    from xpshacl_ray import MaxCount, ValidationSpec, compile_spec
+    from xpshacl_ray.stages import grouped as G
+
+    t = pa.table({"k": ["a", "a", "a", "b", "b", "c"],
+                  "v": list("123456")})
+    ds = ray.data.from_arrow(t)
+    spec = compile_spec(ValidationSpec(
+        constraints=[MaxCount(column="v", group_by=["k"], max_count=1)],
+        id_columns=[], focus_template="g:{k}"))
+
+    def rows(**kw):
+        with_patch = kw.pop("limit", None)
+        if with_patch is not None:
+            monkeypatch.setattr(G, "HASHED_BROADCAST_LIMIT", with_patch)
+        parts = G.evaluate_grouped(ds, spec, strategy=kw.pop("s"))
+        out = parts[0].to_pandas()
+        return sorted(zip(out["focus_node"], out["message"]))
+
+    keys_rows = rows(s="keys")
+    bcast_rows = rows(s="hashed")
+    join_rows = rows(s="hashed", limit=0)
+    assert keys_rows == bcast_rows == join_rows
+    assert len(keys_rows) == 2  # groups a (3 values) and b (2 values)

@@ -242,6 +242,50 @@ def _evaluate_grouped_keys(
     return results
 
 
+#: violating-hash broadcast bound for the hashed strategy: ~8 MB of
+#: uint64s; past this the join-recovery path takes over (the "violations
+#: are rare by design" assumption no longer holds for the spec)
+HASHED_BROADCAST_LIMIT = 1_000_000
+
+
+def _recover_violations_join(ds, bad, cc, keys, spec, id_types):
+    """Key recovery for huge violating sets: per-batch distinct
+    (keys, kh) pairs hash-join the violating (kh, actual_count) table,
+    deduplicate per group, and violations stream out — no broadcast, no
+    driver-side group collection."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.joins import hash_join
+
+    def keys_kh(b: pa.Table) -> pa.Table:
+        kh = _key_hashes(b, keys)
+        t = b.select(keys).append_column(
+            "kh", pa.array(kh.view(np.int64)))
+        return t.group_by(keys + ["kh"]).aggregate([])
+
+    def bad_i64(b: pa.Table) -> pa.Table:
+        return pa.table({"kh": pc.cast(b["kh"], pa.int64()),
+                         "actual_count": pc.cast(b["actual_count"],
+                                                 pa.int64())})
+
+    lhs = ds.map_batches(keys_kh, batch_format="pyarrow")
+    rhs = bad.map_batches(bad_i64, batch_format="pyarrow")
+    joined = hash_join(lhs, rhs, key="kh")
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    distinct = joined.groupby(keys + ["kh"]).map_groups(
+        first_per_group, batch_format="pandas")
+
+    def to_violations(b: pa.Table) -> pa.Table:
+        b = b.drop_columns(["kh"])
+        return _grouped_violation_rows(b, cc, keys, spec, id_types)
+
+    return distinct.map_batches(to_violations, batch_format="pyarrow")
+
+
 def _evaluate_grouped_hashed(
     ds: "ray.data.Dataset",
     spec: CompiledSpec,
@@ -276,7 +320,11 @@ def _evaluate_grouped_hashed(
                 ).astype(np.int64)
             else:
                 cnt = np.ones(len(b), dtype=np.int64)
-            t = pa.table({"kh": pa.array(kh), "partial_n": pa.array(cnt)})
+            # int64 VIEW of the uint64 hash: Ray's shuffle pickles
+            # uint64 values past int64 range into object extension
+            # arrays (slow + opaque); the reinterpretation is lossless
+            t = pa.table({"kh": pa.array(kh.view(np.int64)),
+                          "partial_n": pa.array(cnt)})
             return t.group_by(["kh"]).aggregate([("partial_n", "sum")]) \
                 .rename_columns(["kh", "partial_n"])
 
@@ -289,26 +337,38 @@ def _evaluate_grouped_hashed(
         else:  # pragma: no cover
             raise TypeError(f"not a grouped constraint: {c}")
 
-        # violating groups are small by design: collect (hash -> count),
-        # broadcast, and recover the key tuples with one filtered scan
-        bad_rows = bad.take_all()
-        if not bad_rows:
+        # pin the (tiny) violating-hash table once: count + consumption
+        # must not re-run the counting scan+shuffle
+        bad = bad.materialize()
+        n_bad = bad.count()
+        if n_bad == 0:
             results.append(
                 rd.from_arrow(
                     violations_schema(spec.id_columns, id_types).empty_table())
             )
             continue
-        count_map = {np.uint64(r["kh"]): int(r["actual_count"])
+        if n_bad > HASHED_BROADCAST_LIMIT:
+            # pathological spec where MOST groups violate: the broadcast
+            # set no longer fits — recover keys with a bucketed hash join
+            # instead (streaming, no driver materialization)
+            results.append(_recover_violations_join(
+                ds, bad, cc, keys, spec, id_types))
+            continue
+
+        # violating groups are small by design: collect (hash -> count),
+        # broadcast, and recover the key tuples with one filtered scan
+        bad_rows = bad.take_all()
+        count_map = {int(r["kh"]): int(r["actual_count"])
                      for r in bad_rows}
         bad_set_ref = _ray.put(
-            pa.array(np.array(sorted(count_map), dtype=np.uint64)))
+            pa.array(np.array(sorted(count_map), dtype=np.int64)))
 
         def recover_keys(b: pa.Table, keys=keys) -> pa.Table:
             import pyarrow.compute as pc
 
-            kh = _key_hashes(b, keys)
-            mask = pc.is_in(pa.array(kh), value_set=_ray.get(bad_set_ref))
-            t = b.select(keys).append_column("kh", pa.array(kh)).filter(mask)
+            kh = pa.array(_key_hashes(b, keys).view(np.int64))
+            mask = pc.is_in(kh, value_set=_ray.get(bad_set_ref))
+            t = b.select(keys).append_column("kh", kh).filter(mask)
             return t.group_by(keys + ["kh"]).aggregate([])
 
         groups_tbl = pa.concat_tables(
@@ -318,7 +378,7 @@ def _evaluate_grouped_hashed(
         # dedupe across batches, attach counts
         groups_tbl = groups_tbl.group_by(keys + ["kh"]).aggregate([])
         actual = pa.array(
-            [count_map[np.uint64(h)] for h in groups_tbl["kh"].to_pylist()],
+            [count_map[int(h)] for h in groups_tbl["kh"].to_pylist()],
             pa.int64(),
         )
         groups_tbl = groups_tbl.drop_columns(["kh"]).append_column(
