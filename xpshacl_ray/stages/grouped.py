@@ -179,8 +179,9 @@ def evaluate_grouped(
       Stays fully pipelined with the row-local scan (they execute
       concurrently inside one streaming execution) — fastest up to the
       point where shuffling the key strings dominates.
-    - ``"hashed"``: the all-to-all moves one (uint64 key hash, int64
-      partial count) pair per (group, batch) — never the key strings —
+    - ``"hashed"``: the all-to-all moves one (64-bit key hash carried as
+      its int64 view — Ray's shuffle pickles out-of-range uint64 — plus an
+      int64 partial count) pair per (group, batch) — never key strings —
       then ONE broadcast-filtered scan recovers the key tuples of the
       (rare by design) violating groups.  ~6× fewer shuffle bytes for
       string keys; costs an execution barrier + a second input scan, so it
@@ -243,47 +244,93 @@ def _evaluate_grouped_keys(
 
 
 #: violating-hash broadcast bound for the hashed strategy: ~8 MB of
-#: uint64s; past this the join-recovery path takes over (the "violations
-#: are rare by design" assumption no longer holds for the spec)
+#: int64 hash values; past this the join-recovery path takes over (the
+#: "violations are rare by design" assumption no longer holds)
 HASHED_BROADCAST_LIMIT = 1_000_000
 
 
-def _recover_violations_join(ds, bad, cc, keys, spec, id_types):
-    """Key recovery for huge violating sets: per-batch distinct
-    (keys, kh) pairs hash-join the violating (kh, actual_count) table,
-    deduplicate per group, and violations stream out — no broadcast, no
-    driver-side group collection."""
+def _recover_violations_join(ds, bad, n_bad, cc, keys, spec, id_types):
+    """Key recovery for huge violating sets — ONE co-partitioned shuffle,
+    violations stream out of the bucket tasks:
+
+    - the input scan is PRUNED to the key columns, per-batch distinct
+      (keys, kh) pairs are Bloom-prefiltered to ~violating groups before
+      the exchange (≤ fp_rate false positives, dropped exactly in-bucket);
+    - both sides ship with the SAME column layout (no mixed-schema
+      frames, no pandas-merge suffix collisions with user column names);
+    - equal-kh rows land in one bucket, so per-group dedup + violation-row
+      construction happen in the bucket task — no second shuffle, no
+      per-group Python UDF calls;
+    - bucket count scales with the violating-set size so per-task frames
+      stay bounded."""
     import pandas as pd
-    import pyarrow.compute as pc
+    import ray as _ray
 
-    from ..functions.joins import hash_join
+    from ..functions.sketches import BloomFilter, hash64
 
-    def keys_kh(b: pa.Table) -> pa.Table:
-        kh = _key_hashes(b, keys)
+    if "__kh__" in keys or "__side__" in keys:
+        raise ValueError("group_by keys may not be named __kh__/__side__")
+    n_buckets = int(max(64, min(4096, n_bad // 50_000 + 1)))
+
+    sch = ds.schema()
+    key_types = [dict(zip(sch.names, sch.types))[k] for k in keys]
+
+    # Bloom of the violating hashes (~1.2 MB per million at 1% fp):
+    # prunes the all-groups left side down to ~violating before shuffling
+    bloom = BloomFilter(n_items=max(1024, n_bad), fp_rate=0.01)
+    for blk in bad.iter_batches(batch_format="pyarrow"):
+        bloom.add([str(v) for v in blk["kh"].to_pylist()])
+    bloom_ref = _ray.put(bloom)
+
+    def lhs_rows(b: pa.Table) -> pa.Table:
+        f = _ray.get(bloom_ref)
         t = b.select(keys).append_column(
-            "kh", pa.array(kh.view(np.int64)))
-        return t.group_by(keys + ["kh"]).aggregate([])
+            "__kh__", pa.array(_key_hashes(b, keys).view(np.int64)))
+        t = t.group_by(keys + ["__kh__"]).aggregate([])
+        keep = f.might_contain([str(v) for v in t["__kh__"].to_pylist()])
+        t = t.filter(pa.array(keep))
+        return t.append_column(
+            "__cnt__", pa.nulls(t.num_rows, pa.int64())).append_column(
+            "__side__", pa.array(np.repeat("l", t.num_rows))).append_column(
+            "__bucket__", pa.array(
+                (hash64(t["__kh__"].to_pylist()) % n_buckets
+                 ).astype(np.int32)))
 
-    def bad_i64(b: pa.Table) -> pa.Table:
-        return pa.table({"kh": pc.cast(b["kh"], pa.int64()),
-                         "actual_count": pc.cast(b["actual_count"],
-                                                 pa.int64())})
+    def rhs_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    lhs = ds.map_batches(keys_kh, batch_format="pyarrow")
-    rhs = bad.map_batches(bad_i64, batch_format="pyarrow")
-    joined = hash_join(lhs, rhs, key="kh")
+        kh = pc.cast(b["kh"], pa.int64())
+        cols = {k: pa.nulls(len(b), t) for k, t in zip(keys, key_types)}
+        cols["__kh__"] = kh
+        cols["__cnt__"] = pc.cast(b["actual_count"], pa.int64())
+        cols["__side__"] = pa.array(np.repeat("r", len(b)))
+        cols["__bucket__"] = pa.array(
+            (hash64(kh.to_pylist()) % n_buckets).astype(np.int32))
+        return pa.table(cols)
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    lhs = ds.select_columns(keys).map_batches(lhs_rows,
+                                              batch_format="pyarrow")
+    rhs = bad.map_batches(rhs_rows, batch_format="pyarrow")
+    empty_viol = violations_schema(spec.id_columns, id_types).empty_table()
 
-    distinct = joined.groupby(keys + ["kh"]).map_groups(
-        first_per_group, batch_format="pandas")
+    def bucket_violations(g: pd.DataFrame) -> pd.DataFrame:
+        is_r = g["__side__"] == "r"
+        cmap = dict(zip(g.loc[is_r, "__kh__"], g.loc[is_r, "__cnt__"]))
+        lhs_g = g[~is_r]
+        lhs_g = lhs_g[lhs_g["__kh__"].isin(cmap)]  # drops Bloom fps exactly
+        lhs_g = lhs_g.drop_duplicates(subset=["__kh__"] + keys)
+        if lhs_g.empty:
+            return empty_viol.to_pandas()
+        groups_tbl = pa.Table.from_pandas(
+            lhs_g[keys].reset_index(drop=True), preserve_index=False
+        ).append_column(
+            "actual_count",
+            pa.array([int(cmap[k]) for k in lhs_g["__kh__"]], pa.int64()))
+        return _grouped_violation_rows(groups_tbl, cc, keys, spec,
+                                       id_types).to_pandas()
 
-    def to_violations(b: pa.Table) -> pa.Table:
-        b = b.drop_columns(["kh"])
-        return _grouped_violation_rows(b, cc, keys, spec, id_types)
-
-    return distinct.map_batches(to_violations, batch_format="pyarrow")
+    return lhs.union(rhs).groupby("__bucket__").map_groups(
+        bucket_violations, batch_format="pandas")
 
 
 def _evaluate_grouped_hashed(
@@ -352,7 +399,7 @@ def _evaluate_grouped_hashed(
             # set no longer fits — recover keys with a bucketed hash join
             # instead (streaming, no driver materialization)
             results.append(_recover_violations_join(
-                ds, bad, cc, keys, spec, id_types))
+                ds, bad, n_bad, cc, keys, spec, id_types))
             continue
 
         # violating groups are small by design: collect (hash -> count),
