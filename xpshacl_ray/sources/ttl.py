@@ -19,10 +19,17 @@ numeric literals), then
   (``Value is not >= Literal("0", datatype=xsd:integer)``) for byte-level
   message parity with the reference's README example.
 
-Scope: the declarative subset the reference's example fixtures exercise.
-SPARQL-string constraints go through :class:`xpshacl_ray.spec.SqlCheck` /
-``CustomCheck`` instead; ``sh:in`` RDF collections and property paths
-beyond a single predicate are out of scope (documented, not silent).
+Scope: the declarative subset the reference's example fixtures exercise,
+plus the standard-SHACL spellings a reference user would reach for next:
+``sh:in ( ... )`` RDF collections (→ ``InSet``), ``sh:message`` overrides,
+and the LONG-FORM constraints the single-value entity pivot cannot see —
+``sh:maxCount``/``sh:minCount > 1``, ``sh:nodeKind``, ``sh:class`` and
+``sh:languageIn`` — evaluated over the triples table by
+:func:`validate_ttl_long` (multi-valued predicates keep every value
+there).  SPARQL-string constraints go through
+:class:`xpshacl_ray.spec.SqlCheck` / ``CustomCheck`` instead; property
+paths beyond a single predicate are out of scope (documented, not
+silent).
 """
 
 from __future__ import annotations
@@ -35,6 +42,10 @@ from typing import Dict, List, Optional, Tuple
 import pyarrow as pa
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
 SH_NS = "http://www.w3.org/ns/shacl#"
 XSD = "http://www.w3.org/2001/XMLSchema#"
 
@@ -245,8 +256,38 @@ class _Parser:
             label = self._node()
             self.triples.append(Triple(subj, pred, label, "bnode"))
             return
+        if kind == "punct" and m.group("punct") == "(":
+            self._next()
+            head = self._parse_collection()
+            self.triples.append(
+                Triple(subj, pred, head,
+                       "iri" if head == RDF_NIL else "bnode"))
+            return
         node = self._node()
         self.triples.append(Triple(subj, pred, node, "iri"))
+
+    def _parse_collection(self) -> str:
+        """RDF collection ``( e1 e2 ... )`` → standard rdf:first/rest
+        chain over fresh blank nodes; returns the head cell (rdf:nil when
+        empty).  Elements may be any object form, including nested
+        collections."""
+        cells: List[str] = []
+        while True:
+            kind, m = self._peek()
+            if kind is None:
+                raise ValueError("unterminated RDF collection: expected ')'")
+            if kind == "punct" and m.group("punct") == ")":
+                self._next()
+                break
+            cell = f"_:b{next(self._bnode)}"
+            cells.append(cell)
+            self._object(cell, RDF_FIRST)
+        if not cells:
+            return RDF_NIL
+        for a, b in zip(cells, cells[1:] + [RDF_NIL]):
+            self.triples.append(
+                Triple(a, RDF_REST, b, "iri" if b == RDF_NIL else "bnode"))
+        return cells[0]
 
 
 def parse_turtle(text: str) -> Tuple[List[Triple], Dict[str, str]]:
@@ -359,6 +400,39 @@ def _first(obj, s, p) -> Optional[Triple]:
     return lst[0] if lst else None
 
 
+def rdf_list_triples(obj, head: Optional[str]) -> List[Triple]:
+    """Walk an ``rdf:first``/``rdf:rest`` chain from ``head``; returns the
+    element triples in list order (cycle-safe, empty for rdf:nil)."""
+    out: List[Triple] = []
+    seen = set()
+    while head and head != RDF_NIL and head not in seen:
+        seen.add(head)
+        f = _first(obj, head, RDF_FIRST)
+        if f is not None:
+            out.append(f)
+        r = _first(obj, head, RDF_REST)
+        head = r.o if r is not None else None
+    return out
+
+
+def _hydrate_list_values(elems: List[Triple]) -> List:
+    """Literal list elements → python values matching the entity pivot's
+    hydration (all-int → int, numeric → float, else lexical string; IRIs
+    keep the full IRI string)."""
+    dts = {t.datatype for t in elems if t.kind == "literal"}
+    if elems and dts and dts <= _INT_TYPES:
+        try:
+            return [int(t.o) for t in elems]
+        except ValueError:
+            pass
+    if elems and dts and dts <= (_INT_TYPES | _FLOAT_TYPES):
+        try:
+            return [float(t.o) for t in elems]
+        except ValueError:
+            pass
+    return [t.o for t in elems]
+
+
 def _node_shapes_with_target(triples, obj) -> List[Tuple[str, str]]:
     """[(shape, target_class)] for `a sh:NodeShape` / `a sh:Shape`
     declarations carrying sh:targetClass — ONE place for the type
@@ -372,10 +446,16 @@ def _node_shapes_with_target(triples, obj) -> List[Tuple[str, str]]:
     return out
 
 
-def shapes_to_specs(triples: List[Triple]):
-    """Compile NodeShapes into {target_class: ValidationSpec}."""
+def shapes_to_specs(triples: List[Triple], long_form: bool = False):
+    """Compile NodeShapes into {target_class: ValidationSpec}.
+
+    ``long_form=True`` omits the row-form Required approximation for
+    ``sh:minCount > 1`` shapes — :func:`validate_ttl_long` evaluates those
+    exactly (including zero-valued subjects), so keeping the row form too
+    would double-report."""
     from ..spec import (
         Datatype,
+        InSet,
         MaxExclusive,
         MaxInclusive,
         MaxLength,
@@ -401,12 +481,21 @@ def shapes_to_specs(triples: List[Triple]):
             if path_t is None:
                 continue
             col = path_t.o
+            # sh:message overrides every constraint message of this
+            # property shape (pyshacl reports the custom message verbatim;
+            # shark_shapes.ttl puts one on nearly every shape)
+            msg_t = first(pshape, SH_NS + "message")
+            msg = msg_t.o if msg_t is not None else None
             mc = first(pshape, SH_NS + "minCount")
-            if mc is not None and int(mc.o) >= 1:
+            if mc is not None and int(mc.o) >= 1 and not (
+                    long_form and int(mc.o) > 1):
                 # minCount 1 → row-form Required (MinCountConstraintComponent);
-                # minCount > 1 needs the grouped form over triples_table
+                # minCount > 1 is exact only in the grouped form over the
+                # triples table (validate_ttl_long) — the row form here is
+                # its zero-values approximation for the default path
                 constraints.append(
-                    Required(column=col, shape_id=pshape,
+                    Required(column=col, shape_id=pshape, message=msg,
+                             min_count=int(mc.o),
                              treat_empty_string_as_null=False))
             # shark_shapes.ttl writes the nonstandard `sh:dataType`
             # (capital T) — accept both spellings like the reference does
@@ -417,7 +506,8 @@ def shapes_to_specs(triples: List[Triple]):
                          else "float64" if dt.o in _FLOAT_TYPES
                          else "string")
                 constraints.append(
-                    Datatype(column=col, shape_id=pshape, datatype=arrow))
+                    Datatype(column=col, shape_id=pshape, message=msg,
+                             datatype=arrow))
             for pred, cls, op in (
                 ("minInclusive", MinInclusive, ">="),
                 ("maxInclusive", MaxInclusive, "<="),
@@ -429,7 +519,7 @@ def shapes_to_specs(triples: List[Triple]):
                     bound = float(b.o) if "." in b.o else int(b.o)
                     constraints.append(
                         cls(column=col, shape_id=pshape, bound=bound,
-                            message=_literal_msg(op, b)))
+                            message=msg or _literal_msg(op, b)))
             for pred, cls, kw in (
                 ("minLength", MinLength, "min_length"),
                 ("maxLength", MaxLength, "max_length"),
@@ -437,11 +527,19 @@ def shapes_to_specs(triples: List[Triple]):
                 b = first(pshape, SH_NS + pred)
                 if b is not None:
                     constraints.append(
-                        cls(column=col, shape_id=pshape, **{kw: int(b.o)}))
+                        cls(column=col, shape_id=pshape, message=msg,
+                            **{kw: int(b.o)}))
             pat = first(pshape, SH_NS + "pattern")
             if pat is not None:
                 constraints.append(
-                    Pattern(column=col, shape_id=pshape, pattern=pat.o))
+                    Pattern(column=col, shape_id=pshape, message=msg,
+                            pattern=pat.o))
+            in_t = first(pshape, SH_NS + "in")
+            if in_t is not None:
+                elems = rdf_list_triples(obj, in_t.o)
+                constraints.append(
+                    InSet(column=col, shape_id=pshape, message=msg,
+                          allowed=_hydrate_list_values(elems)))
         if constraints:
             specs[target] = ValidationSpec(
                 constraints=constraints,
@@ -501,6 +599,167 @@ def validate_unique_lang(data_triples: List[Triple],
             focus_template="{subject}",
         )
         parts.append(ValidationEngine(spec).validate(ds))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+_NODE_KINDS = {  # sh:nodeKind IRI → Triple.kind regex
+    "IRI": "iri", "BlankNode": "bnode", "Literal": "literal",
+    "BlankNodeOrIRI": "bnode|iri", "BlankNodeOrLiteral": "bnode|literal",
+    "IRIOrLiteral": "iri|literal",
+}
+
+
+def long_form_property_shapes(triples: List[Triple]):
+    """Property-shape facets that the single-value entity pivot cannot
+    evaluate — they need every value of a multi-valued predicate, i.e. the
+    TRIPLES table: ``sh:maxCount``, ``sh:minCount > 1``, ``sh:nodeKind``,
+    ``sh:class`` and ``sh:languageIn`` (literal or RDF-collection form).
+
+    Returns ``[(target_class, pshape, predicate, facets)]`` where facets
+    is a dict with any of ``max_count``/``min_count``/``node_kind``/
+    ``class_iri``/``language_in``/``message``."""
+    obj = _sp_index(triples)
+    out = []
+    for shape, target in _node_shapes_with_target(triples, obj):
+        for pt in obj.get((shape, SH_NS + "property"), []):
+            pshape = pt.o
+            path_t = _first(obj, pshape, SH_NS + "path")
+            if path_t is None:
+                continue
+            facets: Dict[str, object] = {}
+            msg_t = _first(obj, pshape, SH_NS + "message")
+            if msg_t is not None:
+                facets["message"] = msg_t.o
+            mx = _first(obj, pshape, SH_NS + "maxCount")
+            if mx is not None:
+                facets["max_count"] = int(mx.o)
+            mn = _first(obj, pshape, SH_NS + "minCount")
+            if mn is not None and int(mn.o) > 1:
+                facets["min_count"] = int(mn.o)
+            nk = _first(obj, pshape, SH_NS + "nodeKind")
+            if nk is not None and nk.o.rsplit("#", 1)[-1] in _NODE_KINDS:
+                facets["node_kind"] = nk.o.rsplit("#", 1)[-1]
+            cl = _first(obj, pshape, SH_NS + "class")
+            if cl is not None:
+                facets["class_iri"] = cl.o
+            li = _first(obj, pshape, SH_NS + "languageIn")
+            if li is not None:
+                if li.kind == "literal":
+                    # the reference writes the nonstandard single-literal
+                    # form Literal("en") (synthetic_data_generator.py:97)
+                    facets["language_in"] = [li.o]
+                else:
+                    facets["language_in"] = [
+                        t.o for t in rdf_list_triples(obj, li.o)]
+            if set(facets) - {"message"}:
+                out.append((target, pshape, path_t.o, facets))
+    return out
+
+
+def validate_ttl_long(data_triples: List[Triple],
+                      shape_triples: List[Triple]):
+    """Long-form constraints over the triples table: grouped cardinality
+    (sh:maxCount / sh:minCount > 1 per focus subject), sh:nodeKind,
+    sh:class (referential against the class's member set) and
+    sh:languageIn — everything the first-value entity pivot can't see.
+
+    One projected dataset per (target class, predicate): rows
+    ``(subject, object, kind, lang)`` for every matching triple, plus one
+    null-object row per target subject with NO such triple (so grouped
+    minCount counts zero-valued subjects).  Runs the engine's grouped
+    combiner + small groupby; row-local facets ride the same scan.
+    Returns a violations Dataset, or None when no long-form shapes
+    apply.  TTL inputs are driver-parsed (small by construction — the
+    100 TB path is Parquet); the per-shape row build is driver-side by
+    design."""
+    import ray.data
+
+    from ..pipelines.validate import ValidationEngine
+    from ..spec import (
+        LanguageIn,
+        MaxCount,
+        MinCount,
+        NodeKind,
+        Referential,
+        ValidationSpec,
+    )
+
+    shapes = long_form_property_shapes(shape_triples)
+    if not shapes:
+        return None
+    types: Dict[str, set] = {}
+    for t in data_triples:
+        if t.p == RDF_TYPE:
+            types.setdefault(t.s, set()).add(t.o)
+    parts = []
+    for target, pshape, pred, facets in shapes:
+        subjects = sorted(s for s, ts in types.items() if target in ts)
+        if not subjects:
+            continue
+        subj_set = set(subjects)
+        rows = [t for t in data_triples
+                if t.p == pred and t.s in subj_set]
+        have = {t.s for t in rows}
+        cols = {
+            "subject": ([t.s for t in rows]
+                        + [s for s in subjects if s not in have]),
+            "object": ([t.o for t in rows]
+                       + [None] * (len(subjects) - len(have))),
+            "kind": ([t.kind for t in rows]
+                     + [None] * (len(subjects) - len(have))),
+            "lang": ([t.lang or "" for t in rows]
+                     + [None] * (len(subjects) - len(have))),
+        }
+        table = pa.table({k: pa.array(v, pa.string())
+                          for k, v in cols.items()})
+        msg = facets.get("message")
+        constraints = []
+        if "max_count" in facets:
+            constraints.append(MaxCount(
+                column="object", group_by=["subject"],
+                max_count=int(facets["max_count"]), shape_id=pshape,
+                message=msg, path=pred))
+        if "min_count" in facets:
+            constraints.append(MinCount(
+                column="object", group_by=["subject"],
+                min_count=int(facets["min_count"]), shape_id=pshape,
+                message=msg, path=pred))
+        if "node_kind" in facets:
+            kind = str(facets["node_kind"])
+            constraints.append(NodeKind(
+                column="kind", shape_id=pshape, message=msg,
+                path=pred, value_column="object",
+                pattern=f"^(?:{_NODE_KINDS[kind]})$", kind=kind))
+        if "language_in" in facets:
+            # sh:languageIn: every value must be a literal carrying a tag
+            # in the list — untagged literals and non-literals violate
+            # (lang column holds "" there, which is not in the set)
+            constraints.append(LanguageIn(
+                column="lang", shape_id=pshape, message=msg,
+                path=pred, value_column="object",
+                allowed=list(facets["language_in"])))
+        ref_keys = None
+        if "class_iri" in facets:
+            members = sorted(
+                s for s, ts in types.items() if facets["class_iri"] in ts)
+            constraints.append(Referential(
+                column="object", shape_id=pshape, message=msg, path=pred,
+                ref_table="rdf:type", ref_column=str(facets["class_iri"])))
+            ref_keys = {"object": pa.array(members, pa.string())}
+        if not constraints:
+            continue
+        # id_columns carries the focus subject so the schema unions
+        # cleanly with the entity-pivot violations in validate_ttl
+        spec = ValidationSpec(constraints=constraints,
+                              id_columns=["subject"],
+                              focus_template="{subject}")
+        parts.append(ValidationEngine(spec).validate(
+            ray.data.from_arrow(table), ref_keys=ref_keys))
     if not parts:
         return None
     out = parts[0]
@@ -573,20 +832,31 @@ def run_ttl(
     return {"violations": viol, "signatures": expl_tbl, "report": report}
 
 
-def validate_ttl(data_path: str, shapes_path: str):
+def validate_ttl(data_path: str, shapes_path: str,
+                 long_form: bool = False):
     """End-to-end: parse both files, build one entity table + spec per
     target class, run the engine, union the violations.
 
     Returns a ray Dataset of violation rows (focus_node = full subject
-    IRI, property_path = full predicate IRI, pyshacl-style messages)."""
+    IRI, property_path = full predicate IRI, pyshacl-style messages).
+
+    ``long_form=True`` additionally runs :func:`validate_ttl_long` — the
+    multi-value constraints (sh:maxCount, sh:minCount > 1, sh:nodeKind,
+    sh:class, sh:languageIn) over the triples table — and unions its
+    violations in.  Off by default: the entity-pivot subset is the
+    reference-README parity surface pinned by the goldens."""
     import ray.data
 
     from ..pipelines.validate import ValidationEngine
 
     data_triples, _ = load_turtle(data_path)
     shape_triples, _ = load_turtle(shapes_path)
-    specs = shapes_to_specs(shape_triples)
+    specs = shapes_to_specs(shape_triples, long_form=long_form)
     parts = []
+    if long_form:
+        lf = validate_ttl_long(data_triples, shape_triples)
+        if lf is not None:
+            parts.append(lf)
     for target_class, spec in sorted(specs.items()):
         table = entity_table(data_triples, target_class)
         if table.num_rows == 0:

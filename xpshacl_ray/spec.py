@@ -62,6 +62,14 @@ class Constraint:
     shape_id: str = ""
     severity: str = SEVERITY_VIOLATION
     message: Optional[str] = None  # override the default template
+    #: reported sh:path when it differs from the evaluated column (the
+    #: Turtle long form checks a projected column — e.g. ``kind`` — but
+    #: must report the original predicate IRI as the violated path)
+    path: Optional[str] = None
+    #: batch column rendered into the violation ``value`` field when it
+    #: differs from the evaluated column (same long-form need: report the
+    #: offending object value, not the projection it was checked through)
+    value_column: Optional[str] = None
 
     component: str = ""  # SHACL constraint-component local name
 
@@ -774,6 +782,9 @@ class CompiledConstraint:
     context_json: str
     signature: str
     sig_key: str
+    #: batch column rendered as the violation ``value`` (defaults to the
+    #: evaluated column; see Constraint.value_column)
+    value_column: Optional[str] = None
 
 
 def _json_default(o):
@@ -783,21 +794,23 @@ def _json_default(o):
 def compile_constraint(c: Constraint) -> CompiledConstraint:
     cid = c.constraint_id
     vtype = classify_violation_type(cid)
+    path = c.path or c.column
     # Signature params are deliberately empty, mirroring the reference's
     # signature factory (violation_signature_factory.py:9-10).
-    sig = signature_string(cid, c.column, vtype, {})
+    sig = signature_string(cid, path, vtype, {})
     params = c.params()
     return CompiledConstraint(
         constraint=c,
         constraint_id=cid,
         shape_id=c.resolved_shape_id(),
-        property_path=c.column,
+        property_path=path,
         violation_type=vtype.value,
         severity=c.severity,
         message=c.message or c.default_message(),
         context_json=json.dumps(params, sort_keys=True, default=_json_default),
         signature=sig,
         sig_key=signature_key(sig),
+        value_column=c.value_column or c.column,
     )
 
 

@@ -105,7 +105,7 @@ def evaluate_row_local(batch: pa.Table, spec: CompiledSpec) -> pa.Table:
                 col = col.combine_chunks()
             cols.append(col.take(idx))
             names.append(c)
-        value = _value_strings(batch, cc.property_path).take(idx)
+        value = _value_strings(batch, cc.value_column or cc.property_path).take(idx)
         static = {
             "shape_id": cc.shape_id,
             "constraint_id": cc.constraint_id,
