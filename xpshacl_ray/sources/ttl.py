@@ -790,6 +790,138 @@ def sparql_constraints(triples: List[Triple]) -> List[Dict[str, str]]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# SPARQL → SQL translation (the FILTER-only subset)
+# ---------------------------------------------------------------------------
+
+#: SPARQL builtin → DuckDB function (whitelist: anything else rejects)
+_SPARQL_FNS = {
+    "STRLEN": "length", "UCASE": "upper", "LCASE": "lower",
+    "ABS": "abs", "CEIL": "ceil", "FLOOR": "floor", "ROUND": "round",
+    "CONTAINS": "contains", "STRSTARTS": "starts_with",
+    "STRENDS": "ends_with", "REGEX": "regexp_matches",
+}
+
+_SQL_KEYWORDS = {"AND", "OR", "NOT", "TRUE", "FALSE", "IS", "NULL", "IN"}
+
+_FILTER_RE = re.compile(
+    r"^\s*SELECT\s+\$this\s+WHERE\s*\{\s*FILTER\s*\((?P<expr>.*)\)\s*\.?\s*\}\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def sparql_filter_to_sql(select: str, column: str):
+    """Translate a FILTER-only SHACL-SPARQL constraint into a DuckDB
+    boolean expression over ``column``, or None when the query is outside
+    the subset (graph patterns, unknown builtins, other variables).
+
+    The reference generates exactly this shape
+    (``data/synthetic_data_generator.py:144-177``)::
+
+        SELECT $this WHERE { FILTER ( ($this % 2) != 0 ) }
+
+    SPARQL SELECTs the VIOLATING bindings, so the filter body IS the
+    violation predicate — it maps 1:1 onto :class:`SqlCheck.where`
+    (``$this`` = the path value, the reference's own reading of it).
+    Translation: ``$this`` → the quoted column, SPARQL builtins →
+    DuckDB equivalents (STRLEN→length, REGEX→regexp_matches, …),
+    ``&&``/``||``/``!`` → ``AND``/``OR``/``NOT``, double-quoted string
+    literals → SQL single-quoted.  Conservative: any leftover variable,
+    non-whitelisted function or brace makes it return None (surfaced via
+    :func:`sparql_constraints` for manual mapping instead — never a
+    silently wrong translation)."""
+    m = _FILTER_RE.match(select)
+    if m is None:
+        return None
+    expr = m.group("expr")
+    # 1) pull out string literals so rewrites can't touch their contents
+    lits: List[str] = []
+
+    def grab(lm):
+        lits.append(lm.group(1))
+        return f"\x00{len(lits) - 1}\x00"
+
+    expr = re.sub(r'"((?:[^"\\]|\\.)*)"', grab, expr)
+    if "{" in expr or "}" in expr or '"' in expr:
+        return None  # nested graph pattern / stray quote
+    # 2) operators
+    expr = expr.replace("&&", " AND ").replace("||", " OR ")
+    expr = re.sub(r"!(?!=)", " NOT ", expr)
+    # 3) functions + variables
+    ident_re = re.compile(r"\$this\b|\?[A-Za-z_]\w*|\$[A-Za-z_]\w*"
+                          r"|[A-Za-z_]\w*")
+    parts = []
+    pos = 0
+    for im in ident_re.finditer(expr):
+        parts.append(expr[pos:im.start()])
+        tok = im.group(0)
+        rest = expr[im.end():]
+        if tok == "$this":
+            parts.append('"' + column.replace('"', '""') + '"')
+        elif tok.startswith("?") or tok.startswith("$"):
+            return None  # other variables: needs a real SPARQL engine
+        elif tok.upper() in _SPARQL_FNS and rest.lstrip().startswith("("):
+            parts.append(_SPARQL_FNS[tok.upper()])
+        elif tok.upper() in _SQL_KEYWORDS:
+            parts.append(tok.upper())
+        else:
+            return None  # unknown identifier/function
+        pos = im.end()
+    parts.append(expr[pos:])
+    expr = "".join(parts)
+    # 4) restore string literals, SQL-quoted
+    expr = re.sub(
+        r"\x00(\d+)\x00",
+        lambda lm: "'" + _unescape(lits[int(lm.group(1))]).replace("'", "''")
+        + "'",
+        expr,
+    )
+    return expr.strip()
+
+
+def sparql_sqlchecks(shape_triples: List[Triple]):
+    """Auto-map translatable ``sh:sparql`` blocks to :class:`SqlCheck`
+    constraints: ``{target_class: [SqlCheck, ...]}`` plus the list of
+    untranslatable blocks (same dicts :func:`sparql_constraints` yields —
+    graph-pattern queries stay data for manual mapping).
+
+    A block is translatable when its holder property shape has a single
+    ``sh:path`` and its SELECT is the FILTER-only form
+    (:func:`sparql_filter_to_sql`)."""
+    from ..spec import SqlCheck
+
+    obj = _sp_index(shape_triples)
+    checks: Dict[str, List] = {}
+    skipped: List[Dict[str, str]] = []
+    for shape, target in _node_shapes_with_target(shape_triples, obj):
+        # any object of the node shape that carries sh:sparql is a holder
+        # (the reference attaches them via the nonstandard
+        # sh:PropertyConstraintComponent predicate)
+        for t in shape_triples:
+            if t.s != shape or t.kind == "literal":
+                continue
+            holder = t.o
+            sq = _first(obj, holder, SH_NS + "sparql")
+            if sq is None:
+                continue
+            path_t = _first(obj, holder, SH_NS + "path")
+            msg = _first(obj, sq.o, SH_NS + "message")
+            sel = _first(obj, sq.o, SH_NS + "select")
+            entry = {"shape": holder, "target": target,
+                     "message": msg.o if msg else "",
+                     "select": sel.o if sel else ""}
+            sql = (sparql_filter_to_sql(sel.o, path_t.o)
+                   if sel is not None and path_t is not None else None)
+            if sql is None:
+                skipped.append(entry)
+                continue
+            checks.setdefault(target, []).append(SqlCheck(
+                column=path_t.o, shape_id=holder,
+                message=msg.o if msg else None,
+                where=sql, name=sq.o, columns=[path_t.o]))
+    return checks, skipped
+
+
 def run_ttl(
     data_path: str,
     shapes_path: str,
@@ -833,7 +965,7 @@ def run_ttl(
 
 
 def validate_ttl(data_path: str, shapes_path: str,
-                 long_form: bool = False):
+                 long_form: bool = False, sparql: bool = False):
     """End-to-end: parse both files, build one entity table + spec per
     target class, run the engine, union the violations.
 
@@ -843,15 +975,33 @@ def validate_ttl(data_path: str, shapes_path: str,
     ``long_form=True`` additionally runs :func:`validate_ttl_long` — the
     multi-value constraints (sh:maxCount, sh:minCount > 1, sh:nodeKind,
     sh:class, sh:languageIn) over the triples table — and unions its
-    violations in.  Off by default: the entity-pivot subset is the
-    reference-README parity surface pinned by the goldens."""
+    violations in.  ``sparql=True`` auto-translates FILTER-only
+    ``sh:sparql`` blocks into :class:`~xpshacl_ray.spec.SqlCheck`
+    constraints (:func:`sparql_sqlchecks`; untranslatable blocks stay
+    surfaced as data).  Both off by default: the entity-pivot subset is
+    the reference-README parity surface pinned by the goldens."""
     import ray.data
 
     from ..pipelines.validate import ValidationEngine
+    from ..spec import ValidationSpec
 
     data_triples, _ = load_turtle(data_path)
     shape_triples, _ = load_turtle(shapes_path)
     specs = shapes_to_specs(shape_triples, long_form=long_form)
+    if sparql:
+        checks, _skipped = sparql_sqlchecks(shape_triples)
+        for target, cs in checks.items():
+            if target in specs:
+                specs[target] = ValidationSpec(
+                    constraints=list(specs[target].constraints) + cs,
+                    id_columns=specs[target].id_columns,
+                    focus_template=specs[target].focus_template,
+                )
+            else:
+                specs[target] = ValidationSpec(
+                    constraints=cs, id_columns=["subject"],
+                    focus_template="{subject}",
+                )
     parts = []
     if long_form:
         lf = validate_ttl_long(data_triples, shape_triples)
