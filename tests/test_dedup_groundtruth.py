@@ -120,3 +120,29 @@ def test_distributed_cluster_labels_match_union_find():
     got = {r["node"]: r["label"]
            for r in cluster_labels_distributed(ds, n_buckets=4).take_all()}
     assert got == {k: v for k, v in want.items()}
+
+
+def test_pointer_jumping_converges_on_deep_chain_in_few_rounds():
+    from xpshacl_ray.functions.dedup import (
+        cluster_labels,
+        cluster_labels_distributed,
+    )
+
+    # a 17-node chain: plain min-label propagation needs ~diameter (16)
+    # rounds — more than max_rounds=5 — while pointer jumping shortcuts
+    # label(node) <- label(label(node)) and converges in O(log d)
+    # (measured: 4 rounds on this chain)
+    pairs = [(i, i + 1) for i in range(16)]
+    want = cluster_labels(pairs)
+    ds = ray.data.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+
+    got = {r["node"]: r["label"]
+           for r in cluster_labels_distributed(
+               ds, n_buckets=4, max_rounds=5).take_all()}
+    assert got == want  # everyone labelled 0
+
+    plain = {r["node"]: r["label"]
+             for r in cluster_labels_distributed(
+                 ds, n_buckets=4, max_rounds=5,
+                 pointer_jumping=False).take_all()}
+    assert plain != want  # diameter rounds not reached: tail still wrong

@@ -413,6 +413,7 @@ def cluster_labels_distributed(
     pairs: "ray.data.Dataset",
     max_rounds: int = 50,
     n_buckets: int = 64,
+    pointer_jumping: bool = True,
 ) -> "ray.data.Dataset":
     """Connected components over candidate pairs WITHOUT driver state:
     iterative min-label propagation, one small groupby shuffle per round.
@@ -423,9 +424,17 @@ def cluster_labels_distributed(
     on the driver.  Each round every node adopts
     ``min(own label, neighbours' labels)``; labels only decrease, so the
     driver-side convergence check is one cheap ``Sum`` aggregate per
-    round (stop when the label sum stops falling).  Rounds needed ≈ graph
-    diameter of the largest component — near-dup clusters are shallow, so
-    a handful in practice.
+    round (stop when the label sum stops falling).
+
+    ``pointer_jumping=True`` additionally shortcuts each round:
+    ``label(node) ← label(label(node))`` (one extra bucketed self-join —
+    labels are monotone, ``label(x) ≤ x``, so every label value is itself
+    a labelled node and the shortcut only decreases labels).  Plain
+    propagation needs ≈ graph-diameter rounds; with the shortcut the
+    label of the component minimum reaches everyone in O(log diameter)
+    rounds (Shiloach–Vishkin style) — the win is deep CHAIN components,
+    where near-dup similarity is transitive enough to link a…z through
+    pairwise neighbours.
     """
     from ray.data.aggregate import Min, Sum
 
@@ -479,8 +488,24 @@ def cluster_labels_distributed(
             .map_batches(
                 lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
                 batch_format="pyarrow")
-            .materialize()
+            .materialize()  # both shortcut join sides read it
         )
+        if pointer_jumping:
+            # label(node) ← label(label(node)): bucketed 1:1 self-join on
+            # jkey = current label (inner is safe: every label value is a
+            # node with a label row, see docstring)
+            left = labels.map_batches(
+                lambda b: pa.table({"node": b["node"], "jkey": b["label"]}),
+                batch_format="pyarrow")
+            right = labels.map_batches(
+                lambda b: pa.table({"jkey": b["node"],
+                                    "label2": b["label"]}),
+                batch_format="pyarrow")
+            labels = hash_join(
+                left, right, key="jkey", n_buckets=n_buckets,
+            ).map_batches(
+                lambda b: pa.table({"node": b["node"], "label": b["label2"]}),
+                batch_format="pyarrow").materialize()
     return labels
 
 
