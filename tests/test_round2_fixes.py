@@ -286,3 +286,27 @@ def test_hashed_strategy_join_recovery_matches_broadcast(monkeypatch):
     join_rows = rows(s="hashed", limit=0)
     assert keys_rows == bcast_rows == join_rows
     assert len(keys_rows) == 2  # groups a (3 values) and b (2 values)
+
+
+def test_apply_wide_content_context_sizing():
+    from ray.data import DataContext
+
+    from xpshacl_ray.tuning import apply_wide_content_context
+
+    ctx = DataContext.get_current()
+    orig = ctx.target_max_block_size
+    try:
+        # 400 KB rows: 64-row blocks = 25.6 MB target, batch == block rows
+        bs = apply_wide_content_context(400 * 1024)
+        assert ctx.target_max_block_size == 400 * 1024 * 64
+        assert bs == 64
+        # tiny rows: floor at 4 MiB, batch covers the whole block
+        bs = apply_wide_content_context(100)
+        assert ctx.target_max_block_size == 4 * 1024 * 1024
+        assert bs == (4 * 1024 * 1024) // 100
+        # giant rows: cap at 128 MiB, at least one row per batch
+        bs = apply_wide_content_context(1 << 30)
+        assert ctx.target_max_block_size == 128 * 1024 * 1024
+        assert bs == 1  # floor: a batch is never zero rows
+    finally:
+        ctx.target_max_block_size = orig

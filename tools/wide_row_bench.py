@@ -14,8 +14,10 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-N_ROWS = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-ROW_KB = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SWEEP_ONLY = "--sweep-only" in sys.argv  # skip the slow naive groupby
+N_ROWS = int(ARGS[0]) if len(ARGS) > 0 else 2048
+ROW_KB = int(ARGS[1]) if len(ARGS) > 1 else 400
 DIR = f"/tmp/xpshacl_wide_{N_ROWS}x{ROW_KB}"
 
 
@@ -67,23 +69,68 @@ def main():
 
     read().count()  # warm
 
-    t0 = time.perf_counter()
-    n1 = exact_dedup(read()).count()
-    t_hash = time.perf_counter() - t0
-
-    from ray.data.aggregate import Count, Min
-
-    t0 = time.perf_counter()
-    n2 = (read().groupby("text")
-          .aggregate(Min("doc_id", alias_name="keep_id"),
-                     Count(alias_name="n"))
-          .count())
-    t_naive = time.perf_counter() - t0
-
     print(f"rows={N_ROWS} ({gb:.2f} GiB of ~{ROW_KB} KB content)")
-    print(f"hash-projection dedup (engine): {t_hash:.2f}s -> {n1} groups")
-    print(f"naive content-shuffling groupby: {t_naive:.2f}s -> {n2} groups")
-    print(f"speedup: {t_naive / t_hash:.2f}x")
+    if not SWEEP_ONLY:
+        t0 = time.perf_counter()
+        n1 = exact_dedup(read()).count()
+        t_hash = time.perf_counter() - t0
+
+        from ray.data.aggregate import Count, Min
+
+        t0 = time.perf_counter()
+        n2 = (read().groupby("text")
+              .aggregate(Min("doc_id", alias_name="keep_id"),
+                         Count(alias_name="n"))
+              .count())
+        t_naive = time.perf_counter() - t0
+
+        print(f"hash-projection dedup (engine): {t_hash:.2f}s -> {n1} groups")
+        print(f"naive content-shuffling groupby: {t_naive:.2f}s -> {n2} groups")
+        print(f"speedup: {t_naive / t_hash:.2f}x")
+
+    # --- shuffle-bearing wide-row stage under varied block sizes --------
+    # the engine's grouped uniqueness check (key-projected combiner +
+    # groupby) and a full stats profile, swept over
+    # target_max_block_size: quantifies whether block granularity
+    # matters once payload bytes never enter the exchange
+    from ray.data import DataContext
+
+    from xpshacl_ray.spec import MaxCount, ValidationSpec
+    from xpshacl_ray.pipelines.validate import ValidationEngine
+    from xpshacl_ray.stages.stats import StatsConfig, profile
+
+    spec = ValidationSpec(
+        constraints=[MaxCount(column="text", group_by=["text_md5"],
+                              max_count=1)],
+        id_columns=["doc_id"], focus_template="doc:{doc_id}")
+    eng = ValidationEngine(spec)
+
+    import hashlib
+
+    def add_md5(b: pa.Table) -> pa.Table:
+        md5 = [hashlib.md5(t.encode()).hexdigest()
+               for t in b["text"].to_pylist()]
+        return b.append_column("text_md5", pa.array(md5, pa.string()))
+
+    ctx = DataContext.get_current()
+    default_target = ctx.target_max_block_size
+    for label, target in [("8MiB", 8 << 20), ("32MiB", 32 << 20),
+                          ("128MiB(default)", default_target)]:
+        ctx.target_max_block_size = target
+        src = read().map_batches(add_md5, batch_format="pyarrow")
+        t0 = time.perf_counter()
+        nv = eng.validate(src).count()
+        t_grouped = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        # batch_size sized for the payload width (apply_wide_content_context
+        # guidance): 8192-row default would be a ~3 GiB batch here
+        prof = profile(read(), StatsConfig(
+            group_keys=[], numeric_cols=[], categorical_cols=[],
+            distinct_cols=["text"]), batch_size=max(1, target // (ROW_KB << 10)))
+        t_stats = time.perf_counter() - t0
+        print(f"block={label}: grouped-uniqueness {t_grouped:.2f}s "
+              f"({nv} violations), distinct-profile {t_stats:.2f}s")
+    ctx.target_max_block_size = default_target
     ray.shutdown()
 
 

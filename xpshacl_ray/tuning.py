@@ -15,6 +15,34 @@ from __future__ import annotations
 import os
 
 
+def apply_wide_content_context(avg_row_bytes: int,
+                               rows_per_batch: int = 64) -> int:
+    """Block/batch sizing for multi-MB payload rows (wide ``content`` /
+    multimodal binary columns).
+
+    Ray splits blocks by BYTES (``target_max_block_size``, default
+    128 MiB), so wide rows already get few-rows-per-block at the read —
+    the real hazards are (a) ``map_batches`` with a row-count
+    ``batch_size`` that multiplies to GBs per task heap
+    (batch_size × row_bytes × concurrency), and (b) shuffle-bearing
+    stages that carry the payload column (the engine's answer is to
+    never do that — project to keys/hashes first; measured in
+    tools/wide_row_bench.py).
+
+    Sets ``target_max_block_size`` to hold ~``rows_per_batch`` rows
+    (floored at 4 MiB, capped at the 128 MiB default) and returns the
+    per-stage ``batch_size`` callers should pass to ``map_batches`` on
+    payload-bearing stages so one batch ≈ one block (zero-copy slice,
+    no concatenation of payload chunks)."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    target = max(4 * 1024 * 1024,
+                 min(128 * 1024 * 1024, avg_row_bytes * rows_per_batch))
+    ctx.target_max_block_size = target
+    return max(1, target // max(1, avg_row_bytes))
+
+
 def apply_recommended_context() -> None:
     from ray.data import DataContext
 
