@@ -601,6 +601,28 @@ def q_token_counts(sf_dir: str):
     )
 
 
+def q_term_doc_frequency(sf_dir: str):
+    """Top-20 corpus terms by document frequency — the IDF-denominator
+    wide step of a TF-IDF pipeline (per-batch vocabulary combiner, the
+    exchange never carries text)."""
+    from xpshacl_ray.functions.text import term_doc_frequency
+
+    return term_doc_frequency(_docs(sf_dir, columns=["doc_id", "text"]),
+                              k=20)
+
+
+def q_stopword_scrub(sf_dir: str):
+    """Vectorized stopword removal (training-data text normalization);
+    byte-parity with the list_filter SQL oracle."""
+    from xpshacl_ray.functions.text import remove_stopwords
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(remove_stopwords, batch_format="pyarrow")
+        .select_columns(["doc_id", "text_clean"])
+    )
+
+
 def q_fingerprints(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -975,6 +997,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": q_topk_per_group,
         "distinct_users": q_distinct_users,
         "token_counts": q_token_counts,
+        "term_doc_frequency": q_term_doc_frequency,
+        "stopword_scrub": q_stopword_scrub,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "knn_cosine": q_knn_cosine,
@@ -1152,6 +1176,26 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": """
             SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT)
                    AS n_tokens
+            FROM documents
+        """,
+        "term_doc_frequency": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(str_split(lower(text), ' ')) AS term
+                FROM documents
+            ), dt AS (
+                SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''
+            )
+            SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM dt GROUP BY term
+            ORDER BY df DESC, term LIMIT 20
+        """,
+        "stopword_scrub": """
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(str_split(text, ' '),
+                                   x -> x NOT IN ('a', 'the')),
+                       ' ') AS text_clean
             FROM documents
         """,
         "fingerprints": """

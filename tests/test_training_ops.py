@@ -254,3 +254,45 @@ def test_multimodal_plumbing():
 def test_multimodal_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         DecodeStub(fake=False)._decode_one(b"bytes")
+
+
+# --- term DF + stopword scrub ----------------------------------------------
+
+
+def test_partial_doc_frequency_is_exact_across_batches():
+    from xpshacl_ray.functions.text import (
+        partial_doc_frequency,
+        term_doc_frequency,
+    )
+
+    rows = [
+        "alpha beta alpha",       # alpha counts ONCE for this doc
+        "beta gamma",
+        "alpha  beta",            # empty token from double space: dropped
+        "delta",
+    ]
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(rows)})
+    p = partial_doc_frequency(t)
+    got = dict(zip(p["term"].to_pylist(), p["partial_df"].to_pylist()))
+    assert got == {"alpha": 2, "beta": 3, "gamma": 1, "delta": 1}
+
+    # split across two single-row-batch datasets: same totals (combiner
+    # sums are exact because a doc is one row)
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = term_doc_frequency(ds, k=10).to_pandas()
+    assert dict(zip(out["term"], out["df"])) == got
+    # deterministic tie-break: df desc, then term asc
+    assert out.iloc[0]["term"] == "beta"
+    assert list(out["term"][1:]) == ["alpha", "delta", "gamma"]
+
+
+def test_remove_stopwords_edge_cases():
+    from xpshacl_ray.functions.text import remove_stopwords
+
+    t = pa.table({"text": pa.array(
+        ["the cat sat on a  mat", "a a the", "", None, "no stops here"])})
+    out = remove_stopwords(t)["text_clean"].to_pylist()
+    #  - double space keeps the empty token (SQL list_filter parity)
+    #  - all-stopword doc becomes empty string, null stays null
+    assert out == ["cat sat on  mat", "", "", None, "no stops here"]

@@ -268,3 +268,93 @@ def rolling_fingerprint_column(batch: pa.Table, text_col: str = "text",
                                out_col: str = "fingerprint_roll") -> pa.Table:
     vals = rolling_fingerprint(batch[text_col].to_pylist())
     return batch.append_column(out_col, pa.array(vals, pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# corpus-global term statistics + stopword scrub (round-2 additions)
+# ---------------------------------------------------------------------------
+
+
+def _space_token_lists(col) -> pa.ListArray:
+    """Lower-cased split-on-single-space token lists (Arrow kernels only;
+    matches DuckDB ``str_split(lower(text), ' ')`` exactly, including
+    empty tokens from consecutive spaces)."""
+    toks = pc.split_pattern(pc.utf8_lower(col), " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return toks
+
+
+def partial_doc_frequency(batch: pa.Table,
+                          text_col: str = "text") -> pa.Table:
+    """Within-batch combiner for global document frequency: distinct
+    (row, term) pairs → one (term, partial_df) row per term per batch.
+
+    Exact under any partitioning: a document is ONE row, and rows never
+    split across batches, so summing per-batch distinct-doc counts per
+    term is the true document frequency.  The shuffle moves only the
+    per-batch vocabulary — never text."""
+    toks = _space_token_lists(batch[text_col])
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    t = pa.table({"term": flat, "rid": parent})
+    t = t.filter(pc.not_equal(t["term"], ""))
+    t = t.group_by(["rid", "term"]).aggregate([])      # distinct per doc
+    agg = t.group_by(["term"]).aggregate([([], "count_all")])
+    return pa.table({
+        "term": agg["term"],
+        "partial_df": pc.cast(agg["count_all"], pa.int64()),
+    })
+
+
+def term_doc_frequency(ds: "ray.data.Dataset", text_col: str = "text",
+                       k: int = 20) -> "ray.data.Dataset":
+    """Top-k corpus terms by document frequency (the IDF denominator —
+    the classic vocabulary-aggregation wide step of a TF-IDF pipeline).
+
+    per-batch combiner (:func:`partial_doc_frequency`) →
+    ``groupby(term).sum`` → sort (df desc, term asc) → limit k.  The
+    exchange carries (term, int64) pairs bounded by per-batch vocabulary;
+    the final sort runs on the aggregated vocabulary table only.
+    Deterministic tie-break on the term so the top-k SET matches the SQL
+    oracle's ``ORDER BY df DESC, term``."""
+    import ray.data  # noqa: F401  (type only)
+    from ray.data.aggregate import Sum
+
+    df = (
+        ds.map_batches(lambda b: partial_doc_frequency(b, text_col),
+                       batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("partial_df", alias_name="df"))
+    )
+    return df.sort(key=["df", "term"], descending=[True, False]).limit(k)
+
+
+def remove_stopwords(batch: pa.Table, stopwords: Sequence[str] = ("a", "the"),
+                     text_col: str = "text",
+                     out_col: str = "text_clean") -> pa.Table:
+    """Vectorized stopword scrub: drop exact-match tokens, re-join on
+    single spaces — byte-parity with DuckDB's
+    ``array_to_string(list_filter(str_split(text, ' '), x -> x NOT IN
+    (...)), ' ')`` (empty tokens from repeated spaces survive on both
+    sides).  Pure Arrow/numpy per batch: explode → membership mask →
+    offset rebuild (bincount) → ``binary_join``."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(col, " ")  # case-preserving scrub
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    parent = np.asarray(pc.list_parent_indices(toks))
+    keep = pc.invert(pc.is_in(flat, value_set=pa.array(list(stopwords))))
+    keep_np = np.asarray(keep)
+    counts = np.bincount(parent[keep_np], minlength=len(batch)) \
+        if len(parent) else np.zeros(len(batch), dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    vals = flat.filter(keep)
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int64()), vals)
+    joined = pc.binary_join(pc.cast(la, pa.list_(pa.string())), " ")
+    joined = pc.if_else(pc.is_null(col), pa.scalar(None, pa.string()),
+                        joined)
+    return batch.append_column(out_col, joined)
