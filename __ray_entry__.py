@@ -611,6 +611,16 @@ def q_term_doc_frequency(sf_dir: str):
                               k=20)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document (tf · ln(N/df), ties on term) —
+    two passes, text never shuffled; DF side broadcast (auto-switches to
+    a bucketed join past the vocabulary limit)."""
+    from xpshacl_ray.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir, columns=["doc_id", "text"]),
+                           top_k=3)
+
+
 def q_stopword_scrub(sf_dir: str):
     """Vectorized stopword removal (training-data text normalization);
     byte-parity with the list_filter SQL oracle."""
@@ -998,6 +1008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": q_distinct_users,
         "token_counts": q_token_counts,
         "term_doc_frequency": q_term_doc_frequency,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "stopword_scrub": q_stopword_scrub,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
@@ -1189,6 +1200,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(count(*) AS BIGINT) AS df
             FROM dt GROUP BY term
             ORDER BY df DESC, term LIMIT 20
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(str_split(lower(text), ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ), df AS (
+                SELECT term, count(DISTINCT doc_id) AS df
+                FROM toks WHERE term <> '' GROUP BY term
+            ), n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       tf.tf * ln(CAST(n.n AS DOUBLE) / df.df) AS tfidf
+                FROM tf JOIN df USING (term) CROSS JOIN n
+            ), ranked AS (
+                SELECT doc_id, term, tfidf,
+                       CAST(row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term) AS BIGINT) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
         """,
         "stopword_scrub": """
             SELECT doc_id,

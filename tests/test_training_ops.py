@@ -296,3 +296,26 @@ def test_remove_stopwords_edge_cases():
     #  - double space keeps the empty token (SQL list_filter parity)
     #  - all-stopword doc becomes empty string, null stays null
     assert out == ["cat sat on  mat", "", "", None, "no stops here"]
+
+
+def test_tfidf_top_terms_broadcast_and_join_paths_agree():
+    from xpshacl_ray.functions.text import tfidf_top_terms
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["cat cat dog", "dog fish",
+                                    "cat fish fish bird"])})
+    ds = ray.data.from_arrow(t)
+    key = ["doc_id", "rank"]
+    bc = tfidf_top_terms(ds, top_k=2).to_pandas().sort_values(
+        key).reset_index(drop=True)
+    jn = tfidf_top_terms(ds, top_k=2, vocab_broadcast_limit=0,
+                         n_buckets=4).to_pandas().sort_values(
+        key).reset_index(drop=True)
+    assert bc.equals(jn)
+    # doc 3's rarest term wins; ties broken by term ascending
+    assert bc[bc.doc_id == 3].iloc[0]["term"] == "bird"
+    d2 = bc[bc.doc_id == 2]
+    assert list(d2["term"]) == ["dog", "fish"]  # equal tfidf → term order
+    # tfidf = tf * ln(N/df), float64
+    assert abs(bc[bc.doc_id == 1].iloc[0]["tfidf"]
+               - 2 * np.log(3 / 2)) < 1e-12

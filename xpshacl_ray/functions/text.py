@@ -358,3 +358,140 @@ def remove_stopwords(batch: pa.Table, stopwords: Sequence[str] = ("a", "the"),
     joined = pc.if_else(pc.is_null(col), pa.scalar(None, pa.string()),
                         joined)
     return batch.append_column(out_col, joined)
+
+
+def _term_frequencies(batch: pa.Table, text_col: str,
+                      doc_id_col: str) -> pa.Table:
+    """Exploded per-doc term frequencies for one batch: (doc_id, term, tf)
+    with empty tokens dropped.  In-batch exact — a document is one row."""
+    toks = _space_token_lists(batch[text_col])
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    t = pa.table({"term": flat, "rid": parent})
+    t = t.filter(pc.not_equal(t["term"], ""))
+    tf = t.group_by(["rid", "term"]).aggregate([([], "count_all")])
+    doc_ids = batch[doc_id_col]
+    if isinstance(doc_ids, pa.ChunkedArray):
+        doc_ids = doc_ids.combine_chunks()
+    return pa.table({
+        "doc_id": doc_ids.take(tf["rid"]),
+        "term": tf["term"],
+        "tf": pc.cast(tf["count_all"], pa.int64()),
+    })
+
+
+def _topk_per_doc(doc_ids: np.ndarray, terms: np.ndarray,
+                  tfidf: np.ndarray, top_k: int):
+    """Vectorized per-doc top-k: lexsort by (doc, -tfidf, term), keep the
+    first k rows of each doc run (tie-break on term matches the oracle's
+    ``ORDER BY tfidf DESC, term``)."""
+    order = np.lexsort((terms, -tfidf, doc_ids))
+    d = doc_ids[order]
+    starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+    run = np.arange(len(d)) - np.repeat(starts, np.diff(
+        np.concatenate([starts, [len(d)]])))
+    keep = order[run < top_k]
+    rank = run[run < top_k] + 1
+    return keep, rank
+
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    top_k: int = 3,
+    vocab_broadcast_limit: int = 2_000_000,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Top-k TF-IDF terms per document: ``tf · ln(N / df)`` with the
+    oracle's exact float64 expression and (tfidf desc, term asc)
+    tie-break.
+
+    Two passes over the text, never shuffling it:
+
+    1. global DF (per-batch vocabulary combiner → ``groupby(term).sum``)
+       and N = row count;
+    2. per-doc scoring — tf is in-batch exact (a document is one row).
+
+    The DF side is applied by size (the ``curate``-style auto switch):
+
+    - vocabulary ≤ ``vocab_broadcast_limit``: collected once into sorted
+      numpy arrays, shipped via ``ray.put``, probed with searchsorted
+      inside the scoring ``map_batches`` — no second shuffle;
+    - larger vocabularies: the exploded (doc_id, term, tf) table joins DF
+      through the engine's bucketed :func:`~xpshacl_ray.functions.joins.
+      hash_join` on ``term``, then top-k per doc via a ``doc_id`` hash
+      groupby — two bounded exchanges, no driver materialization.
+    """
+    import ray as _ray
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    df_tbl = (
+        ds.map_batches(lambda b: partial_doc_frequency(b, text_col),
+                       batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("partial_df", alias_name="df"))
+        .materialize()
+    )
+    n_docs = ds.count()
+    vocab_n = df_tbl.count()
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                            ("tfidf", pa.float64()),
+                            ("rank", pa.int64())])
+
+    if vocab_n <= vocab_broadcast_limit:
+        rows = df_tbl.take_all()
+        terms_sorted = np.array(sorted(r["term"] for r in rows), dtype=object)
+        df_map = {r["term"]: r["df"] for r in rows}
+        dfs_sorted = np.array([df_map[t] for t in terms_sorted],
+                              dtype=np.float64)
+        ref = _ray.put((terms_sorted, dfs_sorted))
+
+        def score(batch: pa.Table) -> pa.Table:
+            terms_s, dfs_s = _ray.get(ref)
+            tf = _term_frequencies(batch, text_col, doc_id_col)
+            if tf.num_rows == 0:
+                return out_schema.empty_table()
+            t_np = np.asarray(tf["term"].to_pylist(), dtype=object)
+            idx = np.searchsorted(terms_s, t_np)
+            # every batch term is in the global vocabulary by construction
+            dfv = dfs_s[idx]
+            tfv = np.asarray(tf["tf"], dtype=np.float64)
+            tfidf = tfv * np.log(np.float64(n_docs) / dfv)
+            doc_np = np.asarray(tf["doc_id"], dtype=np.int64)
+            keep, rank = _topk_per_doc(doc_np, t_np, tfidf, top_k)
+            return pa.table({
+                "doc_id": pa.array(doc_np[keep], pa.int64()),
+                "term": pa.array(t_np[keep].tolist(), pa.string()),
+                "tfidf": pa.array(tfidf[keep], pa.float64()),
+                "rank": pa.array(rank, pa.int64()),
+            })
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
+    # big-vocabulary path: bucketed join + per-doc groupby
+    from .joins import hash_join
+
+    tf_ds = ds.map_batches(
+        lambda b: _term_frequencies(b, text_col, doc_id_col),
+        batch_format="pyarrow")
+    joined = hash_join(tf_ds, df_tbl, key="term", n_buckets=n_buckets)
+
+    def score_group(g) -> "pa.Table":
+        import pandas as pd
+
+        tfidf = g["tf"].to_numpy(np.float64) * np.log(
+            np.float64(n_docs) / g["df"].to_numpy(np.float64))
+        keep, rank = _topk_per_doc(g["doc_id"].to_numpy(np.int64),
+                                   g["term"].to_numpy(object), tfidf, top_k)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64)[keep],
+            "term": g["term"].to_numpy(object)[keep],
+            "tfidf": tfidf[keep],
+            "rank": rank,
+        })
+
+    return joined.groupby("doc_id").map_groups(score_group,
+                                               batch_format="pandas")
