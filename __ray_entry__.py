@@ -728,6 +728,20 @@ def q_ivf_knn(sf_dir: str):
     return out[["vec_id", "cosine", "rank"]].reset_index(drop=True)
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Full-data distributed spherical k-means (Lloyd's via per-batch
+    partial sums — the scale path past sample-trained centroids) +
+    per-vector assignment; golden oracle from an independent numpy
+    reimplementation (tools/make_goldens.kmeans_clusters_golden)."""
+    from xpshacl_ray.functions.similarity import kmeans_assign, kmeans_fit
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(emb, k=8, iters=5)
+    out = kmeans_assign(emb, cents).to_pandas()
+    out["cosine"] = out["cosine"].round(6)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_sessions(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
@@ -1022,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ivf_knn": q_ivf_knn,
+        "kmeans_clusters": q_kmeans_clusters,
         "sessions": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
         "json_extract_sum": q_json_extract_sum,

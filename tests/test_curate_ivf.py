@@ -148,3 +148,27 @@ def test_nodekind_languagein_row_local(sf_dir):
              for v in viol}
     assert types["NodeKindConstraintComponent"] == "value_type"
     assert types["LanguageInConstraintComponent"] == "other"
+
+
+def test_distributed_kmeans_matches_independent_numpy_and_is_layout_stable():
+    import sys
+
+    import numpy as np
+
+    from xpshacl_ray.functions.similarity import kmeans_assign, kmeans_fit
+
+    sys.path.insert(0, "/root/repo/tools")
+    from make_goldens import kmeans_clusters_golden
+
+    emb_path = "/root/testdata/sf0.001/embeddings.parquet"
+    emb = ray.data.read_parquet(emb_path)
+    cents = kmeans_fit(emb, k=8, iters=5)
+    got = kmeans_assign(emb, cents).to_pandas().sort_values(
+        "vec_id").reset_index(drop=True)
+    want = kmeans_clusters_golden(emb_path, k=8, iters=5)
+    assert list(got["cluster"]) == list(want["cluster"])
+    assert np.allclose(got["cosine"], want["cosine"], atol=1e-6)
+    # block layout must not change the result (sums merge via np.add.at
+    # per batch + driver reduce; seeds are md5-deterministic)
+    cents2 = kmeans_fit(emb.repartition(7), k=8, iters=5)
+    assert np.abs(cents - cents2).max() < 1e-12

@@ -209,6 +209,41 @@ def ivf_knn_golden(emb_path, n_centroids=8, iters=5, k=10, nprobe=4,
          "rank": np.arange(1, len(order) + 1, dtype="int64")})
 
 
+def kmeans_clusters_golden(emb_path, k=8, iters=5):
+    """Spec (independent of engine code): seeds = the k vectors with the
+    smallest md5(vec_id) hex strings (sorted ascending); spherical
+    Lloyd's — argmax-cosine assignment, per-cluster mean + renormalize,
+    empty clusters keep their centroid; per-vector assignment with
+    cosine rounded to 6 decimals."""
+    t = pq.read_table(emb_path)
+    ids = np.asarray(t["vec_id"])
+    mat = np.asarray(t["embedding"].combine_chunks().flatten(),
+                     dtype=np.float64).reshape(len(ids), -1)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    keys = [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+    seed_idx = np.argsort(np.asarray(keys, dtype=object),
+                          kind="stable")[:k]
+    cent = unit[seed_idx].copy()
+    for _ in range(iters):
+        assign = (unit @ cent.T).argmax(axis=1)
+        for c in range(k):
+            m = unit[assign == c]
+            if len(m):
+                v = m.sum(axis=0) / len(m)
+                nn = np.linalg.norm(v)
+                if nn > 0:
+                    cent[c] = v / nn
+    sims = unit @ cent.T
+    assign = sims.argmax(axis=1)
+    return pd.DataFrame({
+        "vec_id": ids.astype("int64"),
+        "cluster": assign.astype("int64"),
+        "cosine": np.round(sims[np.arange(len(ids)), assign], 6),
+    })
+
+
 # ---------------------------------------------------------------------------
 # VALUES-literal SQL emission
 # ---------------------------------------------------------------------------
@@ -259,6 +294,9 @@ def main():
     goldens["simhash_pairs"] = ("independent", brute_simhash_pairs(ids, sh))
     goldens["ivf_knn"] = ("independent",
                           ivf_knn_golden(f"{SF_DIR}/embeddings.parquet"))
+    goldens["kmeans_clusters"] = (
+        "independent",
+        kmeans_clusters_golden(f"{SF_DIR}/embeddings.parquet"))
 
     # media features: ray-free direct decode (deterministic synthesized
     # PPM/BMP/WAV media; stdlib+numpy codecs) — frozen snapshot

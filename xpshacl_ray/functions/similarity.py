@@ -287,3 +287,119 @@ def knn_cosine_ivf(
         batch_format="pyarrow",
     )
     return knn_cosine_bruteforce(probed, q, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (full-data Lloyd's; round-2 addition)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_seed_centroids(ds: "ray.data.Dataset", k: int,
+                           vec_col: str, id_col: str) -> np.ndarray:
+    """Deterministic seeds: the k vectors with the SMALLEST md5(id) —
+    layout-stable (same policy as ``train_centroids``' sampling), found
+    with a per-batch partial top-k + tiny driver merge (never a full
+    sort)."""
+    import hashlib
+
+    def partial(b: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(str(v).encode()).hexdigest()
+                for v in b[id_col].to_pylist()]
+        order = np.argsort(np.asarray(keys, dtype=object),
+                           kind="stable")[:k]
+        take = pa.array(order)
+        return pa.table({
+            "mkey": pa.array(np.asarray(keys, dtype=object)[order].tolist(),
+                             pa.string()),
+            "vec": b[vec_col].combine_chunks().take(take)
+            if isinstance(b[vec_col], pa.ChunkedArray)
+            else b[vec_col].take(take),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    rows.sort(key=lambda r: r["mkey"])
+    mat = np.asarray([np.asarray(r["vec"], dtype=np.float64)
+                      for r in rows[:k]])
+    return _normalize(mat)
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    k: int = 8,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Full-data distributed spherical k-means (Lloyd's): the scale path
+    ``train_centroids``' driver-side sample cannot give at 10^9+ vectors.
+
+    Each iteration is ONE streaming pass: centroids broadcast via
+    ``ray.put``, every batch emits k partial rows (per-centroid vector
+    sum + count via ``np.add.at``); the k × n_batches partials merge on
+    the driver (k·d floats per batch — tiny vs the data; at huge batch
+    counts swap the merge for a ``groupby(cluster)`` sum, same shape as
+    the engine's sketch merges).  Centroids renormalize each round
+    (cosine geometry, matching the IVF family); empty clusters keep
+    their previous centroid; stops early when every centroid moves
+    < ``tol``."""
+    cents = _kmeans_seed_centroids(ds, k, vec_col, id_col)
+    d = cents.shape[1]
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(b: pa.Table, d=d) -> pa.Table:
+            c = ray.get(ref)
+            mat = _normalize(_as_matrix(b, vec_col))
+            assign = np.argmax(mat @ c.T, axis=1)
+            sums = np.zeros((len(c), d))
+            np.add.at(sums, assign, mat)
+            counts = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                "vsum": pa.array(sums.tolist(),
+                                 pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            })
+
+        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        sums = np.zeros((k, d))
+        counts = np.zeros(k, dtype=np.int64)
+        for r in rows:
+            sums[r["cluster"]] += np.asarray(r["vsum"], dtype=np.float64)
+            counts[r["cluster"]] += r["n"]
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = _normalize(sums[nz] / counts[nz, None])
+        shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
+        cents = new
+        if shift < tol:
+            break
+    return cents
+
+
+def kmeans_assign(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Per-vector cluster assignment against broadcast centroids: one
+    streaming pass, (id, cluster, cosine) out — ties go to the lowest
+    cluster index (argmax)."""
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        mat = _normalize(_as_matrix(b, vec_col))
+        sims = mat @ c.T
+        a = np.argmax(sims, axis=1)
+        ids = b[id_col]
+        return pa.table({
+            "vec_id": ids.combine_chunks()
+            if isinstance(ids, pa.ChunkedArray) else ids,
+            "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            "cosine": pa.array(sims[np.arange(len(a)), a], pa.float64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
