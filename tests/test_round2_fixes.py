@@ -310,3 +310,60 @@ def test_apply_wide_content_context_sizing():
         assert bs == 1  # floor: a batch is never zero rows
     finally:
         ctx.target_max_block_size = orig
+
+
+def test_kmeans_small_input_raises_clear_error():
+    import ray.data
+
+    import pyarrow as pa
+    import pytest
+
+    from xpshacl_ray.functions.similarity import kmeans_fit
+
+    t = pa.table({"vec_id": pa.array(range(3), pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0], [0.0, 1.0],
+                                         [1.0, 1.0]],
+                                        pa.list_(pa.float64()))})
+    with pytest.raises(ValueError, match="at least k=8"):
+        kmeans_fit(ray.data.from_arrow(t), k=8, iters=1)
+
+
+def test_kmeans_assign_respects_id_col():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from xpshacl_ray.functions.similarity import kmeans_assign
+
+    t = pa.table({"doc_id": pa.array([7, 9], pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                        pa.list_(pa.float64()))})
+    cents = np.array([[1.0, 0.0], [0.0, 1.0]])
+    out = kmeans_assign(ray.data.from_arrow(t), cents,
+                        id_col="doc_id").to_pandas()
+    assert list(out.columns) == ["doc_id", "cluster", "cosine"]
+    assert sorted(out["doc_id"]) == [7, 9]
+
+
+def test_sparql_sqlchecks_translates_every_block_on_a_holder():
+    from xpshacl_ray.sources.ttl import parse_turtle, sparql_sqlchecks
+
+    shapes = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <http://example.org/> .
+    ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+      sh:PropertyConstraintComponent ex:H .
+    ex:H sh:path ex:v ;
+      sh:sparql ex:C1 ;
+      sh:sparql ex:C2 ;
+      sh:sparql ex:C3 .
+    ex:C1 sh:select "SELECT $this WHERE { FILTER ( $this < 0 ) }" .
+    ex:C2 sh:select "SELECT $this WHERE { FILTER ( ($this % 2) != 0 ) }" .
+    ex:C3 sh:select "SELECT $this WHERE { ?x a ?y . FILTER ( ?x > 1 ) }" .
+    """
+    triples, _ = parse_turtle(shapes)
+    checks, skipped = sparql_sqlchecks(triples)
+    # C1+C2 translate, C3 (graph pattern) surfaces as skipped — nothing
+    # silently dropped
+    assert len(checks["http://example.org/T"]) == 2
+    assert len(skipped) == 1

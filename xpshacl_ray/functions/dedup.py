@@ -414,6 +414,7 @@ def cluster_labels_distributed(
     max_rounds: int = 50,
     n_buckets: int = 64,
     pointer_jumping: bool = True,
+    jump_broadcast_limit: int = 5_000_000,
 ) -> "ray.data.Dataset":
     """Connected components over candidate pairs WITHOUT driver state:
     iterative min-label propagation, one small groupby shuffle per round.
@@ -427,14 +428,26 @@ def cluster_labels_distributed(
     round (stop when the label sum stops falling).
 
     ``pointer_jumping=True`` additionally shortcuts each round:
-    ``label(node) ← label(label(node))`` (one extra bucketed self-join —
-    labels are monotone, ``label(x) ≤ x``, so every label value is itself
-    a labelled node and the shortcut only decreases labels).  Plain
-    propagation needs ≈ graph-diameter rounds; with the shortcut the
-    label of the component minimum reaches everyone in O(log diameter)
-    rounds (Shiloach–Vishkin style) — the win is deep CHAIN components,
-    where near-dup similarity is transitive enough to link a…z through
+    ``label(node) ← label(label(node))`` (labels are monotone,
+    ``label(x) ≤ x``, so every label value is itself a labelled node and
+    the shortcut only decreases labels).  Plain propagation needs
+    ≈ graph-diameter rounds; with the shortcut the label of the
+    component minimum reaches everyone in O(log diameter) rounds
+    (Shiloach–Vishkin style) — the win is deep CHAIN components, where
+    near-dup similarity is transitive enough to link a…z through
     pairwise neighbours.
+
+    The jump is applied MAP-SIDE from a broadcast ``label → label(label)``
+    table: a self-join on the label would funnel every row of a
+    converging component through one hot join key (all members share
+    label L), so instead the mapping — one row per DISTINCT label value,
+    a set that only shrinks — is collected and shipped via ``ray.put``.
+    When the per-batch-HLL estimate of distinct labels exceeds
+    ``jump_broadcast_limit`` the jump is skipped for that round (plain
+    propagation still makes progress; early rounds have near-n distinct
+    labels and don't benefit from jumping anyway) and re-engages once
+    the label set collapses under the limit — bounded memory, no hot
+    key, same O(log d) tail convergence.
     """
     from ray.data.aggregate import Min, Sum
 
@@ -488,25 +501,78 @@ def cluster_labels_distributed(
             .map_batches(
                 lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
                 batch_format="pyarrow")
-            .materialize()  # both shortcut join sides read it
+            .materialize()  # read twice: jump-mapping pass + jump pass
         )
         if pointer_jumping:
-            # label(node) ← label(label(node)): bucketed 1:1 self-join on
-            # jkey = current label (inner is safe: every label value is a
-            # node with a label row, see docstring)
-            left = labels.map_batches(
-                lambda b: pa.table({"node": b["node"], "jkey": b["label"]}),
-                batch_format="pyarrow")
-            right = labels.map_batches(
-                lambda b: pa.table({"jkey": b["node"],
-                                    "label2": b["label"]}),
-                batch_format="pyarrow")
-            labels = hash_join(
-                left, right, key="jkey", n_buckets=n_buckets,
-            ).map_batches(
-                lambda b: pa.table({"node": b["node"], "label": b["label2"]}),
-                batch_format="pyarrow").materialize()
+            # distinct-label estimate: per-batch HLL, NO shuffle
+            from .sketches import HyperLogLog
+
+            blobs = labels.map_batches(
+                lambda b: pa.table({"hll": pa.array(
+                    [_hll_of_int64(b["label"])], pa.binary())}),
+                batch_format="pyarrow").take_all()
+            est = HyperLogLog.merge_many([r["hll"] for r in blobs]).estimate()
+            if est <= jump_broadcast_limit:
+                # mapping rows: nodes that ARE label values (every label
+                # value has a label row; per-batch membership filter,
+                # driver collect bounded by the distinct-label count)
+                lbl_vals = set()
+                for blk in labels.map_batches(
+                        lambda b: pa.table({"label": pa.array(np.unique(
+                            np.asarray(b["label"])))}),
+                        batch_format="pyarrow").iter_batches(
+                            batch_format="pyarrow"):
+                    lbl_vals.update(np.asarray(blk["label"]).tolist())
+                set_ref = _jump_put(lbl_vals)
+                mapping = {}
+                for blk in labels.map_batches(
+                        lambda b, r=set_ref: _filter_label_rows(b, r),
+                        batch_format="pyarrow").iter_batches(
+                            batch_format="pyarrow"):
+                    mapping.update(zip(np.asarray(blk["node"]).tolist(),
+                                       np.asarray(blk["label"]).tolist()))
+                map_ref = _jump_put(mapping)
+
+                def jump(b: pa.Table, r=map_ref) -> pa.Table:
+                    import ray as _ray
+
+                    m = _ray.get(r)
+                    lab = np.asarray(b["label"])
+                    out = np.fromiter((m.get(int(v), int(v)) for v in lab),
+                                      dtype=np.int64, count=len(lab))
+                    return pa.table({"node": b["node"],
+                                     "label": pa.array(out)})
+
+                labels = labels.map_batches(
+                    jump, batch_format="pyarrow").materialize()
+            # else: skip the jump this round — early rounds have ~n
+            # distinct labels; the jump re-engages once they collapse
     return labels
+
+
+def _hll_of_int64(col) -> bytes:
+    from .sketches import HyperLogLog, hash64
+
+    h = HyperLogLog(p=14)
+    vals = np.asarray(col)
+    h.add_hashes(hash64([str(v) for v in vals]).astype(np.uint64))
+    return h.to_bytes()
+
+
+def _jump_put(obj):
+    import ray as _ray
+
+    return _ray.put(obj)
+
+
+def _filter_label_rows(b: pa.Table, set_ref) -> pa.Table:
+    import ray as _ray
+
+    s = _ray.get(set_ref)
+    nodes = np.asarray(b["node"])
+    mask = np.fromiter((int(v) in s for v in nodes), dtype=bool,
+                       count=len(nodes))
+    return b.filter(pa.array(mask))
 
 
 def cluster_labels(pairs: List[Tuple[int, int]]) -> Dict[int, int]:

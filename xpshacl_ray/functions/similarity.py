@@ -318,6 +318,10 @@ def _kmeans_seed_centroids(ds: "ray.data.Dataset", k: int,
 
     rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: r["mkey"])
+    if len(rows) < k:
+        raise ValueError(
+            f"kmeans needs at least k={k} vectors, dataset has {len(rows)}"
+            " — lower k or use train_centroids on the full (tiny) input")
     mat = np.asarray([np.asarray(r["vec"], dtype=np.float64)
                       for r in rows[:k]])
     return _normalize(mat)
@@ -329,7 +333,7 @@ def kmeans_fit(
     iters: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    tol: float = 1e-6,
+    tol: float = 0.0,
 ) -> np.ndarray:
     """Full-data distributed spherical k-means (Lloyd's): the scale path
     ``train_centroids``' driver-side sample cannot give at 10^9+ vectors.
@@ -340,9 +344,12 @@ def kmeans_fit(
     the driver (k·d floats per batch — tiny vs the data; at huge batch
     counts swap the merge for a ``groupby(cluster)`` sum, same shape as
     the engine's sketch merges).  Centroids renormalize each round
-    (cosine geometry, matching the IVF family); empty clusters keep
-    their previous centroid; stops early when every centroid moves
-    < ``tol``."""
+    (cosine geometry, matching the IVF family); empty clusters — and
+    clusters whose members sum to the zero vector — keep their previous
+    centroid.  ``tol > 0`` opts into early stopping when every centroid
+    moves less than ``tol``; the default 0.0 always runs exactly
+    ``iters`` rounds so results match the fixed-iteration golden oracle
+    (tools/make_goldens.kmeans_clusters_golden) bit-for-bit."""
     cents = _kmeans_seed_centroids(ds, k, vec_col, id_col)
     d = cents.shape[1]
     for _ in range(iters):
@@ -369,11 +376,14 @@ def kmeans_fit(
             sums[r["cluster"]] += np.asarray(r["vsum"], dtype=np.float64)
             counts[r["cluster"]] += r["n"]
         new = cents.copy()
-        nz = counts > 0
-        new[nz] = _normalize(sums[nz] / counts[nz, None])
+        nz = np.flatnonzero(counts > 0)
+        means = sums[nz] / counts[nz, None]
+        norms = np.linalg.norm(means, axis=1)
+        upd = norms > 0  # zero-sum (antipodal) clusters keep their centroid
+        new[nz[upd]] = means[upd] / norms[upd, None]
         shift = float(np.max(np.linalg.norm(new - cents, axis=1)))
         cents = new
-        if shift < tol:
+        if tol > 0 and shift < tol:
             break
     return cents
 
@@ -396,7 +406,7 @@ def kmeans_assign(
         a = np.argmax(sims, axis=1)
         ids = b[id_col]
         return pa.table({
-            "vec_id": ids.combine_chunks()
+            id_col: ids.combine_chunks()
             if isinstance(ids, pa.ChunkedArray) else ids,
             "cluster": pa.array(a.astype(np.int64), pa.int64()),
             "cosine": pa.array(sims[np.arange(len(a)), a], pa.float64()),

@@ -455,9 +455,19 @@ def tfidf_top_terms(
             if tf.num_rows == 0:
                 return out_schema.empty_table()
             t_np = np.asarray(tf["term"].to_pylist(), dtype=object)
-            idx = np.searchsorted(terms_s, t_np)
-            # every batch term is in the global vocabulary by construction
-            dfv = dfs_s[idx]
+            idx = np.clip(np.searchsorted(terms_s, t_np),
+                          0, max(0, len(terms_s) - 1))
+            # every batch term is in the global vocabulary when ds is
+            # deterministic; the hit mask guards re-execution divergence
+            # (nondeterministic upstream) from reading a wrong df —
+            # unseen terms are unscorable and dropped
+            hit = terms_s[idx] == t_np if len(terms_s) else np.zeros(
+                len(t_np), dtype=bool)
+            tf = tf.filter(pa.array(hit))
+            if tf.num_rows == 0:
+                return out_schema.empty_table()
+            t_np = t_np[hit]
+            dfv = dfs_s[idx[hit]]
             tfv = np.asarray(tf["tf"], dtype=np.float64)
             tfidf = tfv * np.log(np.float64(n_docs) / dfv)
             doc_np = np.asarray(tf["doc_id"], dtype=np.int64)

@@ -893,32 +893,36 @@ def sparql_sqlchecks(shape_triples: List[Triple]):
     obj = _sp_index(shape_triples)
     checks: Dict[str, List] = {}
     skipped: List[Dict[str, str]] = []
+    seen = set()
     for shape, target in _node_shapes_with_target(shape_triples, obj):
         # any object of the node shape that carries sh:sparql is a holder
         # (the reference attaches them via the nonstandard
-        # sh:PropertyConstraintComponent predicate)
+        # sh:PropertyConstraintComponent predicate); a holder may carry
+        # SEVERAL sh:sparql blocks — every one translates or is surfaced
+        # as skipped, never silently dropped
         for t in shape_triples:
             if t.s != shape or t.kind == "literal":
                 continue
             holder = t.o
-            sq = _first(obj, holder, SH_NS + "sparql")
-            if sq is None:
-                continue
             path_t = _first(obj, holder, SH_NS + "path")
-            msg = _first(obj, sq.o, SH_NS + "message")
-            sel = _first(obj, sq.o, SH_NS + "select")
-            entry = {"shape": holder, "target": target,
-                     "message": msg.o if msg else "",
-                     "select": sel.o if sel else ""}
-            sql = (sparql_filter_to_sql(sel.o, path_t.o)
-                   if sel is not None and path_t is not None else None)
-            if sql is None:
-                skipped.append(entry)
-                continue
-            checks.setdefault(target, []).append(SqlCheck(
-                column=path_t.o, shape_id=holder,
-                message=msg.o if msg else None,
-                where=sql, name=sq.o, columns=[path_t.o]))
+            for sq in obj.get((holder, SH_NS + "sparql"), []):
+                if (target, holder, sq.o) in seen:
+                    continue  # same holder reachable via several predicates
+                seen.add((target, holder, sq.o))
+                msg = _first(obj, sq.o, SH_NS + "message")
+                sel = _first(obj, sq.o, SH_NS + "select")
+                entry = {"shape": holder, "target": target,
+                         "message": msg.o if msg else "",
+                         "select": sel.o if sel else ""}
+                sql = (sparql_filter_to_sql(sel.o, path_t.o)
+                       if sel is not None and path_t is not None else None)
+                if sql is None:
+                    skipped.append(entry)
+                    continue
+                checks.setdefault(target, []).append(SqlCheck(
+                    column=path_t.o, shape_id=holder,
+                    message=msg.o if msg else None,
+                    where=sql, name=sq.o, columns=[path_t.o]))
     return checks, skipped
 
 
