@@ -742,6 +742,17 @@ def q_kmeans_clusters(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def q_funnel(sf_dir: str):
+    """First-touch ordered funnel view→click→purchase over events: one
+    user-bucket shuffle, vectorized per-bucket evaluation, tiny driver
+    merge."""
+    from xpshacl_ray.stages.window import funnel_counts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
 def q_sessions(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
@@ -1037,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "ivf_knn": q_ivf_knn,
         "kmeans_clusters": q_kmeans_clusters,
+        "funnel": q_funnel,
         "sessions": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
         "json_extract_sum": q_json_extract_sum,
@@ -1286,6 +1298,28 @@ def oracle_sql() -> dict[str, str]:
                                              1, 8))::BIGINT % 100 < 20
                         THEN 'test' ELSE 'train' END AS split
             FROM documents
+        """,
+        "funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), s2 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ), s3 AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_name,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'click',
+                   CAST((SELECT count(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   CAST((SELECT count(*) FROM s3) AS BIGINT)
         """,
         "sessions": """
             WITH flagged AS (

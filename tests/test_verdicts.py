@@ -73,3 +73,33 @@ def test_partition_verdicts_with_drift(code_ds, violations):
     )
     # same drift result but violation budget exceeded → fail
     assert (strict[strict["n_violations"] > 0]["verdict"] == "fail").all()
+
+
+def test_funnel_counts_ordering_and_buckets():
+    import pandas as pd
+
+    import ray.data
+
+    from xpshacl_ray.stages.window import funnel_counts
+
+    rows = [
+        # u1 completes the full ordered funnel
+        (1, "2024-01-01 10:00", "view"),
+        (1, "2024-01-01 10:05", "click"),
+        (1, "2024-01-01 10:10", "purchase"),
+        # u2 clicks BEFORE viewing: click doesn't count → depth 1
+        (2, "2024-01-01 09:00", "click"),
+        (2, "2024-01-01 09:30", "view"),
+        # u3 view+click only → depth 2; purchase precedes click
+        (3, "2024-01-01 08:00", "view"),
+        (3, "2024-01-01 08:10", "purchase"),
+        (3, "2024-01-01 08:20", "click"),
+        # u4 never views → depth 0
+        (4, "2024-01-01 07:00", "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = funnel_counts(ray.data.from_pandas(df),
+                        ["view", "click", "purchase"], n_buckets=4)
+    assert list(out["step_name"]) == ["view", "click", "purchase"]
+    assert list(out["n_users"]) == [3, 2, 1]

@@ -167,3 +167,68 @@ def sessionize(
             batch_format="pandas",
         )
     )
+
+
+def funnel_counts(
+    events: "ray.data.Dataset",
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: int = 32,
+) -> pd.DataFrame:
+    """Ordered-funnel conversion: for each prefix of ``steps``, how many
+    users performed those event types in order (each step strictly after
+    the previous step's FIRST qualifying occurrence — the standard
+    first-touch funnel).
+
+    One hash shuffle on the user bucket co-locates each user's events;
+    inside a bucket the whole multi-user frame evaluates vectorized
+    (per-step: filter by type → per-user min-ts after the previous
+    step's ts — pandas groupby-min, no per-user Python).  Per-bucket
+    partial counts (``n_buckets × len(steps)`` rows, tiny) merge on the
+    driver.  Returns (step, step_name, n_users)."""
+    import numpy as np
+
+    from ..functions.sketches import hash64
+
+    cols = [user_col, ts_col, type_col]
+    pruned = events.select_columns(cols)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        users = [str(v) for v in b[user_col].to_pylist()]
+        bk = (hash64(users) % np.uint64(n_buckets)).astype(np.int32)
+        return b.append_column("__bucket__", pa.array(bk))
+
+    steps_l = list(steps)
+
+    def bucket_funnel(g: pd.DataFrame) -> pd.DataFrame:
+        prev = None  # Series: user -> ts of the previous step's first hit
+        counts = []
+        for i, s in enumerate(steps_l):
+            sub = g[g[type_col] == s]
+            if prev is not None:
+                sub = sub[sub[user_col].isin(prev.index)]
+                if len(sub):
+                    sub = sub[sub[ts_col] > sub[user_col].map(prev)]
+            prev = (sub.groupby(user_col)[ts_col].min()
+                    if len(sub) else pd.Series(dtype="datetime64[us]"))
+            counts.append(len(prev))
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps_l) + 1, dtype="int64"),
+            "step_name": steps_l,
+            "n_users_partial": np.asarray(counts, dtype="int64"),
+        })
+
+    partials = (
+        pruned.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__bucket__")
+        .map_groups(bucket_funnel, batch_format="pandas")
+        .to_pandas()  # n_buckets × len(steps) rows — driver merge is tiny
+    )
+    out = (partials.groupby(["step", "step_name"], as_index=False)
+           ["n_users_partial"].sum()
+           .rename(columns={"n_users_partial": "n_users"})
+           .sort_values("step").reset_index(drop=True))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out[["step", "step_name", "n_users"]]
