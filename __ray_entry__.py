@@ -928,6 +928,19 @@ def q_drift_lang_psi(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic downsampling (corpus rebalancing):
+    keep 50% of en, 20% of de, 100% of fr — md5-bucket selection, so the
+    SQL oracle picks the IDENTICAL rows."""
+    from xpshacl_ray.functions.sampling import sample_stratified
+
+    return sample_stratified(
+        _docs(sf_dir, columns=["doc_id", "lang"]),
+        id_col="doc_id", strata_col="lang",
+        rates={"en": 50, "de": 20, "fr": 100}, default_percent=10,
+    ).select_columns(["doc_id", "lang"])
+
+
 def q_train_test_split(sf_dir: str):
     """Deterministic md5-bucket split — reproducible in SQL, resumes and
     repartitionings (never random_sample, which depends on block layout)."""
@@ -1058,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_lang_psi": q_drift_lang_psi,
         "partition_verdicts": q_partition_verdicts,
         "curation": q_curation,
+        "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
         "justification_trees": q_justification_trees,
         "explanations": q_explanations,
@@ -1291,6 +1305,13 @@ def oracle_sql() -> dict[str, str]:
                               AS DOUBLE), 3) AS cosine
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100
+                  < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
+                              WHEN 'fr' THEN 100 ELSE 10 END
         """,
         "train_test_split": """
             SELECT doc_id,

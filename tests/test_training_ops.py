@@ -319,3 +319,26 @@ def test_tfidf_top_terms_broadcast_and_join_paths_agree():
     # tfidf = tf * ln(N/df), float64
     assert abs(bc[bc.doc_id == 1].iloc[0]["tfidf"]
                - 2 * np.log(3 / 2)) < 1e-12
+
+
+def test_sample_stratified_deterministic_and_rate_bound():
+    from xpshacl_ray.functions.sampling import md5_bucket, sample_stratified
+
+    t = pa.table({"doc_id": pa.array(range(1000), pa.int64()),
+                  "lang": pa.array((["en"] * 600 + ["de"] * 300
+                                    + ["xx"] * 100))})
+    ds = ray.data.from_arrow(t)
+    out = sample_stratified(ds, "doc_id", "lang",
+                            {"en": 50, "de": 10}).to_pandas()
+    # exact selection is the md5-bucket rule, stable across repartition
+    again = sample_stratified(ds.repartition(8), "doc_id", "lang",
+                              {"en": 50, "de": 10}).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(again["doc_id"])
+    by_lang = out.groupby("lang").size()
+    assert 0.4 < by_lang.get("en", 0) / 600 < 0.6
+    assert 0.05 < by_lang.get("de", 0) / 300 < 0.18
+    assert by_lang.get("xx", 0) == 0  # default_percent=0 drops the rest
+    # membership matches the hash rule row-for-row
+    for _, r in out.head(20).iterrows():
+        cut = {"en": 50, "de": 10}.get(r["lang"], 0)
+        assert md5_bucket([str(r["doc_id"])])[0] < cut

@@ -55,3 +55,33 @@ def train_test_split(
     train = tagged.filter(expr="split == 'train'").drop_columns(["split"])
     test = tagged.filter(expr="split == 'test'").drop_columns(["split"])
     return train, test
+
+
+def sample_stratified(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    strata_col: str,
+    rates: dict,
+    default_percent: int = 0,
+    salt: str = "",
+) -> "ray.data.Dataset":
+    """Per-stratum deterministic sampling: keep ``rates[stratum]`` percent
+    of each stratum's rows (e.g. downsample over-represented languages in
+    a training corpus), selected by ``md5(id) % 100`` so the SAME rows
+    survive any repartition, resume or re-run — and the selection is
+    reproducible in SQL (the oracle uses the identical hash expression).
+
+    Map-only (no shuffle): the rate table broadcasts inside the UDF
+    closure.  Strata absent from ``rates`` keep ``default_percent``."""
+    rates = {str(k): int(v) for k, v in rates.items()}
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.string()).to_pylist()
+        buckets = md5_bucket(ids, 100, salt)
+        strata = pc.cast(b[strata_col], pa.string()).to_pylist()
+        cut = np.fromiter(
+            (rates.get(s if s is not None else "", default_percent)
+             for s in strata), dtype=np.int64, count=len(strata))
+        return b.filter(pa.array(buckets < cut))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
