@@ -187,22 +187,28 @@ def sketch_rows(
     concurrency: Optional[int] = None,
     batch_size: int = 8192,
 ) -> "ray.data.Dataset":
-    """Partial sketches → (optionally salted) merged sketch row per group."""
-    if concurrency is None:
-        # autoscaling pool with min=1 so the read/shuffle stages are never
-        # starved of CPUs (a fixed pool sized == cluster CPUs wedges the
-        # streaming executor on small clusters)
-        import ray as _ray
+    """Partial sketches → (optionally salted) merged sketch row per group.
 
-        n = int(_ray.cluster_resources().get("CPU", 4)) if _ray.is_initialized() else 4
-        concurrency = (1, max(2, n // 2))
-    partials = ds.map_batches(
-        StatsActor,
-        fn_constructor_kwargs=dict(cfg=cfg),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+    The combiner runs as STATELESS tasks by default: ``StatsActor``'s
+    state is only the compiled config (sub-ms to ship in the closure),
+    so an actor pool adds nothing but its startup latency — measured 2×
+    slower at bench scale.  Pass ``concurrency=(min, max)`` / an int to
+    opt into a pool for a combiner subclass with genuinely heavy
+    per-actor state."""
+    if concurrency is None:
+        partials = ds.map_batches(
+            StatsActor(cfg),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        partials = ds.map_batches(
+            StatsActor,
+            fn_constructor_kwargs=dict(cfg=cfg),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
     merge = lambda g: _merge_partials(g, cfg)  # noqa: E731
     if cfg.salt_buckets > 0:
         # level 1: spread each hot group over salt buckets
