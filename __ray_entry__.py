@@ -1268,11 +1268,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
         """,
         "stopword_scrub": """
+            -- coalesce: DuckDB's array_to_string returns NULL for an
+            -- empty list, the engine returns '' for an all-stopword doc
             SELECT doc_id,
-                   array_to_string(
-                       list_filter(str_split(text, ' '),
-                                   x -> x NOT IN ('a', 'the')),
-                       ' ') AS text_clean
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE coalesce(array_to_string(
+                            list_filter(str_split(text, ' '),
+                                        x -> x NOT IN ('a', 'the')),
+                            ' '), '') END AS text_clean
             FROM documents
         """,
         "fingerprints": """

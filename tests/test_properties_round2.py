@@ -122,3 +122,79 @@ def test_scaled_int_matches_duckdb_round(xs):
         want = con.execute(
             "SELECT CAST(round(? * 100) AS BIGINT)", [x]).fetchone()[0]
         assert int(g) == want, (x, int(g), want)
+
+
+# --- new text ops vs DuckDB on random inputs --------------------------------
+
+_texty = st.text(
+    alphabet=st.sampled_from(list("ab the xyz  ")), max_size=40)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.one_of(st.none(), _texty), min_size=1, max_size=8))
+def test_remove_stopwords_matches_duckdb_list_filter(texts):
+    import duckdb
+
+    from xpshacl_ray.functions.text import remove_stopwords
+
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    got = remove_stopwords(t)["text_clean"].to_pylist()
+    # coalesce: duckdb's array_to_string of an EMPTY list is NULL; the
+    # engine's contract is '' for an all-stopword doc (oracle matches)
+    want = duckdb.connect().execute(
+        "SELECT CASE WHEN text IS NULL THEN NULL ELSE coalesce("
+        "array_to_string(list_filter(str_split(text, ' '), "
+        "x -> x NOT IN ('a','the')), ' '), '') END FROM t"
+    ).fetchall()
+    assert got == [r[0] for r in want]
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(_texty, min_size=1, max_size=6))
+def test_partial_doc_frequency_matches_duckdb(texts):
+    import duckdb
+
+    from xpshacl_ray.functions.text import partial_doc_frequency
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    p = partial_doc_frequency(t)
+    got = dict(zip(p["term"].to_pylist(), p["partial_df"].to_pylist()))
+    want = {r[0]: r[1] for r in duckdb.connect().execute(
+        "WITH toks AS (SELECT doc_id, unnest(str_split(lower(text), ' ')) "
+        "AS term FROM t), dt AS (SELECT DISTINCT doc_id, term FROM toks "
+        "WHERE term <> '') SELECT term, count(*) FROM dt GROUP BY term"
+    ).fetchall()}
+    assert got == want
+
+
+_filter_exprs = st.sampled_from([
+    "($this % 2) != 0",
+    "STRLEN($this) <= 5",
+    "$this < 0 || $this > 100",
+    '!($this = "x") && STRLEN($this) > 1',
+    'REGEX($this, "^[ab]+$")',
+    'CONTAINS($this, "b") || STRSTARTS($this, "a")',
+    "ABS($this) >= 2",
+])
+
+
+@settings(max_examples=30, deadline=None)
+@given(_filter_exprs)
+def test_sparql_translation_is_executable_duckdb(expr):
+    import duckdb
+
+    from xpshacl_ray.sources.ttl import sparql_filter_to_sql
+
+    sql = sparql_filter_to_sql(
+        "SELECT $this WHERE { FILTER ( " + expr + " ) }", "v")
+    assert sql is not None
+    stringy = any(f in expr for f in
+                  ("STRLEN", "REGEX", "CONTAINS", "STRSTARTS", '"'))
+    numeric = not stringy
+    t = (pa.table({"v": pa.array([1, -3, 42, None], pa.int64())})
+         if numeric else
+         pa.table({"v": pa.array(["x", "ab", "", None], pa.string())}))
+    out = duckdb.connect().execute(
+        f"SELECT coalesce(({sql}), FALSE) FROM t").fetchall()
+    assert len(out) == t.num_rows  # executes and is null-safe
