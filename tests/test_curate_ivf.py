@@ -172,3 +172,16 @@ def test_distributed_kmeans_matches_independent_numpy_and_is_layout_stable():
     # per batch + driver reduce; seeds are md5-deterministic)
     cents2 = kmeans_fit(emb.repartition(7), k=8, iters=5)
     assert np.abs(cents - cents2).max() < 1e-12
+
+
+def test_kmeans_groupby_reduce_agrees_with_driver_reduce():
+    import numpy as np
+
+    from xpshacl_ray.functions.similarity import kmeans_fit
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet").repartition(5)
+    a = kmeans_fit(emb, k=4, iters=3, reduce="driver")
+    b = kmeans_fit(emb, k=4, iters=3, reduce="groupby")
+    # same algorithm, different float-sum order: near-identical centroids
+    assert np.abs(a - b).max() < 1e-9

@@ -334,6 +334,7 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     tol: float = 0.0,
+    reduce: str = "driver",
 ) -> np.ndarray:
     """Full-data distributed spherical k-means (Lloyd's): the scale path
     ``train_centroids``' driver-side sample cannot give at 10^9+ vectors.
@@ -349,7 +350,17 @@ def kmeans_fit(
     centroid.  ``tol > 0`` opts into early stopping when every centroid
     moves less than ``tol``; the default 0.0 always runs exactly
     ``iters`` rounds so results match the fixed-iteration golden oracle
-    (tools/make_goldens.kmeans_clusters_golden) bit-for-bit."""
+    (tools/make_goldens.kmeans_clusters_golden) bit-for-bit.
+
+    ``reduce="driver"`` (default) merges the k × n_batches partials on
+    the driver — fine to ~10^4 batches (k·d floats each).
+    ``reduce="groupby"`` merges them with a ``groupby("cluster")``
+    map_groups instead (one tiny shuffle of k × n_batches sketch-sized
+    rows per iteration) — the cluster-scale path when batch counts grow
+    past what the driver should hold.  NOTE: the two reduce orders sum
+    floats differently (~1e-16 centroid drift) — both are correct, but
+    only "driver" (whose batch-major order matches the golden's row
+    order at one-batch scale) is pinned by the exact-match oracle."""
     cents = _kmeans_seed_centroids(ds, k, vec_col, id_col)
     d = cents.shape[1]
     for _ in range(iters):
@@ -369,9 +380,26 @@ def kmeans_fit(
                 "n": pa.array(counts, pa.int64()),
             })
 
-        rows = ds.map_batches(partial, batch_format="pyarrow").take_all()
+        partials = ds.map_batches(partial, batch_format="pyarrow")
         sums = np.zeros((k, d))
         counts = np.zeros(k, dtype=np.int64)
+        if reduce == "groupby":
+            def merge_cluster(g: pd.DataFrame) -> pd.DataFrame:
+                vs = np.sum(np.stack([np.asarray(v, dtype=np.float64)
+                                      for v in g["vsum"]]), axis=0)
+                return pd.DataFrame({
+                    "cluster": [int(g["cluster"].iloc[0])],
+                    "vsum": [vs.tolist()],
+                    "n": [int(g["n"].sum())],
+                })
+
+            rows = partials.groupby("cluster").map_groups(
+                merge_cluster, batch_format="pandas").to_pandas()
+            rows = rows.to_dict("records")
+        elif reduce == "driver":
+            rows = partials.take_all()
+        else:
+            raise ValueError(f"unknown reduce {reduce!r}")
         for r in rows:
             sums[r["cluster"]] += np.asarray(r["vsum"], dtype=np.float64)
             counts[r["cluster"]] += r["n"]
