@@ -94,6 +94,9 @@ def run_benchmarks() -> dict:
         ("knn_cosine", entrymod.q_knn_cosine),
         ("lang_id", entrymod.q_lang_id),
         ("quality_scores", entrymod.q_quality_scores),
+        ("tfidf_top_terms", entrymod.q_tfidf_top_terms),
+        ("funnel", entrymod.q_funnel),
+        ("kmeans_clusters", entrymod.q_kmeans_clusters),
     ]
     for name, fn in bench_queries:
         def run(fn=fn):
