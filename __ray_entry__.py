@@ -455,6 +455,48 @@ def q_pricing_summary(sf_dir: str):
     return out
 
 
+def q_orders_by_nation(sf_dir: str):
+    """BIG-BIG bucketed hash join (no broadcast): orders ⋈ customer on
+    c_custkey through `functions.joins.hash_join` (both sides shuffled by
+    key hash, co-grouped buckets merged per task — the path for when
+    NEITHER side fits a broadcast), then order counts + exact-cents
+    revenue per nation key."""
+    from xpshacl_ray.functions.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": b["o_custkey"].to_numpy(),
+            "o_cents": _to_scaled_int(b["o_totalprice"].to_numpy(), 100),
+        })
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(
+        orders.map_batches(to_cents, batch_format="pandas"),
+        cust, key="c_custkey", n_buckets=32)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return (b.groupby("c_nationkey", sort=False)
+                .agg(p_rev=("o_cents", "sum"), p_n=("o_cents", "size"))
+                .reset_index())
+
+    from ray.data.aggregate import Sum
+
+    agg = (joined.map_batches(partial, batch_format="pandas")
+           .groupby("c_nationkey")
+           .aggregate(Sum("p_rev", alias_name="rev_cents"),
+                      Sum("p_n", alias_name="n_orders"))
+           .to_pandas())
+    agg["revenue"] = agg["rev_cents"].astype("int64") / 100.0
+    agg["n_orders"] = agg["n_orders"].astype("int64")
+    agg["c_nationkey"] = agg["c_nationkey"].astype("int64")
+    return agg[["c_nationkey", "n_orders", "revenue"]].sort_values(
+        "c_nationkey").reset_index(drop=True)
+
+
 def q_revenue_by_segment(sf_dir: str):
     """Broadcast hash join orders⋈customer + grouped revenue."""
     import ray as _ray
@@ -1039,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_nchars": q_quantiles_nchars,
         "pricing_summary": q_pricing_summary,
         "revenue_by_segment": q_revenue_by_segment,
+        "orders_by_nation": q_orders_by_nation,
         "topk_users": q_topk_users,
         "window_hourly": q_window_hourly,
         "rolling_window": q_rolling_window,
@@ -1173,6 +1216,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "orders_by_nation": """
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS DOUBLE) / 100.0 AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey
         """,
         "topk_users": """
             SELECT user_id,
