@@ -203,3 +203,20 @@ def test_reference_fixtures_unchanged_by_long_form(ray_session):
     key = ["focus_node", "constraint_id", "property_path"]
     assert sorted(map(tuple, base[key].values.tolist())) == sorted(
         map(tuple, long[key].values.tolist()))
+
+
+def test_long_form_on_reference_shark_fixtures(ray_session):
+    # shark_shapes' long-form constraints over the reference's OWN
+    # ontology: the 10 xsh property ranges are xsd datatypes / rdfs
+    # classes never typed `a owl:Class` in the data graph, so the
+    # "range, which is a class" sh:class shapes flag them (matches
+    # pyshacl's no-inference semantics: class membership = explicit
+    # rdf:type triples only).  maxCount/minCount long forms all pass.
+    viol = validate_ttl("/root/reference/data/xpshacl_ontology.ttl",
+                        "/root/reference/data/shark_shapes.ttl",
+                        long_form=True).to_pandas()
+    comps = viol["constraint_id"].str.rsplit("#").str[-1]
+    assert (comps == "ClassConstraintComponent").all()
+    assert len(viol) == 10
+    assert set(viol["property_path"]) == {
+        "http://www.w3.org/2000/01/rdf-schema#range"}
