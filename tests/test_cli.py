@@ -51,3 +51,46 @@ def test_cli_validate_resumable_skips_on_rerun(tmp_path, capsys):
 
     viol = ray.data.read_parquet(s2["data_dir"])
     assert viol.count() > 0
+
+
+def test_cli_curate(tmp_path, capsys):
+    out = str(tmp_path / "cur")
+    rc = main(["curate", "--input", "/root/testdata/sf0.001/documents.parquet",
+               "--out", out, "--min-quality", "0.5", "--langs", "en,de,fr"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_input"] == 500
+    assert summary["n_after_exact_dedup"] <= summary["n_after_filter"]
+    # attrition fully accounted
+    assert (summary["n_input"] - summary["dropped_low_quality_or_lang"]
+            == summary["n_after_filter"])
+    curated = pq.read_table(os.path.join(out, "curated"))
+    assert curated.num_rows == summary["n_after_near_dedup"]
+
+
+def test_cli_validate_ttl_long_form_and_sparql_flags(tmp_path, capsys):
+    d = tmp_path / "d.ttl"
+    s = tmp_path / "s.ttl"
+    d.write_text("""
+@prefix ex: <http://example.org/> .
+ex:r1 a ex:T ; ex:v 7 ; ex:w "a", "b" .
+ex:r2 a ex:T ; ex:v 4 .
+""")
+    s.write_text("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:v ; sh:minCount 1 ] ;
+  sh:property [ sh:path ex:w ; sh:maxCount 1 ] ;
+  sh:PropertyConstraintComponent ex:H .
+ex:H sh:path ex:v ; sh:sparql ex:C .
+ex:C sh:message "must be even" ;
+  sh:select "SELECT $this WHERE { FILTER ( ($this % 2) != 0 ) }" .
+""")
+    out = str(tmp_path / "ttlout")
+    rc = main(["validate-ttl", "--data", str(d), "--shapes", str(s),
+               "--out", out, "--long-form", "--sparql"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # r1: maxCount(w)=2 long-form + odd v sparql → 2; r2 conforms
+    assert summary["n_violations"] == 2

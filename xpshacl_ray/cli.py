@@ -62,6 +62,31 @@ def build_parser() -> argparse.ArgumentParser:
                    help="accepted for reference parity; template backend")
     t.add_argument("--num-cpus", type=int,
                    default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
+    t.add_argument("--long-form", action="store_true",
+                   help="also evaluate sh:maxCount / sh:minCount>1 / "
+                        "sh:nodeKind / sh:class / sh:languageIn over the "
+                        "triples table (multi-valued predicates)")
+    t.add_argument("--sparql", action="store_true",
+                   help="auto-translate FILTER-only sh:sparql constraints "
+                        "to SQL checks (graph-pattern queries are skipped "
+                        "loudly, surfaced via sparql_constraints)")
+
+    c = sub.add_parser(
+        "curate", help="training-data curation over a documents parquet "
+                       "table: quality/lang filters + exact dedup, "
+                       "attrition-reported")
+    c.add_argument("--input", required=True,
+                   help="parquet file/dir of (doc_id, text, lang, ...)")
+    c.add_argument("--out", required=True, help="output directory")
+    c.add_argument("--min-quality", type=float, default=0.5)
+    c.add_argument("--langs", default=None,
+                   help="comma-separated allowed langs (default: keep all)")
+    c.add_argument("--dedup", default="auto",
+                   choices=["auto", "broadcast", "join"],
+                   help="dedup strategy (auto switches to the no-broadcast "
+                        "semi-join past the size threshold)")
+    c.add_argument("--num-cpus", type=int,
+                   default=int(os.environ.get("RAY_GRAFT_CPUS", "0")) or None)
     return p
 
 
@@ -152,7 +177,9 @@ def cmd_validate_ttl(args) -> int:
     t0 = time.perf_counter()
     languages = [x.strip() for x in args.language.split(",") if x.strip()]
     res = run_ttl(args.data, args.shapes, languages=languages,
-                  kg_path=args.kg, out_dir=args.out)
+                  kg_path=args.kg, out_dir=args.out,
+                  long_form=getattr(args, "long_form", False),
+                  sparql=getattr(args, "sparql", False))
     report = res["report"].to_pandas()
     summary = {
         "data": args.data,
@@ -168,12 +195,38 @@ def cmd_validate_ttl(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    _init_ray(args.num_cpus)
+    import dataclasses
+    import ray.data
+
+    from .pipelines.curate import CurationConfig, curate
+
+    t0 = time.perf_counter()
+    ds = ray.data.read_parquet(args.input)
+    langs = ([x.strip() for x in args.langs.split(",") if x.strip()]
+             if args.langs else None)
+    cfg = CurationConfig(min_quality=args.min_quality,
+                         allowed_langs=langs,
+                         dedup_strategy=args.dedup)
+    curated, report = curate(ds, cfg)
+    out_data = os.path.join(args.out, "curated")
+    curated.write_parquet(out_data)
+    summary = dataclasses.asdict(report)
+    summary.update(input=args.input, out=out_data,
+                   wall_time_s=round(time.perf_counter() - t0, 3))
+    print(json.dumps(summary, default=str))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.command == "validate":
         return cmd_validate(args)
     if args.command == "validate-ttl":
         return cmd_validate_ttl(args)
+    if args.command == "curate":
+        return cmd_curate(args)
     return 2  # pragma: no cover
 
 

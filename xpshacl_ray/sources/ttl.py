@@ -932,6 +932,8 @@ def run_ttl(
     languages=("en",),
     kg_path: Optional[str] = None,
     out_dir: Optional[str] = None,
+    long_form: bool = False,
+    sparql: bool = False,
 ):
     """The reference's full ``main.py`` surface over Turtle inputs:
     validate → signature dedup → justification trees + context →
@@ -950,7 +952,8 @@ def run_ttl(
     specs = shapes_to_specs(shape_triples)
     if not specs:
         raise ValueError("no applicable shapes/targets found")
-    viol = validate_ttl(data_path, shapes_path)
+    viol = validate_ttl(data_path, shapes_path,
+                        long_form=long_form, sparql=sparql)
     # enrichment/explanation stages consume violation rows, not the spec —
     # any compiled engine drives them; reuse the first class's spec
     first_spec = specs[sorted(specs)[0]]
