@@ -131,6 +131,10 @@ def run_benchmarks() -> dict:
         eng = build_engine()
         commits = ray.data.read_parquet(commits_path)
         ds = read_code_table(code_path)
+        # measured: passing a pruned raw read as grouped_ds (skipping the
+        # sha256 re-derive on the grouped branch) is ~15% SLOWER here —
+        # the lineage map_batches splits blocks, so the default path feeds
+        # the grouped combiner more parallelism than the raw 8-shard read
         return eng.validate(ds, ref_datasets={"commit": commits}).count()
 
     sec, n_code_viol = _timed_best2(code_validate)
