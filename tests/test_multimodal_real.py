@@ -95,9 +95,66 @@ def test_real_media_pipeline_end_to_end():
             assert f[6] > 0  # aspect
 
 
+def test_png_roundtrip_and_filters():
+    from xpshacl_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    # RGBA encodes as color type 6; alpha drops on decode
+    rgba = rng.integers(0, 256, size=(5, 9, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba[:, :, :3])
+    with pytest.raises(ValueError):
+        decode_png(b"not a png")
+
+
+def test_png_all_scanline_filters_decode():
+    import struct
+    import zlib
+
+    from xpshacl_ray.stages.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(4)
+    h, w, ch = 4, 5, 3
+    img = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    stride = w * ch
+    rows, prev = [], np.zeros(stride, dtype=np.uint8)
+    for y, f in enumerate([1, 2, 3, 4]):  # Sub, Up, Average, Paeth
+        line = img[y].reshape(-1)
+        enc = np.zeros(stride, dtype=np.uint8)
+        for i in range(stride):
+            a = int(line[i - ch]) if i >= ch else 0
+            b = int(prev[i])
+            c = int(prev[i - ch]) if i >= ch else 0
+            if f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                    b if pb <= pc_ else c)
+            enc[i] = (int(line[i]) - pred) & 0xFF
+        rows.append(bytes([f]) + enc.tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+               + _png_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), img)
+
+
 def test_compressed_codecs_still_explicit_stub():
-    with pytest.raises(NotImplementedError, match="PNG/JPEG"):
-        MediaDecoder()._decode_one("image/png", b"\x89PNG...")
+    # PNG now decodes natively (stdlib zlib); JPEG remains the honest stub
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        MediaDecoder()._decode_one("image/jpeg", b"\xff\xd8...")
 
 
 def test_resize_inside_pipeline():

@@ -13,7 +13,11 @@ uncompressed containers:
 - **WAV (PCM)** audio decodes via the stdlib ``wave`` module to float64
   samples, with real duration/RMS/zero-crossing/peak features.
 
-Compressed codecs (PNG/JPEG/MP3/MP4...) still raise
+- **PNG** (8-bit RGB/RGBA, non-interlaced, all five scanline filters)
+  decodes with stdlib ``zlib`` + numpy — a REAL compressed container,
+  no imaging library needed.
+
+Remaining compressed codecs (JPEG/MP3/MP4...) still raise
 ``NotImplementedError`` — no codec libraries exist in this environment;
 the error message marks exactly where PIL/torchaudio/decord plug in
 (same actor signature: heavy setup in ``__init__``, batched decode in
@@ -151,6 +155,119 @@ def encode_wav(samples: np.ndarray, rate: int = 16_000) -> bytes:
     return buf.getvalue()
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 → PNG (8-bit RGB/RGBA, filter 0, no interlace) —
+    stdlib ``zlib`` only; a REAL compressed container."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    if ch not in (3, 4):
+        raise ValueError("encode_png expects RGB or RGBA")
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes()
+                   for y in range(h))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int,
+                  bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters (0 None, 1 Sub, 2 Up, 3 Average,
+    4 Paeth).  None/Up/Sub are vectorized (Sub via mod-256 cumsum over
+    pixel lanes); Average/Paeth fall back to the spec's sequential
+    recurrence per row."""
+    rows = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = int(rows[y, 0])
+        line = rows[y, 1:].copy()
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: cumsum per pixel lane, mod 256
+            lanes = line.reshape(-1, bpp).astype(np.uint32)
+            rec = (np.cumsum(lanes, axis=0) & 0xFF).astype(
+                np.uint8).reshape(-1)
+        elif f == 2:  # Up
+            rec = line + prev
+        elif f in (3, 4):
+            rec = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(rec[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                if f == 3:
+                    rec[i] = (int(line[i]) + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (
+                        b if pb <= pc_ else c)
+                    rec[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w, 3) uint8 — stdlib ``zlib`` + numpy, no imaging libs.
+
+    Supports the common web subset: 8-bit truecolor (RGB) and
+    truecolor+alpha (RGBA, alpha dropped), non-interlaced, all five
+    scanline filters.  Palette/grayscale/16-bit/interlaced raise."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body)
+            if depth != 8 or color not in (2, 6):
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color_type={color}): "
+                    "only 8-bit RGB/RGBA decode here")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            ch = 3 if color == 2 else 4
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    img = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    return np.ascontiguousarray(img[:, :, :3])  # drop alpha if present
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbour resize, pure-numpy index gather."""
     h, w = img.shape[:2]
@@ -160,7 +277,8 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 _DECODABLE_IMAGE = {"image/x-portable-pixmap": decode_ppm,
-                    "image/bmp": decode_bmp}
+                    "image/bmp": decode_bmp,
+                    "image/png": decode_png}
 _DECODABLE_AUDIO = {"audio/wav": decode_wav, "audio/x-wav": decode_wav}
 
 
@@ -219,12 +337,12 @@ def make_fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
 
 
 def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
-    """Deterministic REAL media rows: round-robin P6 PPM / 24-bit BMP
-    images and 16-bit PCM WAV clips, all synthesized with stdlib+numpy."""
+    """Deterministic REAL media rows: round-robin P6 PPM / 24-bit BMP /
+    PNG images and 16-bit PCM WAV clips, all synthesized stdlib+numpy."""
     rng = np.random.default_rng(seed)
     ids, mimes, payloads, metas = [], [], [], []
     for i in range(n):
-        kind = i % 3
+        kind = i % 4
         if kind == 0:
             w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -237,13 +355,19 @@ def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
             payloads.append(encode_bmp(img))
             mimes.append("image/bmp")
             metas.append({"width": w, "height": h, "n_frames": 1})
-        else:
+        elif kind == 2:
             rate = 8_000
             t = np.arange(int(rng.integers(400, 4000))) / rate
             x = 0.5 * np.sin(2 * np.pi * float(rng.integers(100, 900)) * t)
             payloads.append(encode_wav(x, rate))
             mimes.append("audio/wav")
             metas.append({"width": 0, "height": 0, "n_frames": len(t)})
+        else:
+            w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_png(img))
+            mimes.append("image/png")
+            metas.append({"width": w, "height": h, "n_frames": 1})
         ids.append(i)
     return pa.table(
         {
@@ -280,8 +404,9 @@ class MediaDecoder:
         if mime in _DECODABLE_AUDIO:
             return audio_features(*_DECODABLE_AUDIO[mime](payload))
         raise NotImplementedError(
-            f"no codec for {mime!r} in this environment: PPM/BMP/WAV decode "
-            "natively; PNG/JPEG/MP3/video need PIL/torchaudio/decord here")
+            f"no codec for {mime!r} in this environment: PPM/BMP/PNG/WAV "
+            "decode natively; JPEG/MP3/video need PIL/torchaudio/decord "
+            "here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
