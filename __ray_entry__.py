@@ -1377,7 +1377,8 @@ def oracle_sql() -> dict[str, str]:
         "funnel": """
             WITH s1 AS (
                 SELECT user_id, min(ts) AS t FROM events
-                WHERE event_type = 'view' GROUP BY user_id
+                WHERE event_type = 'view' AND user_id IS NOT NULL
+                GROUP BY user_id
             ), s2 AS (
                 SELECT e.user_id, min(e.ts) AS t FROM events e
                 JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t

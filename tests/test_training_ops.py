@@ -342,3 +342,34 @@ def test_sample_stratified_deterministic_and_rate_bound():
     for _, r in out.head(20).iterrows():
         cut = {"en": 50, "de": 10}.get(r["lang"], 0)
         assert md5_bucket([str(r["doc_id"])])[0] < cut
+
+
+def test_sample_stratified_rejects_fractional_rates_and_drops_null_ids():
+    import pytest
+
+    from xpshacl_ray.functions.sampling import sample_stratified
+
+    t = pa.table({"doc_id": pa.array([1, None, 3], pa.int64()),
+                  "lang": pa.array(["en", "en", "en"])})
+    ds = ray.data.from_arrow(t)
+    with pytest.raises(ValueError, match="fraction"):
+        sample_stratified(ds, "doc_id", "lang", {"en": 0.5})
+    with pytest.raises(ValueError, match="outside"):
+        sample_stratified(ds, "doc_id", "lang", {"en": 150})
+    out = sample_stratified(ds, "doc_id", "lang", {"en": 100}).to_pandas()
+    # NULL id rows drop even at 100% (SQL-oracle parity: md5(NULL)=NULL)
+    assert sorted(out["doc_id"]) == [1, 3]
+
+
+def test_funnel_excludes_null_users():
+    import pandas as pd
+
+    from xpshacl_ray.stages.window import funnel_counts
+
+    df = pd.DataFrame({
+        "user_id": pd.array([1, None, 2], dtype="Int64"),
+        "ts": pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-01"]),
+        "event_type": ["view", "view", "view"],
+    })
+    out = funnel_counts(ray.data.from_pandas(df), ["view"], n_buckets=2)
+    assert list(out["n_users"]) == [2]

@@ -353,21 +353,13 @@ def minhash_lsh_candidates(
             "tail permutations would silently drop from band hashing")
     if sig_bits not in (16, 64):
         raise ValueError("sig_bits must be 16 or 64")
-    if concurrency is None:
-        with_sig = ds.map_batches(
-            MinHasher(num_perm=num_perm, shingle_k=shingle_k,
-                      text_col=text_col),
-            batch_format="pyarrow",
-        )
-    else:
-        with_sig = ds.map_batches(
-            MinHasher,
-            fn_constructor_kwargs=dict(num_perm=num_perm,
-                                       shingle_k=shingle_k,
-                                       text_col=text_col),
-            batch_format="pyarrow",
-            concurrency=concurrency,
-        )
+    from ..tuning import map_batches_maybe_pool
+
+    with_sig = map_batches_maybe_pool(
+        ds, MinHasher,
+        dict(num_perm=num_perm, shingle_k=shingle_k, text_col=text_col),
+        concurrency, batch_format="pyarrow",
+    )
     sig_and_id = with_sig.select_columns([id_col, "minhash"])
     n_parts = 64
     sig_dtype = np.uint16 if sig_bits == 16 else np.uint64
@@ -687,15 +679,12 @@ def simhash_near_dups(
     rationale as :func:`minhash_lsh_candidates`); pass
     ``concurrency=(min, max)`` to opt into a pool.
     """
-    if concurrency is None:
-        hashed = ds.map_batches(
-            SimHasher(text_col=text_col), batch_format="pyarrow",
-        ).select_columns([id_col, "simhash64"])
-    else:
-        hashed = ds.map_batches(
-            SimHasher, fn_constructor_kwargs=dict(text_col=text_col),
-            batch_format="pyarrow", concurrency=concurrency,
-        ).select_columns([id_col, "simhash64"])
+    from ..tuning import map_batches_maybe_pool
+
+    hashed = map_batches_maybe_pool(
+        ds, SimHasher, dict(text_col=text_col), concurrency,
+        batch_format="pyarrow",
+    ).select_columns([id_col, "simhash64"])
 
     n_parts = 64
 

@@ -72,16 +72,38 @@ def sample_stratified(
     reproducible in SQL (the oracle uses the identical hash expression).
 
     Map-only (no shuffle): the rate table broadcasts inside the UDF
-    closure.  Strata absent from ``rates`` keep ``default_percent``."""
-    rates = {str(k): int(v) for k, v in rates.items()}
+    closure.  Strata absent from ``rates`` keep ``default_percent``.
+    Rates are integer PERCENTAGES in [0, 100] — a fractional rate like
+    ``0.5`` (the "fraction" convention) raises instead of silently
+    truncating to 0%.  Rows with a NULL id are dropped, matching the SQL
+    oracle (``md5(CAST(NULL AS VARCHAR))`` is NULL, so the comparison
+    never selects them)."""
+
+    def _pct(v) -> int:
+        if isinstance(v, float) and not float(v).is_integer():
+            raise ValueError(
+                f"rate {v!r} looks like a fraction — rates are integer "
+                "percentages in [0, 100] (0.5 would truncate to 0%)")
+        iv = int(v)
+        if not 0 <= iv <= 100:
+            raise ValueError(f"rate {v!r} outside [0, 100]")
+        return iv
+
+    rates = {str(k): _pct(v) for k, v in rates.items()}
+    default_percent = _pct(default_percent)
 
     def keep(b: pa.Table) -> pa.Table:
-        ids = pc.cast(b[id_col], pa.string()).to_pylist()
-        buckets = md5_bucket(ids, 100, salt)
+        id_arr = b[id_col]
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        valid = np.asarray(pc.is_valid(id_arr))
+        ids = pc.cast(id_arr, pa.string()).to_pylist()
+        buckets = md5_bucket(["" if v is None else v for v in ids],
+                             100, salt)
         strata = pc.cast(b[strata_col], pa.string()).to_pylist()
         cut = np.fromiter(
             (rates.get(s if s is not None else "", default_percent)
              for s in strata), dtype=np.int64, count=len(strata))
-        return b.filter(pa.array(buckets < cut))
+        return b.filter(pa.array((buckets < cut) & valid))
 
     return ds.map_batches(keep, batch_format="pyarrow")

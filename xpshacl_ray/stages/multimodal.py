@@ -381,8 +381,10 @@ def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
 
 class MediaDecoder:
     """Actor-pool decode/feature-extract stage with REAL codecs for the
-    stdlib-parseable containers (PPM/BMP images, PCM WAV audio) and an
-    explicit ``NotImplementedError`` for compressed formats.
+    stdlib-parseable containers (PPM/BMP/PNG images — PNG incl. zlib
+    inflate + scanline unfiltering — and PCM WAV audio) and an explicit
+    ``NotImplementedError`` for the remaining compressed formats
+    (JPEG/MP3/video).
 
     ``resize_to=(w, h)`` runs the real nearest-neighbour resize before
     image feature extraction (the decode→resize→featurize shape of a

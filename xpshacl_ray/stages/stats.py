@@ -195,20 +195,12 @@ def sketch_rows(
     slower at bench scale.  Pass ``concurrency=(min, max)`` / an int to
     opt into a pool for a combiner subclass with genuinely heavy
     per-actor state."""
-    if concurrency is None:
-        partials = ds.map_batches(
-            StatsActor(cfg),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        )
-    else:
-        partials = ds.map_batches(
-            StatsActor,
-            fn_constructor_kwargs=dict(cfg=cfg),
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
+    from ..tuning import map_batches_maybe_pool
+
+    partials = map_batches_maybe_pool(
+        ds, StatsActor, dict(cfg=cfg), concurrency,
+        batch_format="pyarrow", batch_size=batch_size,
+    )
     merge = lambda g: _merge_partials(g, cfg)  # noqa: E731
     if cfg.salt_buckets > 0:
         # level 1: spread each hot group over salt buckets

@@ -175,29 +175,51 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
-    n_buckets: int = 32,
+    n_buckets: int = 0,
 ) -> pd.DataFrame:
     """Ordered-funnel conversion: for each prefix of ``steps``, how many
     users performed those event types in order (each step strictly after
     the previous step's FIRST qualifying occurrence — the standard
-    first-touch funnel).
+    first-touch funnel).  NULL users are excluded (mirror the oracle
+    with ``WHERE user_id IS NOT NULL``).
 
     One hash shuffle on the user bucket co-locates each user's events;
     inside a bucket the whole multi-user frame evaluates vectorized
     (per-step: filter by type → per-user min-ts after the previous
     step's ts — pandas groupby-min, no per-user Python).  Per-bucket
     partial counts (``n_buckets × len(steps)`` rows, tiny) merge on the
-    driver.  Returns (step, step_name, n_users)."""
+    driver.  Returns (step, step_name, n_users).
+
+    Partitioning bound: each bucket task holds events/n_buckets rows of
+    the PRUNED (user, ts, type) projection as one pandas frame — size
+    ``n_buckets`` so that fits a worker heap (the default 0 autosizes to
+    4 × cluster CPUs; raise it explicitly for 10^9+-row event logs: the
+    bucket count, not the cluster size, bounds both parallelism and
+    per-task memory)."""
     import numpy as np
 
     from ..functions.sketches import hash64
+
+    if n_buckets <= 0:
+        import ray as _ray
+
+        cpus = (int(_ray.cluster_resources().get("CPU", 8))
+                if _ray.is_initialized() else 8)
+        n_buckets = 4 * cpus
 
     cols = [user_col, ts_col, type_col]
     pruned = events.select_columns(cols)
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        users = [str(v) for v in b[user_col].to_pylist()]
-        bk = (hash64(users) % np.uint64(n_buckets)).astype(np.int32)
+        col = b[user_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        b = b.filter(pa.compute.is_valid(col))  # NULL users excluded
+        users = b[user_col]
+        if isinstance(users, pa.ChunkedArray):
+            users = users.combine_chunks()
+        bk = (hash64(np.asarray(users)) % np.uint64(n_buckets)).astype(
+            np.int32)
         return b.append_column("__bucket__", pa.array(bk))
 
     steps_l = list(steps)

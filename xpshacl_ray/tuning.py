@@ -56,3 +56,15 @@ def apply_recommended_context() -> None:
             ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
         except (ImportError, AttributeError):  # older Ray: keep default
             pass
+
+
+def map_batches_maybe_pool(ds, cls, kwargs, concurrency, **map_opts):
+    """Shared dispatch for combiner stages whose ``__init__`` is cheap:
+    ``concurrency=None`` → STATELESS tasks (instance shipped in the task
+    closure; no pool startup), else an actor pool with the given
+    concurrency — one place for the rule so the three combiner stages
+    (MinHasher, SimHasher, StatsActor) can't drift apart."""
+    if concurrency is None:
+        return ds.map_batches(cls(**kwargs), **map_opts)
+    return ds.map_batches(cls, fn_constructor_kwargs=kwargs,
+                          concurrency=concurrency, **map_opts)
