@@ -52,3 +52,33 @@ def test_salted_profile_matches_unsalted_on_skew(skewed_ds):
     # sanity: the megarepo group really is the heavy one
     heavy = plain.loc[("org0/megarepo",)].n_rows.sum()
     assert heavy > 0.25 * plain["n_rows"].sum()
+
+
+def test_funnel_hot_user_completes_and_counts_once():
+    import numpy as np
+    import pandas as pd
+
+    from xpshacl_ray.stages.window import funnel_counts
+
+    # one user owns 30k events (every type, shuffled order) + 50 normal
+    # users: the hot user's rows all land in ONE bucket (documented
+    # partitioning bound) — the per-bucket evaluation is vectorized, so
+    # this must complete quickly and count the hot user exactly once
+    rng = np.random.default_rng(9)
+    n_hot = 30_000
+    hot = pd.DataFrame({
+        "user_id": np.full(n_hot, 777, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.permutation(n_hot), unit="s"),
+        "event_type": rng.choice(["view", "click", "purchase"], n_hot),
+    })
+    normal = pd.DataFrame({
+        "user_id": np.arange(50, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01"),
+        "event_type": ["view"] * 50,
+    })
+    df = pd.concat([hot, normal], ignore_index=True)
+    out = funnel_counts(ray.data.from_pandas(df),
+                        ["view", "click", "purchase"], n_buckets=8)
+    assert list(out["n_users"])[0] == 51          # everyone viewed
+    assert list(out["n_users"])[2] == 1           # only the hot user
