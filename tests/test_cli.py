@@ -94,3 +94,23 @@ ex:C sh:message "must be even" ;
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     # r1: maxCount(w)=2 long-form + odd v sparql → 2; r2 conforms
     assert summary["n_violations"] == 2
+
+
+def test_cli_curate_jsonl_gz_without_lang_column(tmp_path, capsys):
+    import gzip
+
+    src = tmp_path / "corpus.jsonl.gz"
+    docs = (["the quick brown fox jumps over the lazy dog it was a fine "
+             "day for all of you that are in the field"] * 3
+            + ["der die das und ist ich nicht ein zu es du wir heute"])
+    with gzip.open(src, "wt") as f:
+        f.write("\n".join(json.dumps({"body": t}) for t in docs))
+    out = str(tmp_path / "cur")
+    rc = main(["curate", "--input", str(src), "--text-col", "body",
+               "--out", out, "--min-quality", "0.1", "--langs", "en"])
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_input"] == 4
+    # the de doc drops on lang_pred; the 3 identical en docs dedup to 1
+    assert summary["n_after_filter"] == 3
+    assert summary["n_after_exact_dedup"] == 1

@@ -76,7 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                        "table: quality/lang filters + exact dedup, "
                        "attrition-reported")
     c.add_argument("--input", required=True,
-                   help="parquet file/dir of (doc_id, text, lang, ...)")
+                   help="corpus file/dir: parquet, jsonl(.gz), csv or "
+                        "raw text (normalized via read_text_corpus)")
+    c.add_argument("--format", default=None,
+                   choices=["parquet", "jsonl", "csv", "text"],
+                   help="override format inference from the extension")
+    c.add_argument("--text-col", default="text",
+                   help="source text column (renamed to 'text')")
     c.add_argument("--out", required=True, help="output directory")
     c.add_argument("--min-quality", type=float, default=0.5)
     c.add_argument("--langs", default=None,
@@ -201,13 +207,20 @@ def cmd_curate(args) -> int:
     import ray.data
 
     from .pipelines.curate import CurationConfig, curate
+    from .sources.corpus import read_text_corpus
 
     t0 = time.perf_counter()
-    ds = ray.data.read_parquet(args.input)
+    ds = read_text_corpus(args.input, format=args.format,
+                          text_col=args.text_col)
     langs = ([x.strip() for x in args.langs.split(",") if x.strip()]
              if args.langs else None)
+    # corpora without a lang column filter on the pipeline's own
+    # language-ID output (LanguageId runs before the filter stage)
+    lang_col = ("lang" if "lang" in (ds.schema().names or [])
+                else "lang_pred")
     cfg = CurationConfig(min_quality=args.min_quality,
                          allowed_langs=langs,
+                         lang_col=lang_col,
                          dedup_strategy=args.dedup)
     curated, report = curate(ds, cfg)
     out_data = os.path.join(args.out, "curated")

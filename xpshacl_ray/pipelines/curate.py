@@ -177,17 +177,38 @@ def curate(
         # worker memory — the "join" strategy removes that bound)
         groups = exact_dedup(filtered, text_col=cfg.text_col,
                              id_col=cfg.id_col)
-        keep_ids = pa.array(sorted(
-            r["keep_id"]
-            for r in groups.select_columns(["keep_id"]).take_all()
-        ))
+        grows = groups.select_columns(["keep_id", "n_dupes"]).take_all()
+        keep_ids = pa.array(sorted(r["keep_id"] for r in grows))
+        # keeper ids whose text group HAD duplicates: with CONTENT-
+        # ADDRESSED ids (sources.corpus — identical texts share an id)
+        # the membership filter alone would keep every copy, so those
+        # ids take a one-row-per-id pass (tiny: duplicate rows only);
+        # unique-id keepers stream straight through
+        dup_keep = pa.array(sorted(
+            r["keep_id"] for r in grows if r["n_dupes"] > 0))
         keep_ref = ray.put(keep_ids)
+        dup_ref = ray.put(dup_keep)
 
-        def keep_first(b: pa.Table) -> pa.Table:
-            return b.filter(
-                pc.is_in(b[cfg.id_col], value_set=ray.get(keep_ref)))
+        def keep_unique(b: pa.Table) -> pa.Table:
+            keep = pc.is_in(b[cfg.id_col], value_set=ray.get(keep_ref))
+            not_dup = pc.invert(
+                pc.is_in(b[cfg.id_col], value_set=ray.get(dup_ref)))
+            return b.filter(pc.and_(keep, not_dup))
 
-        deduped = filtered.map_batches(keep_first, batch_format="pyarrow")
+        deduped = filtered.map_batches(keep_unique, batch_format="pyarrow")
+        if len(dup_keep):
+            def only_dup(b: pa.Table) -> pa.Table:
+                return b.filter(
+                    pc.is_in(b[cfg.id_col], value_set=ray.get(dup_ref)))
+
+            def first_row(g: pa.Table) -> pa.Table:
+                return g.take(pa.array([0]))
+
+            dup_part = (filtered.map_batches(only_dup,
+                                             batch_format="pyarrow")
+                        .groupby(cfg.id_col)
+                        .map_groups(first_row, batch_format="pyarrow"))
+            deduped = deduped.union(dup_part)
     n_exact = deduped.count()
 
     n_near = n_exact
