@@ -367,3 +367,30 @@ def test_sparql_sqlchecks_translates_every_block_on_a_holder():
     # silently dropped
     assert len(checks["http://example.org/T"]) == 2
     assert len(skipped) == 1
+
+
+def test_hashed_join_recovery_preserves_int64_keys():
+    import pyarrow as pa
+    import ray.data
+
+    from xpshacl_ray.spec import MaxCount, ValidationSpec, compile_spec
+    from xpshacl_ray.stages import grouped as G
+
+    big = 2**60 + 1  # corrupts to 1.15e18 under a float64 round-trip
+    t = pa.table({"k": pa.array([big, big, 7], pa.int64()),
+                  "v": pa.array(["a", "b", "c"])})
+    spec = compile_spec(ValidationSpec(
+        constraints=[MaxCount(column="v", group_by=["k"], max_count=1)],
+        id_columns=[], focus_template="g:{k}"))
+    ds = ray.data.from_arrow(t)
+    # force the join-recovery path (broadcast limit 0)
+    orig = G.HASHED_BROADCAST_LIMIT
+    G.HASHED_BROADCAST_LIMIT = 0
+    try:
+        out = G.evaluate_grouped(ds, spec, [], strategy="hashed")
+        viol = out[0].to_pandas()
+    finally:
+        G.HASHED_BROADCAST_LIMIT = orig
+    assert len(viol) == 1
+    # exact integer in the focus — not 1.152921504606847e+18
+    assert viol.iloc[0]["focus_node"] == f"group:{big}"

@@ -148,3 +148,30 @@ def test_merge_sketch_tables_incremental_reference(sf_dir):
 
     assert np.allclose(f_full["n_chars_p50"], f_merged["n_chars_p50"],
                        rtol=0.05)
+
+
+def test_null_rate_drift_fails_verdict(docs_ds):
+    import pyarrow as pa
+    import ray.data
+
+    # reference: documents as-is; current: same values but n_chars 90% null
+    ref = sketch_rows(docs_ds, CFG).to_pandas()
+
+    def nullify(b: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        n = len(b)
+        keep = np.arange(n) % 10 == 0  # keep 10%, null the rest
+        vals = pc.if_else(pa.array(keep), b["n_chars"],
+                          pa.scalar(None, b["n_chars"].type))
+        return b.set_column(b.column_names.index("n_chars"), "n_chars",
+                            vals)
+
+    cur = sketch_rows(docs_ds.map_batches(nullify, batch_format="pyarrow"),
+                      CFG).to_pandas()
+    rep = drift_report(cur, ref, CFG)
+    # the non-null value DISTRIBUTION barely moves, but the null rate
+    # jumps ~0.9 — null_rate_delta_max must fail the verdict
+    assert (rep["n_chars_null_rate_delta"] > 0.5).all()
+    assert (rep["verdict"] == "fail").all()

@@ -689,9 +689,20 @@ def simhash_near_dups(
     n_parts = 64
 
     def explode(b: pa.Table) -> pa.Table:
+        # null texts carry a null simhash64 — drop them BEFORE the int64
+        # cast (NaN→int64 is undefined behavior that would alias every
+        # null-text doc to fingerprint INT64_MIN, i.e. spurious
+        # Hamming-0 "near-dups" of each other)
+        col = b["simhash64"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            b = b.filter(pc.is_valid(col))
         # fully vectorized band explode: no per-row Python list building
         h = np.ascontiguousarray(
-            np.asarray(b["simhash64"].combine_chunks(), dtype=np.int64)
+            np.asarray(b["simhash64"].combine_chunks()
+                       if isinstance(b["simhash64"], pa.ChunkedArray)
+                       else b["simhash64"], dtype=np.int64)
         ).view(np.uint64)
         n = len(h)
         ids = (b[id_col].combine_chunks()
@@ -817,21 +828,28 @@ def verify_pairs_ngram(
     for r in pair_rows:
         need.add(r["id_a"])
         need.add(r["id_b"])
-    need_ref = _ray.put(need)
+    # prebuild the sorted value_set ONCE (an in-UDF sorted() would redo
+    # O(n log n) Python work per batch on an immutable set)
+    need_ref = _ray.put(pa.array(sorted(need)))
     texts = ds.map_batches(
         lambda b: b.select([id_col, text_col]).filter(
-            pc.is_in(b[id_col], value_set=pa.array(sorted(_ray.get(need_ref))))
+            pc.is_in(b[id_col], value_set=_ray.get(need_ref))
         ),
         batch_format="pyarrow",
     ).take_all()
     tmap = {r[id_col]: r[text_col] for r in texts}
+    # .get: a candidate id absent from ds (pairs from a superset /
+    # pre-dedup run) skips, matching the join path's inner-join behavior
     out = [
         {
             "id_a": r["id_a"],
             "id_b": r["id_b"],
-            "jaccard": round(ngram_jaccard(tmap[r["id_a"]], tmap[r["id_b"]], n), 6),
+            "jaccard": round(ngram_jaccard(tmap[r["id_a"]],
+                                           tmap[r["id_b"]], n), 6),
         }
         for r in pair_rows
+        if tmap.get(r["id_a"]) is not None
+        and tmap.get(r["id_b"]) is not None
     ]
     out = [r for r in out if r["jaccard"] >= threshold]
     if not out:
@@ -919,6 +937,10 @@ def embedding_near_dups(
     """
     rng = np.random.default_rng(seed)
     sample = ds.take(1)
+    if not sample:  # empty corpus → no pairs (match the other finders)
+        return ray.data.from_arrow(pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("cosine", pa.float64())]).empty_table())
     dim = len(sample[0][vec_col])
     planes = np.stack([
         np.random.default_rng(seed + i).standard_normal((dim, num_planes))

@@ -62,7 +62,17 @@ def broadcast_join(
     key: str,
     columns: Optional[Sequence[str]] = None,
 ) -> "ray.data.Dataset":
-    """Left join a small pandas right side onto a streaming left side."""
+    """Left join a small pandas right side onto a streaming left side.
+
+    The right side must be UNIQUE on ``key`` (a dimension table):
+    searchsorted probing finds one match per left row, so a duplicated
+    right key would silently drop all but one match — rejected loudly
+    instead."""
+    if right_df[key].duplicated().any():
+        dup = right_df[key][right_df[key].duplicated()].iloc[0]
+        raise ValueError(
+            f"broadcast_join right side has duplicate key {dup!r}: "
+            "dedupe the dimension side or use hash_join for 1:N joins")
     right_df = right_df.sort_values(key)
     keys_ref = ray.put(right_df[key].to_numpy())
     cols = [c for c in (columns or right_df.columns) if c != key]
@@ -177,8 +187,13 @@ def asof_join(
     rcols = right.schema().names
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lpart = g[g["__side__"] == "l"][lcols].sort_values(ts)
-        rpart = g[g["__side__"] == "r"][rcols].sort_values(ts)
+        # reindex, not strict selection: a bucket holding only one side's
+        # rows lacks the other side's columns entirely (same guard as
+        # hash_join's join_bucket)
+        lpart = g[g["__side__"] == "l"].reindex(
+            columns=lcols).sort_values(ts)
+        rpart = g[g["__side__"] == "r"].reindex(
+            columns=rcols).sort_values(ts)
         if lpart.empty:
             # merge_asof on an empty left frame upcasts int columns to
             # float64 and poisons the unioned block dtype — build the

@@ -153,6 +153,10 @@ def train_centroids(
     sample = ds.map_batches(keep_sampled, batch_format="pyarrow").take_all()
     if len(sample) < n_centroids:
         sample = ds.take_all()
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"train_centroids needs at least n_centroids={n_centroids} "
+            f"vectors, dataset has {len(sample)} — lower n_centroids")
     sort_key = ((lambda r: r[id_col]) if has_id else
                 (lambda r: np.asarray(r[vec_col],
                                       dtype=np.float64).tobytes()))

@@ -313,24 +313,34 @@ def _recover_violations_join(ds, bad, n_bad, cc, keys, spec, id_types):
     rhs = bad.map_batches(rhs_rows, batch_format="pyarrow")
     empty_viol = violations_schema(spec.id_columns, id_types).empty_table()
 
-    def bucket_violations(g: pd.DataFrame) -> pd.DataFrame:
-        is_r = g["__side__"] == "r"
-        cmap = dict(zip(g.loc[is_r, "__kh__"], g.loc[is_r, "__cnt__"]))
-        lhs_g = g[~is_r]
-        lhs_g = lhs_g[lhs_g["__kh__"].isin(cmap)]  # drops Bloom fps exactly
-        lhs_g = lhs_g.drop_duplicates(subset=["__kh__"] + keys)
-        if lhs_g.empty:
-            return empty_viol.to_pandas()
-        groups_tbl = pa.Table.from_pandas(
-            lhs_g[keys].reset_index(drop=True), preserve_index=False
-        ).append_column(
+    def bucket_violations(g: pa.Table) -> pa.Table:
+        # pure-Arrow bucket task: a pandas frame would NaN-fill the rhs's
+        # null key columns and upcast int64 keys to float64, corrupting
+        # keys >= 2^53 and changing output dtypes vs the other strategies
+        import pyarrow.compute as pc
+
+        is_r = pc.equal(g["__side__"], "r")
+        rhs_g = g.filter(is_r)
+        cmap = dict(zip(rhs_g["__kh__"].to_pylist(),
+                        rhs_g["__cnt__"].to_pylist()))
+        lhs_g = g.filter(pc.invert(is_r))
+        if lhs_g.num_rows == 0 or not cmap:
+            return empty_viol
+        keep = pc.is_in(lhs_g["__kh__"], value_set=pa.array(
+            sorted(cmap), pa.int64()))  # drops Bloom fps exactly
+        lhs_g = lhs_g.filter(keep)
+        if lhs_g.num_rows == 0:
+            return empty_viol
+        lhs_g = lhs_g.group_by(["__kh__"] + keys).aggregate([])  # dedupe
+        groups_tbl = lhs_g.select(keys).append_column(
             "actual_count",
-            pa.array([int(cmap[k]) for k in lhs_g["__kh__"]], pa.int64()))
+            pa.array([int(cmap[k]) for k in lhs_g["__kh__"].to_pylist()],
+                     pa.int64()))
         return _grouped_violation_rows(groups_tbl, cc, keys, spec,
-                                       id_types).to_pandas()
+                                       id_types)
 
     return lhs.union(rhs).groupby("__bucket__").map_groups(
-        bucket_violations, batch_format="pandas")
+        bucket_violations, batch_format="pyarrow")
 
 
 def _evaluate_grouped_hashed(

@@ -326,6 +326,7 @@ def drift_report(
         for c in cfg.numeric_cols:
             if not found:
                 rec[f"{c}_ks"] = None
+                rec[f"{c}_null_rate_delta"] = None
                 continue
             ks = ks_statistic(
                 TDigest.from_bytes(r[f"{c}__tdigest"]),
@@ -333,6 +334,16 @@ def drift_report(
             )
             rec[f"{c}_ks"] = ks
             ok &= ks <= thresholds.ks_max
+            # null-rate drift: KS runs over NON-null values only, so a
+            # partition whose values went 0% → 90% null would otherwise
+            # pass — enforce the declared null_rate_delta_max
+            cur_rate = (r[f"{c}__nulls"] / r["n_rows"]
+                        if r["n_rows"] else 0.0)
+            ref_rate = (rr[f"{c}__nulls"] / rr["n_rows"]
+                        if rr["n_rows"] else 0.0)
+            delta = abs(float(cur_rate) - float(ref_rate))
+            rec[f"{c}_null_rate_delta"] = delta
+            ok &= delta <= thresholds.null_rate_delta_max
         for c in cfg.categorical_cols:
             if not found:
                 rec[f"{c}_psi"] = None

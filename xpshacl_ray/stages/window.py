@@ -248,6 +248,14 @@ def funnel_counts(
         .map_groups(bucket_funnel, batch_format="pandas")
         .to_pandas()  # n_buckets × len(steps) rows — driver merge is tiny
     )
+    if partials.empty:
+        # no events (or every user NULL): zero groups yield a column-less
+        # frame — return explicit zero counts per step
+        return pd.DataFrame({
+            "step": np.arange(1, len(steps_l) + 1, dtype="int64"),
+            "step_name": steps_l,
+            "n_users": np.zeros(len(steps_l), dtype="int64"),
+        })
     out = (partials.groupby(["step", "step_name"], as_index=False)
            ["n_users_partial"].sum()
            .rename(columns={"n_users_partial": "n_users"})
