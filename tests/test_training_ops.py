@@ -373,3 +373,21 @@ def test_funnel_excludes_null_users():
     })
     out = funnel_counts(ray.data.from_pandas(df), ["view"], n_buckets=2)
     assert list(out["n_users"]) == [2]
+
+
+def test_tfidf_min_df_prunes_rare_terms():
+    from xpshacl_ray.functions.text import tfidf_top_terms
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["cat cat dog rareword", "dog fish",
+                                    "cat fish fish bird"])})
+    ds = ray.data.from_arrow(t)
+    full = tfidf_top_terms(ds, top_k=2).to_pandas()
+    # rareword (df=1, tf=1 in doc 1) ranks #1 for doc 1 in the full run
+    assert full[full.doc_id == 1].iloc[0]["term"] == "rareword"
+    pruned = tfidf_top_terms(ds, top_k=2, min_df=2).to_pandas()
+    assert "rareword" not in set(pruned["term"])
+    assert "bird" not in set(pruned["term"])  # also df=1
+    # surviving terms keep the same scores as the unpruned run
+    both = full.merge(pruned, on=["doc_id", "term"], suffixes=("", "_p"))
+    assert (both["tfidf"] == both["tfidf_p"]).all()

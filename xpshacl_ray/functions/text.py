@@ -402,6 +402,7 @@ def tfidf_top_terms(
     top_k: int = 3,
     vocab_broadcast_limit: int = 2_000_000,
     n_buckets: int = 64,
+    min_df: int = 1,
 ) -> "ray.data.Dataset":
     """Top-k TF-IDF terms per document: ``tf · ln(N / df)`` with the
     oracle's exact float64 expression and (tfidf desc, term asc)
@@ -432,8 +433,15 @@ def tfidf_top_terms(
                        batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("partial_df", alias_name="df"))
-        .materialize()
     )
+    if min_df > 1:
+        # web-scale vocabulary prune: hapax/rare terms dominate the long
+        # tail of a large corpus's vocabulary; dropping df < min_df
+        # shrinks the broadcast table (or join exchange) by orders of
+        # magnitude.  SEMANTIC CHANGE, opt-in: pruned terms become
+        # unscorable and never rank (document the cutoff in results).
+        df_tbl = df_tbl.filter(expr=f"df >= {int(min_df)}")
+    df_tbl = df_tbl.materialize()
     n_docs = ds.count()
     vocab_n = df_tbl.count()
 

@@ -263,7 +263,6 @@ def _recover_violations_join(ds, bad, n_bad, cc, keys, spec, id_types):
       per-group Python UDF calls;
     - bucket count scales with the violating-set size so per-task frames
       stay bounded."""
-    import pandas as pd
     import ray as _ray
 
     from ..functions.sketches import BloomFilter, hash64
