@@ -167,3 +167,40 @@ def test_resize_inside_pipeline():
     for m, f in zip(mimes, feats):
         if m.startswith("image"):
             assert f[6] == pytest.approx(1.0)  # resized square → aspect 1
+
+
+def test_gif_roundtrip_multiframe_and_sampling():
+    from xpshacl_ray.stages.multimodal import (
+        decode_gif,
+        encode_gif,
+        sample_frames,
+    )
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    frames = rng.integers(0, 16, size=(5, 9, 7), dtype=np.uint8)
+    out = decode_gif(encode_gif(frames, pal))
+    assert out.shape == (5, 9, 7, 3)
+    assert np.array_equal(out, pal[frames])  # exact LZW roundtrip
+    s = sample_frames(out, 3)
+    assert s.shape[0] == 3
+    assert np.array_equal(s[0], out[0]) and np.array_equal(s[-1], out[-1])
+    with pytest.raises(ValueError):
+        decode_gif(b"not a gif")
+    # single-frame GIF works too
+    one = decode_gif(encode_gif(frames[:1], pal))
+    assert one.shape == (1, 9, 7, 3)
+
+
+def test_gif_features_through_media_decoder():
+    from xpshacl_ray.stages.multimodal import (
+        MediaDecoder,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    frames = rng.integers(0, 8, size=(4, 10, 12), dtype=np.uint8)
+    f = MediaDecoder()._decode_one("image/gif", encode_gif(frames, pal))
+    assert f.shape == (MediaDecoder.FEATURE_DIM,)
+    assert np.isfinite(f).all() and f[6] > 0  # aspect from real frames

@@ -338,11 +338,12 @@ def make_fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
 
 def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
     """Deterministic REAL media rows: round-robin P6 PPM / 24-bit BMP /
-    PNG images and 16-bit PCM WAV clips, all synthesized stdlib+numpy."""
+    PNG images, 16-bit PCM WAV clips and multi-frame LZW GIFs, all
+    synthesized stdlib+numpy."""
     rng = np.random.default_rng(seed)
     ids, mimes, payloads, metas = [], [], [], []
     for i in range(n):
-        kind = i % 4
+        kind = i % 5
         if kind == 0:
             w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -355,6 +356,15 @@ def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
             payloads.append(encode_bmp(img))
             mimes.append("image/bmp")
             metas.append({"width": w, "height": h, "n_frames": 1})
+        elif kind == 4:
+            n_colors = int(rng.integers(4, 17))
+            pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+            w, h = int(rng.integers(6, 24)), int(rng.integers(6, 24))
+            nf = int(rng.integers(2, 6))
+            fr = rng.integers(0, n_colors, size=(nf, h, w), dtype=np.uint8)
+            payloads.append(encode_gif(fr, pal))
+            mimes.append("image/gif")
+            metas.append({"width": w, "height": h, "n_frames": nf})
         elif kind == 2:
             rate = 8_000
             t = np.arange(int(rng.integers(400, 4000))) / rate
@@ -398,6 +408,15 @@ class MediaDecoder:
         # once per actor, when present in the environment
 
     def _decode_one(self, mime: str, payload: bytes) -> np.ndarray:
+        if mime == "image/gif":
+            # multi-frame: decode → evenly-spaced 3-frame sample →
+            # per-frame features averaged (the frame-sampling shape of a
+            # video pipeline, on a REAL stdlib-decoded container)
+            frames = sample_frames(decode_gif(payload), 3)
+            if self.resize_to is not None:
+                frames = np.stack([resize_nearest(f, *self.resize_to)
+                                   for f in frames])
+            return np.mean([image_features(f) for f in frames], axis=0)
         if mime in _DECODABLE_IMAGE:
             img = _DECODABLE_IMAGE[mime](payload)
             if self.resize_to is not None:
@@ -406,8 +425,8 @@ class MediaDecoder:
         if mime in _DECODABLE_AUDIO:
             return audio_features(*_DECODABLE_AUDIO[mime](payload))
         raise NotImplementedError(
-            f"no codec for {mime!r} in this environment: PPM/BMP/PNG/WAV "
-            "decode natively; JPEG/MP3/video need PIL/torchaudio/decord "
+            f"no codec for {mime!r} in this environment: PPM/BMP/PNG/GIF/"
+            "WAV decode natively; JPEG/MP3/MP4 need PIL/torchaudio/decord "
             "here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -496,3 +515,175 @@ def decode_features(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW) — pure-Python decode, multi-frame; the frame-sampling container
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Minimal GIF-LZW encoder: emits a CLEAR before every pixel code so
+    the code table never grows (the classic 'uncompressed GIF' technique
+    — larger output, trivially correct, fine for synthesized fixtures)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    for v in indices:
+        emit(int(v))
+        emit(clear)  # keep the table (and code size) fixed
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
+    """Full GIF-LZW decode (variable code width, CLEAR/EOI, KwKwK case)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    acc = 0
+    nbits = 0
+    pos = 0
+    out = bytearray()
+
+    def reset_table():
+        return ({i: bytes([i]) for i in range(clear)}, clear + 2,
+                min_code_size + 1)
+
+    table, next_code, code_size = reset_table()
+    prev = None
+    while True:
+        while nbits < code_size:
+            if pos >= len(data):
+                return np.frombuffer(bytes(out), dtype=np.uint8)
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == clear:
+            table, next_code, code_size = reset_table()
+            prev = None
+            continue
+        if code == eoi:
+            return np.frombuffer(bytes(out), dtype=np.uint8)
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        else:  # KwKwK
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        out += entry
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        prev = entry
+
+
+def encode_gif(frames: np.ndarray, palette: np.ndarray) -> bytes:
+    """(n_frames, h, w) palette-index uint8 + (n_colors≤256, 3) palette →
+    animated GIF89a (global color table, one image block per frame)."""
+    n, h, w = frames.shape
+    n_colors = len(palette)
+    depth = max(1, int(np.ceil(np.log2(max(2, n_colors)))))
+    table_size = 1 << depth
+    pal = np.zeros((table_size, 3), dtype=np.uint8)
+    pal[:n_colors] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += pal.tobytes()
+    min_code = max(2, depth)
+    for f in range(n):
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        lzw = _lzw_encode(frames[f].reshape(-1), min_code)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i:i + 255]
+            out.append(len(blk))
+            out += blk
+        out.append(0)  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → (n_frames, h, w, 3) uint8 via pure-Python LZW.
+
+    Supports the common subset: global color table, full-canvas
+    non-interlaced frames, extension blocks skipped.  Local color tables
+    and interlacing raise."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("GIF without a global color table not supported")
+    table_size = 2 << (flags & 0x07)
+    palette = np.frombuffer(payload, np.uint8, count=table_size * 3,
+                            offset=pos).reshape(-1, 3)
+    pos += table_size * 3
+    frames = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if iflags & 0x40:
+            raise ValueError("interlaced GIF not supported")
+        if iflags & 0x80:
+            raise ValueError("local color tables not supported")
+        if (fx, fy, fw, fh) != (0, 0, w, h):
+            raise ValueError("partial-canvas GIF frames not supported")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code)[:w * h]
+        frames.append(palette[np.clip(idx, 0, len(palette) - 1)]
+                      .reshape(h, w, 3))
+    if not frames:
+        raise ValueError("GIF contains no image frames")
+    return np.stack(frames)
+
+
+def sample_frames(frames: np.ndarray, k: int = 3) -> np.ndarray:
+    """Evenly-spaced frame sample (first/…/last) — the brief's
+    frame-sampling op for multi-frame media."""
+    n = len(frames)
+    if n <= k:
+        return frames
+    idx = np.linspace(0, n - 1, k).round().astype(int)
+    return frames[idx]
