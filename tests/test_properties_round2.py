@@ -198,3 +198,39 @@ def test_sparql_translation_is_executable_duckdb(expr):
     out = duckdb.connect().execute(
         f"SELECT coalesce(({sql}), FALSE) FROM t").fetchall()
     assert len(out) == t.num_rows  # executes and is null-safe
+
+
+# --- codec roundtrips on random media ---------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=1, max_value=16),
+       st.integers(min_value=1, max_value=16),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_png_roundtrip_random_images(w, h, seed):
+    import numpy as np
+
+    from xpshacl_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(min_value=1, max_value=12),
+       st.integers(min_value=1, max_value=12),
+       st.integers(min_value=1, max_value=4),
+       st.integers(min_value=2, max_value=32),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_gif_roundtrip_random_animations(w, h, nf, n_colors, seed):
+    import numpy as np
+
+    from xpshacl_ray.stages.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, size=(n_colors, 3), dtype=np.uint8)
+    frames = rng.integers(0, n_colors, size=(nf, h, w), dtype=np.uint8)
+    out = decode_gif(encode_gif(frames, pal))
+    assert out.shape == (nf, h, w, 3)
+    assert np.array_equal(out, pal[frames])
