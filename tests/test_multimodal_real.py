@@ -152,9 +152,10 @@ def test_png_all_scanline_filters_decode():
 
 
 def test_compressed_codecs_still_explicit_stub():
-    # PNG now decodes natively (stdlib zlib); JPEG remains the honest stub
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        MediaDecoder()._decode_one("image/jpeg", b"\xff\xd8...")
+    # PNG/JPEG/GIF now decode natively; audio/video compression remains
+    # the honest stub (no torchaudio/decord in this environment)
+    with pytest.raises(NotImplementedError, match="MP3"):
+        MediaDecoder()._decode_one("audio/mpeg", b"\xff\xfb...")
 
 
 def test_resize_inside_pipeline():
@@ -190,6 +191,121 @@ def test_gif_roundtrip_multiframe_and_sampling():
     # single-frame GIF works too
     one = decode_gif(encode_gif(frames[:1], pal))
     assert one.shape == (1, 9, 7, 3)
+
+
+def _smooth_image(h, w, seed=0):
+    """Gradient + mild noise — representative photographic content
+    (pure random noise is the known pathological JPEG input)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [40 + yy * 150 / max(1, h - 1), 60 + xx * 120 / max(1, w - 1),
+         90 + (yy + xx) * 60 / max(1, h + w - 2)], -1)
+    return np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(
+        np.uint8)
+
+
+def test_jpeg_roundtrip_quality_and_subsampling():
+    from xpshacl_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_image(33, 49, seed=7)
+
+    def psnr(a, b):
+        mse = ((a.astype(float) - b.astype(float)) ** 2).mean()
+        return 10 * np.log10(255.0 ** 2 / mse)
+
+    prev = 0.0
+    for q in (50, 75, 90, 95):
+        out = decode_jpeg(encode_jpeg(img, quality=q))
+        assert out.shape == img.shape
+        p = psnr(out, img)
+        assert p > 35  # smooth content decodes faithfully
+        assert p >= prev  # quality knob is monotone
+        prev = p
+    # 4:2:0 chroma subsampling: lossier but still high-fidelity
+    out420 = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    assert out420.shape == img.shape
+    assert psnr(out420, img) > 33
+    # flat blocks survive exactly (DC-only path)
+    flat = np.full((16, 24, 3), 117, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat)), flat)
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_jpeg_restart_markers_and_odd_sizes():
+    from xpshacl_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    img = _smooth_image(37, 53, seed=8)
+    with_rst = encode_jpeg(img, quality=90, subsampling="420",
+                           restart_interval=2)
+    without = encode_jpeg(img, quality=90, subsampling="420")
+    assert b"\xff\xd0" in with_rst or b"\xff\xd1" in with_rst
+    # restart markers change the byte stream but not the decoded pixels
+    assert np.array_equal(decode_jpeg(with_rst), decode_jpeg(without))
+    rng = np.random.default_rng(9)
+    for shape in [(8, 8), (9, 13), (1, 1), (7, 3), (16, 17)]:
+        im = rng.integers(0, 256, (*shape, 3), np.uint8)
+        for sub in ("444", "420"):
+            assert decode_jpeg(encode_jpeg(im, subsampling=sub)).shape \
+                == im.shape
+
+
+def test_jpeg_grayscale_and_unsupported_modes():
+    import struct
+
+    from xpshacl_ray.stages.jpeg import (
+        _BitWriter,
+        _DC_L,
+        _AC_L,
+        _QL,
+        _ZZ,
+        _encode_block,
+        _encode_codes,
+        _fdct_quant,
+        _seg,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    # hand-build a 1-component (grayscale) baseline JPEG and decode it
+    h = w = 8
+    plane = np.linspace(30, 220, h * w).reshape(h, w)
+    zz = _fdct_quant((plane - 128.0).reshape(1, 8, 8),
+                     _QL.astype(np.int32))[0]
+    bw = _BitWriter()
+    _encode_block(bw, zz, 0, _encode_codes(*_DC_L), _encode_codes(*_AC_L))
+    bw.flush()
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(_QL[_ZZ].tolist()))
+    out += _seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_L[0]) + bytes(_DC_L[1]))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_L[0]) + bytes(_AC_L[1]))
+    out += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += bw.out + b"\xff\xd9"
+    img = decode_jpeg(bytes(out))
+    assert img.shape == (h, w, 3)
+    assert np.array_equal(img[..., 0], img[..., 1])  # replicated gray
+    assert abs(float(img[..., 0].mean()) - plane.mean()) < 3
+
+    # progressive SOF raises the honest NotImplementedError
+    prog = bytes(out).replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(NotImplementedError, match="non-baseline"):
+        decode_jpeg(prog)
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4), np.uint8))  # not (h, w, 3)
+
+
+def test_jpeg_features_through_media_decoder():
+    from xpshacl_ray.stages.jpeg import encode_jpeg
+
+    img = _smooth_image(20, 30, seed=10)
+    f = MediaDecoder()._decode_one("image/jpeg", encode_jpeg(img))
+    assert f.shape == (MediaDecoder.FEATURE_DIM,)
+    # features computed from genuinely-decoded pixels: close to the
+    # source image's features, not exact (lossy codec)
+    assert np.abs(f - image_features(img)).max() < 0.02
+    assert f[6] == pytest.approx(30 / 20)  # aspect survives exactly
 
 
 def test_gif_features_through_media_decoder():

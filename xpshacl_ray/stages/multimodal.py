@@ -16,10 +16,14 @@ uncompressed containers:
 - **PNG** (8-bit RGB/RGBA, non-interlaced, all five scanline filters)
   decodes with stdlib ``zlib`` + numpy — a REAL compressed container,
   no imaging library needed.
+- **JPEG** (baseline sequential DCT, any chroma subsampling, restart
+  markers) decodes via the pure-numpy codec in :mod:`.jpeg` — Huffman
+  scan + vectorized dequant/IDCT, tables parsed from the file.
+- **GIF** (multi-frame, LZW) decodes pure-Python with frame sampling.
 
-Remaining compressed codecs (JPEG/MP3/MP4...) still raise
+Remaining compressed codecs (MP3/MP4/other video...) still raise
 ``NotImplementedError`` — no codec libraries exist in this environment;
-the error message marks exactly where PIL/torchaudio/decord plug in
+the error message marks exactly where torchaudio/decord plug in
 (same actor signature: heavy setup in ``__init__``, batched decode in
 ``__call__``, ``batch_size`` small because payload rows are MBs).
 
@@ -276,9 +280,12 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return img[ys[:, None], xs[None, :]]
 
 
+from xpshacl_ray.stages.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+
 _DECODABLE_IMAGE = {"image/x-portable-pixmap": decode_ppm,
                     "image/bmp": decode_bmp,
-                    "image/png": decode_png}
+                    "image/png": decode_png,
+                    "image/jpeg": decode_jpeg}
 _DECODABLE_AUDIO = {"audio/wav": decode_wav, "audio/x-wav": decode_wav}
 
 
@@ -338,12 +345,21 @@ def make_fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
 
 def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
     """Deterministic REAL media rows: round-robin P6 PPM / 24-bit BMP /
-    PNG images, 16-bit PCM WAV clips and multi-frame LZW GIFs, all
-    synthesized stdlib+numpy."""
+    PNG / baseline JPEG images, 16-bit PCM WAV clips and multi-frame LZW
+    GIFs, all synthesized stdlib+numpy."""
     rng = np.random.default_rng(seed)
     ids, mimes, payloads, metas = [], [], [], []
     for i in range(n):
-        kind = i % 5
+        kind = i % 6
+        if kind == 5:
+            w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_jpeg(
+                img, quality=90, subsampling="420" if i % 2 else "444"))
+            mimes.append("image/jpeg")
+            metas.append({"width": w, "height": h, "n_frames": 1})
+            ids.append(i)
+            continue
         if kind == 0:
             w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -390,11 +406,12 @@ def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
 
 
 class MediaDecoder:
-    """Actor-pool decode/feature-extract stage with REAL codecs for the
-    stdlib-parseable containers (PPM/BMP/PNG images — PNG incl. zlib
-    inflate + scanline unfiltering — and PCM WAV audio) and an explicit
-    ``NotImplementedError`` for the remaining compressed formats
-    (JPEG/MP3/video).
+    """Actor-pool decode/feature-extract stage with REAL codecs for
+    PPM/BMP/PNG/JPEG/GIF images (PNG via zlib inflate + scanline
+    unfiltering, JPEG via the pure-numpy baseline codec in :mod:`.jpeg`,
+    GIF via pure-Python LZW with frame sampling) and PCM WAV audio, and
+    an explicit ``NotImplementedError`` for the remaining compressed
+    formats (MP3/video).
 
     ``resize_to=(w, h)`` runs the real nearest-neighbour resize before
     image feature extraction (the decode→resize→featurize shape of a
@@ -425,9 +442,8 @@ class MediaDecoder:
         if mime in _DECODABLE_AUDIO:
             return audio_features(*_DECODABLE_AUDIO[mime](payload))
         raise NotImplementedError(
-            f"no codec for {mime!r} in this environment: PPM/BMP/PNG/GIF/"
-            "WAV decode natively; JPEG/MP3/MP4 need PIL/torchaudio/decord "
-            "here")
+            f"no codec for {mime!r} in this environment: PPM/BMP/PNG/JPEG/"
+            "GIF/WAV decode natively; MP3/MP4 need torchaudio/decord here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
