@@ -675,6 +675,81 @@ def q_stopword_scrub(sf_dir: str):
     )
 
 
+def _pii_augment(b: pa.Table) -> pa.Table:
+    """Deterministically weave PII-shaped strings (derived from doc_id)
+    into the synthetic corpus so the redaction pass is actually
+    exercised — mirrored exactly by the CASE/|| chain in the oracle SQL.
+    All-Arrow (lpad/join/if_else kernels)."""
+    did = np.asarray(b["doc_id"], dtype=np.int64)
+    s = pc.cast(b["doc_id"], pa.string())
+    text = pc.fill_null(b["text"], "")
+
+    def lp(mod, width):
+        return pc.utf8_lpad(pc.cast(pa.array(did % mod), pa.string()),
+                            width, "0")
+
+    def gate(mod, part):
+        return pc.if_else(pa.array(did % mod == 0), part, "")
+
+    email = gate(3, pc.binary_join_element_wise(
+        " contact user", s, "@example.com", ""))
+    ipv4 = gate(2, pc.binary_join_element_wise(
+        " ip 10.0.", pc.cast(pa.array(did % 256), pa.string()), ".",
+        pc.cast(pa.array(did % 100), pa.string()), ""))
+    ssn = gate(5, pc.binary_join_element_wise(
+        " ssn 123-45-", lp(10000, 4), ""))
+    phone = gate(7, pc.binary_join_element_wise(
+        " call 555-", lp(1000, 3), "-", lp(10000, 4), ""))
+    aug = pc.binary_join_element_wise(text, email, ipv4, ssn, phone, "")
+    return b.set_column(b.schema.get_field_index("text"), "text", aug)
+
+
+def q_pii_redact(sf_dir: str):
+    """PII scrubbing (emails/IPv4/SSN/phones) over the documents table —
+    row-local regex redaction + per-class counts, RE2 patterns shared
+    verbatim with the DuckDB oracle."""
+    from xpshacl_ray.functions.text import redact_pii
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(_pii_augment, batch_format="pyarrow")
+        .map_batches(redact_pii, batch_format="pyarrow")
+        .select_columns(["doc_id", "text_redacted", "pii_email_n",
+                         "pii_ipv4_n", "pii_ssn_n", "pii_phone_n"])
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from xpshacl_ray.functions.text import PII_PATTERNS
+
+    repl = "text_aug"
+    for _name, pat, tok in PII_PATTERNS:
+        repl = f"regexp_replace({repl}, '{pat}', '{tok}', 'g')"
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(text_aug, '{pat}')) AS pii_{name}_n"
+        for name, pat, _tok in PII_PATTERNS)
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+    coalesce(text, '')
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+         CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 2 = 0 THEN ' ip 10.0.' ||
+         CAST(doc_id % 256 AS VARCHAR) || '.' ||
+         CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' ||
+         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    AS text_aug
+  FROM documents)
+SELECT doc_id, {repl} AS text_redacted,
+  {counts}
+FROM aug
+"""
+
+
 def q_fingerprints(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1091,6 +1166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_frequency": q_term_doc_frequency,
         "tfidf_top_terms": q_tfidf_top_terms,
         "stopword_scrub": q_stopword_scrub,
+        "pii_redact": q_pii_redact,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "knn_cosine": q_knn_cosine,
@@ -1329,6 +1405,7 @@ def oracle_sql() -> dict[str, str]:
                             ' '), '') END AS text_clean
             FROM documents
         """,
+        "pii_redact": _pii_oracle_sql(),
         "fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint_md5,
                    sha256(text) AS content_sha256

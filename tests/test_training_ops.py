@@ -391,3 +391,37 @@ def test_tfidf_min_df_prunes_rare_terms():
     # surviving terms keep the same scores as the unpruned run
     both = full.merge(pruned, on=["doc_id", "term"], suffixes=("", "_p"))
     assert (both["tfidf"] == both["tfidf_p"]).all()
+
+
+def test_redact_pii_classes_and_counts():
+    from xpshacl_ray.functions.text import redact_pii
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "mail a@b.io and c.d+x@e-f.org now",
+            "ssn 123-45-6789 phone 555-123-4567 ip 10.0.0.1",
+            None,
+            "plain text, no pii at all 1234",
+        ],
+    })
+    out = redact_pii(t).to_pandas()
+    assert out.loc[0, "text_redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert out.loc[0, "pii_email_n"] == 2
+    assert out.loc[1, "text_redacted"] == \
+        "ssn <SSN> phone <PHONE> ip <IPV4>"
+    assert (out.loc[1, ["pii_ssn_n", "pii_phone_n", "pii_ipv4_n"]]
+            == 1).all()
+    assert out.loc[2, "text_redacted"] is None
+    assert out.loc[2, "pii_email_n"] == 0
+    assert out.loc[3, "text_redacted"] == out.loc[3, "text"]
+
+
+def test_redact_pii_ssn_phone_disjoint():
+    # a phone (3-3-4) must not be half-eaten by the SSN (3-2-4) pattern
+    from xpshacl_ray.functions.text import redact_pii
+
+    t = pa.table({"text": ["call 555-867-5309 or ssn 078-05-1120"]})
+    out = redact_pii(t).to_pandas()
+    assert out.loc[0, "text_redacted"] == "call <PHONE> or ssn <SSN>"
+    assert out.loc[0, "pii_phone_n"] == 1 and out.loc[0, "pii_ssn_n"] == 1

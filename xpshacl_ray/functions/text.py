@@ -513,3 +513,44 @@ def tfidf_top_terms(
 
     return joined.groupby("doc_id").map_groups(score_group,
                                                batch_format="pandas")
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# (name, RE2 pattern, replacement token).  RE2 syntax only — the same
+# literal patterns run under pyarrow.compute (RE2) here and DuckDB
+# ``regexp_replace`` (also RE2) in the oracle, so redaction is
+# byte-for-byte comparable.  Order matters (applied top to bottom; the
+# replacement tokens contain no digits so no chain re-triggering).
+PII_PATTERNS: tuple = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IPV4>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(batch: pa.Table, text_col: str = "text",
+               out_col: str = "text_redacted") -> pa.Table:
+    """Redact PII (emails, IPv4s, SSNs, US phone numbers) from a text
+    column — the scrubbing pass of a training-data curation pipeline.
+
+    Fully vectorized: one ``replace_substring_regex`` kernel per class,
+    chained in ``PII_PATTERNS`` order, plus a per-class match count
+    (``pii_<name>_n``, counted on the ORIGINAL text).  Row-local — no
+    shuffle, streams at read speed; safe at any scale.
+
+    Reference scope note: the reference engine has no PII pass; this is
+    part of the LLM-training-data operator family the engine adds
+    (SURVEY.md §2 addendum).
+    """
+    col = batch[text_col]
+    out = col
+    counts = []
+    for _name, pat, repl in PII_PATTERNS:
+        counts.append(pc.fill_null(pc.count_substring_regex(col, pat), 0))
+        out = pc.replace_substring_regex(out, pat, repl)
+    t = batch.append_column(out_col, out)
+    for (name, _, _), c in zip(PII_PATTERNS, counts):
+        t = t.append_column(f"pii_{name}_n", pc.cast(c, pa.int64()))
+    return t
