@@ -750,6 +750,17 @@ FROM aug
 """
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact corpus heavy hitters (terms with count >= 0.1% of all
+    tokens) via the two-pass Misra-Gries candidates + exact-recount
+    operator: the exchange never carries more than `capacity` entries
+    per batch regardless of corpus size."""
+    from xpshacl_ray.functions.text import heavy_hitter_terms
+
+    return heavy_hitter_terms(_docs(sf_dir, columns=["text"]),
+                              threshold_frac=0.001, capacity=4096)
+
+
 def q_fingerprints(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1167,6 +1178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "stopword_scrub": q_stopword_scrub,
         "pii_redact": q_pii_redact,
+        "heavy_hitters": q_heavy_hitters,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "knn_cosine": q_knn_cosine,
@@ -1406,6 +1418,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_redact": _pii_oracle_sql(),
+        "heavy_hitters": """
+            WITH toks AS (
+                SELECT unnest(str_split(lower(text), ' ')) AS term
+                FROM documents WHERE text IS NOT NULL
+            ), nz AS (SELECT term FROM toks WHERE term <> ''),
+            tot AS (SELECT count(*) AS n FROM nz)
+            SELECT term, count(*) AS n_occurrences
+            FROM nz, tot
+            GROUP BY term, tot.n
+            HAVING count(*) >= 0.001 * tot.n
+        """,
         "fingerprints": """
             SELECT doc_id, md5(text) AS fingerprint_md5,
                    sha256(text) AS content_sha256

@@ -119,3 +119,56 @@ def test_drift_measures():
     h2 = CategoricalHistogram().add(["x"] * 10 + ["y"] * 90)
     assert psi(h1, h1) == 0.0
     assert psi(h1, h2) > 1.0
+
+
+def test_misra_gries_guarantee_and_merge():
+    import collections
+
+    import numpy as np
+
+    from xpshacl_ray.functions.sketches import MisraGries
+
+    rng = np.random.default_rng(7)
+    items = [f"t{i}" for i in rng.zipf(1.4, 50000) if i < 500]
+    n = len(items)
+    true = collections.Counter(items)
+    # simulate per-batch partials + merge (the distributed layout)
+    blobs = []
+    for i in range(0, n, 4000):
+        blobs.append(MisraGries(capacity=12)
+                     .add(items[i:i + 4000]).to_bytes())
+    mg = MisraGries.merge_many(blobs)
+    assert len(mg.counts) <= 12
+    eb = mg.error_bound()
+    assert 0 < eb < n // 13  # tighter than the worst-case bound
+    for t, c in true.items():
+        if c > eb:  # every item above the bound must survive the trims
+            assert t in mg.counts
+            assert mg.counts[t] <= c <= mg.counts[t] + eb
+    # candidates(min_count) is a superset of the true heavy hitters
+    thresh = eb + 1
+    cands = set(mg.candidates(thresh))
+    assert {t for t, c in true.items() if c >= thresh} <= cands
+
+
+def test_heavy_hitter_terms_exact(ray_session):
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from xpshacl_ray.functions.text import heavy_hitter_terms
+
+    docs = ["join scan " * 30 + "rare",
+            "join hash hash " * 20,
+            "scan scan filter " * 10 + "oddball"] * 40
+    ds = ray.data.from_arrow(pa.table({"text": docs})).repartition(6)
+    true = collections.Counter(" ".join(docs).split())
+    n = sum(true.values())
+    out = heavy_hitter_terms(ds, threshold_frac=0.01,
+                             capacity=64).to_pandas()
+    want = {t: c for t, c in true.items() if c >= 0.01 * n}
+    got = dict(zip(out["term"], out["n_occurrences"]))
+    assert got == want  # exact counts, exact membership
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitter_terms(ds, threshold_frac=0.00001, capacity=1)

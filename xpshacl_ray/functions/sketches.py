@@ -456,3 +456,112 @@ def psi(expected: CategoricalHistogram, actual: CategoricalHistogram,
     p = np.array([expected.counts.get(c, 0) / te for c in cats]) + eps
     q = np.array([actual.counts.get(c, 0) / ta for c in cats]) + eps
     return float(np.sum((q - p) * np.log(q / p)))
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries frequent-items sketch
+# ---------------------------------------------------------------------------
+
+
+class MisraGries:
+    """Mergeable heavy-hitters sketch (Misra–Gries / "frequent" algorithm).
+
+    Holds at most ``capacity`` (item, count) entries.  Counts are LOWER
+    bounds: after observing N items (across any sequence of adds and
+    merges), every stored count undercounts its true frequency by at most
+    ``error_bound() = n_decremented / (capacity + 1) ≤ N/(capacity+1)``,
+    and any item with true frequency > that bound is guaranteed present
+    (Misra & Gries 1982; mergeability per Agarwal et al., "Mergeable
+    Summaries", PODS 2012).  Batch entry is vectorized: exact
+    ``np.unique`` counts within the batch, one trim after.
+
+    The engine uses it as the pass-1 candidate generator of the exact
+    two-pass heavy-hitters operator
+    (`xpshacl_ray.functions.text.heavy_hitter_terms`).
+    """
+
+    __slots__ = ("capacity", "counts", "n_total", "n_dropped")
+
+    def __init__(self, capacity: int = 256,
+                 counts: Optional[Dict[str, int]] = None):
+        if capacity < 1:
+            raise ValueError("MisraGries capacity must be >= 1")
+        self.capacity = capacity
+        self.counts: Dict[str, int] = counts or {}
+        self.n_total = 0      # items observed
+        self.n_dropped = 0    # total count mass removed by trims
+
+    def add_counts(self, items: Sequence, counts: np.ndarray) -> "MisraGries":
+        """Add pre-aggregated (item, count) pairs (e.g. np.unique output)."""
+        c = np.asarray(counts, dtype=np.int64)
+        for t, k in zip(items, c.tolist()):
+            self.counts[t] = self.counts.get(t, 0) + k
+        self.n_total += int(c.sum())
+        self._trim()
+        return self
+
+    def add(self, values: Sequence) -> "MisraGries":
+        arr = np.asarray([v for v in values if v is not None], dtype=object)
+        if len(arr) == 0:
+            return self
+        uniq, cnt = np.unique(arr.astype("U"), return_counts=True)
+        return self.add_counts(uniq.tolist(), cnt)
+
+    def _trim(self) -> None:
+        if len(self.counts) <= self.capacity:
+            return
+        vals = np.fromiter(self.counts.values(), np.int64, len(self.counts))
+        # classic MG step: subtract the (capacity+1)-th largest count from
+        # everything, drop the non-positive — at most `capacity` survive
+        kth = int(np.partition(vals, -self.capacity - 1)[-self.capacity - 1])
+        before = int(vals.sum())
+        self.counts = {t: c - kth for t, c in self.counts.items()
+                       if c - kth > 0}
+        self.n_dropped += before - sum(self.counts.values())
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for k, v in other.counts.items():
+            self.counts[k] = self.counts.get(k, 0) + v
+        self.n_total += other.n_total
+        self.n_dropped += other.n_dropped
+        self._trim()
+        return self
+
+    def error_bound(self) -> int:
+        """Max undercount of any stored (or absent) item's true frequency."""
+        # every unit of dropped mass corresponds to >= capacity+1 distinct
+        # decrements, so undercount per item <= n_dropped/(capacity+1)...
+        # but the safe, standard bound is simply the total decrement depth:
+        return self.n_dropped // (self.capacity + 1) if self.n_dropped else 0
+
+    def candidates(self, min_count: float) -> List[str]:
+        """Items whose true count COULD be >= min_count (superset of the
+        true heavy hitters when min_count > error_bound())."""
+        eb = self.error_bound()
+        return sorted(t for t, c in self.counts.items() if c + eb >= min_count)
+
+    def to_bytes(self) -> bytes:
+        import json
+
+        return json.dumps(
+            {"capacity": self.capacity, "counts": self.counts,
+             "n_total": self.n_total, "n_dropped": self.n_dropped},
+            sort_keys=True).encode("utf-8")
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "MisraGries":
+        import json
+
+        d = json.loads(b.decode("utf-8"))
+        out = cls(capacity=d["capacity"], counts=d["counts"])
+        out.n_total = d["n_total"]
+        out.n_dropped = d["n_dropped"]
+        return out
+
+    @classmethod
+    def merge_many(cls, blobs: Iterable[bytes]) -> "MisraGries":
+        out: Optional[MisraGries] = None
+        for b in blobs:
+            s = cls.from_bytes(b)
+            out = s if out is None else out.merge(s)
+        return out if out is not None else cls()

@@ -554,3 +554,88 @@ def redact_pii(batch: pa.Table, text_col: str = "text",
     for (name, _, _), c in zip(PII_PATTERNS, counts):
         t = t.append_column(f"pii_{name}_n", pc.cast(c, pa.int64()))
     return t
+
+
+def _partial_term_counts(batch: pa.Table, text_col: str,
+                         capacity: int) -> pa.Table:
+    """Pass-1 combiner for heavy hitters: exact within-batch term counts
+    folded into one serialized Misra–Gries blob per batch — the exchange
+    carries ≤ capacity (term, count) pairs per batch, never text."""
+    from xpshacl_ray.functions.sketches import MisraGries
+
+    toks = _space_token_lists(batch[text_col])
+    flat = pc.list_flatten(toks)
+    t = pa.table({"term": flat}).filter(pc.not_equal(flat, ""))
+    agg = t.group_by(["term"]).aggregate([([], "count_all")])
+    mg = MisraGries(capacity=capacity)
+    mg.add_counts(agg["term"].to_pylist(),
+                  np.asarray(agg["count_all"], dtype=np.int64))
+    return pa.table({"mg": pa.array([mg.to_bytes()], pa.binary()),
+                     "n_tokens": pa.array([mg.n_total], pa.int64())})
+
+
+def heavy_hitter_terms(ds: "ray.data.Dataset",
+                       threshold_frac: float = 0.001,
+                       capacity: int = 4096,
+                       text_col: str = "text") -> "ray.data.Dataset":
+    """EXACT corpus-wide heavy-hitter terms (count ≥ threshold_frac · N)
+    in two streaming passes — no full-vocabulary shuffle.
+
+    Pass 1 folds each batch into a Misra–Gries summary (mergeable,
+    ≤ ``capacity`` entries) and merges the per-batch blobs on the driver
+    (bytes moved: ~capacity × n_batches entries).  The MG guarantee makes
+    the merged sketch's ``candidates()`` a SUPERSET of the true heavy
+    hitters whenever ``threshold > error_bound()`` — verified at runtime;
+    if the corpus is too adversarial for the capacity (error bound ≥
+    threshold) the operator raises with the capacity needed rather than
+    silently returning approximate counts.  Pass 2 re-scans the corpus
+    counting ONLY the candidate terms (closure-broadcast value set,
+    ≤ capacity strings) and sums per-batch partials with a bounded
+    groupby (≤ capacity keys), so the final counts are exact.
+
+    At 100 TB: pass 1's exchange is independent of corpus size
+    (one blob per batch); pass 2's groupby moves ≤ capacity × n_batches
+    short rows.  Tokenization matches DuckDB
+    ``str_split(lower(text), ' ')`` for oracle parity.
+    """
+    import ray.data
+
+    from xpshacl_ray.functions.sketches import MisraGries
+
+    parts = ds.map_batches(
+        lambda b: _partial_term_counts(b, text_col, capacity),
+        batch_format="pyarrow").take_all()
+    mg = MisraGries.merge_many([p["mg"] for p in parts])
+    n_tokens = sum(p["n_tokens"] for p in parts)
+    min_count = threshold_frac * n_tokens
+    if n_tokens == 0:
+        return ray.data.from_arrow(pa.table(
+            {"term": pa.array([], pa.string()),
+             "n_occurrences": pa.array([], pa.int64())}))
+    if mg.error_bound() >= min_count:
+        raise ValueError(
+            f"MisraGries capacity {capacity} too small for "
+            f"threshold_frac={threshold_frac} (error bound "
+            f"{mg.error_bound()} >= min_count {min_count:.1f}); "
+            f"raise capacity above ~{int(1 / threshold_frac)}")
+    cand = pa.array(mg.candidates(min_count), pa.string())
+
+    def count_candidates(b: pa.Table) -> pa.Table:
+        toks = _space_token_lists(b[text_col])
+        flat = pc.list_flatten(toks)
+        keep = pc.and_(pc.not_equal(flat, ""),
+                       pc.is_in(flat, value_set=cand))
+        t = pa.table({"term": flat}).filter(pc.fill_null(keep, False))
+        agg = t.group_by(["term"]).aggregate([([], "count_all")])
+        return pa.table({"term": agg["term"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b["sum(n)"], pa.int64())
+        t = pa.table({"term": b["term"], "n_occurrences": n})
+        return t.filter(pc.greater_equal(pc.cast(n, pa.float64()),
+                                         min_count))
+
+    return (ds.map_batches(count_candidates, batch_format="pyarrow")
+              .groupby("term").sum("n")
+              .map_batches(finish, batch_format="pyarrow"))
