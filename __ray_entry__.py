@@ -761,6 +761,24 @@ def q_heavy_hitters(sf_dir: str):
                               threshold_frac=0.001, capacity=4096)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing a distinct
+    5-gram with the benchmark slice (doc_id % 97 == 0) — broadcast
+    benchmark hash set, row-local corpus pass (no shuffle)."""
+    from xpshacl_ray.functions.decontam import decontaminate
+
+    corpus = _docs(sf_dir, columns=["doc_id", "text"])
+    bench = corpus.map_batches(
+        lambda b: b.filter(
+            pa.array(np.asarray(b["doc_id"], dtype=np.int64) % 97 == 0)),
+        batch_format="pyarrow")
+    return (
+        decontaminate(corpus, bench, n=5)
+        .select_columns(["doc_id", "contaminated_ngrams",
+                         "is_contaminated"])
+    )
+
+
 def q_fingerprints(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1179,6 +1197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_scrub": q_stopword_scrub,
         "pii_redact": q_pii_redact,
         "heavy_hitters": q_heavy_hitters,
+        "decontaminate": q_decontaminate,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "knn_cosine": q_knn_cosine,
@@ -1418,6 +1437,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "pii_redact": _pii_oracle_sql(),
+        "decontaminate": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       str_split(lower(coalesce(text, '')), ' ') AS toks
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks) - 5 + 1, 0) + 1),
+                           i -> array_to_string(toks[i:i+4], ' '))) AS g
+                FROM corpus),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+            hits AS (
+                SELECT c.doc_id, count(DISTINCT c.g) AS n_hits
+                FROM grams c JOIN bench b USING (g) GROUP BY c.doc_id)
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0) AS contaminated_ngrams,
+                   coalesce(h.n_hits, 0) >= 1 AS is_contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
         "heavy_hitters": """
             WITH toks AS (
                 SELECT unnest(str_split(lower(text), ' ')) AS term

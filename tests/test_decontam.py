@@ -1,0 +1,71 @@
+"""Benchmark decontamination: n-gram overlap flags, drop mode, Bloom
+variant, and document-boundary correctness of the rolling n-gram pass."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from xpshacl_ray.functions.decontam import (
+    _doc_ngram_hashes,
+    collect_benchmark_ngrams,
+    decontaminate,
+)
+
+
+def test_doc_ngram_hashes_respects_boundaries():
+    col = pa.chunked_array([pa.array(["a b c d", "c d a b", "a b", None])])
+    doc, g = _doc_ngram_hashes(col, 2)
+    # doc 0: {a b, b c, c d}; doc 1: {c d, d a, a b}; doc 2: {a b};
+    # doc 3 (null -> ""): nothing
+    assert list(np.bincount(doc, minlength=4)) == [3, 3, 1, 0]
+    grams = {d: set() for d in range(4)}
+    for d, h in zip(doc, g):
+        grams[d].add(int(h))
+    # shared n-grams hash identically across docs
+    assert len(grams[0] & grams[1]) == 2          # "a b" and "c d"
+    assert grams[2] <= grams[0]
+    # no n-gram spans the doc 0 / doc 1 boundary ("d c" never exists)
+    doc2, g2 = _doc_ngram_hashes(pa.array(["d c"]), 2)
+    assert int(g2[0]) not in grams[0] | grams[1]
+
+
+def test_doc_ngram_hashes_distinct_within_doc():
+    doc, g = _doc_ngram_hashes(pa.array(["x y x y x y"]), 2)
+    # 5 positions but only 2 distinct bigrams: "x y", "y x"
+    assert len(g) == 2
+
+
+def test_decontaminate_flag_drop_and_bloom(ray_session):
+    corpus = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["the quick brown fox jumps high",
+                 "nothing in common at all here",
+                 "a quick brown fox appears"],
+    }))
+    bench = ray.data.from_arrow(
+        pa.table({"text": ["saw the quick brown fox yesterday"]}))
+    out = decontaminate(corpus, bench, n=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["is_contaminated"]) == [True, False, True]
+    assert out.loc[0, "contaminated_ngrams"] >= 2  # two shared trigrams
+    kept = decontaminate(corpus, bench, n=3, mode="drop").to_pandas()
+    assert list(kept["doc_id"]) == [2]
+    assert "is_contaminated" not in kept.columns
+    outb = decontaminate(corpus, bench, n=3, use_bloom=True).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(outb["is_contaminated"]) == [True, False, True]
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    corpus = ray.data.from_arrow(pa.table({"text": ["a b c d e"]}))
+    bench = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    assert collect_benchmark_ngrams(bench, n=3).size == 0
+    out = decontaminate(corpus, bench, n=3).to_pandas()
+    assert not out["is_contaminated"].any()
+
+
+def test_decontaminate_rejects_bad_mode(ray_session):
+    ds = ray.data.from_arrow(pa.table({"text": ["a"]}))
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate(ds, ds, mode="quarantine")
