@@ -779,6 +779,17 @@ def q_decontaminate(sf_dir: str):
     )
 
 
+def q_duplicate_spans(sf_dir: str):
+    """Cross-document duplicate 13-gram span statistics (Lee et al.
+    exact-substring-dedup signal): per-doc duplicated-position counts
+    via bucketed gram-hash totals — compact rows only in both
+    exchanges."""
+    from xpshacl_ray.functions.decontam import duplicate_ngram_stats
+
+    return duplicate_ngram_stats(_docs(sf_dir, columns=["doc_id", "text"]),
+                                 n=13)
+
+
 def q_fingerprints(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1198,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": q_pii_redact,
         "heavy_hitters": q_heavy_hitters,
         "decontaminate": q_decontaminate,
+        "duplicate_spans": q_duplicate_spans,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "knn_cosine": q_knn_cosine,
@@ -1456,6 +1468,28 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(h.n_hits, 0) AS contaminated_ngrams,
                    coalesce(h.n_hits, 0) >= 1 AS is_contaminated
             FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "duplicate_spans": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       str_split(lower(coalesce(text, '')), ' ') AS toks
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(toks) - 13 + 1, 0) + 1),
+                           i -> array_to_string(toks[i:i+12], ' '))) AS g
+                FROM corpus),
+            counted AS (SELECT g, count(*) AS total FROM grams GROUP BY g),
+            perdoc AS (SELECT doc_id, count(*) AS n_ngrams
+                       FROM grams GROUP BY doc_id),
+            dupdoc AS (
+                SELECT doc_id, count(*) AS dup_ngrams
+                FROM grams JOIN counted USING (g)
+                WHERE total >= 2 GROUP BY doc_id)
+            SELECT d.doc_id, p.n_ngrams, d.dup_ngrams,
+                   round(d.dup_ngrams * 1.0 / p.n_ngrams, 6) AS dup_fraction
+            FROM dupdoc d JOIN perdoc p USING (doc_id)
         """,
         "heavy_hitters": """
             WITH toks AS (

@@ -69,3 +69,49 @@ def test_decontaminate_rejects_bad_mode(ray_session):
     ds = ray.data.from_arrow(pa.table({"text": ["a"]}))
     with pytest.raises(ValueError, match="mode"):
         decontaminate(ds, ds, mode="quarantine")
+
+
+def test_duplicate_ngram_stats_exact(ray_session):
+    import collections
+
+    from xpshacl_ray.functions.decontam import duplicate_ngram_stats
+
+    docs = {
+        1: "a b c d e f",       # "a b c" shared with doc 2
+        2: "a b c x y z",
+        3: "p q r s t u",       # internally repeated below
+        4: "p q r p q r p q",   # "p q r" ×2 internal + doc 3's
+        5: "m n o",             # one gram, unique
+    }
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": list(docs.values()),
+    })).repartition(3)
+    out = duplicate_ngram_stats(ds, n=3).to_pandas() \
+        .set_index("doc_id").sort_index()
+    # ground truth by brute force
+    grams = collections.Counter()
+    per_doc = {}
+    for d, t in docs.items():
+        toks = t.split(" ")
+        gs = [" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)]
+        per_doc[d] = gs
+        grams.update(gs)
+    for d, gs in per_doc.items():
+        dup = sum(1 for g in gs if grams[g] >= 2)
+        if dup == 0:
+            assert d not in out.index
+        else:
+            assert out.loc[d, "n_ngrams"] == len(gs)
+            assert out.loc[d, "dup_ngrams"] == dup
+            assert out.loc[d, "dup_fraction"] == round(dup / len(gs), 6)
+
+
+def test_duplicate_ngram_stats_no_dups(ray_session):
+    from xpshacl_ray.functions.decontam import duplicate_ngram_stats
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["completely unique words one", "other disjoint tokens two"],
+    }))
+    assert duplicate_ngram_stats(ds, n=3).count() == 0
