@@ -790,6 +790,18 @@ def q_duplicate_spans(sf_dir: str):
                                  n=13)
 
 
+def q_repetition(sf_dir: str):
+    """Within-doc n-gram repetition ratios (Gopher-style quality rule) —
+    row-local, no shuffle."""
+    from xpshacl_ray.functions.decontam import repetition_signals
+
+    return (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(repetition_signals, batch_format="pyarrow")
+        .select_columns(["doc_id", "rep_2gram_frac", "rep_3gram_frac"])
+    )
+
+
 def q_fingerprints(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1210,6 +1222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "decontaminate": q_decontaminate,
         "duplicate_spans": q_duplicate_spans,
+        "repetition": q_repetition,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "knn_cosine": q_knn_cosine,
@@ -1490,6 +1503,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, p.n_ngrams, d.dup_ngrams,
                    round(d.dup_ngrams * 1.0 / p.n_ngrams, 6) AS dup_fraction
             FROM dupdoc d JOIN perdoc p USING (doc_id)
+        """,
+        "repetition": """
+            WITH corpus AS (
+                SELECT doc_id, text IS NULL AS is_null,
+                       str_split(lower(coalesce(text, '')), ' ') AS toks
+                FROM documents),
+            r2 AS (
+                SELECT doc_id,
+                       round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6)
+                           AS f
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 range(1, greatest(len(toks) - 1, 0) + 1),
+                                 i -> array_to_string(toks[i:i+1], ' ')))
+                                 AS g
+                      FROM corpus)
+                GROUP BY doc_id),
+            r3 AS (
+                SELECT doc_id,
+                       round(1.0 - count(DISTINCT g) * 1.0 / count(*), 6)
+                           AS f
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 range(1, greatest(len(toks) - 2, 0) + 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')))
+                                 AS g
+                      FROM corpus)
+                GROUP BY doc_id)
+            SELECT c.doc_id,
+                   CASE WHEN c.is_null THEN NULL
+                        ELSE coalesce(r2.f, 0.0) END AS rep_2gram_frac,
+                   CASE WHEN c.is_null THEN NULL
+                        ELSE coalesce(r3.f, 0.0) END AS rep_3gram_frac
+            FROM corpus c
+            LEFT JOIN r2 USING (doc_id) LEFT JOIN r3 USING (doc_id)
         """,
         "heavy_hitters": """
             WITH toks AS (

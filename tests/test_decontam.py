@@ -115,3 +115,17 @@ def test_duplicate_ngram_stats_no_dups(ray_session):
         "text": ["completely unique words one", "other disjoint tokens two"],
     }))
     assert duplicate_ngram_stats(ds, n=3).count() == 0
+
+
+def test_repetition_signals_values():
+    from xpshacl_ray.functions.decontam import repetition_signals
+
+    t = pa.table({"text": ["a b a b a b", "x y z w", "ab", None, ""]})
+    out = repetition_signals(t).to_pandas()
+    # "a b a b a b": 5 bigrams, 2 distinct -> 0.6; 4 trigrams, 2 -> 0.5
+    assert out.loc[0, "rep_2gram_frac"] == 0.6
+    assert out.loc[0, "rep_3gram_frac"] == 0.5
+    assert out.loc[1, "rep_2gram_frac"] == 0.0
+    assert out.loc[2, "rep_2gram_frac"] == 0.0   # shorter than n
+    assert np.isnan(out.loc[3, "rep_2gram_frac"])  # NULL text stays NULL
+    assert out.loc[4, "rep_2gram_frac"] == 0.0

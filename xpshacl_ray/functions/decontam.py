@@ -264,3 +264,34 @@ def duplicate_ngram_stats(ds: "ray.data.Dataset",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def repetition_signals(batch: pa.Table, ns: Tuple[int, ...] = (2, 3),
+                       text_col: str = "text",
+                       ) -> pa.Table:
+    """WITHIN-document n-gram repetition ratios (Gopher-style quality
+    rule: "fraction of duplicated n-grams"): for each n in ``ns`` emits
+    ``rep_{n}gram_frac = 1 - distinct_ngrams/total_ngrams`` (0.0 when the
+    doc has < n tokens; NULL for NULL text).
+
+    Row-local — a plain ``map_batches`` stage, no shuffle, one rolling
+    hash pass per n.  Complements ``duplicate_ngram_stats`` (the
+    CROSS-document signal, which needs an exchange).
+    """
+    col = batch[text_col]
+    toks = _space_token_lists(pc.fill_null(col, ""))
+    offsets = np.asarray(toks.offsets, dtype=np.int64)
+    is_null = np.asarray(pc.is_null(col))
+    t = batch
+    for n in ns:
+        totals = np.maximum(np.diff(offsets) - n + 1, 0)
+        doc, g, k = _doc_ngram_hashes(col, n, distinct=False)
+        distinct = np.bincount(doc, minlength=len(batch))
+        frac = np.where(totals > 0, 1.0 - distinct / np.maximum(totals, 1),
+                        0.0)
+        frac = np.round(frac, 6)
+        t = t.append_column(
+            f"rep_{n}gram_frac",
+            pa.array([None if is_null[i] else float(frac[i])
+                      for i in range(len(batch))], pa.float64()))
+    return t
