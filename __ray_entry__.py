@@ -802,6 +802,33 @@ def q_repetition(sf_dir: str):
     )
 
 
+def q_interval_join(sf_dir: str):
+    """Point-in-interval range join (lineitem ship dates vs 30-day order
+    windows): binned interval replication + one-bucket-per-point, pairs
+    expanded vectorized inside each bucket."""
+    from xpshacl_ray.functions.joins import interval_join
+
+    points = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    def make_intervals(b: pa.Table) -> pa.Table:
+        keep = np.asarray(b["o_orderkey"], dtype=np.int64) % 1499 == 0
+        t = b.filter(pa.array(keep))
+        start = np.asarray(t["o_orderdate"]).astype("datetime64[ns]")
+        end = start + np.timedelta64(30, "D")
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "iv_start": pa.array(start),
+                         "iv_end": pa.array(end)})
+
+    intervals = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate"]
+    ).map_batches(make_intervals, batch_format="pyarrow")
+    out = interval_join(points, intervals, "l_shipdate",
+                        "iv_start", "iv_end")
+    return out.select_columns(["l_orderkey", "l_linenumber", "o_orderkey"])
+
+
 def q_fingerprints(sf_dir: str):
     return (
         _docs(sf_dir)
@@ -1223,6 +1250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q_decontaminate,
         "duplicate_spans": q_duplicate_spans,
         "repetition": q_repetition,
+        "interval_join": q_interval_join,
         "fingerprints": q_fingerprints,
         "exact_dedup": q_exact_dedup,
         "knn_cosine": q_knn_cosine,
@@ -1538,6 +1566,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE coalesce(r3.f, 0.0) END AS rep_3gram_frac
             FROM corpus c
             LEFT JOIN r2 USING (doc_id) LEFT JOIN r3 USING (doc_id)
+        """,
+        "interval_join": """
+            WITH iv AS (
+                SELECT o_orderkey, o_orderdate AS iv_start,
+                       o_orderdate + INTERVAL 30 DAY AS iv_end
+                FROM orders WHERE o_orderkey % 1499 = 0)
+            SELECT l.l_orderkey, l.l_linenumber, iv.o_orderkey
+            FROM lineitem l JOIN iv
+              ON l.l_shipdate BETWEEN iv.iv_start AND iv.iv_end
         """,
         "heavy_hitters": """
             WITH toks AS (

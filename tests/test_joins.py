@@ -87,3 +87,48 @@ def test_asof_join_matches_merge_asof(sf_dir):
     matched = w["signup_ts"].notna()
     assert (g.loc[matched, "signup_ts"] == w.loc[matched, "signup_ts"]).all()
     assert g.loc[~matched, "signup_ts"].isna().all()
+
+
+def test_interval_join_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(11)
+    pts = pd.DataFrame({"pid": np.arange(400),
+                        "x": rng.integers(0, 10_000, 400)})
+    s = rng.integers(0, 10_000, 60)
+    ivs = pd.DataFrame({"iid": np.arange(60), "s": s,
+                        "e": s + rng.integers(0, 2_000, 60)})
+    from xpshacl_ray.functions.joins import interval_join
+
+    out = interval_join(ray.data.from_pandas(pts).repartition(4),
+                        ray.data.from_pandas(ivs).repartition(3),
+                        "x", "s", "e").to_pandas()
+    want = pts.merge(ivs, how="cross")
+    want = want[(want.x >= want.s) & (want.x <= want.e)]
+    assert len(out) == len(want)
+    assert set(map(tuple, out[["pid", "iid"]].values)) == \
+        set(map(tuple, want[["pid", "iid"]].values))
+    # explicit width must give identical pairs (width only repartitions)
+    out_w = interval_join(ray.data.from_pandas(pts),
+                          ray.data.from_pandas(ivs),
+                          "x", "s", "e", bucket_width=100).to_pandas()
+    assert set(map(tuple, out_w[["pid", "iid"]].values)) == \
+        set(map(tuple, want[["pid", "iid"]].values))
+
+
+def test_interval_join_timestamps_and_empty(ray_session):
+    from xpshacl_ray.functions.joins import interval_join
+
+    pts = pd.DataFrame({"pid": [1, 2],
+                        "ts": pd.to_datetime(["2024-01-05", "2024-02-01"])})
+    ivs = pd.DataFrame({"iid": [9],
+                        "s": pd.to_datetime(["2024-01-01"]),
+                        "e": pd.to_datetime(["2024-01-31"])})
+    out = interval_join(ray.data.from_pandas(pts),
+                        ray.data.from_pandas(ivs),
+                        "ts", "s", "e").to_pandas()
+    assert list(out["pid"]) == [1] and list(out["iid"]) == [9]
+    # inverted interval (e < s) matches nothing; empty intervals side OK
+    ivs_bad = pd.DataFrame({"iid": [1], "s": pd.to_datetime(["2024-03-01"]),
+                            "e": pd.to_datetime(["2024-01-01"])})
+    assert interval_join(ray.data.from_pandas(pts),
+                         ray.data.from_pandas(ivs_bad),
+                         "ts", "s", "e").count() == 0
