@@ -1150,6 +1150,47 @@ def q_train_test_split(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Sequence packing (concat-then-chunk, the pretraining layout step):
+    md5-sharded, id-ordered token prefix sums → per-doc context-window
+    span.  Metadata-only — text never enters the shuffle; the oracle
+    reproduces the layout with the identical hash + window expressions."""
+    from xpshacl_ray.functions.packing import pack_sequences
+
+    return pack_sequences(
+        _docs(sf_dir, columns=["doc_id", "text"]),
+        seq_len=128, n_shards=8,
+    ).select_columns(["shard", "doc_id", "n_tokens", "start_tok",
+                      "chunk_first", "chunk_last"])
+
+
+def q_quantile_filter(sf_dir: str):
+    """Exact global-percentile gating (keep docs at/above the P25 of
+    n_chars): value-distribution groupby + driver cumsum threshold —
+    never a full sort — then a map-only filter."""
+    from xpshacl_ray.functions.sampling import quantile_filter
+
+    out, _thr = quantile_filter(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]), "n_chars",
+        q_bp=2500, keep="upper",
+    )
+    return out.select_columns(["doc_id", "n_chars"])
+
+
+def q_rebalance_mixture(sf_dir: str):
+    """Domain-mixture rebalancing to a 50/30/20 target over three
+    sources (drop the rest): exact integer rate derivation + md5-bucket
+    selection, mirrored bit-for-bit by the SQL oracle."""
+    from xpshacl_ray.functions.sampling import rebalance_mixture
+
+    out, _report = rebalance_mixture(
+        _docs(sf_dir, columns=["doc_id", "source"]),
+        id_col="doc_id", domain_col="source",
+        target_bp={"src0": 5000, "src1": 3000, "src2": 2000},
+    )
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_curation(sf_dir: str):
     """Full curation composition: quality → lang filter → exact dedup.
 
@@ -1276,6 +1317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
+        "pack_sequences": q_pack_sequences,
+        "quantile_filter": q_quantile_filter,
+        "rebalance_mixture": q_rebalance_mixture,
         "justification_trees": q_justification_trees,
         "explanations": q_explanations,
     }
@@ -1631,6 +1675,59 @@ def oracle_sql() -> dict[str, str]:
                                              1, 8))::BIGINT % 100 < 20
                         THEN 'test' ELSE 'train' END AS split
             FROM documents
+        """,
+        "pack_sequences": """
+            WITH t AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT % 8 AS shard,
+                       CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT *,
+                       CAST(COALESCE(sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS BIGINT)
+                           AS start_tok
+                FROM t
+            )
+            SELECT shard, doc_id, n_tokens, start_tok,
+                   start_tok // 128 AS chunk_first,
+                   greatest(start_tok, start_tok + n_tokens - 1) // 128
+                       AS chunk_last
+            FROM c
+        """,
+        "quantile_filter": """
+            WITH dist AS (
+                SELECT n_chars AS v, count(*) AS c FROM documents
+                WHERE n_chars IS NOT NULL GROUP BY 1
+            ), tot AS (SELECT sum(c) AS n FROM dist),
+            thr AS (
+                SELECT min(v) AS t FROM (
+                    SELECT v, sum(c) OVER (ORDER BY v) AS cum FROM dist
+                ), tot
+                WHERE cum >= (n * 2500 + 9999) // 10000
+            )
+            SELECT doc_id, n_chars FROM documents, thr WHERE n_chars >= t
+        """,
+        "rebalance_mixture": """
+            WITH tgt(source, bp) AS (
+                VALUES ('src0', 5000), ('src1', 3000), ('src2', 2000)
+            ), counts AS (
+                SELECT source, count(*) AS c FROM documents
+                GROUP BY source
+            ), t AS (
+                SELECT min(c * 10000 // bp) AS total
+                FROM counts JOIN tgt USING (source)
+            ), rates AS (
+                SELECT source, bp * total // c AS rate_bp
+                FROM counts JOIN tgt USING (source), t
+            )
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN rates r ON d.source = r.source
+            WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT % 10000 < r.rate_bp
         """,
         "funnel": """
             WITH s1 AS (

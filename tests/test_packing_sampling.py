@@ -1,0 +1,153 @@
+"""Sequence packing, exact quantile gating, and domain-mixture
+rebalancing — the corpus layout/selection steps of a pretraining
+pipeline (oracle-checked end-to-end by the driver; invariants and edge
+cases here)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from xpshacl_ray.functions.packing import pack_sequences
+from xpshacl_ray.functions.sampling import (
+    exact_quantile_threshold,
+    md5_bucket,
+    quantile_filter,
+    rebalance_mixture,
+)
+
+
+# --- pack_sequences --------------------------------------------------------
+
+
+def test_pack_sequences_layout_invariants(sf_dir):
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    out = pack_sequences(docs, seq_len=64, n_shards=4).to_pandas()
+    assert len(out) == docs.count()
+    for _, g in out.groupby("shard"):
+        g = g.sort_values("doc_id")
+        n = g["n_tokens"].to_numpy()
+        start = g["start_tok"].to_numpy()
+        # concatenation: each doc starts where the previous one ended
+        assert start[0] == 0
+        assert (start[1:] == start[:-1] + n[:-1]).all()
+        assert (g["chunk_first"].to_numpy() == start // 64).all()
+        assert (g["chunk_last"].to_numpy() == (start + n - 1) // 64).all()
+        # a doc spans ceil(n/64)-ish windows: never more than n//64 + 1
+        assert ((g["chunk_last"] - g["chunk_first"]) <= n // 64 + 1).all()
+
+
+def test_pack_sequences_shard_col_and_token_col():
+    t = pa.table({
+        "doc_id": [3, 1, 2, 10],
+        "grp": ["a", "a", "a", "b"],
+        "n_tok": [10, 5, 7, 130],
+    })
+    out = pack_sequences(
+        ray.data.from_arrow(t), seq_len=128, token_col="n_tok",
+        shard_col="grp",
+    ).to_pandas().sort_values(["shard", "doc_id"]).reset_index(drop=True)
+    a = out[out["shard"] == "a"]
+    # order within shard is doc_id: 1(5), 2(7), 3(10)
+    assert a["start_tok"].tolist() == [0, 5, 12]
+    assert a["chunk_first"].tolist() == [0, 0, 0]
+    # shard b: one 130-token doc spans windows 0..1
+    b = out[out["shard"] == "b"].iloc[0]
+    assert (b["start_tok"], b["chunk_first"], b["chunk_last"]) == (0, 0, 1)
+
+
+def test_pack_sequences_empty_doc_and_null_rows():
+    t = pa.table({
+        "doc_id": [1, 2, None, 3],
+        "n_tok": [128, 0, 5, None],
+    })
+    out = pack_sequences(
+        ray.data.from_arrow(t), seq_len=128, token_col="n_tok",
+        shard_col=None, n_shards=1,
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # null id and null count rows dropped
+    assert out["doc_id"].tolist() == [1, 2]
+    # empty doc sits at its boundary: start 128, spans exactly chunk 1
+    assert out.iloc[1]["start_tok"] == 128
+    assert out.iloc[1]["chunk_first"] == 1
+    assert out.iloc[1]["chunk_last"] == 1
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(ray.data.from_arrow(t), seq_len=0, token_col="n_tok")
+
+
+# --- quantile_filter -------------------------------------------------------
+
+
+def test_exact_quantile_threshold_definition():
+    vals = [10, 20, 20, 30, 40, 50, 60, 70, 80, 90]
+    ds = ray.data.from_arrow(pa.table({"v": vals}))
+    # P25 of 10 rows: k = ceil(10 * 0.25) = 3 → 3rd smallest = 20
+    thr, n = exact_quantile_threshold(ds, "v", 2500)
+    assert (thr, n) == (20, 10)
+    # P100 → max
+    assert exact_quantile_threshold(ds, "v", 10000)[0] == 90
+    with pytest.raises(ValueError):
+        exact_quantile_threshold(ds, "v", 0)
+    with pytest.raises(ValueError):
+        exact_quantile_threshold(ds, "v", 10001)
+
+
+def test_quantile_filter_tails_and_nulls():
+    t = pa.table({"id": list(range(8)),
+                  "v": [1, 2, 3, 4, None, 6, 7, 8]})
+    ds = ray.data.from_arrow(t)
+    upper, thr = quantile_filter(ds, "v", 5000, keep="upper")
+    # 7 non-null, k=ceil(3.5)=4 → threshold 4; nulls dropped
+    assert thr == 4
+    assert sorted(upper.to_pandas()["v"]) == [4, 6, 7, 8]
+    lower, thr2 = quantile_filter(ds, "v", 5000, keep="lower")
+    assert thr2 == 4
+    assert sorted(lower.to_pandas()["v"]) == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="keep"):
+        quantile_filter(ds, "v", 5000, keep="middle")
+
+
+# --- rebalance_mixture -----------------------------------------------------
+
+
+def _domains_table():
+    # 100 a, 50 b, 30 c, 40 d (d not in target → dropped)
+    rows = [("a", i) for i in range(100)] + [("b", 100 + i) for i in range(50)] \
+        + [("c", 200 + i) for i in range(30)] + [("d", 300 + i) for i in range(40)]
+    return pa.table({"dom": [r[0] for r in rows],
+                     "id": [r[1] for r in rows]})
+
+
+def test_rebalance_mixture_hits_target_and_is_deterministic():
+    ds = ray.data.from_arrow(_domains_table())
+    target = {"a": 5000, "b": 3000, "c": 2000}
+    out, report = rebalance_mixture(ds, "id", "dom", target)
+    # binding domain: c → T = 30 * 10000 // 2000 = 150
+    assert report["total_target"] == 150
+    assert report["rates_bp"] == {"a": 7500, "b": 9000, "c": 10000}
+    df = out.to_pandas()
+    got = df["dom"].value_counts().to_dict()
+    # md5 buckets are near-uniform but not exact: bound the deviation
+    for s, want in report["expected_kept"].items():
+        assert abs(got.get(s, 0) - want) <= max(5, want // 5)
+    assert "d" not in got
+    # deterministic across repartition: identical surviving id set
+    df2 = rebalance_mixture(
+        ds.repartition(7), "id", "dom", target)[0].to_pandas()
+    assert sorted(df2["id"]) == sorted(df["id"])
+    # and the selection matches the documented hash rule exactly
+    for _, row in df.iterrows():
+        assert md5_bucket([row["id"]], 10000)[0] \
+            < report["rates_bp"][row["dom"]]
+
+
+def test_rebalance_mixture_validation():
+    ds = ray.data.from_arrow(_domains_table())
+    with pytest.raises(ValueError, match="sum to 10000"):
+        rebalance_mixture(ds, "id", "dom", {"a": 5000, "b": 3000})
+    with pytest.raises(ValueError, match="absent"):
+        rebalance_mixture(ds, "id", "dom", {"a": 5000, "zz": 5000})
+    with pytest.raises(ValueError, match="positive"):
+        rebalance_mixture(ds, "id", "dom", {"a": 10000, "b": 0})

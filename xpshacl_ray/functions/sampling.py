@@ -107,3 +107,132 @@ def sample_stratified(
         return b.filter(pa.array((buckets < cut) & valid))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def exact_quantile_threshold(
+    ds: "ray.data.Dataset",
+    col: str,
+    q_bp: int,
+) -> Tuple[int, int]:
+    """(threshold, n) — the exact type-1 (lower) ``q_bp``-basis-point
+    quantile of ``col``: the smallest value v such that at least
+    ``ceil(n * q_bp / 10000)`` non-null rows have ``col <= v``.
+
+    Computed from the VALUE DISTRIBUTION, not a sort: one
+    ``groupby(col).count()`` (the only shuffle, carrying (value, count)
+    pairs) then a driver-side cumulative sum over the distinct values.
+    Exact and scale-safe for bounded-cardinality columns (ints, scores
+    rounded to fixed precision — distinct values ≪ rows at corpus scale);
+    for genuinely continuous columns use the t-digest sketch path
+    (``stages/stats``) which trades exactness for O(1) driver state.
+
+    Integer basis points (2500 = P25) keep both sides in exact integer
+    arithmetic — the SQL oracle reproduces the threshold with the same
+    ``ceil`` expression, so there is no float-quantile-definition drift.
+    """
+    if not 0 < q_bp <= 10000:
+        raise ValueError(f"q_bp must be in (0, 10000], got {q_bp}")
+    dist = ds.groupby(col).count().take_all()
+    rows = [(r[col], r["count()"]) for r in dist if r[col] is not None]
+    if not rows:
+        raise ValueError(f"no non-null values in column {col!r}")
+    rows.sort(key=lambda r: r[0])
+    n = sum(c for _, c in rows)
+    k = -(-n * q_bp // 10000)  # ceil(n * q_bp / 10000)
+    cum = 0
+    for v, c in rows:
+        cum += c
+        if cum >= k:
+            return v, n
+    return rows[-1][0], n
+
+
+def quantile_filter(
+    ds: "ray.data.Dataset",
+    col: str,
+    q_bp: int,
+    keep: str = "upper",
+) -> Tuple["ray.data.Dataset", int]:
+    """(filtered, threshold) — drop the rows below (``keep='upper'``) or
+    above (``keep='lower'``) the exact global ``q_bp``-basis-point
+    quantile of ``col`` (e.g. quality-score percentile gating: keep the
+    top 75% by score with ``q_bp=2500``).
+
+    Two passes over the column only: the distribution groupby (value +
+    count, nothing else moves) then a map-only filter against the
+    broadcast scalar threshold.  NULL ``col`` rows are always dropped —
+    they are unrankable, and the SQL oracle's comparison excludes them
+    identically.  Threshold rows are KEPT on both tails (<= / >= would
+    otherwise make q_bp=10000 drop the max value).
+    """
+    if keep not in ("upper", "lower"):
+        raise ValueError(f"keep must be 'upper' or 'lower', got {keep!r}")
+    thr, _n = exact_quantile_threshold(ds, col, q_bp)
+    expr = f"{col} >= {thr!r}" if keep == "upper" else f"{col} <= {thr!r}"
+    return ds.filter(expr=expr), thr
+
+
+def rebalance_mixture(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    domain_col: str,
+    target_bp: dict,
+    salt: str = "",
+) -> Tuple["ray.data.Dataset", dict]:
+    """(rebalanced, report) — deterministically downsample each domain so
+    the output matches a target mixture (basis points per domain, summing
+    to 10000), as large as the data allows: the largest total T with
+    ``target_s * T <= count_s`` for every domain, i.e.
+    ``T = min_s(count_s * 10000 // target_bp_s)``.  Domain-mixture
+    rebalancing is the standard final step of a pretraining corpus
+    pipeline (fix web/books/code/wiki proportions before packing).
+
+    All arithmetic is integer (per-domain keep rate
+    ``rate_bp_s = target_bp_s * T // count_s``) and selection is
+    ``md5(id) % 10000 < rate_bp`` — reproducible across re-runs, resumes
+    and repartitionings, and mirrored exactly by the SQL oracle.
+
+    Scale: the per-domain counts groupby is the only shuffle and its
+    result is #domains rows (driver-tiny); the filter itself is map-only
+    with the rate table broadcast in the closure.  Domains not in
+    ``target_bp`` are dropped (rate 0); a target domain missing from the
+    data raises (the requested mixture is unsatisfiable).
+    """
+    tgt = {str(k): int(v) for k, v in target_bp.items()}
+    if any(v <= 0 for v in tgt.values()):
+        raise ValueError("target_bp entries must be positive basis points")
+    if sum(tgt.values()) != 10000:
+        raise ValueError(
+            f"target_bp must sum to 10000, got {sum(tgt.values())}")
+
+    counts = {
+        str(r[domain_col]): r["count()"]
+        for r in ds.groupby(domain_col).count().take_all()
+        if r[domain_col] is not None
+    }
+    missing = sorted(set(tgt) - set(counts))
+    if missing:
+        raise ValueError(f"target domains absent from data: {missing}")
+    total = min(counts[s] * 10000 // bp for s, bp in tgt.items())
+    rates = {s: bp * total // counts[s] for s, bp in tgt.items()}
+
+    def keep(b: pa.Table) -> pa.Table:
+        id_arr = b[id_col]
+        if isinstance(id_arr, pa.ChunkedArray):
+            id_arr = id_arr.combine_chunks()
+        valid = np.asarray(pc.is_valid(id_arr))
+        ids = pc.cast(id_arr, pa.string()).to_pylist()
+        buckets = md5_bucket(["" if v is None else v for v in ids],
+                             10000, salt)
+        doms = pc.cast(b[domain_col], pa.string()).to_pylist()
+        cut = np.fromiter((rates.get(d, 0) if d is not None else 0
+                           for d in doms), dtype=np.int64, count=len(doms))
+        return b.filter(pa.array((buckets < cut) & valid))
+
+    report = {
+        "counts": counts,
+        "total_target": total,
+        "rates_bp": rates,
+        "expected_kept": {s: tgt[s] * total // 10000 for s in tgt},
+    }
+    return ds.map_batches(keep, batch_format="pyarrow"), report
