@@ -97,6 +97,7 @@ def run_benchmarks() -> dict:
         ("tfidf_top_terms", entrymod.q_tfidf_top_terms),
         ("funnel", entrymod.q_funnel),
         ("kmeans_clusters", entrymod.q_kmeans_clusters),
+        ("pack_sequences", entrymod.q_pack_sequences),
     ]
     for name, fn in bench_queries:
         def run(fn=fn):

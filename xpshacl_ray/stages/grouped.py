@@ -11,6 +11,16 @@ exchange.
 Violating groups are a tiny table; violation rows are built driver-side from
 it, with dynamic ``actualCount`` context exactly as the reference enriches
 cardinality context (extended_shacl_validator.py:292-318).
+
+Considered and rejected — combiner-side early-violation emit: a batch whose
+partial count already exceeds ``max_count`` proves the group violates, but
+the violation row must still report the EXACT global ``actualCount`` (the
+reference's enrichment contract), so its partial cannot be dropped from the
+exchange; capping partials at ``max_count + 1`` preserves the violates/
+not-violates decision but corrupts the reported count.  The exchange already
+moves only one (key, partial) row per group per batch — there is nothing
+sound left to prune without a second count-recovery pass, which is exactly
+the ``hashed`` strategy below.
 """
 
 from __future__ import annotations
