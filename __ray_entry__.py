@@ -912,6 +912,26 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dups(_docs(sf_dir), max_hamming=3)
 
 
+def q_dup_clusters(sf_dir: str):
+    """Duplicate-cluster resolution: connected components over the
+    MinHash-LSH candidate-pair graph via distributed min-label
+    propagation with pointer jumping (``cluster_labels_distributed``,
+    one small groupby shuffle per round, no driver union-find) —
+    (doc_id, cluster) where ``cluster`` is the smallest doc_id in the
+    component.  Oracle: a DuckDB recursive CTE computing reachability
+    closure over the INDEPENDENT brute-force golden pair set
+    (tools/make_goldens.py) — the engine's iterative algorithm is
+    checked against SQL recursion, not against itself."""
+    from xpshacl_ray.functions.dedup import cluster_labels_distributed
+
+    pairs = minhash_lsh_candidates(_docs(sf_dir), jaccard_threshold=0.8)
+    labels = cluster_labels_distributed(pairs)
+    return labels.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "cluster": b["label"]}),
+        batch_format="pyarrow",
+    )
+
+
 def q_ivf_knn(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     cent = train_centroids(emb, n_centroids=8, iters=5)
@@ -1303,6 +1323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": q_minhash_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
+        "dup_clusters": q_dup_clusters,
         "ivf_knn": q_ivf_knn,
         "kmeans_clusters": q_kmeans_clusters,
         "funnel": q_funnel,
@@ -1332,8 +1353,31 @@ def oracle_sql() -> dict[str, str]:
     # snapshots for the explanation strings.
     from xpshacl_ray.goldens import GOLDEN_SQL
 
+    # Connected components over the golden candidate pairs: recursive
+    # reachability closure + per-node min — SQL recursion checks the
+    # engine's iterative label propagation against independent ground
+    # truth (the pairs VALUES literal is the brute-force golden).
+    dup_clusters_sql = f"""
+        WITH RECURSIVE pairs AS ({GOLDEN_SQL["minhash_pairs"]}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        walk (node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.lab
+            FROM edges e JOIN walk w ON e.dst = w.node
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(min(lab) AS BIGINT) AS cluster
+        FROM walk GROUP BY node
+    """
+
     return {
         **GOLDEN_SQL,
+        "dup_clusters": dup_clusters_sql,
         "violations_documents": _VIOLATIONS_SQL,
         "violation_summary": f"""
             SELECT constraint_id, violation_type, severity,

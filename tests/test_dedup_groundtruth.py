@@ -146,3 +146,35 @@ def test_pointer_jumping_converges_on_deep_chain_in_few_rounds():
                  ds, n_buckets=4, max_rounds=5,
                  pointer_jumping=False).take_all()}
     assert plain != want  # diameter rounds not reached: tail still wrong
+
+
+def test_dup_clusters_matches_recursive_cte_oracle():
+    """The driver's dup_clusters oracle shape: DuckDB recursive
+    reachability closure + per-node min label must equal the engine's
+    distributed min-label propagation on an arbitrary pair graph."""
+    import duckdb
+
+    from xpshacl_ray.functions.dedup import cluster_labels_distributed
+
+    pairs = [(5, 9), (9, 14), (14, 3), (42, 40), (40, 41), (7, 8),
+             (8, 7), (99, 98)]
+    ds = ray.data.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    got = {r["node"]: r["label"]
+           for r in cluster_labels_distributed(ds, n_buckets=4).take_all()}
+
+    values = ",".join(f"({a},{b})" for a, b in pairs)
+    sql = f"""
+        WITH RECURSIVE pairs(id_a, id_b) AS (VALUES {values}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        walk (node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.lab FROM edges e JOIN walk w ON e.dst = w.node
+        )
+        SELECT node, min(lab) AS cluster FROM walk GROUP BY node
+    """
+    want = {int(n): int(c) for n, c in duckdb.sql(sql).fetchall()}
+    assert got == want
