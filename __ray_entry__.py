@@ -663,6 +663,31 @@ def q_tfidf_top_terms(sf_dir: str):
                            top_k=3)
 
 
+def q_inverted_index(sf_dir: str):
+    """Posting-list index over the rare/mid-band vocabulary (df ≤ 380):
+    per-batch distinct (term, doc_id) combiner, df-band filter BEFORE
+    the posting shuffle (stopword-tier skew control), sorted lists via
+    groupby(term).map_groups.  Postings serialize to a canonical
+    comma-joined string so the value-hash is list-representation-proof
+    on both sides."""
+    from xpshacl_ray.functions.text import inverted_index
+
+    idx = inverted_index(_docs(sf_dir, columns=["doc_id", "text"]),
+                         max_df=380)
+
+    def serialize(b: pa.Table) -> pa.Table:
+        lst = b["postings"]
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        joined = pc.binary_join(
+            pc.cast(lst, pa.list_(pa.string())), ",")
+        return pa.table({"term": b["term"],
+                         "df": pc.cast(b["df"], pa.int64()),
+                         "postings": joined})
+
+    return idx.map_batches(serialize, batch_format="pyarrow")
+
+
 def q_stopword_scrub(sf_dir: str):
     """Vectorized stopword removal (training-data text normalization);
     byte-parity with the list_filter SQL oracle."""
@@ -1305,6 +1330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "term_doc_frequency": q_term_doc_frequency,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "inverted_index": q_inverted_index,
         "stopword_scrub": q_stopword_scrub,
         "pii_redact": q_pii_redact,
         "heavy_hitters": q_heavy_hitters,
@@ -1540,6 +1566,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(count(*) AS BIGINT) AS df
             FROM dt GROUP BY term
             ORDER BY df DESC, term LIMIT 20
+        """,
+        "inverted_index": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(str_split(lower(text), ' ')) AS term
+                FROM documents
+            ), dt AS (
+                SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''
+            ), pl AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df,
+                       array_to_string(
+                           list(doc_id ORDER BY doc_id), ',') AS postings
+                FROM dt GROUP BY term
+            )
+            SELECT term, df, postings FROM pl WHERE df <= 380
         """,
         "tfidf_top_terms": """
             WITH toks AS (

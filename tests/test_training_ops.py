@@ -425,3 +425,29 @@ def test_redact_pii_ssn_phone_disjoint():
     out = redact_pii(t).to_pandas()
     assert out.loc[0, "text_redacted"] == "call <PHONE> or ssn <SSN>"
     assert out.loc[0, "pii_phone_n"] == 1 and out.loc[0, "pii_ssn_n"] == 1
+
+
+def test_inverted_index_band_filter_broadcast_and_join_paths_agree():
+    from xpshacl_ray.functions.text import inverted_index
+
+    docs = pd.DataFrame({
+        "doc_id": [10, 11, 12, 13],
+        "text": ["aa bb cc", "bb cc dd", "cc dd", "cc rare"],
+    })
+    ds = ray.data.from_pandas(docs).repartition(2)
+
+    def norm(out):
+        rows = sorted(out.take_all(), key=lambda r: r["term"])
+        return [(r["term"], r["df"], list(r["postings"])) for r in rows]
+
+    # cc appears in every doc (df=4) — max_df=3 prunes it pre-shuffle
+    got = norm(inverted_index(ds, max_df=3))
+    want = [("aa", 1, [10]), ("bb", 2, [10, 11]),
+            ("dd", 2, [11, 12]), ("rare", 1, [13])]
+    assert got == want
+    # forcing the bucketed-join band filter gives the identical index
+    assert norm(inverted_index(ds, max_df=3, vocab_broadcast_limit=0,
+                               n_buckets=4)) == want
+    # unbanded index includes the hot term with a full posting list
+    full = dict((t, (d, p)) for t, d, p in norm(inverted_index(ds)))
+    assert full["cc"] == (4, [10, 11, 12, 13])

@@ -639,3 +639,113 @@ def heavy_hitter_terms(ds: "ray.data.Dataset",
     return (ds.map_batches(count_candidates, batch_format="pyarrow")
               .groupby("term").sum("n")
               .map_batches(finish, batch_format="pyarrow"))
+
+
+def _term_doc_pairs(batch: pa.Table, text_col: str,
+                    doc_id_col: str) -> pa.Table:
+    """Distinct (term, doc_id) pairs for one batch — the posting-list
+    shuffle input.  Exact under any partitioning (a document is one row);
+    text itself never enters the exchange."""
+    toks = _space_token_lists(batch[text_col])
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    t = pa.table({"term": flat, "rid": parent})
+    t = t.filter(pc.not_equal(t["term"], ""))
+    t = t.group_by(["rid", "term"]).aggregate([])
+    ids = batch[doc_id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    return pa.table({
+        "term": t["term"],
+        "doc_id": pc.cast(ids.take(t["rid"]), pa.int64()),
+    })
+
+
+def inverted_index(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    min_df: int = 1,
+    max_df: Optional[int] = None,
+    vocab_broadcast_limit: int = 2_000_000,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Posting-list index build: one row per term — ``(term, df,
+    postings)`` with ``postings`` the SORTED list<int64> of doc_ids
+    containing the term.
+
+    Two passes, text never shuffled:
+
+    1. global DF (:func:`partial_doc_frequency` combiner →
+       ``groupby(term).sum``) — (term, int64) rows only;
+    2. distinct (term, doc_id) pairs, FILTERED to the ``[min_df,
+       max_df]`` band BEFORE the posting shuffle, then
+       ``groupby(term).map_groups`` assembling each sorted list.
+
+    The df band is the skew control, applied up front by design:
+    stopword-tier terms (df ≈ corpus size) are exactly the groups that
+    would dwarf a `map_groups` task AND the terms an index is useless
+    for — ``max_df`` prunes them before their pairs ever enter the
+    exchange (standard IR vocabulary pruning).  The band-vocabulary side
+    is broadcast via ``ray.put`` when ≤ ``vocab_broadcast_limit`` terms,
+    else bucketed-joined (``functions.joins.hash_join``) — the same
+    auto-switch as :func:`tfidf_top_terms`.  At 100 TB each term group
+    must fit one task: cap it with ``max_df`` (a posting list a task
+    can't hold is a term no lookup wants)."""
+    import ray as _ray
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    out_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                            ("postings", pa.list_(pa.int64()))])
+
+    pairs_ds = ds.map_batches(
+        lambda b: _term_doc_pairs(b, text_col, doc_id_col),
+        batch_format="pyarrow")
+
+    if min_df > 1 or max_df is not None:
+        df_tbl = (
+            ds.map_batches(lambda b: partial_doc_frequency(b, text_col),
+                           batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("partial_df", alias_name="df"))
+        )
+        lo = int(min_df)
+        hi = int(max_df) if max_df is not None else (1 << 62)
+        kept = df_tbl.filter(expr=f"df >= {lo} and df <= {hi}").materialize()
+        if kept.count() <= vocab_broadcast_limit:
+            terms = pa.array(
+                sorted(r["term"] for r in kept.take_all()), pa.string())
+            ref = _ray.put(terms)
+
+            def band_filter(b: pa.Table) -> pa.Table:
+                vocab = _ray.get(ref)
+                return b.filter(pc.fill_null(
+                    pc.is_in(b["term"], value_set=vocab), False))
+
+            pairs_ds = pairs_ds.map_batches(band_filter,
+                                            batch_format="pyarrow")
+        else:
+            from .joins import hash_join
+
+            pairs_ds = hash_join(
+                pairs_ds,
+                kept.map_batches(
+                    lambda b: pa.table({"term": b["term"]}),
+                    batch_format="pyarrow"),
+                key="term", n_buckets=n_buckets,
+            ).select_columns(["term", "doc_id"])
+
+    def assemble(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        if len(g) == 0:
+            return pd.DataFrame({"term": [], "df": [], "postings": []})
+        ids = np.unique(np.asarray(g["doc_id"], dtype=np.int64))
+        return pd.DataFrame({
+            "term": [g["term"].iloc[0]],
+            "df": np.array([len(ids)], dtype=np.int64),
+            "postings": [ids.tolist()],
+        })
+
+    return pairs_ds.groupby("term").map_groups(assemble)
