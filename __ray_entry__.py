@@ -663,6 +663,47 @@ def q_tfidf_top_terms(sf_dir: str):
                            top_k=3)
 
 
+def q_unigram_logprob(sf_dir: str):
+    """Per-doc average unigram log-probability under the corpus's own
+    unigram LM (cheap perplexity proxy): term-count combiner builds the
+    LM, the vocabulary broadcasts once, scoring is row-local — text
+    never enters a shuffle."""
+    from xpshacl_ray.functions.text import unigram_logprob
+
+    out = unigram_logprob(_docs(sf_dir, columns=["doc_id", "text"]))
+
+    def fin(b: pa.Table) -> pa.Table:
+        # zero-token docs are unscorable: the library emits them
+        # (n_tokens=0) for attrition accounting; the SQL side has no tf
+        # rows for them, so the query drops them for oracle parity
+        t = pa.table({
+            "doc_id": b["doc_id"], "n_tokens": b["n_tokens"],
+            "avg_logprob": pc.round(b["avg_logprob"], ndigits=4)})
+        return t.filter(pc.greater(t["n_tokens"], 0))
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def q_outliers_zscore(sf_dir: str):
+    """Per-language z-score outliers on n_chars: per-batch moment
+    combiner (count/Σx/Σx²) → tiny per-group stat broadcast → row-local
+    flagging; population stddev for SQL stddev_pop parity."""
+    from xpshacl_ray.stages.stats import zscore_outliers
+
+    out = zscore_outliers(
+        _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]),
+        value_col="n_chars", group_cols=["lang"], z_threshold=1.8)
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "n_chars": b["n_chars"],
+            "zscore": pc.round(b["zscore"], ndigits=4),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def q_inverted_index(sf_dir: str):
     """Posting-list index over the rare/mid-band vocabulary (df ≤ 380):
     per-batch distinct (term, doc_id) combiner, df-band filter BEFORE
@@ -1331,6 +1372,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_doc_frequency": q_term_doc_frequency,
         "tfidf_top_terms": q_tfidf_top_terms,
         "inverted_index": q_inverted_index,
+        "outliers_zscore": q_outliers_zscore,
+        "unigram_logprob": q_unigram_logprob,
         "stopword_scrub": q_stopword_scrub,
         "pii_redact": q_pii_redact,
         "heavy_hitters": q_heavy_hitters,
@@ -1566,6 +1609,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, CAST(count(*) AS BIGINT) AS df
             FROM dt GROUP BY term
             ORDER BY df DESC, term LIMIT 20
+        """,
+        "unigram_logprob": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(str_split(lower(text), ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ), lm AS (
+                SELECT term, count(*) AS n
+                FROM toks WHERE term <> '' GROUP BY term
+            ), tot AS (SELECT sum(n) AS t FROM lm)
+            SELECT tf.doc_id,
+                   CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+                   round(sum(tf.tf * ln(lm.n / CAST(tot.t AS DOUBLE)))
+                         / sum(tf.tf), 4) AS avg_logprob
+            FROM tf JOIN lm USING (term) CROSS JOIN tot
+            GROUP BY tf.doc_id
+        """,
+        "outliers_zscore": """
+            WITH st AS (
+                SELECT lang, avg(n_chars) AS mu,
+                       stddev_pop(n_chars) AS sd
+                FROM documents GROUP BY lang
+            )
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   round((d.n_chars - st.mu) / st.sd, 4) AS zscore
+            FROM documents d JOIN st USING (lang)
+            WHERE st.sd > 0
+              AND abs((d.n_chars - st.mu) / st.sd) >= 1.8
         """,
         "inverted_index": """
             WITH toks AS (

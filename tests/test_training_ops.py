@@ -451,3 +451,44 @@ def test_inverted_index_band_filter_broadcast_and_join_paths_agree():
     # unbanded index includes the hot term with a full posting list
     full = dict((t, (d, p)) for t, d, p in norm(inverted_index(ds)))
     assert full["cc"] == (4, [10, 11, 12, 13])
+
+
+def test_zscore_outliers_population_stddev_and_degenerate_groups():
+    from xpshacl_ray.stages.stats import zscore_outliers
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 2 + ["c"],
+        "v": [10.0, 10.0, 10.0, 10.0, 100.0,   # a: one wild outlier
+              5.0, 5.0,                        # b: zero spread -> nothing
+              7.0],                            # c: single row -> nothing
+    })
+    ds = ray.data.from_pandas(df).repartition(2)
+    out = zscore_outliers(ds, "v", ["g"], z_threshold=1.5).take_all()
+    assert len(out) == 1 and out[0]["g"] == "a" and out[0]["v"] == 100.0
+    # population stddev: mean=28, var=(4*18^2+72^2)/5=1296, sd=36, z=2
+    assert abs(out[0]["zscore"] - 2.0) < 1e-12
+
+    # null values never flag and don't poison the group moments
+    df2 = pd.DataFrame({"g": ["a"] * 4, "v": [1.0, None, 1.0, 4.0]})
+    got = zscore_outliers(ray.data.from_pandas(df2), "v", ["g"],
+                          z_threshold=1.0).take_all()
+    assert [r["v"] for r in got] == [4.0]
+
+
+def test_unigram_logprob_matches_hand_computation():
+    import math
+
+    from xpshacl_ray.functions.text import unigram_logprob
+
+    # corpus: 'x' appears 3 times, 'y' once -> T=4
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["x x", "x y", ""],
+    })).repartition(2)
+    got = {r["doc_id"]: r for r in unigram_logprob(ds).take_all()}
+    assert got[1]["n_tokens"] == 2
+    assert abs(got[1]["avg_logprob"] - math.log(3 / 4)) < 1e-12
+    want2 = (math.log(3 / 4) + math.log(1 / 4)) / 2
+    assert abs(got[2]["avg_logprob"] - want2) < 1e-12
+    # empty doc: emitted with zero tokens (attrition-visible, score 0)
+    assert got[3]["n_tokens"] == 0 and got[3]["avg_logprob"] == 0.0

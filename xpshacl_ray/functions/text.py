@@ -749,3 +749,88 @@ def inverted_index(
         })
 
     return pairs_ds.groupby("term").map_groups(assemble)
+
+
+def unigram_logprob(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vocab_broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Per-document average unigram log-probability under the corpus's
+    own unigram LM — the standard cheap perplexity proxy for quality
+    gating (docs of rare/garbled tokens score low).
+
+    score(d) = Σ_t tf(d,t)·ln(count(t)/T) / len(d), with count(t) the
+    corpus occurrence count and T total tokens.
+
+    Pass 1 builds the LM: per-batch term-count combiner →
+    ``groupby(term).sum`` — the exchange carries (term, int64) only.
+    Pass 2 scores: the vocabulary (sorted term array + counts) ships
+    once via ``ray.put`` and every batch probes it with searchsorted —
+    no join shuffle, text never moves.  Scoring is exact for any
+    partitioning (a document is one row).  Raises past
+    ``vocab_broadcast_limit`` distinct terms (at that vocabulary size,
+    bucket-join the exploded tf rows against the count table instead)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def counts(b: pa.Table) -> pa.Table:
+        toks = _space_token_lists(b[text_col])
+        flat = pc.list_flatten(toks)
+        t = pa.table({"term": flat}).filter(pc.not_equal(flat, ""))
+        agg = t.group_by(["term"]).aggregate([([], "count_all")])
+        return pa.table({"term": agg["term"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    lm = (ds.map_batches(counts, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("n", alias_name="n"))
+          .materialize())
+    vocab_n = lm.count()
+    if vocab_n > vocab_broadcast_limit:
+        raise ValueError(
+            f"{vocab_n} distinct terms exceeds vocab_broadcast_limit="
+            f"{vocab_broadcast_limit}; bucket-join the tf rows against "
+            "the count table instead of broadcasting")
+    rows = lm.take_all()
+    terms = np.array(sorted(r["term"] for r in rows), dtype=object)
+    cmap = {r["term"]: r["n"] for r in rows}
+    cnts = np.array([cmap[t] for t in terms], dtype=np.float64)
+    total = float(cnts.sum())
+    ref = _ray.put((terms, np.log(cnts / total) if total else cnts))
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("avg_logprob", pa.float64())])
+
+    def score(b: pa.Table) -> pa.Table:
+        terms_s, logp_s = _ray.get(ref)
+        tf = _term_frequencies(b, text_col, doc_id_col)
+        ids = b[doc_id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids_np = np.asarray(pc.cast(ids, pa.int64()))
+        if tf.num_rows == 0:
+            return out_schema.empty_table()
+        t_np = np.asarray(tf["term"].to_pylist(), dtype=object)
+        idx = np.clip(np.searchsorted(terms_s, t_np),
+                      0, max(0, len(terms_s) - 1))
+        hit = terms_s[idx] == t_np if len(terms_s) else np.zeros(
+            len(t_np), dtype=bool)  # guard nondeterministic re-exec
+        tfv = np.asarray(tf["tf"], dtype=np.float64) * hit
+        contrib = tfv * np.where(hit, logp_s[idx], 0.0)
+        did = np.asarray(pc.cast(tf["doc_id"], pa.int64()))
+        pos = np.searchsorted(np.sort(ids_np), did)
+        order = np.argsort(ids_np)
+        sums = np.zeros(len(ids_np)); ntok = np.zeros(len(ids_np))
+        np.add.at(sums, order[pos], contrib)
+        np.add.at(ntok, order[pos], tfv)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.where(ntok > 0, sums / ntok, 0.0)
+        return pa.table({
+            "doc_id": pa.array(ids_np, pa.int64()),
+            "n_tokens": pa.array(ntok.astype(np.int64), pa.int64()),
+            "avg_logprob": pa.array(avg, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

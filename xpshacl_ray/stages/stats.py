@@ -357,3 +357,96 @@ def drift_report(
         rec["verdict"] = "pass" if (found and ok) else "fail"
         recs.append(rec)
     return pd.DataFrame(recs)
+
+
+# ---------------------------------------------------------------------------
+# per-group z-score outlier detection
+# ---------------------------------------------------------------------------
+
+
+def zscore_outliers(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    group_cols: List[str],
+    z_threshold: float = 3.0,
+    group_broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Rows whose ``value_col`` deviates ≥ ``z_threshold`` POPULATION
+    standard deviations from their group mean — the classic per-domain
+    numeric-anomaly gate of a curation pipeline.
+
+    Two passes, no row shuffle:
+
+    1. per-batch moment combiner (count, Σx, Σx²) →
+       ``groupby(group_cols).sum`` — the exchange carries one tiny
+       moment row per group per batch;
+    2. the finalized per-group (mean, stddev_pop) table — one row per
+       group — is broadcast via ``ray.put`` and probed per batch with a
+       vectorized merge (pandas index join), emitting only outlier rows.
+
+    Population stddev (÷ n, not n−1) for SQL ``stddev_pop`` parity.
+    Degenerate groups (stddev 0, e.g. a single row) emit nothing — a
+    deviation needs spread to be measured against.  The broadcast is
+    bounded by the number of GROUPS (not rows); past
+    ``group_broadcast_limit`` groups raise rather than silently ship an
+    oversized table (at that cardinality use a bucketed join on the
+    group key instead)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def moments(b: pa.Table) -> pa.Table:
+        v = b[value_col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vf = pc.cast(v, pa.float64())
+        cols = {c: b[c] for c in group_cols}
+        cols["__n"] = pc.cast(pc.is_valid(vf), pa.int64())
+        cols["__s1"] = pc.fill_null(vf, 0.0)
+        cols["__s2"] = pc.fill_null(pc.multiply(vf, vf), 0.0)
+        t = pa.table(cols)
+        agg = t.group_by(group_cols).aggregate(
+            [("__n", "sum"), ("__s1", "sum"), ("__s2", "sum")])
+        return agg.rename_columns(group_cols + ["n", "s1", "s2"])
+
+    stats = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby(group_cols)
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("s1", alias_name="s1"),
+                   Sum("s2", alias_name="s2"))
+        .materialize()
+    )
+    n_groups = stats.count()
+    if n_groups > group_broadcast_limit:
+        raise ValueError(
+            f"{n_groups} groups exceeds group_broadcast_limit="
+            f"{group_broadcast_limit}; bucketed-join the stats table "
+            "on the group key instead of broadcasting")
+    sdf = stats.to_pandas()
+    n = sdf["n"].to_numpy(dtype=np.float64)
+    mean = np.divide(sdf["s1"].to_numpy(dtype=np.float64), n,
+                     out=np.zeros_like(n), where=n > 0)
+    var = np.maximum(
+        np.divide(sdf["s2"].to_numpy(dtype=np.float64), n,
+                  out=np.zeros_like(n), where=n > 0) - mean * mean, 0.0)
+    sdf = pd.DataFrame({
+        **{c: sdf[c] for c in group_cols},
+        "__mean": mean, "__std": np.sqrt(var),
+    })
+    ref = _ray.put(sdf)
+    thr = float(z_threshold)
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        st = _ray.get(ref)
+        m = b.merge(st, on=group_cols, how="left")
+        std = m["__std"].to_numpy(dtype=np.float64)
+        v = pd.to_numeric(m[value_col], errors="coerce").to_numpy(
+            dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (v - m["__mean"].to_numpy(dtype=np.float64)) / std
+        keep = np.isfinite(z) & (np.abs(z) >= thr) & (std > 0)
+        out = b.loc[keep].copy()
+        out["zscore"] = z[keep]
+        return out
+
+    return ds.map_batches(flag, batch_format="pandas")
