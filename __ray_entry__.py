@@ -1236,6 +1236,30 @@ def q_train_test_split(sf_dir: str):
     )
 
 
+def q_char_entropy(sf_dir: str):
+    """Per-doc codepoint Shannon entropy (garbled-text detector):
+    map-only, one lexsort + run-length count per batch, no shuffle."""
+    from xpshacl_ray.functions.text import char_entropy
+
+    def fin(b: pa.Table) -> pa.Table:
+        t = char_entropy(b)
+        t = t.set_column(2, "entropy", pc.round(t["entropy"], ndigits=4))
+        # empty docs are unscorable: SQL side has no char rows for them
+        return t.filter(pc.greater(t["n_chars_text"], 0))
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        fin, batch_format="pyarrow")
+
+
+def q_chunk_documents(sf_dir: str):
+    """Overlapping character-window chunking (size 200, stride 150):
+    map-only fan-out, no shuffle; tails shorter than a window survive."""
+    from xpshacl_ray.functions.packing import chunk_documents
+
+    return chunk_documents(_docs(sf_dir, columns=["doc_id", "text"]),
+                           chunk_size=200, stride=150)
+
+
 def q_pack_sequences(sf_dir: str):
     """Sequence packing (concat-then-chunk, the pretraining layout step):
     md5-sharded, id-ordered token prefix sums → per-doc context-window
@@ -1407,6 +1431,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
+        "char_entropy": q_char_entropy,
+        "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "quantile_filter": q_quantile_filter,
         "rebalance_mixture": q_rebalance_mixture,
@@ -1834,6 +1860,36 @@ def oracle_sql() -> dict[str, str]:
                                              1, 8))::BIGINT % 100 < 20
                         THEN 'test' ELSE 'train' END AS split
             FROM documents
+        """,
+        "char_entropy": """
+            WITH ch AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[\\s\\S]')) AS c
+                FROM documents
+            ), cc AS (
+                SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
+            ), tot AS (
+                SELECT doc_id, sum(n) AS t FROM cc GROUP BY doc_id
+            )
+            SELECT cc.doc_id,
+                   CAST(tot.t AS BIGINT) AS n_chars_text,
+                   round(log2(tot.t)
+                         - sum(cc.n * log2(cc.n)) / tot.t, 4) AS entropy
+            FROM cc JOIN tot USING (doc_id)
+            GROUP BY cc.doc_id, tot.t
+        """,
+        "chunk_documents": """
+            SELECT d.doc_id,
+                   CAST(s.i AS BIGINT) AS chunk_id,
+                   CAST(s.i * 150 AS BIGINT) AS start,
+                   CAST(least(length(d.text) - s.i * 150, 200)
+                        AS BIGINT) AS chunk_len,
+                   substr(d.text, s.i * 150 + 1, 200) AS chunk_text
+            FROM documents d,
+                 unnest(generate_series(
+                     0, CAST(ceil(length(d.text) / 150.0)
+                             AS BIGINT) - 1)) AS s(i)
+            WHERE length(d.text) > 0
         """,
         "pack_sequences": """
             WITH t AS (

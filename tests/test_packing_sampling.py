@@ -151,3 +151,40 @@ def test_rebalance_mixture_validation():
         rebalance_mixture(ds, "id", "dom", {"a": 5000, "zz": 5000})
     with pytest.raises(ValueError, match="positive"):
         rebalance_mixture(ds, "id", "dom", {"a": 10000, "b": 0})
+
+
+def test_chunk_documents_windows_and_tails():
+    from xpshacl_ray.functions.packing import chunk_documents
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["abcdefghij",   # 10 chars -> starts 0,4,8 (size 6/stride 4)
+                 "ab",           # one short chunk
+                 ""],            # empty -> nothing
+    }))
+    rows = sorted(chunk_documents(ds, chunk_size=6, stride=4).take_all(),
+                  key=lambda r: (r["doc_id"], r["chunk_id"]))
+    got = [(r["doc_id"], r["chunk_id"], r["start"], r["chunk_len"],
+            r["chunk_text"]) for r in rows]
+    assert got == [
+        (1, 0, 0, 6, "abcdef"),
+        (1, 1, 4, 6, "efghij"),
+        (1, 2, 8, 2, "ij"),
+        (2, 0, 0, 2, "ab"),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(ds, chunk_size=0)
+
+
+def test_char_entropy_unicode_codepoints():
+    from xpshacl_ray.functions.text import char_entropy
+
+    t = pa.table({"doc_id": [1, 2], "text": ["αβ", "ééé é"]})
+    out = {r["doc_id"]: r for r in char_entropy(t).to_pylist()}
+    # 2 distinct codepoints, uniform -> 1 bit; counted per codepoint
+    assert out[1]["n_chars_text"] == 2 and abs(out[1]["entropy"] - 1.0) < 1e-12
+    # 'ééé é': 5 codepoints, counts {é:4, ' ':1}
+    import math
+    want = math.log2(5) - (4 * math.log2(4)) / 5
+    assert out[2]["n_chars_text"] == 5
+    assert abs(out[2]["entropy"] - want) < 1e-12

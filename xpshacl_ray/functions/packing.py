@@ -102,3 +102,60 @@ def pack_sequences(
         .groupby("__shard__")
         .map_groups(pack_shard, batch_format="pandas")
     )
+
+
+def chunk_documents(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    chunk_size: int = 512,
+    stride: int = 256,
+) -> "ray.data.Dataset":
+    """Overlapping character-window chunking — the standard long-document
+    split for context-window-bounded training (chunk i covers
+    ``[i*stride, i*stride + chunk_size)`` codepoints; every start <
+    doc length emits, so tails shorter than ``chunk_size`` survive).
+
+    Map-only (no shuffle, order-free, resume-safe): each batch expands
+    independently; a doc's chunks never span batches.  The output fans
+    out ~``len/stride`` rows per doc — downstream block sizes shrink
+    accordingly, so chunking belongs BEFORE a repartition, not after a
+    groupby.  Per-chunk work is one substring copy (Python slice =
+    C memcpy); the offsets/fan-out bookkeeping is numpy."""
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+
+    def expand(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        ids = b[doc_id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        texts = txt.to_pylist()
+        lens = np.asarray(pc.utf8_length(pc.fill_null(txt, "")),
+                          dtype=np.int64)
+        n_chunks = -(-lens // stride)          # ceil; 0 for empty docs
+        if int(n_chunks.sum()) == 0:
+            return pa.schema([
+                ("doc_id", pa.int64()), ("chunk_id", pa.int64()),
+                ("start", pa.int64()), ("chunk_len", pa.int64()),
+                ("chunk_text", pa.string())]).empty_table()
+        doc_idx = np.repeat(np.arange(len(lens)), n_chunks)
+        cum = np.concatenate([[0], np.cumsum(n_chunks)])
+        chunk_id = np.arange(len(doc_idx)) - cum[doc_idx]
+        starts = chunk_id * stride
+        chunks = [texts[d][s:s + chunk_size]
+                  for d, s in zip(doc_idx, starts)]
+        ids_np = np.asarray(pc.cast(ids, pa.int64()))
+        return pa.table({
+            "doc_id": pa.array(ids_np[doc_idx], pa.int64()),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "start": pa.array(starts, pa.int64()),
+            "chunk_len": pa.array(
+                np.minimum(lens[doc_idx] - starts, chunk_size),
+                pa.int64()),
+            "chunk_text": pa.array(chunks, pa.string()),
+        })
+
+    return ds.map_batches(expand, batch_format="pyarrow")
