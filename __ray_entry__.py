@@ -1236,6 +1236,35 @@ def q_train_test_split(sf_dir: str):
     )
 
 
+def q_sample_weighted(sf_dir: str):
+    """Quality-weighted importance sampling: keep probability
+    ∝ n_chars/500 (clipped to 1), decided by md5(doc_id) basis points —
+    map-only, layout-stable, SQL-reproducible row selection."""
+    from xpshacl_ray.functions.sampling import sample_weighted
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    weighted = docs.map_batches(
+        lambda b: b.append_column(
+            "weight", pc.divide(pc.cast(b["n_chars"], pa.float64()), 500.0)),
+        batch_format="pyarrow")
+    return (sample_weighted(weighted, id_col="doc_id", weight_col="weight")
+            .select_columns(["doc_id", "lang", "n_chars"]))
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Top-20 adjacent-token collocations by PMI (min bigram count 5):
+    per-batch vectorized bigram+unigram combiners, two (term, int64)
+    exchanges, broadcast unigram scoring, vocabulary-sized final sort."""
+    from xpshacl_ray.functions.text import bigram_pmi
+
+    out = bigram_pmi(_docs(sf_dir, columns=["doc_id", "text"]),
+                     min_count=5, top_k=20)
+    return out.map_batches(
+        lambda b: pa.table({"w1": b["w1"], "w2": b["w2"], "c12": b["c12"],
+                            "pmi": pc.round(b["pmi"], ndigits=4)}),
+        batch_format="pyarrow")
+
+
 def q_char_entropy(sf_dir: str):
     """Per-doc codepoint Shannon entropy (garbled-text detector):
     map-only, one lexsort + run-length count per batch, no shuffle."""
@@ -1431,6 +1460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
+        "sample_weighted": q_sample_weighted,
+        "bigram_pmi": q_bigram_pmi,
         "char_entropy": q_char_entropy,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -1860,6 +1891,45 @@ def oracle_sql() -> dict[str, str]:
                                              1, 8))::BIGINT % 100 < 20
                         THEN 'test' ELSE 'train' END AS split
             FROM documents
+        """,
+        "sample_weighted": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000
+                  < least(greatest(floor(
+                        (n_chars / 500.0) * 10000 + 0.5), 0), 10000)
+        """,
+        "bigram_pmi": """
+            WITH t AS (
+                SELECT doc_id, str_split(lower(text), ' ') AS l
+                FROM documents
+            ), bg AS (
+                SELECT l[s.i] AS w1, l[s.i + 1] AS w2, count(*) AS c12
+                FROM t, unnest(generate_series(1, len(l) - 1)) AS s(i)
+                WHERE l[s.i] <> '' AND l[s.i + 1] <> ''
+                GROUP BY 1, 2
+            ), ug AS (
+                SELECT term, count(*) AS c FROM (
+                    SELECT unnest(str_split(lower(text), ' ')) AS term
+                    FROM documents) WHERE term <> '' GROUP BY term
+            ), tot AS (
+                SELECT (SELECT sum(c12) FROM bg) AS t12,
+                       (SELECT sum(c) FROM ug) AS t1
+            )
+            SELECT bg.w1, bg.w2, CAST(bg.c12 AS BIGINT) AS c12,
+                   round(ln((bg.c12 / CAST(tot.t12 AS DOUBLE)) /
+                            ((u1.c / CAST(tot.t1 AS DOUBLE)) *
+                             (u2.c / CAST(tot.t1 AS DOUBLE)))), 4) AS pmi
+            FROM bg
+            JOIN ug u1 ON bg.w1 = u1.term
+            JOIN ug u2 ON bg.w2 = u2.term
+            CROSS JOIN tot
+            WHERE bg.c12 >= 5
+            ORDER BY ln((bg.c12 / CAST(tot.t12 AS DOUBLE)) /
+                        ((u1.c / CAST(tot.t1 AS DOUBLE)) *
+                         (u2.c / CAST(tot.t1 AS DOUBLE)))) DESC,
+                     bg.w1, bg.w2
+            LIMIT 20
         """,
         "char_entropy": """
             WITH ch AS (

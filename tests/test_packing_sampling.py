@@ -188,3 +188,47 @@ def test_char_entropy_unicode_codepoints():
     want = math.log2(5) - (4 * math.log2(4)) / 5
     assert out[2]["n_chars_text"] == 5
     assert abs(out[2]["entropy"] - want) < 1e-12
+
+
+def test_sample_weighted_probability_and_determinism():
+    from xpshacl_ray.functions.sampling import sample_weighted
+
+    n = 4000
+    df = pd.DataFrame({"id": [f"d{i}" for i in range(n)],
+                       "w": [0.0] * (n // 2) + [1.0] * (n // 2)})
+    ds = ray.data.from_pandas(df).repartition(4)
+    kept = sample_weighted(ds, "id", "w").take_all()
+    ids = sorted(r["id"] for r in kept)
+    # weight 0 never keeps; weight 1 always keeps
+    assert len(ids) == n // 2 and all(
+        int(i[1:]) >= n // 2 for i in ids)
+    # half-weight keeps ~50% and is layout-independent
+    df2 = pd.DataFrame({"id": [f"d{i}" for i in range(n)], "w": 0.5})
+    a = sorted(r["id"] for r in
+               sample_weighted(ray.data.from_pandas(df2), "id", "w")
+               .take_all())
+    b = sorted(r["id"] for r in
+               sample_weighted(ray.data.from_pandas(df2).repartition(7),
+                               "id", "w").take_all())
+    assert a == b and 0.4 < len(a) / n < 0.6
+    with pytest.raises(ValueError):
+        sample_weighted(ds, "id", "w", scale_bp=-1)
+
+
+def test_bigram_pmi_hand_corpus():
+    import math
+
+    from xpshacl_ray.functions.text import bigram_pmi
+
+    # "a b" occurs 3x, tokens: a:3 b:3 c:2 -> T1=8, bigrams: ab x3, bc x2
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c", "a b c", "a b"],
+    })).repartition(2)
+    rows = bigram_pmi(ds, min_count=2, top_k=10).take_all()
+    got = {(r["w1"], r["w2"]): r for r in rows}
+    assert set(got) == {("a", "b"), ("b", "c")}
+    t12, t1 = 5, 8
+    want_ab = math.log((3 / t12) / ((3 / t1) * (3 / t1)))
+    assert abs(got[("a", "b")]["pmi"] - want_ab) < 1e-12
+    assert got[("a", "b")]["c12"] == 3

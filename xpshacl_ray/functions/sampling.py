@@ -236,3 +236,41 @@ def rebalance_mixture(
         "expected_kept": {s: tgt[s] * total // 10000 for s in tgt},
     }
     return ds.map_batches(keep, batch_format="pyarrow"), report
+
+
+def sample_weighted(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    scale_bp: int = 10_000,
+    salt: str = "",
+) -> "ray.data.Dataset":
+    """Importance sampling: row kept iff
+    ``md5(salt+id) % 10000 < round(weight * scale_bp)`` — acceptance
+    probability proportional to the row's weight (clipped to [0, 1]
+    after scaling by ``scale_bp`` basis points; weight 0 / null never
+    keeps).
+
+    Map-only and layout-stable like the other samplers: the SAME rows
+    survive any re-run / resume / repartition, and the selection is
+    reproducible in SQL with the identical hash + threshold expression
+    (integer basis points, never a float compare).  The standard
+    quality-weighted downsampling step of a curation pipeline."""
+    if scale_bp < 0:
+        raise ValueError("scale_bp must be >= 0")
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b[id_col], pa.string()).to_pylist()
+        buckets = md5_bucket(["" if v is None else v for v in ids], 10_000,
+                             salt)
+        w = b[weight_col]
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        wf = np.asarray(pc.fill_null(pc.cast(w, pa.float64()), 0.0))
+        # integer half-up rounding of w*scale_bp, clipped to [0, 10000]
+        thr = np.clip(np.floor(wf * scale_bp + 0.5), 0, 10_000)
+        null_id = np.array([v is None for v in ids])
+        mask = (buckets < thr) & ~null_id
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -879,3 +879,97 @@ def char_entropy(batch: pa.Table, text_col: str = "text",
         "n_chars_text": pa.array(out_n, pa.int64()),
         "entropy": pa.array(out_h, pa.float64()),
     })
+
+
+def bigram_pmi(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+    vocab_broadcast_limit: int = 2_000_000,
+) -> "ray.data.Dataset":
+    """Top-k adjacent-token collocations by pointwise mutual information:
+    ``pmi = ln((c12/T12) / ((c1/T1)·(c2/T1)))`` with c12 the corpus
+    bigram count, c1/c2 unigram counts, T the respective totals —
+    the classic phrase-mining / tokenizer-merge signal.
+
+    One pass over text: each batch emits per-batch bigram counts
+    (vectorized — tokens shifted against themselves, doc-boundary and
+    empty-token pairs masked) AND per-batch unigram counts; each
+    aggregates in its own small ``groupby(key).sum`` exchange carrying
+    (term(s), int64) rows only.  The aggregated unigram table (bounded
+    by ``vocab_broadcast_limit``) broadcasts via ``ray.put`` to score
+    the aggregated bigram table map-side; totals are two tiny ``sum``
+    aggregates.  ``min_count`` prunes noise collocations before
+    ranking; the final sort runs on the min_count-surviving vocabulary
+    only."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def bigrams(b: pa.Table) -> pa.Table:
+        toks = _space_token_lists(b[text_col])
+        flat = pc.list_flatten(toks)
+        parent = np.asarray(pc.list_parent_indices(toks))
+        w = np.asarray(flat.to_pylist(), dtype=object)
+        if len(w) < 2:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same_doc = parent[1:] == parent[:-1]
+        nonempty = (w[1:] != "") & (w[:-1] != "")
+        m = same_doc & nonempty
+        t = pa.table({"w1": pa.array(w[:-1][m], pa.string()),
+                      "w2": pa.array(w[1:][m], pa.string())})
+        agg = t.group_by(["w1", "w2"]).aggregate([([], "count_all")])
+        return pa.table({"w1": agg["w1"], "w2": agg["w2"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    def unigrams(b: pa.Table) -> pa.Table:
+        toks = _space_token_lists(b[text_col])
+        flat = pc.list_flatten(toks)
+        t = pa.table({"term": flat}).filter(pc.not_equal(flat, ""))
+        agg = t.group_by(["term"]).aggregate([([], "count_all")])
+        return pa.table({"term": agg["term"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    bg = (ds.map_batches(bigrams, batch_format="pyarrow")
+          .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="c12"))
+          .materialize())
+    ug = (ds.map_batches(unigrams, batch_format="pyarrow")
+          .groupby("term").aggregate(Sum("n", alias_name="c"))
+          .materialize())
+    if ug.count() > vocab_broadcast_limit:
+        raise ValueError("vocabulary exceeds vocab_broadcast_limit; "
+                         "bucket-join the unigram side instead")
+    t12 = bg.sum("c12") or 0
+    rows = ug.take_all()
+    terms = np.array(sorted(r["term"] for r in rows), dtype=object)
+    cmap = {r["term"]: r["c"] for r in rows}
+    cnts = np.array([cmap[t] for t in terms], dtype=np.float64)
+    t1 = float(cnts.sum())
+    ref = _ray.put((terms, cnts))
+    mc = int(min_count)
+
+    def score(b: pa.Table) -> pa.Table:
+        terms_s, cnts_s = _ray.get(ref)
+        keep = pc.greater_equal(b["c12"], mc)
+        t = b.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({"w1": pa.array([], pa.string()),
+                             "w2": pa.array([], pa.string()),
+                             "c12": pa.array([], pa.int64()),
+                             "pmi": pa.array([], pa.float64())})
+        w1 = np.asarray(t["w1"].to_pylist(), dtype=object)
+        w2 = np.asarray(t["w2"].to_pylist(), dtype=object)
+        c12 = np.asarray(t["c12"], dtype=np.float64)
+        i1 = np.searchsorted(terms_s, w1)
+        i2 = np.searchsorted(terms_s, w2)
+        c1, c2 = cnts_s[i1], cnts_s[i2]
+        pmi = np.log((c12 / t12) / ((c1 / t1) * (c2 / t1)))
+        return pa.table({"w1": t["w1"], "w2": t["w2"],
+                         "c12": pc.cast(t["c12"], pa.int64()),
+                         "pmi": pa.array(pmi, pa.float64())})
+
+    return (bg.map_batches(score, batch_format="pyarrow")
+            .sort(key=["pmi", "w1", "w2"], descending=[True, False, False])
+            .limit(top_k))
