@@ -98,6 +98,12 @@ def run_benchmarks() -> dict:
         ("funnel", entrymod.q_funnel),
         ("kmeans_clusters", entrymod.q_kmeans_clusters),
         ("pack_sequences", entrymod.q_pack_sequences),
+        ("dup_clusters", entrymod.q_dup_clusters),
+        ("inverted_index", entrymod.q_inverted_index),
+        ("unigram_logprob", entrymod.q_unigram_logprob),
+        ("char_entropy", entrymod.q_char_entropy),
+        ("chunk_documents", entrymod.q_chunk_documents),
+        ("bigram_pmi", entrymod.q_bigram_pmi),
     ]
     for name, fn in bench_queries:
         def run(fn=fn):

@@ -436,17 +436,17 @@ def zscore_outliers(
     ref = _ray.put(sdf)
     thr = float(z_threshold)
 
-    def flag(b: pd.DataFrame) -> pd.DataFrame:
+    def flag(b: pa.Table) -> pa.Table:
         st = _ray.get(ref)
-        m = b.merge(st, on=group_cols, how="left")
+        m = b.to_pandas().merge(st, on=group_cols, how="left")
         std = m["__std"].to_numpy(dtype=np.float64)
         v = pd.to_numeric(m[value_col], errors="coerce").to_numpy(
             dtype=np.float64)
         with np.errstate(invalid="ignore", divide="ignore"):
             z = (v - m["__mean"].to_numpy(dtype=np.float64)) / std
         keep = np.isfinite(z) & (np.abs(z) >= thr) & (std > 0)
-        out = b.loc[keep].copy()
-        out["zscore"] = z[keep]
-        return out
+        kept = b.filter(pa.array(keep))
+        return kept.append_column(
+            "zscore", pa.array(z[keep], pa.float64()))
 
-    return ds.map_batches(flag, batch_format="pandas")
+    return ds.map_batches(flag, batch_format="pyarrow")
