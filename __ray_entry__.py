@@ -1035,6 +1035,25 @@ def q_funnel(sf_dir: str):
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_throttle_events(sf_dir: str):
+    """Burst throttling: drop events of the same (user, type) arriving
+    < 300 s after their immediate predecessor (lag semantics, event_id
+    tie-break).  One user-bucket shuffle + vectorized per-partition
+    sweep; null users excluded on both sides (SQL PARTITION BY groups
+    nulls, the engine treats each null key as first-of-key)."""
+    from xpshacl_ray.stages.window import throttle_events
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    ).map_batches(
+        lambda b: b.filter(pc.is_valid(b["user_id"])),
+        batch_format="pyarrow")
+    out = throttle_events(ev, ["user_id", "event_type"], ts_col="ts",
+                          min_gap_seconds=300.0, tie_col="event_id")
+    return out.select_columns(["event_id", "user_id", "event_type", "ts"])
+
+
 def q_sessions(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
@@ -1449,6 +1468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": q_ivf_knn,
         "kmeans_clusters": q_kmeans_clusters,
         "funnel": q_funnel,
+        "throttle_events": q_throttle_events,
         "sessions": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
         "json_extract_sum": q_json_extract_sum,
@@ -2036,6 +2056,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        "throttle_events": """
+            WITH e AS (
+                SELECT event_id, user_id, event_type, ts FROM events
+                WHERE user_id IS NOT NULL
+            ), l AS (
+                SELECT event_id, user_id, event_type, ts,
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id) AS prev
+                FROM e
+            )
+            SELECT event_id, user_id, event_type, ts FROM l
+            WHERE prev IS NULL OR ts - prev >= INTERVAL 300 SECOND
         """,
         "sessions": """
             WITH flagged AS (

@@ -492,3 +492,29 @@ def test_unigram_logprob_matches_hand_computation():
     assert abs(got[2]["avg_logprob"] - want2) < 1e-12
     # empty doc: emitted with zero tokens (attrition-visible, score 0)
     assert got[3]["n_tokens"] == 0 and got[3]["avg_logprob"] == 0.0
+
+
+def test_throttle_events_lag_semantics_and_ties():
+    from xpshacl_ray.stages.window import throttle_events
+
+    ts = pd.to_datetime([
+        "2026-01-01 00:00:00",   # u1/a kept (first)
+        "2026-01-01 00:00:30",   # u1/a dropped (<60s after previous)
+        "2026-01-01 00:00:50",   # u1/a dropped (lag vs PREVIOUS, not
+                                 #   previous-KEPT: 20s < 60s)
+        "2026-01-01 00:02:00",   # u1/a kept (70s gap)
+        "2026-01-01 00:00:10",   # u1/b kept (different type)
+        "2026-01-01 00:00:00",   # u2/a kept (tie ts, lower id first)
+        "2026-01-01 00:00:00",   # u2/a dropped (0s gap, id tie-break)
+    ])
+    df = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6, 7],
+        "user_id": [1, 1, 1, 1, 1, 2, 2],
+        "event_type": ["a", "a", "a", "a", "b", "a", "a"],
+        "ts": ts,
+    })
+    out = throttle_events(ray.data.from_pandas(df).repartition(3),
+                          ["user_id", "event_type"], ts_col="ts",
+                          min_gap_seconds=60.0, tie_col="event_id")
+    kept = sorted(r["event_id"] for r in out.take_all())
+    assert kept == [1, 4, 5, 6]

@@ -10,8 +10,9 @@ need per-key sorted ``map_groups`` (see ``sessionize``).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -262,3 +263,55 @@ def funnel_counts(
            .sort_values("step").reset_index(drop=True))
     out["n_users"] = out["n_users"].astype("int64")
     return out[["step", "step_name", "n_users"]]
+
+
+def throttle_events(
+    ds: "ray.data.Dataset",
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    min_gap_seconds: float = 60.0,
+    tie_col: Optional[str] = None,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Lag-based event throttling (burst dedup): keep a row iff it is
+    the key's first event or arrived ≥ ``min_gap_seconds`` after the
+    PREVIOUS event of the same key — the standard bot-burst /
+    double-fire scrub before sessionization or funnel analysis.
+
+    Lag semantics (each event compares to its immediate predecessor,
+    kept or not), exactly SQL's
+    ``lag(ts) OVER (PARTITION BY key ORDER BY ts, tie)``, so an oracle
+    can reproduce the selection row-for-row; ``tie_col`` (e.g. an
+    event id) makes ordering of equal timestamps deterministic on both
+    sides.
+
+    Same partitioning shape as :func:`sessionize`: one hash shuffle on
+    the key bucket co-locates each key's events, then a single
+    vectorized sort + diff sweep per partition (no per-key Python); a
+    partition must fit one task — the per-key bound any keyed-window
+    system needs (raise ``n_parts`` for hot-key corpora)."""
+    from ..functions.sketches import hash64
+
+    key_cols = list(key_cols)
+    order = key_cols + [ts_col] + ([tie_col] if tie_col else [])
+
+    def tag(b: pa.Table) -> pa.Table:
+        part = (hash64(np.asarray(b[key_cols[0]])) % n_parts).astype(
+            np.int32)
+        return b.append_column("__part__", pa.array(part))
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order)
+        same_key = np.ones(len(df), dtype=bool)
+        for c in key_cols:
+            same_key &= df[c].eq(df[c].shift()).to_numpy(dtype=bool)
+        gap = df[ts_col].diff().dt.total_seconds().to_numpy()
+        keep = ~same_key | (gap >= min_gap_seconds)
+        return df.loc[keep]
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part__")
+        .map_groups(lambda g: sweep(g.drop(columns="__part__")),
+                    batch_format="pandas")
+    )
