@@ -1284,6 +1284,26 @@ def q_bigram_pmi(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_normalize_text(sf_dir: str):
+    """Canonical text normalization (NFC, control-strip, whitespace
+    collapse, trim): map-only Arrow/RE2 kernels, byte-parity with the
+    DuckDB regexp_replace chain."""
+    from xpshacl_ray.functions.text import normalize_text
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "text_norm": normalize_text(b)["text_norm"]}),
+        batch_format="pyarrow")
+
+
+def q_feature_hash(sf_dir: str):
+    """Hashing-trick sparse features (md5(term) % 64): vocabularyless,
+    in-batch assembly, no shuffle; bucket assignment SQL-reproducible."""
+    from xpshacl_ray.functions.text import feature_hash
+
+    return feature_hash(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_char_entropy(sf_dir: str):
     """Per-doc codepoint Shannon entropy (garbled-text detector):
     map-only, one lexsort + run-length count per batch, no shuffle."""
@@ -1482,6 +1502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": q_train_test_split,
         "sample_weighted": q_sample_weighted,
         "bigram_pmi": q_bigram_pmi,
+        "normalize_text": q_normalize_text,
+        "feature_hash": q_feature_hash,
         "char_entropy": q_char_entropy,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
@@ -1950,6 +1972,27 @@ def oracle_sql() -> dict[str, str]:
                          (u2.c / CAST(tot.t1 AS DOUBLE)))) DESC,
                      bg.w1, bg.w2
             LIMIT 20
+        """,
+        "normalize_text": """
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                       nfc_normalize(text),
+                       '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                       '\\s+', ' ', 'g'), ' ') AS text_norm
+            FROM documents
+        """,
+        "feature_hash": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(str_split(lower(text), ' ')) AS term
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT)
+                       % 64 AS bucket,
+                   CAST(count(*) AS BIGINT) AS count
+            FROM toks WHERE term <> ''
+            GROUP BY 1, 2
         """,
         "char_entropy": """
             WITH ch AS (

@@ -518,3 +518,34 @@ def test_throttle_events_lag_semantics_and_ties():
                           min_gap_seconds=60.0, tie_col="event_id")
     kept = sorted(r["event_id"] for r in out.take_all())
     assert kept == [1, 4, 5, 6]
+
+
+def test_normalize_text_kernels():
+    from xpshacl_ray.functions.text import normalize_text
+
+    t = pa.table({"text": ["  a\t\tb\x01c  ", "é", None, "", "x"]})
+    out = normalize_text(t)["text_norm"].to_pylist()
+    assert out[0] == "a b c"
+    assert out[1] == "é"        # NFC composes e + combining acute
+    assert out[2] is None and out[3] == "" and out[4] == "x"
+    low = normalize_text(t, lowercase=True)["text_norm"].to_pylist()
+    assert low[4] == "x"
+
+
+def test_feature_hash_matches_md5_and_sums_collisions():
+    import hashlib
+
+    from xpshacl_ray.functions.text import feature_hash
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "text": ["a a b", "b"]}))
+    rows = feature_hash(ds, n_buckets=4).take_all()
+    def bkt(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 4
+    got = {(r["doc_id"], r["bucket"]): r["count"] for r in rows}
+    ba, bb = bkt("a"), bkt("b")
+    if ba == bb:
+        assert got[(1, ba)] == 3       # collision sums
+    else:
+        assert got[(1, ba)] == 2 and got[(1, bb)] == 1
+    assert got[(2, bb)] == 1

@@ -973,3 +973,89 @@ def bigram_pmi(
     return (bg.map_batches(score, batch_format="pyarrow")
             .sort(key=["pmi", "w1", "w2"], descending=[True, False, False])
             .limit(top_k))
+
+
+def normalize_text(
+    batch: pa.Table,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    lowercase: bool = False,
+) -> pa.Table:
+    """Canonical text normalization (map-only, all Arrow/RE2 kernels):
+    NFC unicode normalization → control chars (C0 + DEL) to spaces →
+    whitespace runs collapsed to one space → trim.  Byte-parity with
+    DuckDB ``trim(regexp_replace(regexp_replace(nfc_normalize(text),
+    '[\\x00-\\x1f\\x7f]', ' ', 'g'), '\\s+', ' ', 'g'))`` — both engines
+    run RE2, so the character classes agree exactly."""
+    import unicodedata
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # NFC: pyarrow's utf8_normalize does not COMPOSE in this build
+    # (e + U+0301 stays decomposed under form="NFC"), so composition
+    # falls back to unicodedata — but only for the non-ASCII minority:
+    # ASCII is NFC-invariant, and codeunits == codepoints detects it
+    # vectorized (binary_length == utf8_length).
+    ascii_mask = pc.equal(pc.binary_length(col), pc.utf8_length(col))
+    if not pc.min(pc.fill_null(ascii_mask, True)).as_py():
+        vals = col.to_pylist()
+        mask_np = np.asarray(pc.fill_null(ascii_mask, True))
+        s = pa.array(
+            [v if v is None or m else unicodedata.normalize("NFC", v)
+             for v, m in zip(vals, mask_np)], pa.string())
+    else:
+        s = col
+    s = pc.replace_substring_regex(s, r"[\x00-\x1f\x7f]", " ")
+    s = pc.replace_substring_regex(s, r"\s+", " ")
+    s = pc.utf8_trim(s, " ")
+    if lowercase:
+        s = pc.utf8_lower(s)
+    return batch.append_column(out_col, s)
+
+
+def feature_hash(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Hashing-trick sparse features: (doc_id, bucket, count) with
+    ``bucket = md5(term) % n_buckets`` — the fixed-width, vocabularyless
+    featurization for linear classifiers / dedup sketches at corpus
+    scale (no global vocabulary pass, no shuffle: a document is one row,
+    so its sparse vector assembles entirely in-batch).
+
+    md5 (not a fast noncryptographic hash) so the SAME bucket assignment
+    is reproducible by any downstream consumer or SQL engine
+    (``CAST(('0x' || substr(md5(term),1,8)) AS BIGINT) % n``).  The
+    per-batch md5 cost is amortized over the batch VOCABULARY (each
+    distinct term hashed once, then joined back positionally), not per
+    token."""
+    import hashlib as _hl
+
+    def feats(b: pa.Table) -> pa.Table:
+        tf = _term_frequencies(b, text_col, doc_id_col)
+        if tf.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "count": pa.array([], pa.int64())})
+        terms = tf["term"]
+        vocab = pc.unique(terms)
+        vmap = {
+            t: int(_hl.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+            % n_buckets
+            for t in vocab.to_pylist()
+        }
+        buckets = np.array([vmap[t] for t in terms.to_pylist()],
+                           dtype=np.int64)
+        t = pa.table({
+            "doc_id": tf["doc_id"],
+            "bucket": pa.array(buckets, pa.int64()),
+            "count": tf["tf"],
+        })
+        agg = t.group_by(["doc_id", "bucket"]).aggregate([("count", "sum")])
+        return pa.table({"doc_id": agg["doc_id"], "bucket": agg["bucket"],
+                         "count": pc.cast(agg["count_sum"], pa.int64())})
+
+    return ds.map_batches(feats, batch_format="pyarrow")
