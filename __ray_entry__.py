@@ -659,8 +659,16 @@ def q_tfidf_top_terms(sf_dir: str):
     a bucketed join past the vocabulary limit)."""
     from xpshacl_ray.functions.text import tfidf_top_terms
 
-    return tfidf_top_terms(_docs(sf_dir, columns=["doc_id", "text"]),
-                           top_k=3)
+    out = tfidf_top_terms(_docs(sf_dir, columns=["doc_id", "text"]),
+                          top_k=3)
+    # rank/tie-break use the raw score; the EMITTED score rounds to 6
+    # decimals because numpy and DuckDB ln() differ by ~1 ULP (measured
+    # ≤ 9e-16), which would flip an exact value-hash
+    return out.map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("tfidf"), "tfidf",
+            pc.round(b["tfidf"], ndigits=6)),
+        batch_format="pyarrow")
 
 
 def q_unigram_logprob(sf_dir: str):
@@ -1778,7 +1786,8 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY tfidf DESC, term) AS BIGINT) AS rank
                 FROM scored
             )
-            SELECT doc_id, term, tfidf, rank FROM ranked WHERE rank <= 3
+            SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
+            FROM ranked WHERE rank <= 3
         """,
         "stopword_scrub": """
             -- coalesce: DuckDB's array_to_string returns NULL for an
