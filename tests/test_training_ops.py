@@ -549,3 +549,25 @@ def test_feature_hash_matches_md5_and_sums_collisions():
     else:
         assert got[(1, ba)] == 2 and got[(1, bb)] == 1
     assert got[(2, bb)] == 1
+
+
+def test_quantized_knn_recall_vs_exact(sf_dir):
+    from xpshacl_ray.functions.similarity import (
+        knn_cosine_bruteforce,
+        knn_cosine_quantized,
+        quantize_embeddings,
+    )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = np.asarray(emb.take(1)[0]["embedding"], dtype=np.float64)
+    exact = knn_cosine_bruteforce(emb, q0, k=10)
+    qds = quantize_embeddings(emb)
+    # int8 payload is 1 byte/dim in the Arrow schema
+    qtype = dict(zip(qds.schema().names, qds.schema().types))["q"]
+    assert pa.types.is_fixed_size_list(qtype)
+    assert qtype.value_type == pa.int8()
+    got = knn_cosine_quantized(qds, emb, q0, k=10, shortlist=50)
+    # rerank is exact-precision: top-10 matches the float scan exactly
+    assert got["vec_id"].tolist() == exact["vec_id"].tolist()
+    assert np.allclose(got["cosine"].to_numpy(),
+                       exact["cosine"].to_numpy(), atol=1e-12)
