@@ -1086,6 +1086,43 @@ def q_throttle_events(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "event_type", "ts"])
 
 
+def q_window_distinct(sf_dir: str):
+    """Exact distinct users per (event_type, hour window): two-level
+    dedup — per-batch distinct-triple combiner, one triple-dedup
+    groupby, tiny count groupby; raw events never shuffle."""
+    from xpshacl_ray.stages.window import tumbling_distinct
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "user_id"])
+    out = tumbling_distinct(ev, ["event_type"], "user_id", unit="hour")
+    return out.map_batches(
+        lambda b: pa.table({
+            "event_type": b["event_type"],
+            "window_start": pc.cast(b["window_start"],
+                                    pa.timestamp("us")),
+            "n_distinct": pc.cast(b["n_distinct"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+def q_percentile_rank(sf_dir: str):
+    """SQL percent_rank() as a distributed two-pass operator: per-group
+    value histograms (distinct-pair-bounded exchange) broadcast once,
+    then row-local vectorized searchsorted."""
+    from xpshacl_ray.stages.stats import percentile_rank
+
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    docs = docs.map_batches(
+        lambda b: b.filter(pc.is_valid(b["n_chars"])),
+        batch_format="pyarrow")
+    out = percentile_rank(docs, "n_chars", ["lang"])
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "n_chars": b["n_chars"],
+            "pct_rank": pc.round(b["pct_rank"], ndigits=6)}),
+        batch_format="pyarrow")
+
+
 def q_sessions(sf_dir: str):
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["user_id", "ts"])
@@ -1522,6 +1559,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "funnel": q_funnel,
         "throttle_events": q_throttle_events,
+        "window_distinct": q_window_distinct,
+        "percentile_rank": q_percentile_rank,
         "sessions": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
         "json_extract_sum": q_json_extract_sum,
@@ -2147,6 +2186,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(3 AS BIGINT), 'purchase',
                    CAST((SELECT count(*) FROM s3) AS BIGINT)
+        """,
+        "window_distinct": """
+            SELECT event_type,
+                   date_trunc('hour', ts) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events WHERE user_id IS NOT NULL
+            GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "percentile_rank": """
+            SELECT doc_id, lang, n_chars,
+                   round(percent_rank() OVER (
+                       PARTITION BY lang ORDER BY n_chars), 6) AS pct_rank
+            FROM documents WHERE n_chars IS NOT NULL
         """,
         "throttle_events": """
             WITH e AS (

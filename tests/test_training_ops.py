@@ -571,3 +571,36 @@ def test_quantized_knn_recall_vs_exact(sf_dir):
     assert got["vec_id"].tolist() == exact["vec_id"].tolist()
     assert np.allclose(got["cosine"].to_numpy(),
                        exact["cosine"].to_numpy(), atol=1e-12)
+
+
+def test_tumbling_distinct_counts_exactly():
+    from xpshacl_ray.stages.window import tumbling_distinct
+
+    ts = pd.to_datetime(["2026-01-01 10:05", "2026-01-01 10:55",
+                         "2026-01-01 10:30", "2026-01-01 11:05",
+                         "2026-01-01 10:10"])
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "a", "b"],
+        "ts": ts,
+        "u": [1, 1, 2, 1, None],   # a@10h: users {1,2}; a@11h: {1};
+    })                             # b@10h: null only -> dropped
+    out = tumbling_distinct(ray.data.from_pandas(df).repartition(3),
+                            ["k"], "u").take_all()
+    got = {(r["k"], pd.Timestamp(r["window_start"]).hour): r["n_distinct"]
+           for r in out}
+    assert got == {("a", 10): 2, ("a", 11): 1}
+
+
+def test_percentile_rank_multi_group_and_ties():
+    from xpshacl_ray.stages.stats import percentile_rank
+
+    df = pd.DataFrame({
+        "g": ["x"] * 4 + ["y"],
+        "v": [10, 10, 20, 30, 7],   # x: ranks 0,0,2/3,1; y singleton -> 0
+    })
+    out = percentile_rank(ray.data.from_pandas(df).repartition(2),
+                          "v", ["g"]).take_all()
+    got = sorted((r["g"], r["v"], round(r["pct_rank"], 6)) for r in out)
+    assert got == [("x", 10, 0.0), ("x", 10, 0.0),
+                   ("x", 20, round(2 / 3, 6)), ("x", 30, 1.0),
+                   ("y", 7, 0.0)]

@@ -450,3 +450,78 @@ def zscore_outliers(
             "zscore", pa.array(z[keep], pa.float64()))
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def percentile_rank(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    group_cols: List[str],
+    out_col: str = "pct_rank",
+    hist_broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY value)``
+    as a two-pass distributed operator: ``(rank−1)/(n−1)`` where rank
+    counts rows strictly below (ties share the min rank); single-row
+    groups rank 0.  Null values are dropped (order them explicitly if
+    you need SQL NULLS LAST semantics).
+
+    Pass 1 builds per-group VALUE HISTOGRAMS — a per-batch distinct
+    (group, value, count) combiner then one ``groupby.sum`` — so the
+    exchange is bounded by distinct (group, value) pairs, never rows.
+    The histogram table (collected driver-side, broadcast via
+    ``ray.put``; raises past ``hist_broadcast_limit`` distinct pairs —
+    at that cardinality switch to the t-digest APPROXIMATE rank in
+    ``StatsActor``) converts to per-group sorted value arrays +
+    strictly-less cumulative counts; pass 2 is a row-local vectorized
+    searchsorted per batch."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = b.select(group_cols + [value_col])
+        t = t.filter(pc.is_valid(t[value_col]))
+        agg = t.group_by(group_cols + [value_col]).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(group_cols + [value_col, "n"])
+
+    htbl = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(group_cols + [value_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    n_pairs = htbl.count()
+    if n_pairs > hist_broadcast_limit:
+        raise ValueError(
+            f"{n_pairs} distinct (group, value) pairs exceeds "
+            f"hist_broadcast_limit={hist_broadcast_limit}; use the "
+            "t-digest approximate-rank path instead")
+    hdf = htbl.to_pandas().sort_values(group_cols + [value_col])
+    lut = {}
+    for g, sub in hdf.groupby(group_cols, sort=False):
+        vals = sub[value_col].to_numpy()
+        cnts = sub["n"].to_numpy(dtype=np.int64)
+        cum_less = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        lut[g if isinstance(g, tuple) else (g,)] = (
+            vals, cum_less, int(cnts.sum()))
+    ref = _ray.put(lut)
+
+    def rank_rows(b: pa.Table) -> pa.Table:
+        table = _ray.get(ref)
+        df = b.to_pandas()
+        v = df[value_col].to_numpy()
+        out = np.full(len(df), np.nan)
+        for g, idx in df.groupby(group_cols, sort=False).indices.items():
+            key = g if isinstance(g, tuple) else (g,)
+            entry = table.get(key)
+            if entry is None:
+                continue
+            vals, cum_less, n = entry
+            pos = np.searchsorted(vals, v[idx])
+            ok = ~pd.isna(v[idx])
+            r = np.where(n > 1, cum_less[np.clip(pos, 0, len(vals) - 1)]
+                         / max(n - 1, 1), 0.0)
+            out[idx] = np.where(ok, r, np.nan)
+        return b.append_column(out_col, pa.array(out, pa.float64()))
+
+    return ds.map_batches(rank_rows, batch_format="pyarrow")
