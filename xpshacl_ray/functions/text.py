@@ -736,19 +736,49 @@ def inverted_index(
                 key="term", n_buckets=n_buckets,
             ).select_columns(["term", "doc_id"])
 
-    def assemble(g: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
+    # term-bucket shuffle + ONE vectorized sweep per partition — not
+    # groupby(term).map_groups, which pays a Python roundtrip per TERM
+    # (millions of calls on a web-scale vocabulary).  Same partitioning
+    # shape as sessionize: all pairs of a term land in one partition,
+    # assembly is a lexsort + run-length split + ListArray offsets.
+    from .sketches import hash64
 
+    n_parts = int(n_buckets)
+
+    def tag(b: pa.Table) -> pa.Table:
+        part = (hash64(np.asarray(b["term"].to_pylist(), dtype=object))
+                % n_parts).astype(np.int32)
+        return b.append_column("__part__", pa.array(part))
+
+    def assemble_partition(g: "pd.DataFrame") -> pa.Table:
         if len(g) == 0:
-            return pd.DataFrame({"term": [], "df": [], "postings": []})
-        ids = np.unique(np.asarray(g["doc_id"], dtype=np.int64))
-        return pd.DataFrame({
-            "term": [g["term"].iloc[0]],
-            "df": np.array([len(ids)], dtype=np.int64),
-            "postings": [ids.tolist()],
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "postings": pa.array([], pa.list_(pa.int64()))})
+        terms = g["term"].to_numpy(dtype=object)
+        ids = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, terms))
+        t_s, i_s = terms[order], ids[order]
+        # drop duplicate (term, doc_id) pairs surviving cross-batch
+        dup = np.concatenate(
+            [[False], (t_s[1:] == t_s[:-1]) & (i_s[1:] == i_s[:-1])])
+        t_s, i_s = t_s[~dup], i_s[~dup]
+        new_term = np.concatenate([[True], t_s[1:] != t_s[:-1]])
+        starts = np.flatnonzero(new_term)
+        offsets = np.concatenate([starts, [len(i_s)]])
+        return pa.table({
+            "term": pa.array(t_s[starts], pa.string()),
+            "df": pa.array(np.diff(offsets), pa.int64()),
+            "postings": pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pa.array(i_s, pa.int64())),
         })
 
-    return pairs_ds.groupby("term").map_groups(assemble)
+    return (pairs_ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part__")
+            .map_groups(
+                lambda g: assemble_partition(g.drop(columns="__part__")),
+                batch_format="pandas"))
 
 
 def unigram_logprob(
@@ -797,7 +827,8 @@ def unigram_logprob(
     cmap = {r["term"]: r["n"] for r in rows}
     cnts = np.array([cmap[t] for t in terms], dtype=np.float64)
     total = float(cnts.sum())
-    ref = _ray.put((terms, np.log(cnts / total) if total else cnts))
+    ref = _ray.put((pa.array(terms, pa.string()),
+                    np.log(cnts / total) if total else cnts))
 
     out_schema = pa.schema([("doc_id", pa.int64()),
                             ("n_tokens", pa.int64()),
@@ -812,11 +843,12 @@ def unigram_logprob(
         ids_np = np.asarray(pc.cast(ids, pa.int64()))
         if tf.num_rows == 0:
             return out_schema.empty_table()
-        t_np = np.asarray(tf["term"].to_pylist(), dtype=object)
-        idx = np.clip(np.searchsorted(terms_s, t_np),
-                      0, max(0, len(terms_s) - 1))
-        hit = terms_s[idx] == t_np if len(terms_s) else np.zeros(
-            len(t_np), dtype=bool)  # guard nondeterministic re-exec
+        # Arrow hash-probe (C, no per-string Python compare); null idx =
+        # term unseen in the LM — only possible under nondeterministic
+        # re-execution; such tokens contribute nothing
+        idx_arr = pc.index_in(tf["term"], value_set=terms_s)
+        hit = np.asarray(pc.is_valid(idx_arr))
+        idx = np.asarray(pc.fill_null(idx_arr, 0), dtype=np.int64)
         tfv = np.asarray(tf["tf"], dtype=np.float64) * hit
         contrib = tfv * np.where(hit, logp_s[idx], 0.0)
         did = np.asarray(pc.cast(tf["doc_id"], pa.int64()))
@@ -947,7 +979,7 @@ def bigram_pmi(
     cmap = {r["term"]: r["c"] for r in rows}
     cnts = np.array([cmap[t] for t in terms], dtype=np.float64)
     t1 = float(cnts.sum())
-    ref = _ray.put((terms, cnts))
+    ref = _ray.put((pa.array(terms, pa.string()), cnts))
     mc = int(min_count)
 
     def score(b: pa.Table) -> pa.Table:
@@ -959,11 +991,13 @@ def bigram_pmi(
                              "w2": pa.array([], pa.string()),
                              "c12": pa.array([], pa.int64()),
                              "pmi": pa.array([], pa.float64())})
-        w1 = np.asarray(t["w1"].to_pylist(), dtype=object)
-        w2 = np.asarray(t["w2"].to_pylist(), dtype=object)
         c12 = np.asarray(t["c12"], dtype=np.float64)
-        i1 = np.searchsorted(terms_s, w1)
-        i2 = np.searchsorted(terms_s, w2)
+        # Arrow hash-probe; every bigram endpoint is in the unigram
+        # vocabulary by construction (same tokenization, non-empty)
+        i1 = np.asarray(pc.index_in(t["w1"], value_set=terms_s),
+                        dtype=np.int64)
+        i2 = np.asarray(pc.index_in(t["w2"], value_set=terms_s),
+                        dtype=np.int64)
         c1, c2 = cnts_s[i1], cnts_s[i2]
         pmi = np.log((c12 / t12) / ((c1 / t1) * (c2 / t1)))
         return pa.table({"w1": t["w1"], "w2": t["w2"],
