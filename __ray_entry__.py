@@ -1131,6 +1131,23 @@ def q_sessions(sf_dir: str):
     return out
 
 
+def q_json_project(sf_dir: str):
+    """Declarative SQL-on-batch projection (sql_project, the map-stage
+    generalization of SqlCheck): typed JSON field extraction from the
+    events props column, DuckDB per Arrow batch, distributed by Ray."""
+    from xpshacl_ray.functions.sqlmap import sql_project
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return sql_project(
+        ev,
+        """SELECT event_id,
+                  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                  json_extract_string(props, '$.tag') AS tag
+           FROM batch""",
+        columns=["event_id", "props"],
+    )
+
+
 def q_json_extract_sum(sf_dir: str):
     """C19 custom-UDF surface with an oracle: parse the JSON props column
     and aggregate the extracted field per event type (per-batch combiner)."""
@@ -1564,6 +1581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
         "json_extract_sum": q_json_extract_sum,
+        "json_project": q_json_project,
         "sql_check": q_sql_check,
         "ttl_parity": q_ttl_parity,
         "media_features": q_media_features,
@@ -2230,6 +2248,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
                    count(*) AS n_events
             FROM numbered GROUP BY user_id, sid
+        """,
+        "json_project": """
+            SELECT event_id,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+                   json_extract_string(props, '$.tag') AS tag
+            FROM events
         """,
         "json_extract_sum": """
             SELECT event_type,

@@ -60,3 +60,22 @@ def test_sqlcheck_required_columns_pruning():
 
     cols = compile_spec(spec).required_columns()
     assert set(cols) == {"id", "x", "cat"}
+
+
+def test_sql_project_rowlocal_and_partition_invariant():
+    import pandas as pd
+
+    from xpshacl_ray.functions.sqlmap import sql_project
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "props": ['{"k": 5}', '{"k": -2}', None, '{"other": 1}'],
+    })
+    sql = ("SELECT id, CAST(json_extract_string(props, '$.k') AS BIGINT)"
+           " AS k FROM batch")
+    a = sorted((r["id"], r["k"]) for r in
+               sql_project(ray.data.from_pandas(df), sql).take_all())
+    b = sorted((r["id"], r["k"]) for r in
+               sql_project(ray.data.from_pandas(df).repartition(4),
+                           sql).take_all())
+    assert a == b == [(1, 5), (2, -2), (3, None), (4, None)]
