@@ -178,3 +178,22 @@ def test_dup_clusters_matches_recursive_cte_oracle():
     """
     want = {int(n): int(c) for n, c in duckdb.sql(sql).fetchall()}
     assert got == want
+
+
+def test_cluster_labels_shuffle_path_still_exact():
+    """jump_broadcast_limit=0 forces the sort-bucket hash_join propagate
+    (the >5M-label path) — the broadcast fast path must not be the only
+    correct one."""
+    from xpshacl_ray.functions.dedup import (
+        cluster_labels,
+        cluster_labels_distributed,
+    )
+
+    pairs = [(0, 1), (1, 2), (2, 3), (100, 101), (200, 201), (201, 202)]
+    want = cluster_labels(pairs)
+    ds = ray.data.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    got = {r["node"]: r["label"]
+           for r in cluster_labels_distributed(
+               ds, n_buckets=4, max_rounds=10,
+               jump_broadcast_limit=0).take_all()}
+    assert got == want
