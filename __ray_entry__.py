@@ -1049,7 +1049,10 @@ def q_kmeans_clusters(sf_dir: str):
     reimplementation (tools/make_goldens.kmeans_clusters_golden)."""
     from xpshacl_ray.functions.similarity import kmeans_assign, kmeans_fit
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # materialize once: Lloyd's scans the table iters+2 times (seed, one
+    # pass per iteration, final assign) — object-store-cached blocks
+    # (with spill past memory) beat re-reading Parquet every pass
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
     cents = kmeans_fit(emb, k=8, iters=5)
     out = kmeans_assign(emb, cents).to_pandas()
     out["cosine"] = out["cosine"].round(6)

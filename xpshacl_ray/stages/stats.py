@@ -462,8 +462,10 @@ def percentile_rank(
     """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY value)``
     as a two-pass distributed operator: ``(rank−1)/(n−1)`` where rank
     counts rows strictly below (ties share the min rank); single-row
-    groups rank 0.  Null values are dropped (order them explicitly if
-    you need SQL NULLS LAST semantics).
+    groups rank 0.  Null VALUES are dropped (order them explicitly if
+    you need SQL NULLS LAST semantics); rows with a null GROUP key rank
+    NaN (SQL's PARTITION BY groups nulls together — pre-filter or
+    fill-null the keys if you need that).
 
     Pass 1 builds per-group VALUE HISTOGRAMS — a per-batch distinct
     (group, value, count) combiner then one ``groupby.sum`` — so the
