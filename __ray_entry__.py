@@ -698,9 +698,13 @@ def q_outliers_zscore(sf_dir: str):
     flagging; population stddev for SQL stddev_pop parity."""
     from xpshacl_ray.stages.stats import zscore_outliers
 
-    out = zscore_outliers(
-        _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]),
-        value_col="n_chars", group_cols=["lang"], z_threshold=1.8)
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]).map_batches(
+        # null group keys: the engine would flag within the null group,
+        # SQL's JOIN USING (lang) drops them — filter for oracle parity
+        lambda b: b.filter(pc.is_valid(b["lang"])),
+        batch_format="pyarrow")
+    out = zscore_outliers(docs, value_col="n_chars", group_cols=["lang"],
+                          z_threshold=1.8)
 
     def fin(b: pa.Table) -> pa.Table:
         return pa.table({

@@ -147,3 +147,72 @@ ex:PersonShape a sh:NodeShape ;
     assert len(viol) == 1
     assert viol["constraint_id"].iloc[0].endswith(
         "MinCountConstraintComponent")
+
+
+def test_unigram_logprob_emits_zero_token_docs_under_any_partitioning():
+    """A block containing ONLY zero-token docs must still emit its rows
+    (review finding: output was partition-dependent)."""
+    import pandas as pd
+
+    from xpshacl_ray.functions.text import unigram_logprob
+
+    a = pd.DataFrame({"doc_id": [1, 2], "text": ["x x", "x y"]})
+    b = pd.DataFrame({"doc_id": [3], "text": [""]})
+    ds = ray.data.from_pandas(a).union(ray.data.from_pandas(b))
+    got = {r["doc_id"]: r for r in unigram_logprob(ds).take_all()}
+    assert set(got) == {1, 2, 3}
+    assert got[3]["n_tokens"] == 0 and got[3]["avg_logprob"] == 0.0
+
+
+def test_quantized_knn_empty_index_returns_empty_frame():
+    import pandas as pd
+
+    from xpshacl_ray.functions.similarity import (
+        knn_cosine_quantized,
+        quantize_embeddings,
+    )
+
+    empty = ray.data.from_pandas(pd.DataFrame(
+        {"vec_id": pd.Series([], dtype="int64"),
+         "embedding": pd.Series([], dtype=object)}))
+    out = knn_cosine_quantized(quantize_embeddings(empty), empty,
+                               np.ones(4), k=3, shortlist=5)
+    assert out.empty and list(out.columns) == ["vec_id", "cosine", "rank"]
+
+
+def test_quantized_scan_handles_sliced_fixed_size_list_batches():
+    """.flatten() vs .values: a zero-copy Arrow slice must score the
+    in-slice vectors, not the parent buffer (review finding)."""
+    import pyarrow as pa
+
+    from xpshacl_ray.functions.similarity import (
+        knn_cosine_quantized,
+        quantize_embeddings,
+    )
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(40, 8))
+    tbl = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                    "embedding": pa.array([list(map(float, v))
+                                           for v in mat])})
+    full = ray.data.from_arrow(tbl)
+    q = mat[3]
+    # tiny batch_size forces Ray to slice blocks zero-copy
+    qds = quantize_embeddings(full).materialize()
+    out = knn_cosine_quantized(qds, full, q, k=5, shortlist=40)
+    assert out.iloc[0]["vec_id"] == 3
+    assert out.iloc[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_sample_weighted_empty_batch_ok():
+    import pandas as pd
+
+    from xpshacl_ray.functions.sampling import sample_weighted
+
+    df = pd.DataFrame({"id": ["a", "b"], "w": [1.0, 1.0]})
+    # union with an empty dataset produces 0-row blocks downstream
+    empty = pd.DataFrame({"id": pd.Series([], dtype=object),
+                          "w": pd.Series([], dtype="float64")})
+    ds = ray.data.from_pandas(df).union(ray.data.from_pandas(empty))
+    assert sorted(r["id"] for r in
+                  sample_weighted(ds, "id", "w").take_all()) == ["a", "b"]

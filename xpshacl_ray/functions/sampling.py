@@ -269,7 +269,7 @@ def sample_weighted(
         wf = np.asarray(pc.fill_null(pc.cast(w, pa.float64()), 0.0))
         # integer half-up rounding of w*scale_bp, clipped to [0, 10000]
         thr = np.clip(np.floor(wf * scale_bp + 0.5), 0, 10_000)
-        null_id = np.array([v is None for v in ids])
+        null_id = np.array([v is None for v in ids], dtype=bool)
         mask = (buckets < thr) & ~null_id
         return b.filter(pa.array(mask))
 

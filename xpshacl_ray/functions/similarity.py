@@ -516,7 +516,9 @@ def knn_cosine_quantized(
         col = b[q_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        mat = np.asarray(col.values, dtype=np.int32).reshape(
+        # flatten(), not .values: .values ignores Arrow slice offsets
+        # and would read the whole parent buffer for a sliced batch
+        mat = np.asarray(col.flatten(), dtype=np.int32).reshape(
             len(ids), -1)
         s = mat @ qv8                      # int32 dot, exact
         kk = min(shortlist, len(ids))
@@ -533,6 +535,8 @@ def knn_cosine_quantized(
     short = (quantized.map_batches(scan, batch_format="pyarrow")
              .map_batches(combine, batch_format="pandas")
              .to_pandas())
+    if short.empty:  # empty index (e.g. a selective upstream filter)
+        return pd.DataFrame(columns=[id_col, "cosine", "rank"])
     short = short.sort_values(["score", id_col],
                               ascending=[False, True]).head(shortlist)
     cand = set(short[id_col].tolist())

@@ -696,9 +696,6 @@ def inverted_index(
     import ray.data  # noqa: F401
     from ray.data.aggregate import Sum
 
-    out_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
-                            ("postings", pa.list_(pa.int64()))])
-
     pairs_ds = ds.map_batches(
         lambda b: _term_doc_pairs(b, text_col, doc_id_col),
         batch_format="pyarrow")
@@ -781,6 +778,19 @@ def inverted_index(
                 batch_format="pandas"))
 
 
+def partial_term_counts(batch: pa.Table,
+                        text_col: str = "text") -> pa.Table:
+    """Per-batch unigram OCCURRENCE counts (term, n) — the combiner for
+    corpus-LM builds (cf. :func:`partial_doc_frequency`, which counts
+    distinct DOCS per term instead)."""
+    toks = _space_token_lists(batch[text_col])
+    flat = pc.list_flatten(toks)
+    t = pa.table({"term": flat}).filter(pc.not_equal(flat, ""))
+    agg = t.group_by(["term"]).aggregate([([], "count_all")])
+    return pa.table({"term": agg["term"],
+                     "n": pc.cast(agg["count_all"], pa.int64())})
+
+
 def unigram_logprob(
     ds: "ray.data.Dataset",
     text_col: str = "text",
@@ -805,15 +815,9 @@ def unigram_logprob(
     import ray as _ray
     from ray.data.aggregate import Sum
 
-    def counts(b: pa.Table) -> pa.Table:
-        toks = _space_token_lists(b[text_col])
-        flat = pc.list_flatten(toks)
-        t = pa.table({"term": flat}).filter(pc.not_equal(flat, ""))
-        agg = t.group_by(["term"]).aggregate([([], "count_all")])
-        return pa.table({"term": agg["term"],
-                         "n": pc.cast(agg["count_all"], pa.int64())})
-
-    lm = (ds.map_batches(counts, batch_format="pyarrow")
+    lm = (ds.map_batches(
+        lambda b: partial_term_counts(b, text_col),
+        batch_format="pyarrow")
           .groupby("term").aggregate(Sum("n", alias_name="n"))
           .materialize())
     vocab_n = lm.count()
@@ -842,7 +846,14 @@ def unigram_logprob(
             ids = ids.combine_chunks()
         ids_np = np.asarray(pc.cast(ids, pa.int64()))
         if tf.num_rows == 0:
-            return out_schema.empty_table()
+            # a batch of only zero-token docs still emits its rows
+            # (n_tokens=0) — dropping them would make the output depend
+            # on block layout
+            return pa.table({
+                "doc_id": pa.array(ids_np, pa.int64()),
+                "n_tokens": pa.array(np.zeros(len(ids_np), np.int64)),
+                "avg_logprob": pa.array(np.zeros(len(ids_np))),
+            }).cast(out_schema)
         # Arrow hash-probe (C, no per-string Python compare); null idx =
         # term unseen in the LM — only possible under nondeterministic
         # re-execution; such tokens contribute nothing
@@ -956,18 +967,12 @@ def bigram_pmi(
         return pa.table({"w1": agg["w1"], "w2": agg["w2"],
                          "n": pc.cast(agg["count_all"], pa.int64())})
 
-    def unigrams(b: pa.Table) -> pa.Table:
-        toks = _space_token_lists(b[text_col])
-        flat = pc.list_flatten(toks)
-        t = pa.table({"term": flat}).filter(pc.not_equal(flat, ""))
-        agg = t.group_by(["term"]).aggregate([([], "count_all")])
-        return pa.table({"term": agg["term"],
-                         "n": pc.cast(agg["count_all"], pa.int64())})
-
     bg = (ds.map_batches(bigrams, batch_format="pyarrow")
           .groupby(["w1", "w2"]).aggregate(Sum("n", alias_name="c12"))
           .materialize())
-    ug = (ds.map_batches(unigrams, batch_format="pyarrow")
+    ug = (ds.map_batches(
+        lambda b: partial_term_counts(b, text_col),
+        batch_format="pyarrow")
           .groupby("term").aggregate(Sum("n", alias_name="c"))
           .materialize())
     if ug.count() > vocab_broadcast_limit:

@@ -386,7 +386,10 @@ def zscore_outliers(
 
     Population stddev (÷ n, not n−1) for SQL ``stddev_pop`` parity.
     Degenerate groups (stddev 0, e.g. a single row) emit nothing — a
-    deviation needs spread to be measured against.  The broadcast is
+    deviation needs spread to be measured against.  Null GROUP keys
+    form their own group and CAN flag (pandas merge matches nulls);
+    SQL's ``JOIN USING (key)`` drops them — pre-filter null keys when
+    mirroring a SQL oracle.  The broadcast is
     bounded by the number of GROUPS (not rows); past
     ``group_broadcast_limit`` groups raise rather than silently ship an
     oversized table (at that cardinality use a bucketed join on the
