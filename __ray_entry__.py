@@ -1014,6 +1014,17 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dups(_docs(sf_dir), max_hamming=3)
 
 
+def q_containment_pairs(sf_dir: str):
+    """Asymmetric containment (|A∩B|/min) over the LSH candidate pairs —
+    the sub-document-duplication verdict; kernel hard-checked against a
+    pure-SQL word-trigram computation over the independent golden pair
+    set (no golden values for the metric itself)."""
+    ds = _docs(sf_dir)
+    cand = minhash_lsh_candidates(ds, jaccard_threshold=0.8)
+    return verify_pairs_ngram(ds, cand, threshold=0.9,
+                              metric="containment")
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate-cluster resolution: connected components over the
     MinHash-LSH candidate-pair graph via distributed min-label
@@ -1579,6 +1590,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
+        "containment_pairs": q_containment_pairs,
         "ivf_knn": q_ivf_knn,
         "kmeans_clusters": q_kmeans_clusters,
         "funnel": q_funnel,
@@ -1640,9 +1652,45 @@ def oracle_sql() -> dict[str, str]:
         FROM walk GROUP BY node
     """
 
+    containment_sql = f"""
+        WITH pairs AS ({GOLDEN_SQL["minhash_pairs"]}),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(str_split(lower(text), ' '),
+                               x -> x <> '') AS tk
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id,
+                   CASE
+                     WHEN len(tk) >= 3 THEN list_distinct(list_transform(
+                         generate_series(1, len(tk) - 2),
+                         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+                     WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')]
+                     ELSE CAST([] AS VARCHAR[])
+                   END AS g
+            FROM toks
+        ),
+        scored AS (
+            SELECT p.id_a, p.id_b,
+                   round(CASE
+                     WHEN len(ga.g) = 0 AND len(gb.g) = 0 THEN 1.0
+                     WHEN len(ga.g) = 0 OR len(gb.g) = 0 THEN 0.0
+                     ELSE len(list_intersect(ga.g, gb.g))
+                          / CAST(least(len(ga.g), len(gb.g)) AS DOUBLE)
+                   END, 6) AS containment
+            FROM pairs p
+            JOIN grams ga ON ga.doc_id = p.id_a
+            JOIN grams gb ON gb.doc_id = p.id_b
+        )
+        SELECT id_a, id_b, containment FROM scored
+        WHERE containment >= 0.9
+    """
+
     return {
         **GOLDEN_SQL,
         "dup_clusters": dup_clusters_sql,
+        "containment_pairs": containment_sql,
         "violations_documents": _VIOLATIONS_SQL,
         "violation_summary": f"""
             SELECT constraint_id, violation_type, severity,

@@ -197,3 +197,31 @@ def test_cluster_labels_shuffle_path_still_exact():
                ds, n_buckets=4, max_rounds=10,
                jump_broadcast_limit=0).take_all()}
     assert got == want
+
+
+def test_containment_metric_and_join_path_agree():
+    from xpshacl_ray.functions.dedup import (
+        ngram_containment,
+        verify_pairs_ngram,
+    )
+
+    # b is a strict substring of a: containment 1.0, jaccard < 1
+    a = "w1 w2 w3 w4 w5 w6 w7 w8"
+    b = "w3 w4 w5 w6"
+    assert ngram_containment(a, b) == 1.0
+    assert ngram_containment("", "") == 1.0
+    assert ngram_containment(a, "") == 0.0
+
+    docs = pd.DataFrame({"doc_id": [1, 2], "text": [a, b]})
+    ds = ray.data.from_pandas(docs)
+    pairs = ray.data.from_pandas(pd.DataFrame({"id_a": [1], "id_b": [2]}))
+    got = verify_pairs_ngram(ds, pairs, threshold=0.9,
+                             metric="containment").take_all()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in got] \
+        == [(1, 2, 1.0)]
+    # join path (broadcast_limit=0) produces the identical verdict
+    got_j = verify_pairs_ngram(ds, pairs, threshold=0.9,
+                               metric="containment",
+                               broadcast_limit=0).take_all()
+    assert [(r["id_a"], r["id_b"], r["containment"]) for r in got_j] \
+        == [(1, 2, 1.0)]

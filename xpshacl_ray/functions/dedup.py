@@ -866,6 +866,22 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def ngram_containment(a: str, b: str, n: int = 3) -> float:
+    """Asymmetric near-dup signal: |A∩B| / min(|A|,|B|) over word
+    n-gram sets — ≈1 when one document is (mostly) CONTAINED in the
+    other even if Jaccard is low (sub-document duplication: quoted
+    articles, boilerplate wrappers, chunk-of-a-doc leaks)."""
+    sa, sb = ngram_set(a, n), ngram_set(b, n)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / min(len(sa), len(sb))
+
+
+_PAIR_METRICS = {"jaccard": ngram_jaccard, "containment": ngram_containment}
+
+
 def verify_pairs_ngram(
     ds: "ray.data.Dataset",
     pairs: "ray.data.Dataset",
@@ -874,8 +890,12 @@ def verify_pairs_ngram(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_limit: int = 100_000,
+    metric: str = "jaccard",
 ) -> "ray.data.Dataset":
-    """Exact n-gram Jaccard over candidate pairs.
+    """Exact n-gram similarity over candidate pairs — ``metric`` picks
+    the kernel: "jaccard" (symmetric near-dup) or "containment"
+    (|A∩B|/min — sub-document duplication); the output column is named
+    after the metric.
 
     Below ``broadcast_limit`` candidate pairs: broadcast text lookup (the
     text map covers candidate ids only — tiny vs the corpus).  Above it:
@@ -883,8 +903,9 @@ def verify_pairs_ngram(
     materialization at all — the 100 TB high-dup path.  Both produce the
     identical pair set.
     """
+    kernel = _PAIR_METRICS[metric]
     schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                        ("jaccard", pa.float64())])
+                        (metric, pa.float64())])
     # candidates usually arrive as the UNMATERIALIZED LSH pipeline —
     # pin them once so count / Bloom build / join don't re-run the
     # signature+shuffle stages (pairs are small relative to the corpus)
@@ -895,7 +916,8 @@ def verify_pairs_ngram(
 
     if n_pairs > broadcast_limit:
         return _verify_pairs_ngram_join(ds, pairs, n_pairs, threshold, n,
-                                        id_col, text_col, schema)
+                                        id_col, text_col, schema,
+                                        metric, kernel)
 
     import ray as _ray
 
@@ -920,21 +942,22 @@ def verify_pairs_ngram(
         {
             "id_a": r["id_a"],
             "id_b": r["id_b"],
-            "jaccard": round(ngram_jaccard(tmap[r["id_a"]],
-                                           tmap[r["id_b"]], n), 6),
+            metric: round(kernel(tmap[r["id_a"]],
+                                 tmap[r["id_b"]], n), 6),
         }
         for r in pair_rows
         if tmap.get(r["id_a"]) is not None
         and tmap.get(r["id_b"]) is not None
     ]
-    out = [r for r in out if r["jaccard"] >= threshold]
+    out = [r for r in out if r[metric] >= threshold]
     if not out:
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow(pa.Table.from_pylist(out, schema=schema))
 
 
 def _verify_pairs_ngram_join(ds, pairs, n_pairs, threshold, n, id_col,
-                             text_col, schema) -> "ray.data.Dataset":
+                             text_col, schema, metric="jaccard",
+                             kernel=None) -> "ray.data.Dataset":
     """Join path: two bucketed hash joins attach both texts, then the exact
     Jaccard kernel runs per batch.  Before the exchange, the text table is
     pruned with a Bloom filter of the candidate ids (built distributed,
@@ -971,15 +994,17 @@ def _verify_pairs_ngram_join(ds, pairs, n_pairs, threshold, n, id_col,
     j1 = hash_join(p, texts_a, key="id_a")
     j2 = hash_join(j1, texts_b, key="id_b")
 
+    fn = kernel or ngram_jaccard
+
     def score(b: pa.Table) -> pa.Table:
         ja = [
-            round(ngram_jaccard(a, c, n), 6)
+            round(fn(a, c, n), 6)
             for a, c in zip(b["text_a"].to_pylist(), b["text_b"].to_pylist())
         ]
         t = pa.table({"id_a": pc.cast(b["id_a"], pa.int64()),
                       "id_b": pc.cast(b["id_b"], pa.int64()),
-                      "jaccard": pa.array(ja, pa.float64())})
-        return t.filter(pc.greater_equal(t["jaccard"], pa.scalar(threshold)))
+                      metric: pa.array(ja, pa.float64())})
+        return t.filter(pc.greater_equal(t[metric], pa.scalar(threshold)))
 
     return j2.map_batches(score, batch_format="pyarrow")
 
