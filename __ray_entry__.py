@@ -1489,6 +1489,62 @@ def q_curation(sf_dir: str):
     return curated.select_columns(["doc_id", "lang", "quality_score"])
 
 
+def q_curation_gates(sf_dir: str):
+    """Gated curation v2 — composition of the session's new operators:
+    corpus-LM scoring (append mode) + codepoint-entropy gate → exact
+    text dedup (hash-bucketed vectorized first-wins sweep, min doc_id)
+    → importance-weighted downsampling (md5 bp ∝ n_chars/400).  The
+    oracle reproduces the ENTIRE chain in one SQL query."""
+    from xpshacl_ray.functions.dedup import add_text_hash
+    from xpshacl_ray.functions.sampling import sample_weighted
+    from xpshacl_ray.functions.sketches import hash64
+    from xpshacl_ray.functions.text import char_entropy, unigram_logprob
+
+    docs = _docs(sf_dir)
+    scored = unigram_logprob(docs, append=True)
+
+    def gate(b: pa.Table) -> pa.Table:
+        ent = char_entropy(b)  # batch order preserved: rows align
+        t = b.append_column("entropy", ent["entropy"])
+        m = pc.and_(pc.greater_equal(t["entropy"], 4.0),
+                    pc.greater_equal(t["avg_logprob"], -3.41))
+        return t.filter(pc.fill_null(m, False))
+
+    gated = scored.map_batches(gate, batch_format="pyarrow")
+
+    # exact dedup among survivors: hash-bucket by text md5, one
+    # vectorized first-wins sweep per partition (min doc_id per text)
+    def tag(b: pa.Table) -> pa.Table:
+        h = add_text_hash(b)["text_md5"]
+        part = (hash64(np.asarray(h.to_pylist(), dtype=object)) % 32
+                ).astype(np.int32)
+        return b.append_column("__md5__", h).append_column(
+            "__part__", pa.array(part))
+
+    def first_wins(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["__md5__", "doc_id"])
+        keep = ~g["__md5__"].duplicated()
+        return g.loc[keep].drop(columns=["__md5__", "__part__"])
+
+    deduped = (gated.map_batches(tag, batch_format="pyarrow")
+               .groupby("__part__")
+               .map_groups(first_wins, batch_format="pandas"))
+
+    weighted = deduped.map_batches(
+        lambda b: b.append_column(
+            "weight", pc.divide(pc.cast(b["n_chars"], pa.float64()),
+                                400.0)),
+        batch_format="pyarrow")
+    out = sample_weighted(weighted, id_col="doc_id", weight_col="weight")
+    return out.map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"], "lang": b["lang"],
+            "n_chars": b["n_chars"],
+            "entropy": pc.round(b["entropy"], ndigits=4),
+            "avg_logprob": pc.round(b["avg_logprob"], ndigits=4)}),
+        batch_format="pyarrow")
+
+
 def q_partition_verdicts(sf_dir: str):
     """North-star per-partition pass/fail: violations + self-drift by lang."""
     from xpshacl_ray.pipelines.verdicts import VerdictConfig, partition_verdicts
@@ -1607,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_lang_psi": q_drift_lang_psi,
         "partition_verdicts": q_partition_verdicts,
         "curation": q_curation,
+        "curation_gates": q_curation_gates,
         "stratified_sample": q_stratified_sample,
         "train_test_split": q_train_test_split,
         "sample_weighted": q_sample_weighted,
@@ -2402,6 +2459,57 @@ def oracle_sql() -> dict[str, str]:
         """,
         # full compositional oracle: quality formula → lang+quality filter
         # → keep min-doc_id per distinct text
+        "curation_gates": """
+            WITH ch AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '[\\s\\S]')) AS c
+                FROM documents
+            ), cc AS (
+                SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c
+            ), ctot AS (
+                SELECT doc_id, sum(n) AS t FROM cc GROUP BY doc_id
+            ), ent AS (
+                SELECT cc.doc_id,
+                       log2(ctot.t) - sum(cc.n * log2(cc.n)) / ctot.t AS e
+                FROM cc JOIN ctot USING (doc_id)
+                GROUP BY cc.doc_id, ctot.t
+            ), toks AS (
+                SELECT doc_id,
+                       unnest(str_split(lower(text), ' ')) AS term
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM toks WHERE term <> '' GROUP BY doc_id, term
+            ), lm AS (
+                SELECT term, count(*) AS n
+                FROM toks WHERE term <> '' GROUP BY term
+            ), ltot AS (SELECT sum(n) AS t FROM lm),
+            lp AS (
+                SELECT tf.doc_id,
+                       sum(tf.tf * ln(lm.n / CAST(ltot.t AS DOUBLE)))
+                       / sum(tf.tf) AS a
+                FROM tf JOIN lm USING (term) CROSS JOIN ltot
+                GROUP BY tf.doc_id
+            ), gated AS (
+                SELECT d.doc_id, d.lang, d.n_chars, d.text,
+                       ent.e, lp.a
+                FROM documents d
+                JOIN ent ON ent.doc_id = d.doc_id
+                JOIN lp ON lp.doc_id = d.doc_id
+                WHERE ent.e >= 4.0 AND lp.a >= -3.41
+            ), deduped AS (
+                SELECT * FROM gated
+                QUALIFY row_number() OVER (
+                    PARTITION BY text ORDER BY doc_id) = 1
+            )
+            SELECT doc_id, lang, n_chars,
+                   round(e, 4) AS entropy, round(a, 4) AS avg_logprob
+            FROM deduped
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000
+                  < least(greatest(floor(
+                        (n_chars / 400.0) * 10000 + 0.5), 0), 10000)
+        """,
         "curation": f"""
             WITH scored AS ({_QUALITY_SQL}),
             kept AS (SELECT * FROM scored

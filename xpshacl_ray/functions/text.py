@@ -796,6 +796,7 @@ def unigram_logprob(
     text_col: str = "text",
     doc_id_col: str = "doc_id",
     vocab_broadcast_limit: int = 2_000_000,
+    append: bool = False,
 ) -> "ray.data.Dataset":
     """Per-document average unigram log-probability under the corpus's
     own unigram LM — the standard cheap perplexity proxy for quality
@@ -803,6 +804,10 @@ def unigram_logprob(
 
     score(d) = Σ_t tf(d,t)·ln(count(t)/T) / len(d), with count(t) the
     corpus occurrence count and T total tokens.
+
+    ``append=True`` keeps every input column and appends
+    (n_tokens, avg_logprob) — the gating form: a downstream filter needs
+    no join back to the documents.
 
     Pass 1 builds the LM: per-batch term-count combiner →
     ``groupby(term).sum`` — the exchange carries (term, int64) only.
@@ -849,10 +854,15 @@ def unigram_logprob(
             # a batch of only zero-token docs still emits its rows
             # (n_tokens=0) — dropping them would make the output depend
             # on block layout
+            zeros_i = pa.array(np.zeros(len(ids_np), np.int64))
+            zeros_f = pa.array(np.zeros(len(ids_np)))
+            if append:
+                return b.append_column("n_tokens", zeros_i) \
+                        .append_column("avg_logprob", zeros_f)
             return pa.table({
                 "doc_id": pa.array(ids_np, pa.int64()),
-                "n_tokens": pa.array(np.zeros(len(ids_np), np.int64)),
-                "avg_logprob": pa.array(np.zeros(len(ids_np))),
+                "n_tokens": zeros_i,
+                "avg_logprob": zeros_f,
             }).cast(out_schema)
         # Arrow hash-probe (C, no per-string Python compare); null idx =
         # term unseen in the LM — only possible under nondeterministic
@@ -870,6 +880,10 @@ def unigram_logprob(
         np.add.at(ntok, order[pos], tfv)
         with np.errstate(invalid="ignore", divide="ignore"):
             avg = np.where(ntok > 0, sums / ntok, 0.0)
+        if append:  # batch order is preserved: per-row alignment holds
+            return b.append_column(
+                "n_tokens", pa.array(ntok.astype(np.int64), pa.int64())
+            ).append_column("avg_logprob", pa.array(avg, pa.float64()))
         return pa.table({
             "doc_id": pa.array(ids_np, pa.int64()),
             "n_tokens": pa.array(ntok.astype(np.int64), pa.int64()),
