@@ -1346,6 +1346,18 @@ def q_stratified_sample(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def q_take_per_group(sf_dir: str):
+    """Per-domain cap: at most 10 docs per source, chosen by md5(id)
+    order — unbiased within the group, layout-stable, and reproducible
+    as a SQL QUALIFY row_number window."""
+    from xpshacl_ray.functions.sampling import take_per_group
+
+    out = take_per_group(
+        _docs(sf_dir, columns=["doc_id", "source"]),
+        group_cols=["source"], id_col="doc_id", n=10)
+    return out.select_columns(["doc_id", "source"])
+
+
 def q_train_test_split(sf_dir: str):
     """Deterministic md5-bucket split — reproducible in SQL, resumes and
     repartitionings (never random_sample, which depends on block layout)."""
@@ -1665,6 +1677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "curation_gates": q_curation_gates,
         "stratified_sample": q_stratified_sample,
+        "take_per_group": q_take_per_group,
         "train_test_split": q_train_test_split,
         "sample_weighted": q_sample_weighted,
         "bigram_pmi": q_bigram_pmi,
@@ -2143,6 +2156,12 @@ def oracle_sql() -> dict[str, str]:
                   % 100
                   < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
                               WHEN 'fr' THEN 100 ELSE 10 END
+        """,
+        "take_per_group": """
+            SELECT doc_id, source FROM documents
+            QUALIFY row_number() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 10
         """,
         "train_test_split": """
             SELECT doc_id,

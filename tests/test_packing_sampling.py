@@ -232,3 +232,30 @@ def test_bigram_pmi_hand_corpus():
     want_ab = math.log((3 / t12) / ((3 / t1) * (3 / t1)))
     assert abs(got[("a", "b")]["pmi"] - want_ab) < 1e-12
     assert got[("a", "b")]["c12"] == 3
+
+
+def test_take_per_group_deterministic_unbiased_cap():
+    import hashlib
+
+    from xpshacl_ray.functions.sampling import take_per_group
+
+    df = pd.DataFrame({
+        "g": ["a"] * 6 + ["b"] * 2,
+        "id": list(range(6)) + [100, 101],
+    })
+    out = take_per_group(ray.data.from_pandas(df).repartition(3),
+                         ["g"], "id", n=3, n_parts=4)
+    rows = sorted((r["g"], r["id"]) for r in out.take_all())
+    # group b under the cap: kept whole
+    assert [r for r in rows if r[0] == "b"] == [("b", 100), ("b", 101)]
+    # group a: exactly the 3 lowest md5(id) — layout-independent
+    want = sorted(range(6),
+                  key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(),
+                                 v))[:3]
+    assert [i for g, i in rows if g == "a"] == sorted(want)
+    # repartitioning never changes the selection
+    out2 = take_per_group(ray.data.from_pandas(df).repartition(7),
+                          ["g"], "id", n=3, n_parts=4)
+    assert sorted((r["g"], r["id"]) for r in out2.take_all()) == rows
+    with pytest.raises(ValueError):
+        take_per_group(ray.data.from_pandas(df), ["g"], "id", n=-1)

@@ -274,3 +274,55 @@ def sample_weighted(
         return b.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def take_per_group(
+    ds: "ray.data.Dataset",
+    group_cols,
+    id_col: str,
+    n: int,
+    salt: str = "",
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Keep at most ``n`` rows per group, chosen DETERMINISTICALLY by
+    ``md5(salt+id)`` order (id tie-break) — the per-domain cap of a
+    mixture recipe ("no more than N docs per source"), stable across
+    re-runs / resumes / repartitionings and reproducible in SQL as
+    ``QUALIFY row_number() OVER (PARTITION BY g ORDER BY md5(id), id)
+    <= n``.  Hashing (not "first N seen") means the kept subset is an
+    unbiased sample of the group, independent of input order.
+
+    One hash shuffle on the group key co-locates each group, then a
+    single vectorized sort + run-length head per partition (no per-group
+    Python).  A partition must fit one task — same per-key bound as
+    sessionize; raise ``n_parts`` for huge corpora."""
+    import pandas as pd
+
+    from .sketches import hash64
+
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    group_cols = list(group_cols)
+
+    def tag(b: pa.Table) -> pa.Table:
+        key = np.asarray(b[group_cols[0]].to_pylist(), dtype=object)
+        part = (hash64(key) % n_parts).astype(np.int32)
+        ids = pc.cast(b[id_col], pa.string()).to_pylist()
+        import hashlib as _hl
+
+        rank_key = [
+            _hl.md5(f"{salt}{'' if v is None else v}".encode()).hexdigest()
+            for v in ids
+        ]
+        return b.append_column("__part__", pa.array(part)) \
+                .append_column("__rk__", pa.array(rank_key, pa.string()))
+
+    def head_n(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(group_cols + ["__rk__", id_col])
+        run = g.groupby(group_cols, sort=False, dropna=False).cumcount()
+        return g.loc[run.to_numpy() < n].drop(
+            columns=["__part__", "__rk__"])
+
+    return (ds.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part__")
+            .map_groups(head_n, batch_format="pandas"))
