@@ -1346,6 +1346,17 @@ def q_stratified_sample(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def q_sample_exact_k(sf_dir: str):
+    """Exactly-k global deterministic sample (md5 rank, id tie-break):
+    distributed partial top-k + tree merge — a fixed eval budget, not a
+    binomial rate."""
+    from xpshacl_ray.functions.sampling import sample_exact_k
+
+    out = sample_exact_k(_docs(sf_dir, columns=["doc_id", "lang"]),
+                         id_col="doc_id", k=50)
+    return out.select_columns(["doc_id", "lang"])
+
+
 def q_take_per_group(sf_dir: str):
     """Per-domain cap: at most 10 docs per source, chosen by md5(id)
     order — unbiased within the group, layout-stable, and reproducible
@@ -1677,6 +1688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation": q_curation,
         "curation_gates": q_curation_gates,
         "stratified_sample": q_stratified_sample,
+        "sample_exact_k": q_sample_exact_k,
         "take_per_group": q_take_per_group,
         "train_test_split": q_train_test_split,
         "sample_weighted": q_sample_weighted,
@@ -2156,6 +2168,11 @@ def oracle_sql() -> dict[str, str]:
                   % 100
                   < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 20
                               WHEN 'fr' THEN 100 ELSE 10 END
+        """,
+        "sample_exact_k": """
+            SELECT doc_id, lang FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT 50
         """,
         "take_per_group": """
             SELECT doc_id, source FROM documents

@@ -259,3 +259,27 @@ def test_take_per_group_deterministic_unbiased_cap():
     assert sorted((r["g"], r["id"]) for r in out2.take_all()) == rows
     with pytest.raises(ValueError):
         take_per_group(ray.data.from_pandas(df), ["g"], "id", n=-1)
+
+
+def test_sample_exact_k_budget_and_layout_stability():
+    import hashlib
+
+    from xpshacl_ray.functions.sampling import sample_exact_k
+
+    df = pd.DataFrame({"id": list(range(20)) + [None],
+                       "v": list(range(21))})
+    a = sorted(r["id"] for r in
+               sample_exact_k(ray.data.from_pandas(df), "id", 7)
+               .take_all())
+    b = sorted(r["id"] for r in
+               sample_exact_k(ray.data.from_pandas(df).repartition(5),
+                              "id", 7).take_all())
+    want = sorted(sorted(
+        range(20),
+        key=lambda v: (hashlib.md5(str(v).encode()).hexdigest(), v))[:7])
+    assert a == b == [float(x) for x in want] or a == b == want
+    # k beyond n returns all non-null-id rows
+    full = sample_exact_k(ray.data.from_pandas(df), "id", 100).take_all()
+    assert len(full) == 20
+    with pytest.raises(ValueError):
+        sample_exact_k(ray.data.from_pandas(df), "id", -1)

@@ -326,3 +326,66 @@ def take_per_group(
     return (ds.map_batches(tag, batch_format="pyarrow")
             .groupby("__part__")
             .map_groups(head_n, batch_format="pandas"))
+
+
+def sample_exact_k(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    k: int,
+    salt: str = "",
+) -> "ray.data.Dataset":
+    """EXACTLY min(k, n) rows, selected globally by ``md5(salt+id)``
+    order (id tie-break) — rate-based samplers (`sample_weighted`,
+    `sample_stratified`) give a binomial count; this gives a fixed
+    budget ("exactly 10k eval docs"), still deterministic,
+    layout-stable, and SQL-reproducible as ``ORDER BY md5(id), id
+    LIMIT k``.
+
+    Distributed top-k, not a global sort: each batch keeps its k
+    lowest-ranked rows (vectorized argpartition), a block-local combine
+    re-tops between map tasks, and the driver merges the ≤ k × n_blocks
+    survivors — the same partial/tree-merge shape as
+    ``knn_cosine_bruteforce``.  Rows with a NULL id are dropped
+    (unrankable; SQL's md5(NULL) sorts NULLS LAST and the LIMIT never
+    reaches them at k < n)."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    if k < 0:
+        raise ValueError("k must be >= 0")
+
+    def rank_partial(b: pa.Table) -> pa.Table:
+        ids_arr = b[id_col]
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        valid = np.asarray(pc.is_valid(ids_arr))
+        ids = pc.cast(ids_arr, pa.string()).to_pylist()
+        rk = np.array([
+            "" if v is None else
+            _hl.md5(f"{salt}{v}".encode()).hexdigest()
+            for v in ids
+        ], dtype=object)
+        t = b.append_column("__rk__", pa.array(rk, pa.string()))
+        t = t.filter(pa.array(valid))
+        if t.num_rows <= k:
+            return t
+        rk_kept = np.asarray(t["__rk__"].to_pylist(), dtype=object)
+        idx = np.argsort(rk_kept, kind="stable")[:k]
+        return t.take(pa.array(np.sort(idx)))
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return df
+        return df.sort_values(["__rk__", id_col]).head(k)
+
+    merged = (ds.map_batches(rank_partial, batch_format="pyarrow")
+              .map_batches(combine, batch_format="pandas")
+              .to_pandas())
+    if merged.empty:
+        cols = [c for c in ds.schema().names]
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([]) for c in cols}))
+    out = merged.sort_values(["__rk__", id_col]).head(k) \
+                .drop(columns="__rk__")
+    return ray.data.from_pandas(out.reset_index(drop=True))
