@@ -828,6 +828,37 @@ FROM aug
 """
 
 
+def q_cms_term_counts(sf_dir: str):
+    """Corpus-wide term counts via mergeable count-min sketch partials
+    (one CMS blob per batch, cell-wise merge, point queries for the
+    full vocabulary).  CMS never under-counts; at this vocabulary /
+    width the collision overcount is zero, so the SQL exact counts are
+    a hard oracle — the approximation bound is the documented ε·N."""
+    from ray.data.aggregate import Sum
+
+    from xpshacl_ray.functions.sketches import CountMinSketch
+    from xpshacl_ray.functions.text import partial_term_counts
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def cms_partial(b: pa.Table) -> pa.Table:
+        tc = partial_term_counts(b)
+        s = CountMinSketch(width=8192, depth=4)
+        s.add(tc["term"].to_pylist(), np.asarray(tc["n"]))
+        return pa.table({"cms": pa.array([s.to_bytes()], pa.binary())})
+
+    blobs = [r["cms"] for r in
+             docs.map_batches(cms_partial, batch_format="pyarrow")
+             .take_all()]
+    cms = CountMinSketch.merge_many(blobs)
+    vocab = (docs.map_batches(partial_term_counts, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("n", alias_name="n")))
+    terms = sorted(r["term"] for r in vocab.take_all())
+    est = cms.query(terms)
+    return pa.table({"term": pa.array(terms, pa.string()),
+                     "n": pa.array(est, pa.int64())})
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact corpus heavy hitters (terms with count >= 0.1% of all
     tokens) via the two-pass Misra-Gries candidates + exact-recount
@@ -1651,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": q_unigram_logprob,
         "stopword_scrub": q_stopword_scrub,
         "pii_redact": q_pii_redact,
+        "cms_term_counts": q_cms_term_counts,
         "heavy_hitters": q_heavy_hitters,
         "decontaminate": q_decontaminate,
         "duplicate_spans": q_duplicate_spans,
@@ -2105,6 +2137,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT l.l_orderkey, l.l_linenumber, iv.o_orderkey
             FROM lineitem l JOIN iv
               ON l.l_shipdate BETWEEN iv.iv_start AND iv.iv_end
+        """,
+        "cms_term_counts": """
+            SELECT term, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(str_split(lower(text), ' ')) AS term
+                FROM documents)
+            WHERE term <> '' GROUP BY term
         """,
         "heavy_hitters": """
             WITH toks AS (

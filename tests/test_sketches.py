@@ -172,3 +172,31 @@ def test_heavy_hitter_terms_exact(ray_session):
     assert got == want  # exact counts, exact membership
     with pytest.raises(ValueError, match="capacity"):
         heavy_hitter_terms(ds, threshold_frac=0.00001, capacity=1)
+
+
+def test_count_min_sketch_bounds_and_merge_law():
+    from xpshacl_ray.functions.sketches import CountMinSketch
+
+    rng = np.random.default_rng(5)
+    vals = [f"item{i}" for i in rng.integers(0, 50, size=2000)]
+    import collections
+
+    true = collections.Counter(vals)
+    # one-shot vs merged halves: cell-wise merge equals sketch-of-union
+    whole = CountMinSketch(width=256, depth=4).add(vals)
+    half1 = CountMinSketch(width=256, depth=4).add(vals[:1000])
+    half2 = CountMinSketch(width=256, depth=4).add(vals[1000:])
+    merged = half1.merge(half2)
+    assert (whole.table == merged.table).all()
+    roundtrip = CountMinSketch.from_bytes(whole.to_bytes())
+    assert (roundtrip.table == whole.table).all()
+    # one-sided error: estimates never under-count
+    keys = sorted(true)
+    est = whole.query(keys)
+    for k, e in zip(keys, est):
+        assert e >= true[k]
+    # weighted add counts as many
+    w = CountMinSketch(width=256, depth=4).add(["x"], counts=[7])
+    assert w.query(["x"])[0] >= 7
+    with pytest.raises(ValueError):
+        CountMinSketch(width=8, depth=2).merge(CountMinSketch())

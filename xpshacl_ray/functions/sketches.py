@@ -565,3 +565,71 @@ class MisraGries:
             s = cls.from_bytes(b)
             out = s if out is None else out.merge(s)
         return out if out is not None else cls()
+
+
+class CountMinSketch:
+    """Count-min sketch: fixed-memory approximate frequencies with a
+    one-sided error (never under-counts; over-counts by ≤ εN with
+    probability 1−δ for width=⌈e/ε⌉, depth=⌈ln 1/δ⌉).
+
+    Mergeable by cell-wise addition — the same combiner→groupby shape as
+    every other sketch here: per-batch partial CMS rows, merged along
+    the profile keys.  Hashing: one ``hash64`` pass per depth row with a
+    per-row salt (deterministic across actors/runs).  Complements
+    MisraGries: MG returns the top items but forgets the tail; CMS
+    answers point queries for ANY item (with the ε bound), e.g. "how
+    often does THIS benchmark n-gram appear corpus-wide"."""
+
+    def __init__(self, width: int = 2048, depth: int = 4):
+        self.width = int(width)
+        self.depth = int(depth)
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+
+    def add(self, values, counts=None) -> "CountMinSketch":
+        vals = ["" if v is None else str(v) for v in values]
+        if not vals:
+            return self
+        c = (np.ones(len(vals), dtype=np.int64) if counts is None
+             else np.asarray(counts, dtype=np.int64))
+        for d in range(self.depth):
+            idx = (hash64([f"{d}:{v}" for v in vals]).astype(np.uint64)
+                   % np.uint64(self.width)).astype(np.int64)
+            np.add.at(self.table[d], idx, c)
+        return self
+
+    def query(self, values) -> np.ndarray:
+        vals = ["" if v is None else str(v) for v in values]
+        if not vals:
+            return np.zeros(0, dtype=np.int64)
+        est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+        for d in range(self.depth):
+            idx = (hash64([f"{d}:{v}" for v in vals]).astype(np.uint64)
+                   % np.uint64(self.width)).astype(np.int64)
+            est = np.minimum(est, self.table[d][idx])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("cannot merge CMS of different shapes")
+        self.table += other.table
+        return self
+
+    def to_bytes(self) -> bytes:
+        head = np.array([self.depth, self.width], dtype=np.int64)
+        return head.tobytes() + self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "CountMinSketch":
+        head = np.frombuffer(b[:16], dtype=np.int64)
+        s = cls(width=int(head[1]), depth=int(head[0]))
+        s.table = np.frombuffer(b[16:], dtype=np.int64).reshape(
+            s.depth, s.width).copy()
+        return s
+
+    @classmethod
+    def merge_many(cls, blobs) -> "CountMinSketch":
+        out = None
+        for b in blobs:
+            s = cls.from_bytes(b)
+            out = s if out is None else out.merge(s)
+        return out if out is not None else cls()
