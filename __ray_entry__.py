@@ -741,6 +741,18 @@ def q_inverted_index(sf_dir: str):
     return idx.map_batches(serialize, batch_format="pyarrow")
 
 
+def q_badwords_filter(sf_dir: str):
+    """C4-style token-blocklist gate: drop docs containing any
+    blocklisted token (exact token match, vectorized membership +
+    segment sums, map-only)."""
+    from xpshacl_ray.functions.text import filter_badwords
+
+    return filter_badwords(
+        _docs(sf_dir, columns=["doc_id", "lang", "text"]),
+        words=["slow", "dup"],
+    ).select_columns(["doc_id", "lang"])
+
+
 def q_stopword_scrub(sf_dir: str):
     """Vectorized stopword removal (training-data text normalization);
     byte-parity with the list_filter SQL oracle."""
@@ -1680,6 +1692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": q_inverted_index,
         "outliers_zscore": q_outliers_zscore,
         "unigram_logprob": q_unigram_logprob,
+        "badwords_filter": q_badwords_filter,
         "stopword_scrub": q_stopword_scrub,
         "pii_redact": q_pii_redact,
         "cms_term_counts": q_cms_term_counts,
@@ -2039,6 +2052,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "badwords_filter": """
+            SELECT doc_id, lang FROM documents
+            WHERE NOT list_has_any(
+                list_filter(str_split(lower(text), ' '), x -> x <> ''),
+                ['slow', 'dup'])
         """,
         "stopword_scrub": """
             -- coalesce: DuckDB's array_to_string returns NULL for an

@@ -604,3 +604,23 @@ def test_percentile_rank_multi_group_and_ties():
     assert got == [("x", 10, 0.0), ("x", 10, 0.0),
                    ("x", 20, round(2 / 3, 6)), ("x", 30, 1.0),
                    ("y", 7, 0.0)]
+
+
+def test_filter_badwords_token_semantics():
+    from xpshacl_ray.functions.text import filter_badwords
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["clean words here",
+                 "contains BAD token",     # case-insensitive match
+                 "badly is not bad-token", # substrings don't match
+                 None,                     # null kept
+                 "bad bad bad"],
+    }))
+    kept = sorted(r["doc_id"] for r in
+                  filter_badwords(ds, ["bad"]).take_all())
+    assert kept == [1, 3, 4]
+    # max_hits tolerance
+    kept2 = sorted(r["doc_id"] for r in
+                   filter_badwords(ds, ["bad"], max_hits=1).take_all())
+    assert kept2 == [1, 2, 3, 4]

@@ -1112,3 +1112,34 @@ def feature_hash(
                          "count": pc.cast(agg["count_sum"], pa.int64())})
 
     return ds.map_batches(feats, batch_format="pyarrow")
+
+
+def filter_badwords(
+    ds: "ray.data.Dataset",
+    words: Sequence[str],
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> "ray.data.Dataset":
+    """Token-blocklist document filter (the C4-style "bad words" gate):
+    keep a document iff it contains at most ``max_hits`` blocklisted
+    TOKENS (exact lower-cased token match — substring matching would
+    drop 'class' for 'ass'; token semantics are the defensible ones).
+
+    Map-only and fully vectorized: one flatten + ``is_in`` membership
+    over the batch's token array, per-doc hit counts by segment sum
+    over the list offsets — no per-doc Python, text never shuffles.
+    Null texts are kept (unscannable ≠ flagged; filter them upstream if
+    the corpus contract requires text)."""
+    vocab = pa.array(sorted({w.lower() for w in words}), pa.string())
+
+    def keep(b: pa.Table) -> pa.Table:
+        toks = _space_token_lists(b[text_col])
+        flat = pc.list_flatten(toks)
+        parent = np.asarray(pc.list_parent_indices(toks))
+        hit = np.asarray(pc.fill_null(
+            pc.is_in(flat, value_set=vocab), False))
+        hits = np.bincount(parent[hit], minlength=len(b)) if len(parent) \
+            else np.zeros(len(b), dtype=np.int64)
+        return b.filter(pa.array(hits <= max_hits))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
