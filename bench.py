@@ -31,12 +31,23 @@ def _timed(fn):
     return time.perf_counter() - t0, out
 
 
+_BENCH_T0 = time.perf_counter()
+_BENCH_BUDGET_S = float(os.environ.get("GRAFT_BENCH_BUDGET_S", "420"))
+
+
 def _timed_best2(fn):
     """Best of 2: the shared host shows ±15% interference noise between
     runs (measured, BASELINE.md); the second run also strips one-time
     costs (actor-pool startup, page cache) so per-query numbers measure
-    the engine, not the neighbour's workload."""
+    the engine, not the neighbour's workload.
+
+    Budget guard: past ``GRAFT_BENCH_BUDGET_S`` total wall time (the
+    driver runs bench under a hard timeout; a noisy-window 2× slowdown
+    must degrade to single runs, not to a killed process with NO output)
+    the second run is skipped."""
     s1, out = _timed(fn)
+    if time.perf_counter() - _BENCH_T0 > _BENCH_BUDGET_S:
+        return s1, out
     s2, out = _timed(fn)
     return min(s1, s2), out
 
