@@ -1209,6 +1209,98 @@ def q_json_project(sf_dir: str):
     )
 
 
+def q_asof_next_click(sf_dir: str):
+    """FORWARD as-of join: each view matched to the user's next click at
+    or after it (direction='forward' through the same bucketed
+    merge-asof machinery as the backward query)."""
+    from xpshacl_ray.functions.joins import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    views = ev.filter(expr="event_type == 'view'").select_columns(
+        ["event_id", "user_id", "ts"])
+
+    def carry_ts(b: pa.Table) -> pa.Table:
+        return b.append_column("click_ts", b["ts"])
+
+    clicks = (
+        ev.filter(expr="event_type == 'click'")
+        .select_columns(["user_id", "ts"])
+        .map_batches(carry_ts, batch_format="pyarrow")
+    )
+    joined = asof_join(views, clicks, key="user_id", ts="ts",
+                       direction="forward")
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(b["event_id"], pa.int64()),
+            "user_id": pc.cast(b["user_id"], pa.int64()),
+            "ts": b["ts"],
+            "click_ts": b["click_ts"],
+        })
+
+    return joined.map_batches(shape, batch_format="pyarrow")
+
+
+def q_suppliers_no_lineitems(sf_dir: str):
+    """Explicit distributed anti-join: suppliers with no lineitem —
+    distinct-key build (combiner-bounded) + broadcast miss-probe, the
+    same machinery the referential constraint fuses into its scan."""
+    from xpshacl_ray.stages.referential import distinct_keys
+
+    # restrict the build side (orderkey % 499 == 0) so the anti-join
+    # BITES at test scale — every supplier appears somewhere in the
+    # dense full table, which would make a 0-row check vacuous
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_orderkey"],
+    ).map_batches(
+        lambda b: b.filter(pa.array(
+            np.asarray(pc.cast(b["l_orderkey"], pa.int64())) % 499 == 0)),
+        batch_format="pyarrow")
+    li_keys = distinct_keys(li, "l_suppkey")
+    keys_ref = ray.put(np.sort(np.asarray(li_keys, dtype=np.int64)))
+
+    def probe(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        sk = np.asarray(pc.cast(b["s_suppkey"], pa.int64()))
+        pos = np.clip(np.searchsorted(ks, sk), 0, max(0, len(ks) - 1))
+        hit = ks[pos] == sk if len(ks) else np.zeros(len(sk), bool)
+        return b.filter(pa.array(~hit))
+
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey", "s_name"])
+    return sup.map_batches(probe, batch_format="pyarrow")
+
+
+def q_reassemble_chunks(sf_dir: str):
+    """Chunk→reassemble ROUNDTRIP: non-overlapping chunking (stride =
+    size) then ordered per-doc concatenation must reproduce every
+    non-empty document byte-for-byte — the oracle is simply the
+    documents table itself.  Reassembly is a doc-bucket shuffle + one
+    vectorized sort + offset-join sweep per partition."""
+    from xpshacl_ray.functions.packing import chunk_documents
+    from xpshacl_ray.functions.sketches import hash64
+
+    chunks = chunk_documents(_docs(sf_dir, columns=["doc_id", "text"]),
+                             chunk_size=150, stride=150)
+
+    def tag(b: pa.Table) -> pa.Table:
+        part = (hash64(np.asarray(b["doc_id"])) % 32).astype(np.int32)
+        return b.append_column("__part__", pa.array(part))
+
+    def reassemble(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["doc_id", "chunk_id"])
+        out = g.groupby("doc_id", sort=False)["chunk_text"].agg("".join)
+        return out.reset_index().rename(columns={"chunk_text": "text"})
+
+    return (chunks.map_batches(tag, batch_format="pyarrow")
+            .groupby("__part__")
+            .map_groups(lambda g: reassemble(g.drop(columns="__part__")),
+                        batch_format="pandas"))
+
+
 def q_json_extract_sum(sf_dir: str):
     """C19 custom-UDF surface with an oracle: parse the JSON props column
     and aggregate the extracted field per event type (per-batch combiner)."""
@@ -1723,6 +1815,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentile_rank": q_percentile_rank,
         "sessions": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
+        "asof_next_click": q_asof_next_click,
+        "suppliers_no_lineitems": q_suppliers_no_lineitems,
+        "reassemble_chunks": q_reassemble_chunks,
         "json_extract_sum": q_json_extract_sum,
         "json_project": q_json_project,
         "sql_check": q_sql_check,
@@ -2466,6 +2561,24 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_k,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "asof_next_click": """
+            SELECT v.event_id, v.user_id, v.ts, c.ts AS click_ts
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'view') v
+            ASOF LEFT JOIN
+                 (SELECT user_id, ts FROM events
+                  WHERE event_type = 'click') c
+            ON v.user_id = c.user_id AND v.ts <= c.ts
+        """,
+        "suppliers_no_lineitems": """
+            SELECT s_suppkey, s_name FROM supplier
+            WHERE s_suppkey NOT IN
+                  (SELECT l_suppkey FROM lineitem
+                   WHERE l_orderkey % 499 = 0)
+        """,
+        "reassemble_chunks": """
+            SELECT doc_id, text FROM documents WHERE length(text) > 0
         """,
         "asof_purchase_signup": """
             SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts

@@ -132,3 +132,36 @@ def test_interval_join_timestamps_and_empty(ray_session):
     assert interval_join(ray.data.from_pandas(pts),
                          ray.data.from_pandas(ivs_bad),
                          "ts", "s", "e").count() == 0
+
+
+def test_asof_forward_matches_duckdb():
+    import duckdb
+
+    from xpshacl_ray.functions.joins import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2026-01-01 00:00", "2026-01-01 02:00",
+                              "2026-01-01 00:30"]),
+        "lid": [10, 11, 20],
+    })
+    right = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2026-01-01 01:00", "2026-01-01 03:00",
+                              "2026-01-01 00:00"]),
+        "rts": pd.to_datetime(["2026-01-01 01:00", "2026-01-01 03:00",
+                               "2026-01-01 00:00"]),
+    })
+    got = asof_join(ray.data.from_pandas(left),
+                    ray.data.from_pandas(right),
+                    key="k", ts="ts", direction="forward").to_pandas()
+    got = got.sort_values("lid").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("l", left); con.register("r", right)
+    want = con.execute("""
+        SELECT l.k, l.ts, l.lid, r.rts FROM l
+        ASOF LEFT JOIN r ON l.k = r.k AND l.ts <= r.ts
+        ORDER BY lid
+    """).df()
+    assert got["rts"].astype("datetime64[us]").tolist() == \
+        want["rts"].astype("datetime64[us]").tolist()
