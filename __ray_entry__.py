@@ -1057,6 +1057,56 @@ def q_simhash_pairs(sf_dir: str):
     return simhash_near_dups(_docs(sf_dir), max_hamming=3)
 
 
+def q_canonical_dups(sf_dir: str):
+    """Production near-dup dedup semantics: within each duplicate
+    CLUSTER (connected components over the LSH pair graph), keep the
+    BEST-QUALITY copy, not the lowest id — (doc_id, cluster,
+    quality_score, is_canonical) for every clustered doc.  Cluster
+    labels come from the distributed propagation; the label table
+    (bounded by the dup-graph node count, ≪ corpus) broadcasts to tag
+    quality-scored docs map-side; canonical selection is one tiny
+    per-cluster argmax.  Oracle: recursive-CTE components over the
+    independent golden pairs + the shared SQL quality formula + a
+    window argmax."""
+    from xpshacl_ray.functions.dedup import cluster_labels_distributed
+
+    docs = _docs(sf_dir)
+    pairs = minhash_lsh_candidates(docs, jaccard_threshold=0.8)
+    labels = cluster_labels_distributed(pairs)
+    lab_rows = labels.take_all()  # bounded: dup-graph nodes only
+    lab_map = {int(r["node"]): int(r["label"]) for r in lab_rows}
+    lab_ref = ray.put(lab_map)
+
+    def tag(b: pa.Table) -> pa.Table:
+        m = ray.get(lab_ref)
+        ids = np.asarray(pc.cast(b["doc_id"], pa.int64()))
+        keep = np.array([int(v) in m for v in ids], dtype=bool)
+        t = b.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64()),
+                             "quality_score": pa.array([], pa.float64())})
+        tids = np.asarray(pc.cast(t["doc_id"], pa.int64()))
+        return pa.table({
+            "doc_id": pa.array(tids, pa.int64()),
+            "cluster": pa.array([m[int(v)] for v in tids], pa.int64()),
+            "quality_score": pc.round(t["quality_score"], ndigits=6),
+        })
+
+    scored = docs.map_batches(QualityScorer(), batch_format="pyarrow")
+    clustered = scored.map_batches(tag, batch_format="pyarrow")
+
+    def pick(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["quality_score", "doc_id"],
+                          ascending=[False, True])
+        g = g.copy()
+        g["is_canonical"] = np.arange(len(g)) == 0
+        return g
+
+    return clustered.groupby("cluster").map_groups(
+        pick, batch_format="pandas")
+
+
 def q_containment_pairs(sf_dir: str):
     """Asymmetric containment (|A∩B|/min) over the LSH candidate pairs —
     the sub-document-duplication verdict; kernel hard-checked against a
@@ -1807,6 +1857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "containment_pairs": q_containment_pairs,
+        "canonical_dups": q_canonical_dups,
         "ivf_knn": q_ivf_knn,
         "kmeans_clusters": q_kmeans_clusters,
         "funnel": q_funnel,
@@ -1909,10 +1960,36 @@ def oracle_sql() -> dict[str, str]:
         WHERE containment >= 0.9
     """
 
+    canonical_sql = f"""
+        WITH RECURSIVE pairs AS ({GOLDEN_SQL["minhash_pairs"]}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs
+        ),
+        walk (node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.lab FROM edges e JOIN walk w ON e.dst = w.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, min(lab) AS cluster
+            FROM walk GROUP BY node
+        ),
+        q AS ({_QUALITY_SQL})
+        SELECT c.doc_id, CAST(c.cluster AS BIGINT) AS cluster,
+               q.quality_score,
+               (row_number() OVER (
+                   PARTITION BY c.cluster
+                   ORDER BY q.quality_score DESC, c.doc_id) = 1)
+               AS is_canonical
+        FROM comp c JOIN q ON q.doc_id = c.doc_id
+    """
+
     return {
         **GOLDEN_SQL,
         "dup_clusters": dup_clusters_sql,
         "containment_pairs": containment_sql,
+        "canonical_dups": canonical_sql,
         "violations_documents": _VIOLATIONS_SQL,
         "violation_summary": f"""
             SELECT constraint_id, violation_type, severity,
