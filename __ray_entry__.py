@@ -959,6 +959,25 @@ def q_fingerprints(sf_dir: str):
     )
 
 
+def q_corpus_diff(sf_dir: str):
+    """Snapshot diff: documents whose CONTENT is absent from the
+    even-doc_id half (simulating the previous crawl) — distinct B-side
+    hashes broadcast once, vectorized A-side probe, text never
+    shuffles."""
+    from xpshacl_ray.functions.dedup import corpus_diff
+
+    # null texts: the library keeps them (unscannable = new), SQL's
+    # NOT IN drops them (NULL comparison) — filter for oracle parity
+    docs = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.is_valid(b["text"])),
+        batch_format="pyarrow")
+    prev = docs.map_batches(
+        lambda b: b.filter(pa.array(
+            np.asarray(pc.cast(b["doc_id"], pa.int64())) % 2 == 0)),
+        batch_format="pyarrow")
+    return corpus_diff(docs, prev).select_columns(["doc_id"])
+
+
 def q_exact_dedup(sf_dir: str):
     return exact_dedup(_docs(sf_dir))
 
@@ -1844,6 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition": q_repetition,
         "interval_join": q_interval_join,
         "fingerprints": q_fingerprints,
+        "corpus_diff": q_corpus_diff,
         "exact_dedup": q_exact_dedup,
         "knn_cosine": q_knn_cosine,
         "quantized_knn": q_quantized_knn,
@@ -2350,6 +2370,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, md5(text) AS fingerprint_md5,
                    sha256(text) AS content_sha256
             FROM documents
+        """,
+        "corpus_diff": """
+            SELECT doc_id FROM documents
+            WHERE text NOT IN
+                  (SELECT text FROM documents WHERE doc_id % 2 = 0)
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,

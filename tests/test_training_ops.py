@@ -624,3 +624,22 @@ def test_filter_badwords_token_semantics():
     kept2 = sorted(r["doc_id"] for r in
                    filter_badwords(ds, ["bad"], max_hits=1).take_all())
     assert kept2 == [1, 2, 3, 4]
+
+
+def test_corpus_diff_content_not_id_based():
+    from xpshacl_ray.functions.dedup import corpus_diff
+
+    a = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha", "beta", "gamma", None],
+    }))
+    # previous snapshot holds the SAME content under different ids
+    b = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": [99, 98],
+        "text": ["alpha", "delta"],
+    }))
+    new = sorted(r["doc_id"] for r in corpus_diff(a, b).take_all())
+    # 'alpha' is old content (id differs — still old); null text is new
+    assert new == [2, 3, 4]
+    with pytest.raises(ValueError):
+        corpus_diff(a, b, broadcast_limit=0)

@@ -1131,3 +1131,47 @@ def embedding_near_dups(
         .groupby("part")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
+
+
+def corpus_diff(
+    ds_a: "ray.data.Dataset",
+    ds_b: "ray.data.Dataset",
+    text_col: str = "text",
+    broadcast_limit: int = 50_000_000,
+) -> "ray.data.Dataset":
+    """Rows of ``ds_a`` whose CONTENT does not appear in ``ds_b`` (by
+    md5 of ``text_col``) — the snapshot-diff primitive of incremental
+    curation: "which documents are NEW since the last crawl", robust to
+    re-crawled copies getting fresh ids.
+
+    The B side reduces to distinct content hashes (per-batch combiner →
+    ``unique``; 16 B/distinct-doc) and broadcasts once via ``ray.put``;
+    A-side probing is a vectorized ``is_in`` per batch — text never
+    shuffles on either side.  Past ``broadcast_limit`` distinct hashes,
+    raise: switch to the Bloom pre-filter + bucketed join pattern
+    (``stages/referential``) — one-sided error means a Bloom MISS is
+    certainly new, so only the might-contain minority needs the exact
+    join."""
+    import ray as _ray
+
+    def hashes(b: pa.Table) -> pa.Table:
+        h = add_text_hash(b, text_col).select(["text_md5"])
+        return h.group_by(["text_md5"]).aggregate([])
+
+    b_hashes = ds_b.map_batches(hashes, batch_format="pyarrow") \
+                   .unique("text_md5")
+    if len(b_hashes) > broadcast_limit:
+        raise ValueError(
+            f"{len(b_hashes)} distinct B-side hashes exceeds "
+            f"broadcast_limit={broadcast_limit}; use the Bloom + "
+            "bucketed-join path")
+    ref = _ray.put(pa.array(sorted(h for h in b_hashes if h is not None),
+                            pa.string()))
+
+    def probe(b: pa.Table) -> pa.Table:
+        known = _ray.get(ref)
+        h = add_text_hash(b, text_col)["text_md5"]
+        hit = pc.fill_null(pc.is_in(h, value_set=known), False)
+        return b.filter(pc.invert(hit))
+
+    return ds_a.map_batches(probe, batch_format="pyarrow")
