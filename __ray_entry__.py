@@ -1627,6 +1627,17 @@ def q_normalize_text(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_strip_boilerplate(sf_dir: str):
+    """C4/Dolma boilerplate-line removal: lines (deterministic 8-token
+    windows) recurring in >=2 distinct docs are stripped corpus-wide.
+    Census shuffle carries (hash, count) pairs only; the scrub pass is
+    map-only against a broadcast hash set."""
+    from xpshacl_ray.functions.boilerplate import strip_boilerplate
+
+    return strip_boilerplate(_docs(sf_dir, columns=["doc_id", "text"]),
+                             min_docs=2, line_tokens=8)
+
+
 def q_feature_hash(sf_dir: str):
     """Hashing-trick sparse features (md5(term) % 64): vocabularyless,
     in-batch assembly, no shuffle; bucket assignment SQL-reproducible."""
@@ -1905,6 +1916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_weighted": q_sample_weighted,
         "bigram_pmi": q_bigram_pmi,
         "normalize_text": q_normalize_text,
+        "strip_boilerplate": q_strip_boilerplate,
         "feature_hash": q_feature_hash,
         "char_entropy": q_char_entropy,
         "chunk_documents": q_chunk_documents,
@@ -2487,6 +2499,45 @@ def oracle_sql() -> dict[str, str]:
                        '[\\x00-\\x1f\\x7f]', ' ', 'g'),
                        '\\s+', ' ', 'g'), ' ') AS text_norm
             FROM documents
+        """,
+        "strip_boilerplate": """
+            WITH corpus AS (
+                SELECT doc_id, text IS NULL AS is_null,
+                       list_filter(str_split(coalesce(text, ''), ' '),
+                                   x -> x <> '') AS toks
+                FROM documents),
+            numbered AS (
+                SELECT doc_id,
+                       unnest(range(0, CAST(ceil(len(toks) / 8.0)
+                                            AS BIGINT))) AS line_no,
+                       toks
+                FROM corpus),
+            lined AS (
+                SELECT doc_id, line_no,
+                       array_to_string(
+                           toks[(line_no * 8 + 1):(line_no * 8 + 8)],
+                           ' ') AS line
+                FROM numbered),
+            boiler AS (
+                SELECT line FROM lined
+                GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+            kept AS (
+                SELECT doc_id, line_no, line FROM lined
+                WHERE line NOT IN (SELECT line FROM boiler)),
+            agg AS (
+                SELECT doc_id, count(*) AS n_kept,
+                       string_agg(line, chr(10) ORDER BY line_no)
+                           AS text_clean
+                FROM kept GROUP BY doc_id),
+            nl AS (
+                SELECT doc_id, is_null,
+                       CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_lines
+                FROM corpus)
+            SELECT n.doc_id, n.n_lines,
+                   n.n_lines - coalesce(a.n_kept, 0) AS n_boiler,
+                   CASE WHEN n.is_null THEN NULL
+                        ELSE coalesce(a.text_clean, '') END AS text_clean
+            FROM nl n LEFT JOIN agg a USING (doc_id)
         """,
         "feature_hash": """
             WITH toks AS (

@@ -115,6 +115,7 @@ def run_benchmarks() -> dict:
         ("char_entropy", entrymod.q_char_entropy),
         ("chunk_documents", entrymod.q_chunk_documents),
         ("bigram_pmi", entrymod.q_bigram_pmi),
+        ("strip_boilerplate", entrymod.q_strip_boilerplate),
     ]
     for name, fn in bench_queries:
         def run(fn=fn):
