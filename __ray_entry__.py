@@ -497,6 +497,121 @@ def q_orders_by_nation(sf_dir: str):
         "c_nationkey").reset_index(drop=True)
 
 
+def _round_cents(col, scale: int = 100) -> "pa.Array":
+    """float column → int64 cents with half-away-from-zero rounding
+    (DuckDB round() parity), NULL-preserving (unlike `_to_scaled_int`,
+    which maps NaN→0 for SUM semantics)."""
+    opts = pc.RoundOptions(round_mode="half_towards_infinity")
+    r = pc.round(pc.multiply(col, scale), options=opts)
+    return pc.cast(r, pa.int64())
+
+
+def q_histogram_prices(sf_dir: str):
+    """Fixed-width value histogram (bin=floor(cents/500k)): per-batch
+    bincount combiner, the groupby exchange carries (bin, n, sum) rows
+    bounded by batches × occupied bins."""
+    from xpshacl_ray.functions.analytics import histogram
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    cents = li.map_batches(
+        lambda b: pa.table({"cents": _round_cents(b["l_extendedprice"])}),
+        batch_format="pyarrow")
+    return histogram(cents, "cents", width=500_000.0)
+
+
+def q_pivot_orders(sf_dir: str):
+    """Wide crosstab (priority × status): distributed cell combiner +
+    one groupby over key pairs; driver reshape sees only the aggregated
+    cell table (bounded by the key-domain product)."""
+    from xpshacl_ray.functions.analytics import pivot_counts
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": b["o_orderpriority"],
+            "o_orderstatus": b["o_orderstatus"],
+            "cents": _round_cents(b["o_totalprice"]),
+        })
+
+    return pivot_counts(orders.map_batches(prep, batch_format="pyarrow"),
+                        "o_orderpriority", "o_orderstatus",
+                        col_values=["F", "O", "P"], value_col="cents")
+
+
+def q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation): BIG-BIG bucketed join
+    orders⋈customer, tiny dims probed via sorted broadcast arrays with a
+    miss check (closed-world dimension), finest level aggregated
+    distributed, subtotal levels re-aggregated from it on the driver."""
+    import pyarrow.parquet as pq
+
+    from xpshacl_ray.functions.analytics import rollup_sum
+    from xpshacl_ray.functions.joins import hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pq.read_table(f"{sf_dir}/region.parquet",
+                           columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(region["r_regionkey"].to_pylist(),
+                    region["r_name"].to_pylist()))
+    nk = np.asarray(nation["n_nationkey"], dtype=np.int64)
+    order = np.argsort(nk)
+    nk = nk[order]
+    n_names = np.asarray(nation["n_name"].to_pylist(), dtype=object)[order]
+    r_names = np.asarray([rmap[k] for k in
+                          nation["n_regionkey"].to_pylist()],
+                         dtype=object)[order]
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": b["o_custkey"],
+                         "cents": _round_cents(b["o_totalprice"])})
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    joined = hash_join(orders.map_batches(to_cents, batch_format="pyarrow"),
+                       cust, key="c_custkey", n_buckets=32)
+
+    def tag(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b["c_nationkey"], dtype=np.int64)
+        idx = np.clip(np.searchsorted(nk, keys), 0, len(nk) - 1)
+        if not np.all(nk[idx] == keys):  # closed dim: a miss is corrupt
+            raise ValueError("c_nationkey not present in nation dim")
+        return pa.table({"r_name": pa.array(r_names[idx]),
+                         "n_name": pa.array(n_names[idx]),
+                         "cents": b["cents"]})
+
+    return rollup_sum(joined.map_batches(tag, batch_format="pyarrow"),
+                      ["r_name", "n_name"], "cents")
+
+
+def q_winsorize_prices(sf_dir: str):
+    """Exact-quantile winsorization (clip to [P05, P95]): ONE value-
+    distribution groupby yields both thresholds, then a map-only clamp
+    against the broadcast scalars; NULL-preserving."""
+    from xpshacl_ray.functions.sampling import winsorize
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": b["l_orderkey"],
+                         "l_linenumber": b["l_linenumber"],
+                         "cents": _round_cents(b["l_extendedprice"])})
+
+    out, _bounds = winsorize(li.map_batches(prep, batch_format="pyarrow"),
+                             "cents", lo_bp=500, hi_bp=9500,
+                             out_col="cents_w")
+    return out
+
+
 def q_revenue_by_segment(sf_dir: str):
     """Broadcast hash join orders⋈customer + grouped revenue."""
     import ray as _ray
@@ -1853,6 +1968,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_segment": q_revenue_by_segment,
         "orders_by_nation": q_orders_by_nation,
+        "histogram_prices": q_histogram_prices,
+        "pivot_orders": q_pivot_orders,
+        "rollup_revenue": q_rollup_revenue,
+        "winsorize_prices": q_winsorize_prices,
         "topk_users": q_topk_users,
         "window_hourly": q_window_hourly,
         "rolling_window": q_rolling_window,
@@ -2108,6 +2227,71 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_orders
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
+        """,
+        "histogram_prices": """
+            WITH v AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS cents
+                FROM lineitem WHERE l_extendedprice IS NOT NULL)
+            SELECT CAST(floor(cents / 500000.0) AS BIGINT) AS bin,
+                   CAST(floor(cents / 500000.0) AS BIGINT)
+                       * 500000.0 AS lo,
+                   (CAST(floor(cents / 500000.0) AS BIGINT) + 1)
+                       * 500000.0 AS hi,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS DOUBLE) AS sum_value
+            FROM v GROUP BY 1
+        """,
+        "pivot_orders": """
+            WITH o AS (
+                SELECT o_orderpriority, o_orderstatus,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                FROM orders)
+            SELECT o_orderpriority,
+                   CAST(count(*) FILTER (o_orderstatus = 'F')
+                        AS BIGINT) AS n_F,
+                   CAST(coalesce(sum(cents) FILTER (o_orderstatus = 'F'),
+                                 0) AS BIGINT) AS sum_F,
+                   CAST(count(*) FILTER (o_orderstatus = 'O')
+                        AS BIGINT) AS n_O,
+                   CAST(coalesce(sum(cents) FILTER (o_orderstatus = 'O'),
+                                 0) AS BIGINT) AS sum_O,
+                   CAST(count(*) FILTER (o_orderstatus = 'P')
+                        AS BIGINT) AS n_P,
+                   CAST(coalesce(sum(cents) FILTER (o_orderstatus = 'P'),
+                                 0) AS BIGINT) AS sum_P
+            FROM o GROUP BY o_orderpriority
+        """,
+        "rollup_revenue": """
+            WITH o AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                       c_nationkey
+                FROM orders JOIN customer ON o_custkey = c_custkey)
+            SELECT r_name, n_name,
+                   CAST(sum(cents) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM o
+            JOIN nation ON n_nationkey = c_nationkey
+            JOIN region ON r_regionkey = n_regionkey
+            GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "winsorize_prices": """
+            WITH v AS (
+                SELECT l_orderkey, l_linenumber,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS cents
+                FROM lineitem),
+            cnt AS (SELECT count(cents) AS c FROM v),
+            ranked AS (
+                SELECT cents, row_number() OVER (ORDER BY cents) AS rn
+                FROM v WHERE cents IS NOT NULL),
+            lo AS (SELECT min(cents) AS lo FROM ranked, cnt
+                   WHERE rn >= (c * 500 + 9999) // 10000),
+            hi AS (SELECT min(cents) AS hi FROM ranked, cnt
+                   WHERE rn >= (c * 9500 + 9999) // 10000)
+            SELECT v.l_orderkey, v.l_linenumber, v.cents,
+                   least(greatest(v.cents, lo.lo), hi.hi) AS cents_w
+            FROM v, lo, hi
         """,
         "orders_by_nation": """
             SELECT c_nationkey,

@@ -116,6 +116,8 @@ def run_benchmarks() -> dict:
         ("chunk_documents", entrymod.q_chunk_documents),
         ("bigram_pmi", entrymod.q_bigram_pmi),
         ("strip_boilerplate", entrymod.q_strip_boilerplate),
+        ("histogram_prices", entrymod.q_histogram_prices),
+        ("rollup_revenue", entrymod.q_rollup_revenue),
     ]
     for name, fn in bench_queries:
         def run(fn=fn):

@@ -1,0 +1,103 @@
+"""Analytics operators: histogram, pivot, rollup, winsorize."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from xpshacl_ray.functions.analytics import (histogram, pivot_counts,
+                                             rollup_sum)
+from xpshacl_ray.functions.sampling import (exact_quantile_thresholds,
+                                            winsorize)
+
+
+def test_histogram_bins_and_nulls():
+    t = pa.table({"x": pa.array([0.0, 1.5, 2.0, 2.9, -0.1, None, 10.0],
+                                pa.float64())})
+    out = histogram(ray.data.from_arrow(t).repartition(3), "x",
+                    width=1.0).to_pandas().sort_values(
+        "bin").reset_index(drop=True)
+    # bins: 0:[0,1.5? no—1.5 is bin 1] → bin0:{0.0}, bin1:{1.5}, bin2:{2.0,2.9},
+    # bin-1:{-0.1}, bin10:{10.0}; NULL dropped
+    assert list(out["bin"]) == [-1, 0, 1, 2, 10]
+    assert list(out["n"]) == [1, 1, 1, 2, 1]
+    assert out.loc[out["bin"] == 2, "sum_value"].iloc[0] == pytest.approx(4.9)
+    assert out.loc[out["bin"] == -1, "lo"].iloc[0] == pytest.approx(-1.0)
+    assert out.loc[out["bin"] == -1, "hi"].iloc[0] == pytest.approx(0.0)
+
+
+def test_histogram_rejects_bad_width():
+    t = pa.table({"x": pa.array([1.0])})
+    with pytest.raises(ValueError):
+        histogram(ray.data.from_arrow(t), "x", width=0.0)
+
+
+def test_pivot_counts_cells_and_missing():
+    t = pa.table({
+        "r": pa.array(["a", "a", "b", "b", "b"]),
+        "c": pa.array(["x", "y", "x", "x", "y"]),
+        "v": pa.array([1, 2, 3, 4, 5], pa.int64()),
+    })
+    out = pivot_counts(ray.data.from_arrow(t).repartition(2), "r", "c",
+                       col_values=["x", "y", "z"], value_col="v"
+                       ).to_pandas().set_index("r")
+    assert out.loc["a", "n_x"] == 1 and out.loc["a", "sum_x"] == 1
+    assert out.loc["b", "n_x"] == 2 and out.loc["b", "sum_x"] == 7
+    assert out.loc["b", "n_y"] == 1 and out.loc["b", "sum_y"] == 5
+    # pinned column with no data: zero-filled, schema stable
+    assert out.loc["a", "n_z"] == 0 and out.loc["a", "sum_z"] == 0
+
+
+def test_pivot_counts_without_values():
+    t = pa.table({"r": pa.array(["a", "b", "a"]),
+                  "c": pa.array(["x", "x", "y"])})
+    out = pivot_counts(ray.data.from_arrow(t), "r", "c").to_pandas()
+    assert sorted(out.columns) == ["n_x", "n_y", "r"]
+
+
+def test_rollup_sum_levels():
+    t = pa.table({
+        "k1": pa.array(["r1", "r1", "r2"]),
+        "k2": pa.array(["n1", "n2", "n3"]),
+        "v": pa.array([10, 20, 5], pa.int64()),
+    })
+    out = rollup_sum(ray.data.from_arrow(t).repartition(2),
+                     ["k1", "k2"], "v").to_pandas()
+    assert len(out) == 3 + 2 + 1  # finest + per-k1 + grand total
+    sub = out[out["k2"].isna() & out["k1"].notna()].set_index("k1")
+    assert sub.loc["r1", "total"] == 30 and sub.loc["r2", "total"] == 5
+    grand = out[out["k1"].isna()]
+    assert grand["total"].iloc[0] == 35 and grand["n"].iloc[0] == 3
+
+
+def test_rollup_sum_rejects_null_keys():
+    t = pa.table({"k1": pa.array(["a", None]),
+                  "v": pa.array([1, 2], pa.int64())})
+    with pytest.raises(ValueError, match="ambiguous"):
+        rollup_sum(ray.data.from_arrow(t), ["k1"], "v")
+
+
+def test_exact_quantile_thresholds_multi():
+    t = pa.table({"x": pa.array(list(range(1, 101)), pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    (p5, p95), n = exact_quantile_thresholds(ds, "x", [500, 9500])
+    assert n == 100 and p5 == 5 and p95 == 95
+    with pytest.raises(ValueError):
+        exact_quantile_thresholds(ds, "x", [0])
+
+
+def test_winsorize_clamps_and_preserves_nulls():
+    vals = list(range(1, 101)) + [None]
+    t = pa.table({"id": pa.array(range(101), pa.int64()),
+                  "x": pa.array(vals, pa.int64())})
+    out, (lo, hi) = winsorize(ray.data.from_arrow(t).repartition(3), "x",
+                              lo_bp=1000, hi_bp=9000)
+    assert (lo, hi) == (10, 90)
+    df = out.to_pandas().set_index("id")
+    assert df.loc[0, "x_w"] == 10      # 1 clamped up
+    assert df.loc[99, "x_w"] == 90     # 100 clamped down
+    assert df.loc[49, "x_w"] == 50     # interior untouched
+    assert pd.isna(df.loc[100, "x_w"])  # NULL passes through
+    with pytest.raises(ValueError):
+        winsorize(ray.data.from_arrow(t), "x", lo_bp=5000, hi_bp=5000)

@@ -10,7 +10,7 @@ resume, or by a downstream consumer.
 from __future__ import annotations
 
 import hashlib
-from typing import Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import pyarrow as pa
@@ -130,21 +130,67 @@ def exact_quantile_threshold(
     arithmetic — the SQL oracle reproduces the threshold with the same
     ``ceil`` expression, so there is no float-quantile-definition drift.
     """
-    if not 0 < q_bp <= 10000:
-        raise ValueError(f"q_bp must be in (0, 10000], got {q_bp}")
+    (thr,), n = exact_quantile_thresholds(ds, col, [q_bp])
+    return thr, n
+
+
+def exact_quantile_thresholds(
+    ds: "ray.data.Dataset",
+    col: str,
+    q_bps: Sequence[int],
+) -> Tuple[list, int]:
+    """(thresholds, n) — several exact type-1 quantiles from ONE value
+    distribution pass (same contract as
+    :func:`exact_quantile_threshold`, amortizing the groupby when a
+    caller needs both tails, e.g. winsorization)."""
+    for q_bp in q_bps:
+        if not 0 < q_bp <= 10000:
+            raise ValueError(f"q_bp must be in (0, 10000], got {q_bp}")
     dist = ds.groupby(col).count().take_all()
     rows = [(r[col], r["count()"]) for r in dist if r[col] is not None]
     if not rows:
         raise ValueError(f"no non-null values in column {col!r}")
     rows.sort(key=lambda r: r[0])
     n = sum(c for _, c in rows)
-    k = -(-n * q_bp // 10000)  # ceil(n * q_bp / 10000)
-    cum = 0
-    for v, c in rows:
-        cum += c
-        if cum >= k:
-            return v, n
-    return rows[-1][0], n
+    cums = np.cumsum([c for _, c in rows])
+    out = []
+    for q_bp in q_bps:
+        k = -(-n * q_bp // 10000)  # ceil(n * q_bp / 10000)
+        i = int(np.searchsorted(cums, k))
+        out.append(rows[min(i, len(rows) - 1)][0])
+    return out, n
+
+
+def winsorize(
+    ds: "ray.data.Dataset",
+    col: str,
+    lo_bp: int = 500,
+    hi_bp: int = 9500,
+    out_col: Optional[str] = None,
+) -> Tuple["ray.data.Dataset", tuple]:
+    """(clipped, (lo, hi)) — winsorize ``col`` to its exact global
+    [``lo_bp``, ``hi_bp``] basis-point quantile range (tail-robust
+    feature clipping: P05/P95 by default).
+
+    One distribution groupby computes BOTH thresholds (the only shuffle,
+    (value, count) pairs only), then a map-only clamp against the two
+    broadcast scalars.  NULLs pass through as NULL — clipping is
+    value-wise, not a filter.  Same bounded-cardinality contract as
+    :func:`exact_quantile_threshold`."""
+    if lo_bp >= hi_bp:
+        raise ValueError(f"lo_bp must be < hi_bp, got {lo_bp} >= {hi_bp}")
+    (lo, hi), _n = exact_quantile_thresholds(ds, col, [lo_bp, hi_bp])
+    dst = out_col or f"{col}_w"
+
+    def clamp(b: pa.Table) -> pa.Table:
+        # skip_nulls=False: NULL in → NULL out (default would substitute
+        # the scalar bound for a null input)
+        opts = pc.ElementWiseAggregateOptions(skip_nulls=False)
+        clipped = pc.min_element_wise(
+            pc.max_element_wise(b[col], lo, options=opts), hi, options=opts)
+        return b.append_column(dst, clipped)
+
+    return ds.map_batches(clamp, batch_format="pyarrow"), (lo, hi)
 
 
 def quantile_filter(
