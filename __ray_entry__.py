@@ -612,6 +612,40 @@ def q_winsorize_prices(sf_dir: str):
     return out
 
 
+def q_latest_event(sf_dir: str):
+    """Upsert/CDC compaction: the most recent event per user
+    (lexicographic max of (ts, event_id) — the id breaks timestamp
+    ties).  Per-batch combiner collapses to one row per key per batch
+    before the key shuffle."""
+    from xpshacl_ray.functions.compaction import latest_by_key
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    return latest_by_key(ev, "user_id", ["ts", "event_id"])
+
+
+def q_kfold(sf_dir: str):
+    """Deterministic 5-fold cross-validation assignment
+    (md5(doc_id) % 5): map-only, layout/resume-stable."""
+    from xpshacl_ray.functions.compaction import kfold_assign
+
+    return kfold_assign(_docs(sf_dir, columns=["doc_id"]), "doc_id", k=5)
+
+
+def q_budget_sample(sf_dir: str):
+    """Budget-constrained greedy prefix sample: keep docs in md5(id)
+    order while cumulative n_chars <= 50k.  Bucketed two-phase cutoff —
+    no global sort; only the boundary bucket's (md5, cost) pairs reach
+    the driver."""
+    from xpshacl_ray.functions.compaction import budget_sample
+
+    out, _report = budget_sample(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]),
+        "doc_id", "n_chars", budget=50_000)
+    return out
+
+
 def q_revenue_by_segment(sf_dir: str):
     """Broadcast hash join orders⋈customer + grouped revenue."""
     import ray as _ray
@@ -1972,6 +2006,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_orders": q_pivot_orders,
         "rollup_revenue": q_rollup_revenue,
         "winsorize_prices": q_winsorize_prices,
+        "latest_event": q_latest_event,
+        "kfold": q_kfold,
+        "budget_sample": q_budget_sample,
         "topk_users": q_topk_users,
         "window_hourly": q_window_hourly,
         "rolling_window": q_rolling_window,
@@ -2274,6 +2311,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "latest_event": """
+            SELECT event_id, ts, user_id, event_type, value
+            FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "kfold": """
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                   1, 8))::BIGINT % 5 AS fold
+            FROM documents
+        """,
+        "budget_sample": """
+            WITH c AS (
+                SELECT doc_id, n_chars,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents),
+            cum AS (
+                SELECT doc_id, n_chars,
+                       sum(n_chars) OVER (ORDER BY h) AS cum
+                FROM c)
+            SELECT doc_id, n_chars FROM cum WHERE cum <= 50000
         """,
         "winsorize_prices": """
             WITH v AS (
