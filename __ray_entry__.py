@@ -1306,6 +1306,42 @@ def q_dup_clusters(sf_dir: str):
     )
 
 
+def q_leakage_safe_split(sf_dir: str):
+    """Group-aware train/test split: every member of a near-dup cluster
+    gets the SAME side (md5 of the cluster label, not the doc id), so
+    near-duplicates can never straddle the split and leak eval data
+    into training.  Cluster labels (bounded by dup-graph node count)
+    broadcast as sorted arrays; assignment is map-only."""
+    from xpshacl_ray.functions.dedup import cluster_labels_distributed
+    from xpshacl_ray.functions.sampling import md5_bucket
+
+    pairs = minhash_lsh_candidates(_docs(sf_dir), jaccard_threshold=0.8)
+    labels = cluster_labels_distributed(pairs).to_pandas()
+    order = np.argsort(labels["node"].to_numpy())
+    nodes_ref = ray.put(labels["node"].to_numpy()[order])
+    labs_ref = ray.put(labels["label"].to_numpy()[order])
+
+    def assign(b: pa.Table) -> pa.Table:
+        nodes, labs = ray.get(nodes_ref), ray.get(labs_ref)
+        ids = np.asarray(pc.cast(b["doc_id"], pa.int64()))
+        if len(nodes):
+            idx = np.clip(np.searchsorted(nodes, ids), 0, len(nodes) - 1)
+            hit = nodes[idx] == ids
+            cluster = np.where(hit, labs[idx], ids)
+        else:
+            cluster = ids
+        fold = md5_bucket([str(int(c)) for c in cluster], 100)
+        split = np.where(fold < 20, "test", "train")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(cluster, pa.int64()),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    return _docs(sf_dir, columns=["doc_id"]).map_batches(
+        assign, batch_format="pyarrow")
+
+
 def q_ivf_knn(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     cent = train_centroids(emb, n_centroids=8, iters=5)
@@ -2007,6 +2043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": q_rollup_revenue,
         "winsorize_prices": q_winsorize_prices,
         "latest_event": q_latest_event,
+        "leakage_safe_split": q_leakage_safe_split,
         "kfold": q_kfold,
         "budget_sample": q_budget_sample,
         "topk_users": q_topk_users,
@@ -2113,6 +2150,37 @@ def oracle_sql() -> dict[str, str]:
         FROM walk GROUP BY node
     """
 
+    # Same recursive closure, composed with the split expression: every
+    # doc inherits its component's min-id label (itself when unclustered)
+    # and the md5 split is taken on the LABEL — the leakage-safety
+    # property the oracle checks end-to-end.
+    leakage_split_sql = f"""
+        WITH RECURSIVE pairs AS ({GOLDEN_SQL["minhash_pairs"]}),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        walk (node, lab) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, w.lab
+            FROM edges e JOIN walk w ON e.dst = w.node
+        ),
+        lab AS (
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(min(lab) AS BIGINT) AS cluster
+            FROM walk GROUP BY node
+        )
+        SELECT d.doc_id,
+               coalesce(l.cluster, d.doc_id) AS cluster,
+               CASE WHEN ('0x' || substr(md5(CAST(
+                        coalesce(l.cluster, d.doc_id) AS VARCHAR)),
+                        1, 8))::BIGINT % 100 < 20
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents d LEFT JOIN lab l USING (doc_id)
+    """
+
     containment_sql = f"""
         WITH pairs AS ({GOLDEN_SQL["minhash_pairs"]}),
         toks AS (
@@ -2176,6 +2244,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **GOLDEN_SQL,
         "dup_clusters": dup_clusters_sql,
+        "leakage_safe_split": leakage_split_sql,
         "containment_pairs": containment_sql,
         "canonical_dups": canonical_sql,
         "violations_documents": _VIOLATIONS_SQL,
