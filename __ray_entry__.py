@@ -612,6 +612,40 @@ def q_winsorize_prices(sf_dir: str):
     return out
 
 
+def q_corr_matrix(sf_dir: str):
+    """Pearson correlation of four lineitem measures in one pass: the
+    per-batch moment combiner ships one fixed-width row per batch — no
+    shuffle at all."""
+    from xpshacl_ray.functions.analytics import correlation_matrix
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplication monitoring: distinct text-hash pairs per
+    key; both exchanges carry fixed-width rows, never text."""
+    from xpshacl_ray.functions.dedup import dup_rate_by_key
+
+    return dup_rate_by_key(_docs(sf_dir, columns=["source", "text"]),
+                           key_col="source")
+
+
+def q_mad_outliers(sf_dir: str):
+    """Median/MAD robust z of n_chars per language — the outlier gate
+    a corrupt tail can't drag.  One value-distribution groupby; medians
+    exact (interpolated, SQL median() parity) on the driver; broadcast
+    LUT map pass."""
+    from xpshacl_ray.stages.stats import mad_robust_z
+
+    return mad_robust_z(
+        _docs(sf_dir, columns=["doc_id", "lang", "n_chars"]),
+        "n_chars", ["lang"])
+
+
 def q_latest_event(sf_dir: str):
     """Upsert/CDC compaction: the most recent event per user
     (lexicographic max of (ts, event_id) — the id breaks timestamp
@@ -2044,6 +2078,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize_prices": q_winsorize_prices,
         "latest_event": q_latest_event,
         "leakage_safe_split": q_leakage_safe_split,
+        "corr_matrix": q_corr_matrix,
+        "dup_rate_by_source": q_dup_rate_by_source,
+        "mad_outliers": q_mad_outliers,
         "kfold": q_kfold,
         "budget_sample": q_budget_sample,
         "topk_users": q_topk_users,
@@ -2380,6 +2417,61 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             JOIN region ON r_regionkey = n_regionkey
             GROUP BY ROLLUP(r_name, n_name)
+        """,
+        "corr_matrix": """
+            WITH pairs(col_a, col_b) AS (VALUES
+                ('l_quantity', 'l_extendedprice'),
+                ('l_quantity', 'l_discount'),
+                ('l_quantity', 'l_tax'),
+                ('l_extendedprice', 'l_discount'),
+                ('l_extendedprice', 'l_tax'),
+                ('l_discount', 'l_tax')),
+            c AS (
+                SELECT * FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                  AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+            vals AS (
+                SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                       corr(l_quantity, l_extendedprice) AS c0 FROM c
+                UNION ALL SELECT 'l_quantity', 'l_discount',
+                       corr(l_quantity, l_discount) FROM c
+                UNION ALL SELECT 'l_quantity', 'l_tax',
+                       corr(l_quantity, l_tax) FROM c
+                UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                       corr(l_extendedprice, l_discount) FROM c
+                UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                       corr(l_extendedprice, l_tax) FROM c
+                UNION ALL SELECT 'l_discount', 'l_tax',
+                       corr(l_discount, l_tax) FROM c)
+            SELECT col_a, col_b, round(c0, 6) AS corr FROM vals
+        """,
+        "dup_rate_by_source": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT text) AS BIGINT) AS n_unique,
+                   round((count(*) - count(DISTINCT text)) * 1.0
+                         / count(*), 6) AS dup_fraction
+            FROM documents GROUP BY source
+        """,
+        "mad_outliers": """
+            WITH med AS (
+                SELECT lang, median(n_chars) AS med
+                FROM documents GROUP BY lang),
+            mad AS (
+                SELECT d.lang,
+                       median(abs(d.n_chars - m.med)) AS mad
+                FROM documents d JOIN med m USING (lang)
+                GROUP BY d.lang),
+            z AS (
+                SELECT d.doc_id, d.lang, d.n_chars,
+                       CASE WHEN mad.mad > 0
+                            THEN round((d.n_chars - med.med)
+                                       / (1.4826 * mad.mad), 6)
+                       END AS robust_z
+                FROM documents d
+                JOIN med USING (lang) JOIN mad USING (lang))
+            SELECT * FROM z
         """,
         "latest_event": """
             SELECT event_id, ts, user_id, event_type, value

@@ -118,6 +118,9 @@ def run_benchmarks() -> dict:
         ("strip_boilerplate", entrymod.q_strip_boilerplate),
         ("histogram_prices", entrymod.q_histogram_prices),
         ("rollup_revenue", entrymod.q_rollup_revenue),
+        ("corr_matrix", entrymod.q_corr_matrix),
+        ("dup_rate_by_source", entrymod.q_dup_rate_by_source),
+        ("mad_outliers", entrymod.q_mad_outliers),
     ]
     for name, fn in bench_queries:
         def run(fn=fn):

@@ -101,3 +101,71 @@ def test_winsorize_clamps_and_preserves_nulls():
     assert pd.isna(df.loc[100, "x_w"])  # NULL passes through
     with pytest.raises(ValueError):
         winsorize(ray.data.from_arrow(t), "x", lo_bp=5000, hi_bp=5000)
+
+
+def test_correlation_matrix_known_values():
+    from xpshacl_ray.functions.analytics import correlation_matrix
+    n = 200
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=n)
+    t = pa.table({
+        "a": pa.array(x),
+        "b": pa.array(2.0 * x + 1.0),        # corr +1
+        "c": pa.array(-x),                   # corr -1
+        "d": pa.array(np.full(n, 7.0)),      # zero variance -> NULL
+    })
+    out = correlation_matrix(ray.data.from_arrow(t).repartition(4),
+                             ["a", "b", "c", "d"]).to_pandas()
+    got = {(r["col_a"], r["col_b"]): r["corr"] for _, r in out.iterrows()}
+    assert got[("a", "b")] == pytest.approx(1.0)
+    assert got[("a", "c")] == pytest.approx(-1.0)
+    assert pd.isna(got[("a", "d")])
+    assert len(out) == 6
+    with pytest.raises(ValueError):
+        correlation_matrix(ray.data.from_arrow(t), ["a"])
+
+
+def test_correlation_matrix_listwise_nulls():
+    from xpshacl_ray.functions.analytics import correlation_matrix
+    t = pa.table({"a": pa.array([1.0, 2.0, 3.0, None]),
+                  "b": pa.array([2.0, 4.0, 6.0, 100.0])})
+    out = correlation_matrix(ray.data.from_arrow(t), ["a", "b"]
+                             ).to_pandas()
+    assert out["corr"].iloc[0] == pytest.approx(1.0)  # row 4 dropped
+
+
+def test_mad_robust_z_hand_computed():
+    from xpshacl_ray.stages.stats import mad_robust_z
+    # group g: values 1..7 plus outlier 100 -> median 4.5 (even n),
+    # |d| = 3.5,2.5,1.5,.5,.5,1.5,2.5,95.5 -> MAD = 2.0
+    vals = [1, 2, 3, 4, 5, 6, 7, 100]
+    t = pa.table({"g": pa.array(["g"] * 8), "id": pa.array(range(8)),
+                  "x": pa.array(vals, pa.int64())})
+    out = mad_robust_z(ray.data.from_arrow(t).repartition(3), "x", ["g"]
+                       ).to_pandas().set_index("id")
+    med, mad = 4.5, 2.0
+    for i, v in enumerate(vals):
+        assert out.loc[i, "robust_z"] == pytest.approx(
+            round((v - med) / (1.4826 * mad), 6))
+
+
+def test_mad_robust_z_zero_mad_gives_null():
+    from xpshacl_ray.stages.stats import mad_robust_z
+    t = pa.table({"g": pa.array(["a"] * 5), "id": pa.array(range(5)),
+                  "x": pa.array([3, 3, 3, 3, 9], pa.int64())})
+    out = mad_robust_z(ray.data.from_arrow(t), "x", ["g"]).to_pandas()
+    assert out["robust_z"].isna().all()  # MAD = 0 -> unscorable
+
+
+def test_dup_rate_by_key_counts():
+    from xpshacl_ray.functions.dedup import dup_rate_by_key
+    t = pa.table({
+        "source": pa.array(["s1"] * 4 + ["s2"] * 3),
+        "text": pa.array(["a", "a", "b", None, "x", "y", "z"]),
+    })
+    out = {r["source"]: r for r in dup_rate_by_key(
+        ray.data.from_arrow(t).repartition(3)).take_all()}
+    assert out["s1"]["n_docs"] == 4 and out["s1"]["n_unique"] == 2
+    assert out["s1"]["dup_fraction"] == pytest.approx(0.5)
+    assert out["s2"]["n_docs"] == 3 and out["s2"]["n_unique"] == 3
+    assert out["s2"]["dup_fraction"] == 0.0

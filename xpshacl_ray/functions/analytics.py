@@ -118,6 +118,51 @@ def pivot_counts(ds: "ray.data.Dataset", row_key: str, col_key: str,
     return pa.table(out)
 
 
+def correlation_matrix(ds: "ray.data.Dataset", cols: List[str],
+                       ndigits: int = 6) -> pa.Table:
+    """Pearson correlation for every pair of ``cols`` in ONE pass:
+    per-batch sufficient statistics (n, Σx per column, Σxy per pair)
+    summed on the driver — the exchange is one fixed-width moment row
+    per batch regardless of data size; no shuffle at all.
+
+    Rows containing a NULL in ANY of ``cols`` are dropped (listwise
+    deletion) so the statistic matches SQL ``corr()`` over the same
+    complete-rows subset.  Output: (col_a, col_b, corr) for a < b,
+    rounded to ``ndigits``; a zero-variance column yields NULL."""
+    k = len(cols)
+    if k < 2:
+        raise ValueError("correlation_matrix needs at least two columns")
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = np.stack(
+            [b[c].to_numpy(zero_copy_only=False).astype(np.float64)
+             for c in cols], axis=1)
+        ok = ~np.isnan(x).any(axis=1)
+        x = x[ok]
+        moments = np.concatenate(
+            [[len(x)], x.sum(axis=0), (x.T @ x).ravel()])
+        return pa.table({"m": pa.array([moments.tolist()],
+                                       pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    tot = np.sum([np.asarray(p["m"]) for p in parts], axis=0)
+    n, sums = tot[0], tot[1:1 + k]
+    cross = tot[1 + k:].reshape(k, k)
+    out_a, out_b, out_c = [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = n * cross[i, j] - sums[i] * sums[j]
+            var_i = n * cross[i, i] - sums[i] ** 2
+            var_j = n * cross[j, j] - sums[j] ** 2
+            c = (None if var_i <= 0 or var_j <= 0
+                 else round(num / np.sqrt(var_i * var_j), ndigits))
+            out_a.append(cols[i])
+            out_b.append(cols[j])
+            out_c.append(c)
+    return pa.table({"col_a": pa.array(out_a), "col_b": pa.array(out_b),
+                     "corr": pa.array(out_c, pa.float64())})
+
+
 def rollup_sum(ds: "ray.data.Dataset", keys: List[str], value_col: str,
                ) -> pa.Table:
     """ROLLUP-style hierarchical subtotals: sums of ``value_col`` at

@@ -1175,3 +1175,70 @@ def corpus_diff(
         return b.filter(pc.invert(hit))
 
     return ds_a.map_batches(probe, batch_format="pyarrow")
+
+
+def dup_rate_by_key(ds: "ray.data.Dataset", key_col: str = "source",
+                    text_col: str = "text") -> "ray.data.Dataset":
+    """Per-key duplication report: ``(key, n_docs, n_unique,
+    dup_fraction)`` — the monitoring readout that tells you WHICH shard
+    of a corpus is flooding the dedup stage before you pay for it.
+
+    Per-batch combiner collapses rows to distinct (key, text-hash)
+    pairs with their row counts, so the first exchange carries
+    fixed-width hash rows (never text); after the pair groupby each
+    distinct pair exists exactly once globally, and the per-key rollup
+    is a second tiny exchange.  NULL texts count toward ``n_docs`` but
+    not ``n_unique`` (SQL ``count(DISTINCT text)`` parity).  Text
+    identity is a 64-bit hash (collision merges at ~pairs/2^64 —
+    negligible, and only ever undercounts uniques).
+    """
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from xpshacl_ray.functions.sketches import hash64
+
+    def pairs(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        null = np.asarray(pc.is_null(txt))
+        h = hash64(pc.fill_null(txt, "").to_numpy(
+            zero_copy_only=False)).view(np.int64)
+        t = pa.table({key_col: b[key_col],
+                      "h": pa.array(h),
+                      "is_null": pa.array(null),
+                      "c": pa.array(np.ones(len(b), np.int64))})
+        g = t.group_by([key_col, "h", "is_null"]).aggregate([("c", "sum")])
+        return g.rename_columns([key_col, "h", "is_null", "cnt"])
+
+    pair_counts = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby([key_col, "h", "is_null"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def per_key_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: b[key_col],
+            "p_docs": b["cnt"],
+            "p_unique": pc.cast(pc.invert(b["is_null"]), pa.int64()),
+        })
+        g = t.group_by([key_col]).aggregate(
+            [("p_docs", "sum"), ("p_unique", "sum")])
+        return g.rename_columns([key_col, "p_docs", "p_unique"])
+
+    agg = (pair_counts.map_batches(per_key_partial, batch_format="pyarrow")
+           .groupby(key_col)
+           .aggregate(Sum("p_docs", alias_name="n_docs"),
+                      Sum("p_unique", alias_name="n_unique")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        nd = np.asarray(b["n_docs"], dtype=np.int64)
+        nu = np.asarray(b["n_unique"], dtype=np.int64)
+        return pa.table({
+            key_col: b[key_col],
+            "n_docs": pa.array(nd),
+            "n_unique": pa.array(nu),
+            "dup_fraction": pa.array(
+                np.round((nd - nu) / np.maximum(nd, 1), 6)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -530,3 +530,93 @@ def percentile_rank(
         return b.append_column(out_col, pa.array(out, pa.float64()))
 
     return ds.map_batches(rank_rows, batch_format="pyarrow")
+
+
+def _weighted_median(vals: np.ndarray, cnts: np.ndarray) -> float:
+    """Interpolated median of a (value, count) distribution — SQL
+    ``median()`` / ``percentile_cont(0.5)`` parity: for even n the mean
+    of the two middle order statistics, else the middle one.  ``vals``
+    must be sorted ascending."""
+    n = int(cnts.sum())
+    cum = np.cumsum(cnts)
+    if n % 2:
+        return float(vals[np.searchsorted(cum, (n + 1) // 2)])
+    lo = float(vals[np.searchsorted(cum, n // 2)])
+    hi = float(vals[np.searchsorted(cum, n // 2 + 1)])
+    return (lo + hi) / 2.0
+
+
+def mad_robust_z(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    group_cols: List[str],
+    out_col: str = "robust_z",
+    ndigits: int = 6,
+    hist_broadcast_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Median/MAD robust z-score per group:
+    ``(x − median) / (1.4826 · MAD)`` with ``MAD = median(|x −
+    median|)`` — the outlier gate that, unlike :func:`zscore_outliers`,
+    is not itself dragged by the outliers it hunts (a handful of
+    corrupt 10^9-char docs shifts a mean, not a median).
+
+    Same scale shape as :func:`percentile_rank`: ONE value-distribution
+    groupby (exchange = distinct (group, value) pairs, bounded by
+    ``hist_broadcast_limit``), both medians computed per group on the
+    driver from the weighted distribution (exact, interpolated — SQL
+    ``median()`` parity), then a broadcast-LUT map pass.  Zero-MAD
+    groups (over half the mass on one value) and null group keys yield
+    NULL — mirror a SQL oracle with ``JOIN USING (key)`` semantics.
+    """
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def hist(b: pa.Table) -> pa.Table:
+        t = pa.table({**{c: b[c] for c in group_cols},
+                      value_col: b[value_col]})
+        t = t.filter(pc.is_valid(t[value_col]))
+        g = t.group_by(group_cols + [value_col]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(group_cols + [value_col, "n"])
+
+    htbl = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby(group_cols + [value_col])
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    n_pairs = htbl.count()
+    if n_pairs > hist_broadcast_limit:
+        raise ValueError(
+            f"{n_pairs} distinct (group, value) pairs exceeds "
+            f"hist_broadcast_limit={hist_broadcast_limit}; use the "
+            "t-digest approximate path instead")
+    hdf = htbl.to_pandas().sort_values(group_cols + [value_col])
+    lut = {}
+    for g, sub in hdf.groupby(group_cols, sort=False, dropna=True):
+        vals = sub[value_col].to_numpy(dtype=np.float64)
+        cnts = sub["n"].to_numpy(dtype=np.int64)
+        med = _weighted_median(vals, cnts)
+        d = np.abs(vals - med)
+        order = np.argsort(d, kind="stable")
+        mad = _weighted_median(d[order], cnts[order])
+        lut[g if isinstance(g, tuple) else (g,)] = (med, mad)
+    ref = _ray.put(lut)
+
+    def score(b: pa.Table) -> pa.Table:
+        table = _ray.get(ref)
+        df = b.to_pandas()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        out = np.full(len(df), np.nan)
+        for g, idx in df.groupby(group_cols, sort=False).indices.items():
+            key = g if isinstance(g, tuple) else (g,)
+            entry = table.get(key)
+            if entry is None:
+                continue
+            med, mad = entry
+            if mad > 0:
+                out[idx] = np.round((v[idx] - med) / (1.4826 * mad),
+                                    ndigits)
+        return b.append_column(out_col, pa.array(out, pa.float64()))
+
+    return ds.map_batches(score, batch_format="pyarrow")
