@@ -1320,6 +1320,17 @@ def q_containment_pairs(sf_dir: str):
                               metric="containment")
 
 
+def q_edit_distance_pairs(sf_dir: str):
+    """Character-level edit similarity (1 − lev/maxlen) over the LSH
+    candidate pairs — the strictest near-dup verification tier (order-
+    sensitive, no tokenization); vectorized-row DP kernel through the
+    same broadcast/bucketed-join verify paths."""
+    ds = _docs(sf_dir)
+    cand = minhash_lsh_candidates(ds, jaccard_threshold=0.8)
+    return verify_pairs_ngram(ds, cand, threshold=0.0,
+                              metric="edit_sim")
+
+
 def q_dup_clusters(sf_dir: str):
     """Duplicate-cluster resolution: connected components over the
     MinHash-LSH candidate-pair graph via distributed min-label
@@ -1857,6 +1868,15 @@ def q_strip_boilerplate(sf_dir: str):
                              min_docs=2, line_tokens=8)
 
 
+def q_token_dropout(sf_dir: str):
+    """Deterministic md5 token-dropout augmentation (10%): row-local,
+    resume-stable, fully replayable in SQL."""
+    from xpshacl_ray.functions.text import token_dropout
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: token_dropout(b, rate_pct=10), batch_format="pyarrow")
+
+
 def q_feature_hash(sf_dir: str):
     """Hashing-trick sparse features (md5(term) % 64): vocabularyless,
     in-batch assembly, no shuffle; bucket assignment SQL-reproducible."""
@@ -2118,6 +2138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "dup_clusters": q_dup_clusters,
         "containment_pairs": q_containment_pairs,
+        "edit_distance_pairs": q_edit_distance_pairs,
         "canonical_dups": q_canonical_dups,
         "ivf_knn": q_ivf_knn,
         "kmeans_clusters": q_kmeans_clusters,
@@ -2147,6 +2168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": q_bigram_pmi,
         "normalize_text": q_normalize_text,
         "strip_boilerplate": q_strip_boilerplate,
+        "token_dropout": q_token_dropout,
         "feature_hash": q_feature_hash,
         "char_entropy": q_char_entropy,
         "chunk_documents": q_chunk_documents,
@@ -2218,6 +2240,23 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN lab l USING (doc_id)
     """
 
+    edit_pairs_sql = f"""
+        WITH pairs AS ({GOLDEN_SQL["minhash_pairs"]})
+        SELECT p.id_a, p.id_b,
+               CASE WHEN length(coalesce(da.text, '')) = 0
+                     AND length(coalesce(db.text, '')) = 0 THEN 1.0
+                    ELSE round(1.0 - levenshtein(coalesce(da.text, ''),
+                                                 coalesce(db.text, ''))
+                               * 1.0 / greatest(length(coalesce(da.text,
+                                                                '')),
+                                                length(coalesce(db.text,
+                                                                ''))),
+                               6) END AS edit_sim
+        FROM pairs p
+        JOIN documents da ON da.doc_id = p.id_a
+        JOIN documents db ON db.doc_id = p.id_b
+    """
+
     containment_sql = f"""
         WITH pairs AS ({GOLDEN_SQL["minhash_pairs"]}),
         toks AS (
@@ -2282,6 +2321,7 @@ def oracle_sql() -> dict[str, str]:
         **GOLDEN_SQL,
         "dup_clusters": dup_clusters_sql,
         "leakage_safe_split": leakage_split_sql,
+        "edit_distance_pairs": edit_pairs_sql,
         "containment_pairs": containment_sql,
         "canonical_dups": canonical_sql,
         "violations_documents": _VIOLATIONS_SQL,
@@ -2944,6 +2984,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n.is_null THEN NULL
                         ELSE coalesce(a.text_clean, '') END AS text_clean
             FROM nl n LEFT JOIN agg a USING (doc_id)
+        """,
+        "token_dropout": """
+            WITH t AS (
+                SELECT doc_id, str_split(text, ' ') AS toks
+                FROM documents),
+            f AS (
+                SELECT doc_id, toks,
+                       list_filter(toks, (x, i) ->
+                           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                               || ':'
+                                               || CAST(i - 1 AS VARCHAR)),
+                                           1, 8))::BIGINT % 100 >= 10)
+                           AS kept
+                FROM t)
+            SELECT d.doc_id,
+                   CASE WHEN d.text IS NULL THEN NULL
+                        ELSE coalesce(array_to_string(f.kept, ' '), '')
+                   END AS text_aug,
+                   CASE WHEN d.text IS NULL THEN 0
+                        ELSE len(f.toks) END AS n_tokens,
+                   CASE WHEN d.text IS NULL THEN 0
+                        ELSE len(f.toks) - len(f.kept) END AS n_dropped
+            FROM documents d JOIN f USING (doc_id)
         """,
         "feature_hash": """
             WITH toks AS (

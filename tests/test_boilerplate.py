@@ -110,3 +110,76 @@ def test_no_boilerplate_is_identity_reassembly():
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[1]["text_clean"] == "w1 w2 w3"
     assert by_id[2]["text_clean"] == "x1 x2 x3 x4"
+
+
+def test_edit_similarity_kernel():
+    from xpshacl_ray.functions.dedup import (edit_similarity,
+                                             levenshtein_distance)
+    assert levenshtein_distance("kitten", "sitting") == 3
+    assert levenshtein_distance("", "abc") == 3
+    assert levenshtein_distance("abc", "") == 3
+    assert edit_similarity("", "") == 1.0
+    assert edit_similarity("abcd", "abcd") == 1.0
+    assert edit_similarity("abcd", "abce") == 0.75
+    assert edit_similarity(None, "ab") == 0.0  # null-as-empty guard
+
+
+def test_verify_pairs_edit_metric_paths_agree():
+    import ray.data
+    from xpshacl_ray.functions.dedup import verify_pairs_ngram
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["the quick brown fox", "the quick brown fix",
+                          "completely different words"]),
+    })
+    prs = pa.table({"id_a": pa.array([1, 1], pa.int64()),
+                    "id_b": pa.array([2, 3], pa.int64())})
+    ds, pd_ = ray.data.from_arrow(docs), ray.data.from_arrow(prs)
+    a = sorted(verify_pairs_ngram(ds, pd_, threshold=0.0,
+                                  metric="edit_sim").take_all(),
+               key=lambda r: r["id_b"])
+    b = sorted(verify_pairs_ngram(ds, pd_, threshold=0.0,
+                                  metric="edit_sim",
+                                  broadcast_limit=0).take_all(),
+               key=lambda r: r["id_b"])
+    assert a == b  # broadcast vs bucketed-join path
+    assert a[0]["edit_sim"] == pytest.approx(1 - 1 / 19)
+
+
+def test_token_dropout_deterministic_and_nulls():
+    import hashlib
+    from xpshacl_ray.functions.text import token_dropout
+    b = pa.table({"doc_id": pa.array([7, 8], pa.int64()),
+                  "text": pa.array(["a b c d e f g h i j", None])})
+    out = token_dropout(b, rate_pct=50)
+    toks = "a b c d e f g h i j".split()
+    kept = [t for i, t in enumerate(toks)
+            if int(hashlib.md5(f"7:{i}".encode()).hexdigest()[:8],
+                   16) % 100 >= 50]
+    assert out["text_aug"][0].as_py() == " ".join(kept)
+    assert out["n_tokens"][0].as_py() == 10
+    assert out["n_dropped"][0].as_py() == 10 - len(kept)
+    assert out["text_aug"][1].as_py() is None
+    # rate 0 is identity
+    out0 = token_dropout(b, rate_pct=0)
+    assert out0["text_aug"][0].as_py() == "a b c d e f g h i j"
+
+
+def test_levenshtein_fuzz_vs_reference_dp():
+    import random
+    from xpshacl_ray.functions.dedup import levenshtein_distance
+
+    def ref(a, b):
+        d = list(range(len(b) + 1))
+        for i in range(1, len(a) + 1):
+            diag, d[0] = d[0], i
+            for j in range(1, len(b) + 1):
+                diag, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       diag + (a[i - 1] != b[j - 1]))
+        return d[len(b)]
+
+    rng = random.Random(1)
+    for _ in range(300):
+        a = "".join(rng.choice("abcdé") for _ in range(rng.randint(0, 12)))
+        b = "".join(rng.choice("abcdé") for _ in range(rng.randint(0, 12)))
+        assert levenshtein_distance(a, b) == ref(a, b), (a, b)

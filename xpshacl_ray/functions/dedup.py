@@ -879,7 +879,42 @@ def ngram_containment(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / min(len(sa), len(sb))
 
 
-_PAIR_METRICS = {"jaccard": ngram_jaccard, "containment": ngram_containment}
+def levenshtein_distance(a: str, b: str) -> int:
+    """Character-level edit distance, rows vectorized: the insert-chain
+    recurrence ``row[j] = min(m[j-1], row[j-1]+1)`` is solved in one
+    ``minimum.accumulate`` over ``row[j]-j`` (monotone transform), so
+    the DP is O(|a|) numpy passes instead of O(|a|·|b|) Python steps.
+    Operates on codepoints (UTF-32) — DuckDB ``levenshtein()`` parity."""
+    if a == b:
+        return 0
+    ca = np.frombuffer(a.encode("utf-32-le"), dtype=np.uint32)
+    cb = np.frombuffer(b.encode("utf-32-le"), dtype=np.uint32)
+    if len(ca) < len(cb):  # iterate over the longer side, vectorize wider
+        ca, cb = cb, ca
+    la, lb = len(ca), len(cb)
+    if lb == 0:
+        return la
+    prev = np.arange(lb + 1, dtype=np.int64)
+    j = np.arange(1, lb + 1, dtype=np.int64)
+    for i in range(1, la + 1):
+        m = np.minimum(prev[1:] + 1, prev[:-1] + (cb != ca[i - 1]))
+        z = np.minimum.accumulate(np.r_[np.int64(i), m - j])
+        prev = z + np.r_[np.int64(0), j]
+    return int(prev[-1])
+
+
+def edit_similarity(a: str, b: str, n: int = 3) -> float:
+    """Normalized edit similarity ``1 − lev(a,b)/max(len)`` (``n`` is
+    ignored — kernel-signature compatibility with the n-gram metrics);
+    two empty strings are identical (1.0)."""
+    a, b = a or "", b or ""
+    if not a and not b:
+        return 1.0
+    return 1.0 - levenshtein_distance(a, b) / max(len(a), len(b))
+
+
+_PAIR_METRICS = {"jaccard": ngram_jaccard, "containment": ngram_containment,
+                 "edit_sim": edit_similarity}
 
 
 def verify_pairs_ngram(

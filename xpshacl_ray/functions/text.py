@@ -1143,3 +1143,49 @@ def filter_badwords(
         return b.filter(pa.array(hits <= max_hits))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def token_dropout(batch: pa.Table, rate_pct: int = 10,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  salt: str = "") -> pa.Table:
+    """Deterministic token-dropout augmentation: token ``i`` of doc
+    ``d`` is dropped iff ``md5(salt + d + ':' + i) % 100 < rate_pct`` —
+    reproducible across re-runs/resumes/repartitions and replayable in
+    SQL (the augmentation equivalent of the md5 sampling family).
+
+    Row-local map stage, no shuffle.  Tokens are the raw single-space
+    split (empties kept, like the stopword scrub) and survivors re-join
+    on single spaces; NULL text stays NULL.  The per-token md5 is the
+    price of SQL-grade reproducibility — swap the keep-mask for a
+    vectorized ``hash64`` when auditability can be dropped.
+
+    Output: ``doc_id, text_aug, n_tokens, n_dropped``.
+    """
+    import hashlib as _hashlib
+
+    col = batch[text_col]
+    ids = pc.cast(batch[id_col], pa.string()).to_pylist()
+    is_null = np.asarray(pc.is_null(col))
+    texts = pc.fill_null(col, "").to_pylist()
+    out_txt: list = []
+    n_tok = np.zeros(len(texts), np.int64)
+    n_drop = np.zeros(len(texts), np.int64)
+    for r, (d, txt) in enumerate(zip(ids, texts)):
+        if is_null[r]:
+            out_txt.append(None)
+            continue
+        toks = txt.split(" ")
+        kept = [
+            t for i, t in enumerate(toks)
+            if int(_hashlib.md5(f"{salt}{d}:{i}".encode())
+                   .hexdigest()[:8], 16) % 100 >= rate_pct
+        ]
+        n_tok[r] = len(toks)
+        n_drop[r] = len(toks) - len(kept)
+        out_txt.append(" ".join(kept))
+    return pa.table({
+        "doc_id": batch[id_col],
+        "text_aug": pa.array(out_txt, pa.string()),
+        "n_tokens": pa.array(n_tok),
+        "n_dropped": pa.array(n_drop),
+    })
