@@ -1542,6 +1542,83 @@ def q_asof_next_click(sf_dir: str):
     return joined.map_batches(shape, batch_format="pyarrow")
 
 
+def q_supplier_item_rollup(sf_dir: str):
+    """LEFT OUTER bucketed hash join: every supplier keeps its row,
+    suppliers absent from the (restricted, so the outer side BITES)
+    lineitem aggregate get NULL measures.  The right side is
+    pre-aggregated per key before the join — the exchange carries one
+    row per (supplier, batch), never lineitems."""
+    from ray.data.aggregate import Sum
+
+    from xpshacl_ray.functions.joins import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_orderkey", "l_quantity"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pa.array(
+            np.asarray(pc.cast(b["l_orderkey"], pa.int64())) % 499 == 0))
+        t = pa.table({
+            "s_suppkey": b["l_suppkey"],
+            "p_n": pa.array(np.ones(len(b), np.int64)),
+            "p_qty": pa.array(_to_scaled_int(
+                b["l_quantity"].to_numpy(zero_copy_only=False), 100)),
+        })
+        g = t.group_by(["s_suppkey"]).aggregate(
+            [("p_n", "sum"), ("p_qty", "sum")])
+        return g.rename_columns(["s_suppkey", "p_n", "p_qty"])
+
+    agg = (li.map_batches(part, batch_format="pyarrow")
+           .groupby("s_suppkey")
+           .aggregate(Sum("p_n", alias_name="n_items"),
+                      Sum("p_qty", alias_name="qty_cents")))
+    sup = ray.data.read_parquet(f"{sf_dir}/supplier.parquet",
+                                columns=["s_suppkey"])
+    j = hash_join(sup, agg, key="s_suppkey", how="left")
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        # NULL-fill promotes per-bucket dtypes inconsistently; pin BOTH
+        # measure columns to float64 so the unioned schema is stable
+        return pd.DataFrame({
+            "s_suppkey": b["s_suppkey"].astype("int64"),
+            "n_items": b["n_items"].astype("float64"),
+            "qty_cents": b["qty_cents"].astype("float64"),
+        })
+
+    return j.map_batches(finish, batch_format="pandas")
+
+
+def q_pagerank(sf_dir: str):
+    """Fixed-iteration PageRank over the supplier→customer trade graph
+    (edges = DISTINCT pairs through lineitem⋈orders).  Each round scans
+    the distributed edge table against a broadcast rank vector;
+    per-batch partials pre-sum per destination before the one groupby.
+    Oracle: the same three rounds UNROLLED in SQL."""
+    from xpshacl_ray.functions.graph import pagerank
+    from xpshacl_ray.functions.joins import hash_join
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_suppkey"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"],
+                            "o_custkey": b["o_custkey"]}),
+        batch_format="pyarrow")
+    j = hash_join(li, orders, key="l_orderkey", n_buckets=32)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            "s", pc.cast(b["l_suppkey"], pa.string()), "")
+        c = pc.binary_join_element_wise(
+            "c", pc.cast(b["o_custkey"], pa.string()), "")
+        return pa.table({"src": s, "dst": c})
+
+    return pagerank(j.map_batches(to_edges, batch_format="pyarrow"),
+                    damping=0.85, iters=3)
+
+
 def q_suppliers_no_lineitems(sf_dir: str):
     """Explicit distributed anti-join: suppliers with no lineitem —
     distinct-key build (combiner-bounded) + broadcast miss-probe, the
@@ -2150,6 +2227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_signup": q_asof_purchase_signup,
         "asof_next_click": q_asof_next_click,
         "suppliers_no_lineitems": q_suppliers_no_lineitems,
+        "supplier_item_rollup": q_supplier_item_rollup,
+        "pagerank": q_pagerank,
         "reassemble_chunks": q_reassemble_chunks,
         "json_extract_sum": q_json_extract_sum,
         "json_project": q_json_project,
@@ -3192,6 +3271,55 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT user_id, ts FROM events
                   WHERE event_type = 'click') c
             ON v.user_id = c.user_id AND v.ts <= c.ts
+        """,
+        "pagerank": """
+            WITH edges AS (
+                SELECT DISTINCT
+                       's' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                       'c' || CAST(o.o_custkey AS VARCHAR) AS dst
+                FROM lineitem l JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey),
+            deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+                    FROM edges GROUP BY src),
+            nodes AS (SELECT src AS node FROM edges
+                      UNION SELECT dst FROM edges),
+            nn AS (SELECT CAST(count(*) AS DOUBLE) AS cnt FROM nodes),
+            p0 AS (SELECT node, 1.0 / cnt AS pr FROM nodes, nn),
+            s1 AS (SELECT e.dst AS node, sum(p.pr / deg.d) AS m
+                   FROM edges e JOIN p0 p ON p.node = e.src
+                   JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            p1 AS (SELECT nd.node,
+                          0.15 / nn.cnt + 0.85 * coalesce(s1.m, 0) AS pr
+                   FROM nodes nd CROSS JOIN nn
+                   LEFT JOIN s1 ON s1.node = nd.node),
+            s2 AS (SELECT e.dst AS node, sum(p.pr / deg.d) AS m
+                   FROM edges e JOIN p1 p ON p.node = e.src
+                   JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            p2 AS (SELECT nd.node,
+                          0.15 / nn.cnt + 0.85 * coalesce(s2.m, 0) AS pr
+                   FROM nodes nd CROSS JOIN nn
+                   LEFT JOIN s2 ON s2.node = nd.node),
+            s3 AS (SELECT e.dst AS node, sum(p.pr / deg.d) AS m
+                   FROM edges e JOIN p2 p ON p.node = e.src
+                   JOIN deg ON deg.src = e.src GROUP BY e.dst),
+            p3 AS (SELECT nd.node,
+                          0.15 / nn.cnt + 0.85 * coalesce(s3.m, 0) AS pr
+                   FROM nodes nd CROSS JOIN nn
+                   LEFT JOIN s3 ON s3.node = nd.node)
+            SELECT node, round(pr, 6) AS pr FROM p3
+        """,
+        "supplier_item_rollup": """
+            WITH agg AS (
+                SELECT l_suppkey AS s_suppkey,
+                       CAST(count(*) AS BIGINT) AS n_items,
+                       sum(CAST(round(l_quantity * 100) AS BIGINT))
+                           AS qty_cents
+                FROM lineitem WHERE l_orderkey % 499 = 0
+                GROUP BY 1)
+            SELECT s.s_suppkey,
+                   CAST(a.n_items AS DOUBLE) AS n_items,
+                   CAST(a.qty_cents AS DOUBLE) AS qty_cents
+            FROM supplier s LEFT JOIN agg a USING (s_suppkey)
         """,
         "suppliers_no_lineitems": """
             SELECT s_suppkey, s_name FROM supplier

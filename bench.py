@@ -121,6 +121,7 @@ def run_benchmarks() -> dict:
         ("corr_matrix", entrymod.q_corr_matrix),
         ("dup_rate_by_source", entrymod.q_dup_rate_by_source),
         ("mad_outliers", entrymod.q_mad_outliers),
+        ("pagerank", entrymod.q_pagerank),
     ]
     for name, fn in bench_queries:
         def run(fn=fn):

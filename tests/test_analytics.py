@@ -169,3 +169,41 @@ def test_dup_rate_by_key_counts():
     assert out["s1"]["dup_fraction"] == pytest.approx(0.5)
     assert out["s2"]["n_docs"] == 3 and out["s2"]["n_unique"] == 3
     assert out["s2"]["dup_fraction"] == 0.0
+
+
+def test_pagerank_hand_graph_and_multi_edge_dedup():
+    from xpshacl_ray.functions.graph import pagerank
+    # star a->c, b->c (c dangling); duplicate a->c must NOT double-count
+    e = pa.table({"src": pa.array(["a", "a", "b"]),
+                  "dst": pa.array(["c", "c", "c"])})
+    out = {r["node"]: r["pr"] for r in pa.Table.to_pylist(
+        pagerank(ray.data.from_arrow(e).repartition(2), iters=3))}
+    # p1: c = .05 + .85*(2/3); p2,p3: a=b stuck at .05 -> c = .05+.85*.1
+    assert out["a"] == pytest.approx(0.05)
+    assert out["b"] == pytest.approx(0.05)
+    assert out["c"] == pytest.approx(0.135)
+
+
+def test_pagerank_cycle_stays_uniform():
+    from xpshacl_ray.functions.graph import pagerank
+    e = pa.table({"src": pa.array(["a", "b", "c"]),
+                  "dst": pa.array(["b", "c", "a"])})
+    out = {r["node"]: r["pr"]
+           for r in pa.Table.to_pylist(pagerank(ray.data.from_arrow(e)))}
+    for v in out.values():
+        assert v == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_hash_join_left_outer_null_fill():
+    from xpshacl_ray.functions.joins import hash_join
+    left = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "lv": pa.array(["x", "y", "z"])})
+    right = pa.table({"k": pa.array([1, 3], pa.int64()),
+                      "rv": pa.array([10, 30], pa.int64())})
+    out = hash_join(ray.data.from_arrow(left).repartition(2),
+                    ray.data.from_arrow(right), key="k",
+                    how="left").to_pandas().sort_values(
+        "k").reset_index(drop=True)
+    assert len(out) == 3  # every left row survives
+    assert out.loc[1, "k"] == 2 and pd.isna(out.loc[1, "rv"])
+    assert out.loc[0, "rv"] == 10 and out.loc[2, "rv"] == 30

@@ -1,0 +1,96 @@
+"""Graph analytics over edge-list Datasets.
+
+:func:`pagerank` — fixed-iteration PageRank: per round, the EDGE table
+(the big side) is scanned distributed with the current rank vector
+broadcast read-only, per-batch partial contributions are pre-summed per
+destination, and one ``groupby(dst).sum`` finishes the round.  Node
+state (rank + out-degree, one float per node) lives on the driver
+between rounds — the Pregel-with-small-state regime, valid while
+``N_nodes ≪ N_edges`` (entity graphs); past driver memory, swap the
+broadcast for a ``hash_join`` of a rank Dataset against the edges
+(same round structure, one more shuffle per round).
+
+Semantics (mirrored exactly by the SQL-unrolled oracle):
+``pr'(v) = (1-d)/N + d * Σ_{(u,v)∈E} pr(u)/outdeg(u)`` — dangling-node
+mass is dropped, not redistributed (the common simplification; total
+mass then decays slightly per round, which is fine for ranking).
+
+Connected components live in :mod:`.dedup` (``cluster_labels_distributed``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _distinct_edges(edges: "ray.data.Dataset", src: str, dst: str,
+                    ) -> "ray.data.Dataset":
+    """Distributed DISTINCT on (src, dst): per-batch dedup first, then
+    one groupby — multi-edges would otherwise multiply contributions."""
+
+    def local(b: pa.Table) -> pa.Table:
+        return b.select([src, dst]).group_by([src, dst]).aggregate([])
+
+    return (edges.map_batches(local, batch_format="pyarrow")
+            .groupby([src, dst]).map_groups(
+                lambda g: g.slice(0, 1), batch_format="pyarrow"))
+
+
+def pagerank(edges: "ray.data.Dataset", src: str = "src",
+             dst: str = "dst", damping: float = 0.85, iters: int = 3,
+             ndigits: int = 6) -> pa.Table:
+    """(node, pr) after ``iters`` synchronous rounds from a uniform
+    start.  See module docstring for the scale contract; ``ndigits``
+    rounds the published ranks (float-sum order differs from SQL's)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    e = _distinct_edges(edges, src, dst).materialize()
+
+    # node universe + out-degrees (driver state: one row per NODE)
+    deg_rows = e.groupby(src).count().take_all()
+    outdeg: Dict = {r[src]: r["count()"] for r in deg_rows}
+    dsts = e.groupby(dst).count().take_all()
+    nodes = sorted(set(outdeg) | {r[dst] for r in dsts})
+    n = len(nodes)
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "pr": pa.array([], pa.float64())})
+    node_arr = np.array(nodes, dtype=object)
+    idx_of = {v: i for i, v in enumerate(nodes)}
+    deg_arr = np.zeros(n, np.float64)
+    for k, v in outdeg.items():
+        deg_arr[idx_of[k]] = v
+
+    pr = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    nodes_ref = _ray.put(node_arr)
+
+    for _ in range(iters):
+        pr_ref = _ray.put(pr)
+        deg_ref = _ray.put(deg_arr)
+
+        def contrib(b: pa.Table, pr_ref=pr_ref, deg_ref=deg_ref
+                    ) -> pa.Table:
+            nd = _ray.get(nodes_ref)
+            p, dg = _ray.get(pr_ref), _ray.get(deg_ref)
+            s_idx = np.searchsorted(nd, np.asarray(b[src]))
+            w = p[s_idx] / dg[s_idx]  # outdeg>0: src always has an edge
+            t = pa.table({"node": b[dst], "w": pa.array(w)})
+            g = t.group_by(["node"]).aggregate([("w", "sum")])
+            return g.rename_columns(["node", "w"])
+
+        sums = (e.map_batches(contrib, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("w", alias_name="m"))
+                .take_all())
+        new = np.full(n, base)
+        for r in sums:
+            new[idx_of[r["node"]]] += damping * r["m"]
+        pr = new
+
+    return pa.table({"node": pa.array(nodes),
+                     "pr": pa.array(np.round(pr, ndigits))})
