@@ -1387,6 +1387,19 @@ def q_leakage_safe_split(sf_dir: str):
         assign, batch_format="pyarrow")
 
 
+def q_mean_pool(sf_dir: str):
+    """Chunk→doc embedding pooling: element-wise mean of embeddings per
+    group (vec_id // 10 plays the "chunks of one document" role).
+    Raw vectors never shuffle — one d-dim partial per group per batch;
+    flat (grp, dim, avg) output."""
+    from xpshacl_ray.functions.similarity import mean_pool_by_group
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return mean_pool_by_group(
+        emb, lambda b: np.asarray(pc.cast(b["vec_id"], pa.int64())) // 10)
+
+
 def q_ivf_knn(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
     cent = train_centroids(emb, n_centroids=8, iters=5)
@@ -2229,6 +2242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_no_lineitems": q_suppliers_no_lineitems,
         "supplier_item_rollup": q_supplier_item_rollup,
         "pagerank": q_pagerank,
+        "mean_pool": q_mean_pool,
         "reassemble_chunks": q_reassemble_chunks,
         "json_extract_sum": q_json_extract_sum,
         "json_project": q_json_project,
@@ -3271,6 +3285,17 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT user_id, ts FROM events
                   WHERE event_type = 'click') c
             ON v.user_id = c.user_id AND v.ts <= c.ts
+        """,
+        "mean_pool": """
+            WITH flat AS (
+                SELECT vec_id // 10 AS grp,
+                       s.i - 1 AS dim,
+                       embedding[s.i] AS x
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS s(i))
+            SELECT grp, CAST(dim AS BIGINT) AS dim,
+                   round(avg(CAST(x AS DOUBLE)), 6) AS avg
+            FROM flat GROUP BY grp, dim
         """,
         "pagerank": """
             WITH edges AS (

@@ -207,3 +207,20 @@ def test_hash_join_left_outer_null_fill():
     assert len(out) == 3  # every left row survives
     assert out.loc[1, "k"] == 2 and pd.isna(out.loc[1, "rv"])
     assert out.loc[0, "rv"] == 10 and out.loc[2, "rv"] == 30
+
+
+def test_mean_pool_by_group_elementwise():
+    from xpshacl_ray.functions.similarity import mean_pool_by_group
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 10], pa.int64()),
+        "embedding": pa.array([[1.0, 2.0], [3.0, 6.0], [5.0, 5.0]],
+                              pa.list_(pa.float32())),
+    })
+    out = mean_pool_by_group(
+        ray.data.from_arrow(t).repartition(3),
+        lambda b: np.asarray(b["vec_id"], dtype=np.int64) // 10,
+    ).to_pandas().set_index(["grp", "dim"])
+    assert out.loc[(0, 0), "avg"] == pytest.approx(2.0)   # (1+3)/2
+    assert out.loc[(0, 1), "avg"] == pytest.approx(4.0)   # (2+6)/2
+    assert out.loc[(1, 0), "avg"] == pytest.approx(5.0)
+    assert len(out) == 4

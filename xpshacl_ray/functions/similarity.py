@@ -558,3 +558,51 @@ def knn_cosine_quantized(
                           ascending=[False, True]).head(k)
     out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
     return out.reset_index(drop=True)
+
+
+def mean_pool_by_group(
+    ds: "ray.data.Dataset",
+    group_expr,
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Element-wise mean of a vector column per group — the chunk→doc
+    embedding pooling step (average the chunk embeddings back into one
+    document vector).  ``group_expr(batch) -> int64 ndarray`` assigns
+    each row its group.
+
+    Output is FLAT ``(grp, dim, avg)`` rows (one per group × dimension)
+    rather than list columns — unambiguous to compare, join, or write.
+    Scale shape: per-batch ``np.add.at`` accumulates (group, Σvec, n)
+    partials, so the groupby exchange carries one d-dim row per group
+    per batch and the raw vectors never shuffle; the finish stage fans
+    the pooled vector out to (dim, value) rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = _as_matrix(b, vec_col)
+        grp = np.asarray(group_expr(b), dtype=np.int64)
+        uniq, inv = np.unique(grp, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]))
+        np.add.at(sums, inv, m)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "grp": pa.array(uniq),
+            "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            "n": pa.array(n),
+        })
+
+    def merge(g: "pd.DataFrame") -> pa.Table:
+        vs = np.sum(np.stack([np.asarray(v, dtype=np.float64)
+                              for v in g["vsum"]]), axis=0)
+        n = int(g["n"].sum())
+        mean = np.round(vs / n, ndigits)
+        d = len(mean)
+        return pa.table({
+            "grp": pa.array(np.repeat(int(g["grp"].iloc[0]), d)),
+            "dim": pa.array(np.arange(d, dtype=np.int64)),
+            "avg": pa.array(mean),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("grp").map_groups(merge, batch_format="pandas"))
