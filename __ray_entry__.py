@@ -2026,6 +2026,29 @@ def q_quantile_filter(sf_dir: str):
     return out.select_columns(["doc_id", "n_chars"])
 
 
+def q_equidepth_buckets(sf_dir: str):
+    """Equi-depth (quartile) bucketing of n_chars: three exact type-1
+    thresholds from ONE value-distribution pass, then a map-only
+    searchsorted assignment.  Value-deterministic (ties share a bucket)
+    unlike SQL NTILE's row-position splits — the oracle replays the
+    same order-statistic thresholds + CASE."""
+    from xpshacl_ray.functions.sampling import exact_quantile_thresholds
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    thr, _n = exact_quantile_thresholds(ds, "n_chars",
+                                        [2500, 5000, 7500])
+    thr_arr = np.asarray(thr, dtype=np.int64)
+
+    def assign(b: pa.Table) -> pa.Table:
+        x = np.asarray(pc.cast(b["n_chars"], pa.int64()))
+        bucket = np.searchsorted(thr_arr, x, side="left")
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_chars": b["n_chars"],
+                         "bucket": pa.array(bucket.astype(np.int64))})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def q_rebalance_mixture(sf_dir: str):
     """Domain-mixture rebalancing to a 50/30/20 target over three
     sources (drop the rest): exact integer rate derivation + md5-bucket
@@ -2243,6 +2266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_item_rollup": q_supplier_item_rollup,
         "pagerank": q_pagerank,
         "mean_pool": q_mean_pool,
+        "equidepth_buckets": q_equidepth_buckets,
         "reassemble_chunks": q_reassemble_chunks,
         "json_extract_sum": q_json_extract_sum,
         "json_project": q_json_project,
@@ -3296,6 +3320,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp, CAST(dim AS BIGINT) AS dim,
                    round(avg(CAST(x AS DOUBLE)), 6) AS avg
             FROM flat GROUP BY grp, dim
+        """,
+        "equidepth_buckets": """
+            WITH ranked AS (
+                SELECT n_chars AS c,
+                       row_number() OVER (ORDER BY n_chars) AS rn,
+                       count(*) OVER () AS n
+                FROM documents WHERE n_chars IS NOT NULL),
+            t1 AS (SELECT min(c) AS t FROM ranked
+                   WHERE rn >= (n * 2500 + 9999) // 10000),
+            t2 AS (SELECT min(c) AS t FROM ranked
+                   WHERE rn >= (n * 5000 + 9999) // 10000),
+            t3 AS (SELECT min(c) AS t FROM ranked
+                   WHERE rn >= (n * 7500 + 9999) // 10000)
+            SELECT d.doc_id, d.n_chars,
+                   CASE WHEN d.n_chars <= t1.t THEN 0
+                        WHEN d.n_chars <= t2.t THEN 1
+                        WHEN d.n_chars <= t3.t THEN 2
+                        ELSE 3 END AS bucket
+            FROM documents d, t1, t2, t3
         """,
         "pagerank": """
             WITH edges AS (
