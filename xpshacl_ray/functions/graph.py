@@ -15,6 +15,11 @@ Semantics (mirrored exactly by the SQL-unrolled oracle):
 mass is dropped, not redistributed (the common simplification; total
 mass then decays slightly per round, which is fine for ranking).
 
+Node ids should be NUMERIC where possible — the per-round broadcast
+probe is a ``searchsorted``, vectorized for int ids but forced through
+per-element Python comparisons for strings (encode composite ids as
+ints, e.g. ``suppkey*2`` / ``custkey*2+1``).
+
 Connected components live in :mod:`.dedup` (``cluster_labels_distributed``).
 """
 
@@ -35,9 +40,12 @@ def _distinct_edges(edges: "ray.data.Dataset", src: str, dst: str,
     def local(b: pa.Table) -> pa.Table:
         return b.select([src, dst]).group_by([src, dst]).aggregate([])
 
+    # aggregate-count then drop the count: one shuffle, no per-group
+    # Python (a map_groups here would invoke once PER DISTINCT EDGE)
     return (edges.map_batches(local, batch_format="pyarrow")
-            .groupby([src, dst]).map_groups(
-                lambda g: g.slice(0, 1), batch_format="pyarrow"))
+            .groupby([src, dst]).count()
+            .map_batches(lambda b: b.select([src, dst]),
+                         batch_format="pyarrow"))
 
 
 def pagerank(edges: "ray.data.Dataset", src: str = "src",
@@ -47,9 +55,10 @@ def pagerank(edges: "ray.data.Dataset", src: str = "src",
     start.  See module docstring for the scale contract; ``ndigits``
     rounds the published ranks (float-sum order differs from SQL's)."""
     import ray as _ray
-    from ray.data.aggregate import Sum
 
-    e = _distinct_edges(edges, src, dst).materialize()
+    # few wide blocks: per-round partials are (node, w) rows per block,
+    # so block count × node count bounds the driver merge
+    e = _distinct_edges(edges, src, dst).repartition(32).materialize()
 
     # node universe + out-degrees (driver state: one row per NODE)
     deg_rows = e.groupby(src).count().take_all()
@@ -60,7 +69,10 @@ def pagerank(edges: "ray.data.Dataset", src: str = "src",
     if n == 0:
         return pa.table({"node": pa.array([], pa.string()),
                          "pr": pa.array([], pa.float64())})
-    node_arr = np.array(nodes, dtype=object)
+    try:  # int ids: vectorized searchsorted in the hot per-batch probe
+        node_arr = np.array(nodes, dtype=np.int64)
+    except (TypeError, ValueError, OverflowError):
+        node_arr = np.array(nodes, dtype=object)
     idx_of = {v: i for i, v in enumerate(nodes)}
     deg_arr = np.zeros(n, np.float64)
     for k, v in outdeg.items():
@@ -84,13 +96,18 @@ def pagerank(edges: "ray.data.Dataset", src: str = "src",
             g = t.group_by(["node"]).aggregate([("w", "sum")])
             return g.rename_columns(["node", "w"])
 
-        sums = (e.map_batches(contrib, batch_format="pyarrow")
-                .groupby("node").aggregate(Sum("w", alias_name="m"))
-                .take_all())
-        new = np.full(n, base)
-        for r in sums:
-            new[idx_of[r["node"]]] += damping * r["m"]
-        pr = new
+        # node state already lives on the driver, so merging the
+        # per-block per-node partials here (streamed, vectorized) saves
+        # a full sort-shuffle per round; the groupby(node).sum variant
+        # is the swap for node-scale-exceeds-driver graphs
+        acc = np.zeros(n)
+        for b in (e.map_batches(contrib, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow")):
+            if len(b) == 0:
+                continue
+            i = np.searchsorted(node_arr, np.asarray(b["node"]))
+            np.add.at(acc, i, np.asarray(b["w"], dtype=np.float64))
+        pr = base + damping * acc
 
     return pa.table({"node": pa.array(nodes),
                      "pr": pa.array(np.round(pr, ndigits))})
