@@ -634,6 +634,22 @@ def q_dup_rate_by_source(sf_dir: str):
                            key_col="source")
 
 
+def q_source_overlap(sf_dir: str):
+    """Pairwise shard-contamination matrix: distinct content keys
+    (100-char prefix fingerprints — whole texts never cross sources in
+    this corpus, truncated re-posts do) shared by each source pair.
+    Distinct (hash, source) rows + bucketed self-join on the hash
+    (per-hash fan-out bounded by #shards); text never moves."""
+    from xpshacl_ray.functions.dedup import source_overlap_matrix
+
+    docs = _docs(sf_dir, columns=["source", "text"]).map_batches(
+        lambda b: pa.table({
+            "source": b["source"],
+            "text": pc.utf8_slice_codeunits(b["text"], 0, 100),
+        }), batch_format="pyarrow")
+    return source_overlap_matrix(docs, key_col="source")
+
+
 def q_mad_outliers(sf_dir: str):
     """Median/MAD robust z of n_chars per language — the outlier gate
     a corrupt tail can't drag.  One value-distribution groupby; medians
@@ -2217,6 +2233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leakage_safe_split": q_leakage_safe_split,
         "corr_matrix": q_corr_matrix,
         "dup_rate_by_source": q_dup_rate_by_source,
+        "source_overlap": q_source_overlap,
         "mad_outliers": q_mad_outliers,
         "kfold": q_kfold,
         "budget_sample": q_budget_sample,
@@ -2614,6 +2631,16 @@ def oracle_sql() -> dict[str, str]:
                    round((count(*) - count(DISTINCT text)) * 1.0
                          / count(*), 6) AS dup_fraction
             FROM documents GROUP BY source
+        """,
+        "source_overlap": """
+            WITH d AS (
+                SELECT DISTINCT source, substr(text, 1, 100) AS text
+                FROM documents WHERE text IS NOT NULL)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM d a JOIN d b
+              ON a.text = b.text AND a.source < b.source
+            GROUP BY 1, 2
         """,
         "mad_outliers": """
             WITH med AS (

@@ -224,3 +224,20 @@ def test_mean_pool_by_group_elementwise():
     assert out.loc[(0, 1), "avg"] == pytest.approx(4.0)   # (2+6)/2
     assert out.loc[(1, 0), "avg"] == pytest.approx(5.0)
     assert len(out) == 4
+
+
+def test_source_overlap_matrix_counts():
+    from xpshacl_ray.functions.dedup import source_overlap_matrix
+    t = pa.table({
+        "source": pa.array(["s1", "s1", "s2", "s2", "s3", "s3", "s1"]),
+        "text": pa.array(["shared", "only1", "shared", "also23",
+                          "also23", "shared", None]),
+    })
+    out = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in source_overlap_matrix(
+               ray.data.from_arrow(t).repartition(3)).take_all()}
+    # 'shared' spans s1/s2/s3 -> 3 pairs; 'also23' spans s2/s3; NULL ignored
+    assert out[("s1", "s2")] == 1
+    assert out[("s1", "s3")] == 1
+    assert out[("s2", "s3")] == 2
+    assert len(out) == 3

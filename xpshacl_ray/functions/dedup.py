@@ -1277,3 +1277,58 @@ def dup_rate_by_key(ds: "ray.data.Dataset", key_col: str = "source",
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_overlap_matrix(ds: "ray.data.Dataset", key_col: str = "source",
+                          text_col: str = "text",
+                          n_buckets: int = 32) -> "ray.data.Dataset":
+    """Pairwise shard contamination: for every pair of ``key_col``
+    values, how many DISTINCT texts they share — the matrix that tells
+    you which two ingest feeds are re-crawling each other before a
+    cross-source dedup pays for itself.
+
+    Distinct (text-hash, key) rows first (per-batch combiner + one
+    groupby, text never moves), then a bucketed self-join on the hash:
+    per-hash fan-out is bounded by the number of KEYS (shards), not
+    rows, so the join cannot explode; pair counts pre-aggregate per
+    batch before the final tiny groupby.  NULL texts are ignored.
+    """
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    from xpshacl_ray.functions.joins import hash_join
+    from xpshacl_ray.functions.sketches import hash64
+
+    def pairs(b: pa.Table) -> pa.Table:
+        txt = b[text_col]
+        ok = np.asarray(pc.is_valid(txt))
+        h = hash64(pc.fill_null(txt, "").to_numpy(
+            zero_copy_only=False)).view(np.int64)
+        t = pa.table({"h": pa.array(h[ok]),
+                      key_col: b[key_col].filter(pa.array(ok))})
+        return t.group_by(["h", key_col]).aggregate([])
+
+    d = (ds.map_batches(pairs, batch_format="pyarrow")
+         .groupby(["h", key_col]).count()
+         .map_batches(lambda b: b.select(["h", key_col]),
+                      batch_format="pyarrow"))
+
+    left = d.map_batches(
+        lambda b: pa.table({"h": b["h"], "src_a": b[key_col]}),
+        batch_format="pyarrow")
+    right = d.map_batches(
+        lambda b: pa.table({"h": b["h"], "src_b": b[key_col]}),
+        batch_format="pyarrow")
+    joined = hash_join(left, right, key="h", n_buckets=n_buckets)
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.less(b["src_a"], b["src_b"])
+        t = pa.table({"src_a": b["src_a"].filter(keep),
+                      "src_b": b["src_b"].filter(keep)})
+        g = t.group_by(["src_a", "src_b"]).aggregate([([], "count_all")])
+        return pa.table({"source_a": g["src_a"], "source_b": g["src_b"],
+                         "p_n": pc.cast(g["count_all"], pa.int64())})
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("p_n", alias_name="n_shared")))
