@@ -1978,6 +1978,15 @@ def q_strip_boilerplate(sf_dir: str):
                              min_docs=2, line_tokens=8)
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Order-sensitive perplexity proxy: per-doc average add-1-smoothed
+    bigram log-probability under the corpus's own bigram LM.  Two
+    (term, int64) count exchanges + a broadcast-probe scoring pass."""
+    from xpshacl_ray.functions.text import bigram_logprob
+
+    return bigram_logprob(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
 def q_token_dropout(sf_dir: str):
     """Deterministic md5 token-dropout augmentation (10%): row-local,
     resume-stable, fully replayable in SQL."""
@@ -2307,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": q_normalize_text,
         "strip_boilerplate": q_strip_boilerplate,
         "token_dropout": q_token_dropout,
+        "bigram_logprob": q_bigram_logprob,
         "feature_hash": q_feature_hash,
         "char_entropy": q_char_entropy,
         "chunk_documents": q_chunk_documents,
@@ -3132,6 +3142,39 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n.is_null THEN NULL
                         ELSE coalesce(a.text_clean, '') END AS text_clean
             FROM nl n LEFT JOIN agg a USING (doc_id)
+        """,
+        "bigram_logprob": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       list_filter(str_split(lower(coalesce(text, '')),
+                                             ' '), x -> x <> '') AS tk
+                FROM documents),
+            uni AS (
+                SELECT CAST(count(DISTINCT t) AS DOUBLE) AS v
+                FROM (SELECT unnest(tk) AS t FROM corpus)),
+            docbg AS (
+                SELECT doc_id, tk[s.i] AS w1, tk[s.i + 1] AS w2
+                FROM corpus,
+                     unnest(generate_series(1, len(tk) - 1)) AS s(i)),
+            bgc AS (
+                SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+                FROM docbg GROUP BY 1, 2),
+            pre AS (
+                SELECT w1, sum(c12) AS c1 FROM bgc GROUP BY 1),
+            scored AS (
+                SELECT d.doc_id,
+                       ln((bgc.c12 + 1.0) / (pre.c1 + uni.v)) AS lp
+                FROM docbg d
+                JOIN bgc USING (w1, w2) JOIN pre USING (w1)
+                CROSS JOIN uni),
+            agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+                       sum(lp) AS t
+                FROM scored GROUP BY doc_id)
+            SELECT c.doc_id,
+                   coalesce(a.n, 0) AS n_bigrams,
+                   coalesce(round(a.t / a.n, 6), 0.0) AS avg_logprob
+            FROM corpus c LEFT JOIN agg a USING (doc_id)
         """,
         "token_dropout": """
             WITH t AS (

@@ -241,3 +241,19 @@ def test_source_overlap_matrix_counts():
     assert out[("s1", "s3")] == 1
     assert out[("s2", "s3")] == 2
     assert len(out) == 3
+
+
+def test_bigram_logprob_hand_computed():
+    import math
+    from xpshacl_ray.functions.text import bigram_logprob
+    # corpus: "a b a b" and "a b"; V=2; bigrams: (a,b)x3, (b,a)x1
+    # c(a.)=3, c(b.)=1; P(b|a)=(3+1)/(3+2)=0.8; P(a|b)=(1+1)/(1+2)=2/3
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(["a b a b", "a b", None])})
+    out = {r["doc_id"]: r for r in bigram_logprob(
+        ray.data.from_arrow(t).repartition(2)).take_all()}
+    exp1 = round((2 * math.log(0.8) + math.log(2 / 3)) / 3, 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(exp1)
+    assert out[2]["avg_logprob"] == pytest.approx(round(math.log(0.8), 6))
+    assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] == 0.0

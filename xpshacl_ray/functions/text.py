@@ -1189,3 +1189,121 @@ def token_dropout(batch: pa.Table, rate_pct: int = 10,
         "n_tokens": pa.array(n_tok),
         "n_dropped": pa.array(n_drop),
     })
+
+
+def _filtered_tokens(col) -> Tuple[pa.Array, np.ndarray]:
+    """(flat lowered non-empty tokens, per-row int64 offsets) — the
+    list_filter(str_split(lower(text)), <> '') layout shared by the
+    bigram operators."""
+    toks = _space_token_lists(pc.fill_null(col, ""))
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    keep = pc.not_equal(flat, "")
+    flat_k = pc.cast(flat.filter(keep), pa.string())
+    parent_k = np.asarray(parent.filter(keep), dtype=np.int64)
+    counts = np.bincount(parent_k, minlength=len(toks))
+    offsets = np.zeros(len(toks) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    return flat_k, offsets
+
+
+def _doc_bigrams(col) -> Tuple[pa.Array, np.ndarray]:
+    """(composite 'w1 w2' bigram strings, doc row index per bigram) for
+    one batch — adjacent pairs within each doc's filtered token list
+    (tokens cannot contain spaces, so the space-joined composite is a
+    collision-free key)."""
+    flat, offsets = _filtered_tokens(col)
+    T = len(flat)
+    if T < 2:
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    pos = np.arange(T - 1, dtype=np.int64)
+    doc = np.searchsorted(offsets, pos, side="right") - 1
+    valid = pos + 1 < offsets[doc + 1]  # pair stays inside its doc
+    if not valid.any():
+        return pa.array([], pa.string()), np.empty(0, np.int64)
+    i = pa.array(pos[valid])
+    comp = pc.binary_join_element_wise(flat.take(i),
+                                       flat.take(pa.array(pos[valid] + 1)),
+                                       " ")
+    return comp, doc[valid]
+
+
+def bigram_logprob(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    doc_id_col: str = "doc_id",
+    vocab_broadcast_limit: int = 2_000_000,
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Per-document average bigram log-probability with add-1 (Laplace)
+    smoothing under the corpus's own bigram LM — the order-sensitive
+    perplexity proxy (:func:`unigram_logprob` scores a bag of words;
+    this one penalizes scrambled or template-stitched text too):
+
+    ``P(w2|w1) = (c(w1 w2) + 1) / (c(w1·) + V)`` where ``c(w1·)`` counts
+    bigram positions starting with ``w1`` and ``V`` is the distinct
+    unigram vocabulary; ``score(d) = Σ ln P / n_bigrams(d)``.
+
+    Two count passes (unigram vocab + bigram table, both (term, int64)
+    exchanges) then a broadcast-probe scoring pass — text never
+    shuffles.  Raises past ``vocab_broadcast_limit`` distinct bigrams
+    (bucket-join the exploded bigram rows at that scale)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    vocab_size = (
+        ds.map_batches(lambda b: partial_term_counts(b, text_col),
+                       batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("n", alias_name="n")).count())
+
+    def partial_bg(b: pa.Table) -> pa.Table:
+        comp, _doc = _doc_bigrams(b[text_col])
+        t = pa.table({"bg": comp})
+        agg = t.group_by(["bg"]).aggregate([([], "count_all")])
+        return pa.table({"bg": agg["bg"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    bgc = (ds.map_batches(partial_bg, batch_format="pyarrow")
+           .groupby("bg").aggregate(Sum("n", alias_name="n"))
+           .materialize())
+    n_bigrams = bgc.count()
+    if n_bigrams > vocab_broadcast_limit:
+        raise ValueError(
+            f"{n_bigrams} distinct bigrams exceeds vocab_broadcast_limit="
+            f"{vocab_broadcast_limit}; bucket-join the bigram rows "
+            "instead of broadcasting")
+    rows = bgc.take_all()
+    comps = np.array(sorted(r["bg"] for r in rows), dtype=object)
+    cmap = {r["bg"]: r["n"] for r in rows}
+    c12 = np.array([cmap[c] for c in comps], dtype=np.float64)
+    w1s = np.array([c.split(" ", 1)[0] for c in comps], dtype=object)
+    c1 = np.zeros(len(comps))
+    uniq_w1, inv = np.unique(w1s, return_inverse=True)
+    sums_w1 = np.zeros(len(uniq_w1))
+    np.add.at(sums_w1, inv, c12)
+    c1 = sums_w1[inv]
+    logp = np.log((c12 + 1.0) / (c1 + float(vocab_size)))
+    ref = _ray.put((pa.array(comps.tolist(), pa.string()), logp))
+
+    def score(b: pa.Table) -> pa.Table:
+        comps_s, logp_s = _ray.get(ref)
+        ids = np.asarray(pc.cast(b[doc_id_col], pa.int64()))
+        comp, doc = _doc_bigrams(b[text_col])
+        sums = np.zeros(len(b))
+        nbg = np.zeros(len(b), np.int64)
+        if len(comp):
+            idx_arr = pc.index_in(comp, value_set=comps_s)
+            idx = np.asarray(pc.fill_null(idx_arr, 0), dtype=np.int64)
+            hit = np.asarray(pc.is_valid(idx_arr))
+            np.add.at(sums, doc, np.where(hit, logp_s[idx], 0.0))
+            np.add.at(nbg, doc, hit.astype(np.int64))
+        with np.errstate(invalid="ignore"):
+            avg = np.where(nbg > 0, np.round(sums / np.maximum(nbg, 1),
+                                             ndigits), 0.0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(nbg),
+            "avg_logprob": pa.array(avg, pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
