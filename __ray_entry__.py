@@ -1978,6 +1978,41 @@ def q_strip_boilerplate(sf_dir: str):
                              min_docs=2, line_tokens=8)
 
 
+def q_keyness_terms(sf_dir: str):
+    """Dunning G² keyness per source shard (corpus-comparison: which
+    terms are over-represented in a feed vs the rest).  One
+    (key, term, int64) exchange; totals broadcast; full value table
+    output (top-k ranking would be ULP-fragile)."""
+    from xpshacl_ray.functions.text import keyness_by_key
+
+    return keyness_by_key(_docs(sf_dir, columns=["source", "text"]),
+                          key_col="source", min_count=5)
+
+
+def q_daily_orders_ma7(sf_dir: str):
+    """Daily order counts + 7-row moving average: per-batch date-count
+    combiner → one small groupby; the MA runs on the aggregated date
+    table (bounded by the date domain, not the data)."""
+    from ray.data.aggregate import Sum
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderdate"])
+
+    def part(b: pa.Table) -> pa.Table:
+        g = b.group_by(["o_orderdate"]).aggregate([([], "count_all")])
+        return pa.table({"o_orderdate": g["o_orderdate"],
+                         "p_n": pc.cast(g["count_all"], pa.int64())})
+
+    agg = (orders.map_batches(part, batch_format="pyarrow")
+           .groupby("o_orderdate").aggregate(Sum("p_n", alias_name="n"))
+           .to_pandas())  # bounded: one row per calendar date
+    agg = agg.sort_values("o_orderdate").reset_index(drop=True)
+    agg["n_orders"] = agg["n"].astype("int64")
+    agg["ma7"] = (agg["n_orders"].rolling(7, min_periods=1).mean()
+                  .round(6))
+    return agg[["o_orderdate", "n_orders", "ma7"]]
+
+
 def q_bigram_logprob(sf_dir: str):
     """Order-sensitive perplexity proxy: per-doc average add-1-smoothed
     bigram log-probability under the corpus's own bigram LM.  Two
@@ -2317,6 +2352,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strip_boilerplate": q_strip_boilerplate,
         "token_dropout": q_token_dropout,
         "bigram_logprob": q_bigram_logprob,
+        "keyness_terms": q_keyness_terms,
+        "daily_orders_ma7": q_daily_orders_ma7,
         "feature_hash": q_feature_hash,
         "char_entropy": q_char_entropy,
         "chunk_documents": q_chunk_documents,
@@ -3142,6 +3179,42 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n.is_null THEN NULL
                         ELSE coalesce(a.text_clean, '') END AS text_clean
             FROM nl n LEFT JOIN agg a USING (doc_id)
+        """,
+        "keyness_terms": """
+            WITH corpus AS (
+                SELECT source,
+                       unnest(list_filter(str_split(lower(
+                           coalesce(text, '')), ' '), x -> x <> ''))
+                           AS t
+                FROM documents),
+            st AS (
+                SELECT source, t, CAST(count(*) AS DOUBLE) AS a
+                FROM corpus GROUP BY 1, 2),
+            ks AS (SELECT source, sum(a) AS ns FROM st GROUP BY 1),
+            tt AS (SELECT t, sum(a) AS ct FROM st GROUP BY 1),
+            tot AS (SELECT sum(a) AS n FROM st)
+            SELECT st.source, st.t AS term, CAST(st.a AS BIGINT) AS n,
+                   round(2 * (st.a * ln(st.a / (ks.ns * tt.ct / tot.n))
+                         + CASE WHEN tt.ct - st.a > 0
+                                THEN (tt.ct - st.a)
+                                     * ln((tt.ct - st.a)
+                                          / ((tot.n - ks.ns) * tt.ct
+                                             / tot.n))
+                                ELSE 0 END), 6) AS g2
+            FROM st JOIN ks USING (source) JOIN tt USING (t)
+            CROSS JOIN tot
+            WHERE st.a >= 5
+        """,
+        "daily_orders_ma7": """
+            WITH daily AS (
+                SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY o_orderdate)
+            SELECT o_orderdate, n_orders,
+                   round(avg(n_orders) OVER (
+                       ORDER BY o_orderdate
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                       6) AS ma7
+            FROM daily
         """,
         "bigram_logprob": """
             WITH corpus AS (

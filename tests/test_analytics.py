@@ -257,3 +257,22 @@ def test_bigram_logprob_hand_computed():
     assert out[1]["avg_logprob"] == pytest.approx(exp1)
     assert out[2]["avg_logprob"] == pytest.approx(round(math.log(0.8), 6))
     assert out[3]["n_bigrams"] == 0 and out[3]["avg_logprob"] == 0.0
+
+
+def test_keyness_g2_hand_computed():
+    import math
+    from xpshacl_ray.functions.text import keyness_by_key
+    # shard A: 'x' * 6 + 'y' * 2 ; shard B: 'y' * 6 + 'x' * 2
+    t = pa.table({
+        "source": pa.array(["A", "B"]),
+        "text": pa.array(["x x x x x x y y", "y y y y y y x x"]),
+    })
+    out = {(r["source"], r["term"]): r for r in keyness_by_key(
+        ray.data.from_arrow(t).repartition(2), min_count=5).take_all()}
+    # ('A','x'): a=6, ct=8, ns=8, n=16 -> E1=4, b=2, E2=4
+    g2 = 2 * (6 * math.log(6 / 4) + 2 * math.log(2 / 4))
+    assert out[("A", "x")]["n"] == 6
+    assert out[("A", "x")]["g2"] == pytest.approx(round(g2, 6))
+    # min_count filter: ('A','y') has a=2 < 5 -> absent
+    assert ("A", "y") not in out
+    assert out[("B", "y")]["g2"] == pytest.approx(round(g2, 6))

@@ -1307,3 +1307,92 @@ def bigram_logprob(
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def keyness_by_key(
+    ds: "ray.data.Dataset",
+    key_col: str = "source",
+    text_col: str = "text",
+    min_count: int = 5,
+    ndigits: int = 6,
+) -> "ray.data.Dataset":
+    """Log-likelihood keyness (Dunning's G²) of every term per corpus
+    shard: which words are statistically over-represented in shard s
+    versus the rest of the corpus — the standard corpus-comparison
+    readout for spotting a feed gone off-topic (spam burst, language
+    drift, template flood).
+
+    ``G² = 2·(a·ln(a/E1) + b·ln(b/E2))`` with ``a`` the term count in
+    the shard, ``b`` its count elsewhere, ``E`` the expected splits.
+
+    One (key, term, int64) count exchange builds the contingency table;
+    per-term and per-key totals broadcast (vocab-bounded, the unigram-LM
+    contract) and scoring is a map over the aggregated table.  Rows
+    with ``a < min_count`` are dropped (G² is noise at tiny counts) —
+    output is the full filtered table, deliberately NOT a top-k: float
+    ULP differences between numpy and SQL ``ln`` could flip a rank
+    boundary, a value table can't be flipped."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, offsets = _filtered_tokens(b[text_col])
+        rid = np.searchsorted(offsets, np.arange(len(flat)),
+                              side="right") - 1
+        keys = b[key_col].take(pa.array(rid))
+        t = pa.table({key_col: keys, "term": flat})
+        g = t.group_by([key_col, "term"]).aggregate([([], "count_all")])
+        return pa.table({key_col: g[key_col], "term": g["term"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    st = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby([key_col, "term"]).aggregate(Sum("n", alias_name="a"))
+          .materialize())
+
+    key_tot: dict = {}
+    term_tot: dict = {}
+    for b in st.iter_batches(batch_format="pyarrow"):
+        ks = b[key_col].to_pylist()
+        ts = b["term"].to_pylist()
+        ns = np.asarray(b["a"], dtype=np.int64)
+        for k, t, v in zip(ks, ts, ns):
+            key_tot[k] = key_tot.get(k, 0) + int(v)
+            term_tot[t] = term_tot.get(t, 0) + int(v)
+    total = float(sum(key_tot.values()))
+    terms_sorted = np.array(sorted(term_tot), dtype=object)
+    ct_sorted = np.array([term_tot[t] for t in terms_sorted],
+                         dtype=np.float64)
+    ref = _ray.put((pa.array(terms_sorted.tolist(), pa.string()),
+                    ct_sorted, dict(key_tot), total))
+
+    def score(b: pa.Table) -> pa.Table:
+        terms_s, ct_s, ktot, n = _ray.get(ref)
+        a = np.asarray(b["a"], dtype=np.float64)
+        keep = a >= min_count
+        t = b.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.string()),
+                             "term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "g2": pa.array([], pa.float64())})
+        a = a[keep]
+        idx = np.asarray(pc.fill_null(
+            pc.index_in(t["term"], value_set=terms_s), 0), dtype=np.int64)
+        ct = ct_s[idx]
+        ns = np.array([ktot[k] for k in t[key_col].to_pylist()],
+                      dtype=np.float64)
+        bb = ct - a
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g2 = 2.0 * (a * np.log(a / (ns * ct / n))
+                        + np.where(bb > 0,
+                                   bb * np.log(np.where(bb > 0, bb, 1.0)
+                                               / ((n - ns) * ct / n)),
+                                   0.0))
+        return pa.table({
+            key_col: t[key_col],
+            "term": t["term"],
+            "n": pc.cast(t["a"], pa.int64()),
+            "g2": pa.array(np.round(g2, ndigits)),
+        })
+
+    return st.map_batches(score, batch_format="pyarrow")
