@@ -2199,6 +2199,42 @@ def q_curation_gates(sf_dir: str):
         batch_format="pyarrow")
 
 
+def q_curation_v3(sf_dir: str):
+    """Curation v3 — composition of this session's operators:
+    boilerplate-line stripping → template-ratio gate (docs more than
+    half boilerplate are template spam, dropped; integer compare, no
+    float boundary) → first-wins exact dedup on the CLEANED text (the
+    whole point: dedup AFTER stripping catches docs that differed only
+    in their boilerplate).  One SQL statement replays the chain."""
+    from xpshacl_ray.functions.boilerplate import strip_boilerplate
+    from xpshacl_ray.functions.sketches import hash64
+
+    stripped = strip_boilerplate(
+        _docs(sf_dir, columns=["doc_id", "text"]), min_docs=2)
+
+    def gate(b: pa.Table) -> pa.Table:
+        nl = np.asarray(b["n_lines"], dtype=np.int64)
+        nb = np.asarray(b["n_boiler"], dtype=np.int64)
+        return b.filter(pa.array((nl > 0) & (nb * 2 <= nl)))
+
+    def tag(b: pa.Table) -> pa.Table:
+        h = hash64(b["text_clean"].to_numpy(
+            zero_copy_only=False)).view(np.int64)
+        return (b.append_column("__h__", pa.array(h))
+                 .append_column("__part__",
+                                pa.array((h % 32).astype(np.int32))))
+
+    def first_wins(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["__h__", "doc_id"])
+        return (g.loc[~g["__h__"].duplicated()]
+                .drop(columns=["__h__", "__part__"]))
+
+    return (stripped.map_batches(gate, batch_format="pyarrow")
+            .map_batches(tag, batch_format="pyarrow")
+            .groupby("__part__")
+            .map_groups(first_wins, batch_format="pandas"))
+
+
 def q_partition_verdicts(sf_dir: str):
     """North-star per-partition pass/fail: violations + self-drift by lang."""
     from xpshacl_ray.pipelines.verdicts import VerdictConfig, partition_verdicts
@@ -2342,6 +2378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_verdicts": q_partition_verdicts,
         "curation": q_curation,
         "curation_gates": q_curation_gates,
+        "curation_v3": q_curation_v3,
         "stratified_sample": q_stratified_sample,
         "sample_exact_k": q_sample_exact_k,
         "take_per_group": q_take_per_group,
@@ -2376,6 +2413,57 @@ def oracle_sql() -> dict[str, str]:
     # reachability closure + per-node min — SQL recursion checks the
     # engine's iterative label propagation against independent ground
     # truth (the pairs VALUES literal is the brute-force golden).
+    strip_boilerplate_sql = """
+        WITH corpus AS (
+            SELECT doc_id, text IS NULL AS is_null,
+                   list_filter(str_split(coalesce(text, ''), ' '),
+                               x -> x <> '') AS toks
+            FROM documents),
+        numbered AS (
+            SELECT doc_id,
+                   unnest(range(0, CAST(ceil(len(toks) / 8.0)
+                                        AS BIGINT))) AS line_no,
+                   toks
+            FROM corpus),
+        lined AS (
+            SELECT doc_id, line_no,
+                   array_to_string(
+                       toks[(line_no * 8 + 1):(line_no * 8 + 8)],
+                       ' ') AS line
+            FROM numbered),
+        boiler AS (
+            SELECT line FROM lined
+            GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        kept AS (
+            SELECT doc_id, line_no, line FROM lined
+            WHERE line NOT IN (SELECT line FROM boiler)),
+        agg AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY line_no)
+                       AS text_clean
+            FROM kept GROUP BY doc_id),
+        nl AS (
+            SELECT doc_id, is_null,
+                   CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_lines
+            FROM corpus)
+        SELECT n.doc_id, n.n_lines,
+               n.n_lines - coalesce(a.n_kept, 0) AS n_boiler,
+               CASE WHEN n.is_null THEN NULL
+                    ELSE coalesce(a.text_clean, '') END AS text_clean
+        FROM nl n LEFT JOIN agg a USING (doc_id)
+    """
+
+    # Composition oracle: the strip chain + template-ratio gate +
+    # first-wins dedup on the CLEANED text, all in one statement.
+    curation_v3_sql = f"""
+        SELECT doc_id, n_lines, n_boiler, text_clean FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY text_clean ORDER BY doc_id) AS rn
+            FROM ({strip_boilerplate_sql})
+            WHERE n_lines > 0 AND n_boiler * 2 <= n_lines
+        ) WHERE rn = 1
+    """
+
     dup_clusters_sql = f"""
         WITH RECURSIVE pairs AS ({GOLDEN_SQL["minhash_pairs"]}),
         edges AS (
@@ -3141,45 +3229,8 @@ def oracle_sql() -> dict[str, str]:
                        '\\s+', ' ', 'g'), ' ') AS text_norm
             FROM documents
         """,
-        "strip_boilerplate": """
-            WITH corpus AS (
-                SELECT doc_id, text IS NULL AS is_null,
-                       list_filter(str_split(coalesce(text, ''), ' '),
-                                   x -> x <> '') AS toks
-                FROM documents),
-            numbered AS (
-                SELECT doc_id,
-                       unnest(range(0, CAST(ceil(len(toks) / 8.0)
-                                            AS BIGINT))) AS line_no,
-                       toks
-                FROM corpus),
-            lined AS (
-                SELECT doc_id, line_no,
-                       array_to_string(
-                           toks[(line_no * 8 + 1):(line_no * 8 + 8)],
-                           ' ') AS line
-                FROM numbered),
-            boiler AS (
-                SELECT line FROM lined
-                GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
-            kept AS (
-                SELECT doc_id, line_no, line FROM lined
-                WHERE line NOT IN (SELECT line FROM boiler)),
-            agg AS (
-                SELECT doc_id, count(*) AS n_kept,
-                       string_agg(line, chr(10) ORDER BY line_no)
-                           AS text_clean
-                FROM kept GROUP BY doc_id),
-            nl AS (
-                SELECT doc_id, is_null,
-                       CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_lines
-                FROM corpus)
-            SELECT n.doc_id, n.n_lines,
-                   n.n_lines - coalesce(a.n_kept, 0) AS n_boiler,
-                   CASE WHEN n.is_null THEN NULL
-                        ELSE coalesce(a.text_clean, '') END AS text_clean
-            FROM nl n LEFT JOIN agg a USING (doc_id)
-        """,
+        "strip_boilerplate": strip_boilerplate_sql,
+        "curation_v3": curation_v3_sql,
         "keyness_terms": """
             WITH corpus AS (
                 SELECT source,
