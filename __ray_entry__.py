@@ -662,6 +662,76 @@ def q_mad_outliers(sf_dir: str):
         "n_chars", ["lang"])
 
 
+def q_minmax_scale(sf_dir: str):
+    """Per-group min-max feature scaling of n_chars by lang: moment
+    combiner (one (group, min, max) row per group per batch) → tiny
+    groupby → broadcast LUT map pass.  Scaled value rounded to 6."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        g = b.group_by(["lang"]).aggregate([("n_chars", "min"),
+                                            ("n_chars", "max")])
+        return g.rename_columns(["lang", "p_min", "p_max"])
+
+    stats = (ds.map_batches(part, batch_format="pyarrow")
+             .groupby("lang")
+             .aggregate(Min("p_min", alias_name="lo"),
+                        Max("p_max", alias_name="hi")).take_all())
+    lut = {r["lang"]: (r["lo"], r["hi"]) for r in stats}
+    lut_ref = ray.put(lut)
+
+    def scale(b: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)
+        langs = b["lang"].to_pylist()
+        x = np.asarray(pc.cast(b["n_chars"], pa.int64()), dtype=np.float64)
+        lo = np.array([m[l][0] for l in langs], dtype=np.float64)
+        hi = np.array([m[l][1] for l in langs], dtype=np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = np.where(hi > lo, np.round((x - lo) / (hi - lo), 6),
+                         np.nan)
+        return pa.table({"doc_id": b["doc_id"], "lang": b["lang"],
+                         "n_chars": b["n_chars"],
+                         "scaled": pa.array(s, pa.float64())})
+
+    return ds.map_batches(scale, batch_format="pyarrow")
+
+
+def q_cume_distinct_users(sf_dir: str):
+    """Cumulative distinct users by day: distributed min(date) per user
+    (first-seen combiner), then counts per first-seen day and a driver
+    cumsum over the bounded date domain."""
+    from ray.data.aggregate import Min
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        d = pc.cast(b["ts"], pa.date32())
+        t = pa.table({"user_id": b["user_id"], "d": d})
+        g = t.group_by(["user_id"]).aggregate([("d", "min")])
+        return g.rename_columns(["user_id", "p_d"])
+
+    first_seen = (ev.map_batches(part, batch_format="pyarrow")
+                  .groupby("user_id")
+                  .aggregate(Min("p_d", alias_name="first_day")))
+
+    def day_counts(b: pa.Table) -> pa.Table:
+        g = b.group_by(["first_day"]).aggregate([([], "count_all")])
+        return pa.table({"day": g["first_day"],
+                         "p_n": pc.cast(g["count_all"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    daily = (first_seen.map_batches(day_counts, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("p_n", alias_name="n"))
+             .to_pandas().sort_values("day").reset_index(drop=True))
+    daily["cume_users"] = daily["n"].astype("int64").cumsum()
+    daily["new_users"] = daily["n"].astype("int64")
+    return daily[["day", "new_users", "cume_users"]]
+
+
 def q_latest_event(sf_dir: str):
     """Upsert/CDC compaction: the most recent event per user
     (lexicographic max of (ts, event_id) — the id breaks timestamp
@@ -1401,6 +1471,31 @@ def q_leakage_safe_split(sf_dir: str):
 
     return _docs(sf_dir, columns=["doc_id"]).map_batches(
         assign, batch_format="pyarrow")
+
+
+def q_knn_batch(sf_dir: str):
+    """Batched multi-query exact kNN (the real ANN workload shape): one
+    broadcast (n_q × d) query matrix, ONE matmul per batch covers all
+    queries, per-(query, block) partial top-k → tree merge."""
+    import pyarrow.parquet as pq
+
+    from xpshacl_ray.functions.similarity import knn_cosine_bruteforce
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 5)])
+    order = np.argsort(np.asarray(qt["vec_id"], dtype=np.int64))
+    qm = np.stack([np.asarray(qt["embedding"][int(i)].as_py(),
+                              dtype=np.float64) for i in order])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    res = knn_cosine_bruteforce(emb, qm, k=5)
+    return pd.DataFrame({
+        "query_id": res["query_idx"].astype("int64"),
+        "vec_id": res["vec_id"].astype("int64"),
+        "cosine": res["cosine"].round(3),
+        "rank": res["rank"].astype("int64"),
+    })
 
 
 def q_mean_pool(sf_dir: str):
@@ -2367,6 +2462,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_item_rollup": q_supplier_item_rollup,
         "pagerank": q_pagerank,
         "mean_pool": q_mean_pool,
+        "knn_batch": q_knn_batch,
+        "minmax_scale": q_minmax_scale,
+        "cume_distinct_users": q_cume_distinct_users,
         "equidepth_buckets": q_equidepth_buckets,
         "reassemble_chunks": q_reassemble_chunks,
         "json_extract_sum": q_json_extract_sum,
@@ -2795,6 +2893,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d
                 JOIN med USING (lang) JOIN mad USING (lang))
             SELECT * FROM z
+        """,
+        "minmax_scale": """
+            WITH s AS (
+                SELECT lang, min(n_chars) AS lo, max(n_chars) AS hi
+                FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   CASE WHEN s.hi > s.lo
+                        THEN round((d.n_chars - s.lo) * 1.0
+                                   / (s.hi - s.lo), 6)
+                   END AS scaled
+            FROM documents d JOIN s USING (lang)
+        """,
+        "cume_distinct_users": """
+            WITH fs AS (
+                SELECT user_id, min(CAST(ts AS DATE)) AS day
+                FROM events GROUP BY user_id),
+            daily AS (
+                SELECT day, CAST(count(*) AS BIGINT) AS new_users
+                FROM fs GROUP BY day)
+            SELECT day, new_users,
+                   CAST(sum(new_users) OVER (ORDER BY day)
+                        AS BIGINT) AS cume_users
+            FROM daily
         """,
         "latest_event": """
             SELECT event_id, ts, user_id, event_type, value
@@ -3507,6 +3628,24 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT user_id, ts FROM events
                   WHERE event_type = 'click') c
             ON v.user_id = c.user_id AND v.ts <= c.ts
+        """,
+        "knn_batch": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding AS qe
+                FROM embeddings WHERE vec_id < 5),
+            sims AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding, q.qe) AS c
+                FROM embeddings e CROSS JOIN q),
+            ranked AS (
+                SELECT query_id, vec_id,
+                       round(CAST(c AS DOUBLE), 3) AS cosine,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY c DESC, vec_id) AS rank
+                FROM sims)
+            SELECT query_id, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 5
         """,
         "mean_pool": """
             WITH flat AS (
