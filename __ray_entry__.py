@@ -662,6 +662,22 @@ def q_mad_outliers(sf_dir: str):
         "n_chars", ["lang"])
 
 
+def q_profile_columns(sf_dir: str):
+    """Generic exact column profiler over orders (n / nulls / distinct
+    / min / max per column): one (value, count) distribution exchange
+    per column, native-typed min/max rendered as strings for the
+    heterogeneous output."""
+    from xpshacl_ray.stages.stats import profile_columns
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_orderpriority", "o_orderdate"])
+    return profile_columns(orders, ["o_orderkey", "o_custkey",
+                                    "o_orderstatus", "o_orderpriority",
+                                    "o_orderdate"])
+
+
 def q_minmax_scale(sf_dir: str):
     """Per-group min-max feature scaling of n_chars by lang: moment
     combiner (one (group, min, max) row per group per batch) → tiny
@@ -2464,6 +2480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_pool": q_mean_pool,
         "knn_batch": q_knn_batch,
         "minmax_scale": q_minmax_scale,
+        "profile_columns": q_profile_columns,
         "cume_distinct_users": q_cume_distinct_users,
         "equidepth_buckets": q_equidepth_buckets,
         "reassemble_chunks": q_reassemble_chunks,
@@ -2893,6 +2910,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents d
                 JOIN med USING (lang) JOIN mad USING (lang))
             SELECT * FROM z
+        """,
+        "profile_columns": """
+            SELECT 'o_orderkey' AS "column",
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+                   CAST(count(DISTINCT o_orderkey) AS BIGINT)
+                       AS n_distinct,
+                   CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+                   CAST(max(o_orderkey) AS VARCHAR) AS max_str
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*),
+                   count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey),
+                   CAST(min(o_custkey) AS VARCHAR),
+                   CAST(max(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*),
+                   count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*),
+                   count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderdate', count(*),
+                   count(*) - count(o_orderdate),
+                   count(DISTINCT o_orderdate),
+                   CAST(min(o_orderdate) AS VARCHAR),
+                   CAST(max(o_orderdate) AS VARCHAR)
+            FROM orders
         """,
         "minmax_scale": """
             WITH s AS (

@@ -276,3 +276,18 @@ def test_keyness_g2_hand_computed():
     # min_count filter: ('A','y') has a=2 < 5 -> absent
     assert ("A", "y") not in out
     assert out[("B", "y")]["g2"] == pytest.approx(round(g2, 6))
+
+
+def test_profile_columns_exact():
+    from xpshacl_ray.stages.stats import profile_columns
+    t = pa.table({
+        "i": pa.array([3, 1, 1, None], pa.int64()),
+        "s": pa.array(["b", "a", None, "a"]),
+    })
+    out = {r["column"]: r for r in pa.Table.to_pylist(
+        profile_columns(ray.data.from_arrow(t).repartition(2),
+                        ["i", "s"]))}
+    assert out["i"]["n"] == 4 and out["i"]["n_null"] == 1
+    assert out["i"]["n_distinct"] == 2
+    assert out["i"]["min_str"] == "1" and out["i"]["max_str"] == "3"
+    assert out["s"]["n_distinct"] == 2 and out["s"]["max_str"] == "b"

@@ -620,3 +620,54 @@ def mad_robust_z(
         return b.append_column(out_col, pa.array(out, pa.float64()))
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def profile_columns(ds: "ray.data.Dataset", columns: List[str],
+                    ) -> pa.Table:
+    """Generic per-column profile — the first thing a data engineer
+    runs on an unknown table: ``(column, n, n_null, n_distinct,
+    min_str, max_str)`` per requested column, all EXACT.
+
+    Each column is profiled from its own value distribution
+    (``groupby(col).count()`` — the exchange carries (value, count)
+    pairs, bounded by the column's distinct cardinality like the
+    exact-quantile family; min/max are taken on the NATIVE type from
+    that distribution, then rendered as strings so heterogeneous
+    columns share one output schema).  One column-pruned pass per
+    column — at petabyte width, fold the per-column combiners into a
+    single melt pass instead; for unbounded-cardinality columns use the
+    sketch profile (:func:`sketch_rows`), which trades exactness for
+    O(1) state.
+    """
+    out = {"column": [], "n": [], "n_null": [], "n_distinct": [],
+           "min_str": [], "max_str": []}
+    for c in columns:
+        col_ds = ds.select_columns([c])
+        # null counts come from a combiner: Ray's SORT-based groupby
+        # cannot order null string keys, so nulls never enter the shuffle
+        counts = col_ds.map_batches(
+            lambda b, c=c: pa.table({
+                "p_n": pa.array([len(b)], pa.int64()),
+                "p_null": pa.array([b[c].null_count], pa.int64()),
+            }), batch_format="pyarrow").take_all()
+        n = sum(r["p_n"] for r in counts)
+        n_null = sum(r["p_null"] for r in counts)
+        dist = (col_ds.map_batches(
+            lambda b, c=c: b.filter(pc.is_valid(b[c])),
+            batch_format="pyarrow")
+            .groupby(c).count().take_all())
+        vals = [r[c] for r in dist if r[c] is not None]
+        out["column"].append(c)
+        out["n"].append(n)
+        out["n_null"].append(n_null)
+        out["n_distinct"].append(len(vals))
+        out["min_str"].append(str(min(vals)) if vals else None)
+        out["max_str"].append(str(max(vals)) if vals else None)
+    return pa.table({
+        "column": pa.array(out["column"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "n_null": pa.array(out["n_null"], pa.int64()),
+        "n_distinct": pa.array(out["n_distinct"], pa.int64()),
+        "min_str": pa.array(out["min_str"], pa.string()),
+        "max_str": pa.array(out["max_str"], pa.string()),
+    })
