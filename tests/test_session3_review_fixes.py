@@ -1,0 +1,79 @@
+"""Regression tests for the session-3 inline code-review findings."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+
+def test_histogram_all_null_block_survives():
+    from xpshacl_ray.functions.analytics import histogram
+    t = pa.table({"x": pa.array([None, None, 5.0, None], pa.float64())})
+    # repartition(4) guarantees at least one all-NULL / empty block
+    out = histogram(ray.data.from_arrow(t).repartition(4), "x",
+                    width=1.0).take_all()
+    assert len(out) == 1 and out[0]["bin"] == 5 and out[0]["n"] == 1
+
+
+def test_bigram_logprob_string_ids():
+    from xpshacl_ray.functions.text import bigram_logprob
+    t = pa.table({"doc_id": pa.array(["doc-a", "doc-b"]),
+                  "text": pa.array(["x y x y", "x y"])})
+    out = {r["doc_id"]: r for r in bigram_logprob(
+        ray.data.from_arrow(t)).take_all()}
+    assert out["doc-a"]["n_bigrams"] == 3
+    assert out["doc-b"]["n_bigrams"] == 1
+
+
+def test_keyness_int_key_schema_stable():
+    from xpshacl_ray.functions.text import keyness_by_key
+    # int64 shard key + many partitions so some scoring batches filter
+    # to zero rows: the empty block must keep the int64 key type
+    t = pa.table({
+        "shard": pa.array([1, 2] * 4, pa.int64()),
+        "text": pa.array(["x x x x x x y y", "y y y y y y x x"] * 4),
+    })
+    out = keyness_by_key(ray.data.from_arrow(t).repartition(6),
+                         key_col="shard", min_count=5).take_all()
+    assert {r["shard"] for r in out} == {1, 2}
+
+
+def test_verify_pairs_null_text_paths_agree():
+    from xpshacl_ray.functions.dedup import verify_pairs_ngram
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c", None, "a b c"]),
+    })
+    prs = pa.table({"id_a": pa.array([1, 1], pa.int64()),
+                    "id_b": pa.array([2, 3], pa.int64())})
+    ds, p = ray.data.from_arrow(docs), ray.data.from_arrow(prs)
+    for metric in ("jaccard", "edit_sim"):
+        a = sorted(verify_pairs_ngram(ds, p, threshold=0.0,
+                                      metric=metric).take_all(),
+                   key=lambda r: r["id_b"])
+        b = sorted(verify_pairs_ngram(ds, p, threshold=0.0,
+                                      metric=metric,
+                                      broadcast_limit=0).take_all(),
+                   key=lambda r: r["id_b"])
+        # NULL-text pair scored (as empty text) by BOTH paths
+        assert len(a) == len(b) == 2, metric
+        assert a == b, metric
+
+
+def test_kfold_and_budget_reject_null_ids():
+    from xpshacl_ray.functions.compaction import budget_sample, kfold_assign
+    t = pa.table({"doc_id": pa.array([1, None], pa.int64()),
+                  "cost": pa.array([5, 5], pa.int64())})
+    with pytest.raises(Exception, match="NULL"):
+        kfold_assign(ray.data.from_arrow(t), "doc_id").take_all()
+    with pytest.raises(Exception, match="NULL"):
+        budget_sample(ray.data.from_arrow(t), "doc_id", "cost",
+                      budget=100)
+
+
+def test_pivot_rejects_null_keys():
+    from xpshacl_ray.functions.analytics import pivot_counts
+    t = pa.table({"r": pa.array(["a", None]), "c": pa.array(["x", "x"])})
+    with pytest.raises(ValueError, match="NULL"):
+        pivot_counts(ray.data.from_arrow(t), "r", "c")

@@ -37,17 +37,20 @@ def histogram(ds: "ray.data.Dataset", col: str, width: float,
 
     def partial(b: pa.Table) -> pa.Table:
         x = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        ok = ~np.isnan(x)
-        bins = np.floor((x[ok] - origin) / width).astype(np.int64)
+        x = x[~np.isnan(x)]
+        if len(x) == 0:  # all-NULL or empty block: no bins to emit
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "p_n": pa.array([], pa.int64()),
+                             "p_sum": pa.array([], pa.float64())})
+        bins = np.floor((x - origin) / width).astype(np.int64)
         order = np.argsort(bins, kind="stable")
-        b_s, x_s = bins[order], x[ok][order]
+        b_s, x_s = bins[order], x[order]
         starts = np.flatnonzero(np.r_[True, b_s[1:] != b_s[:-1]])
         return pa.table({
             "bin": pa.array(b_s[starts]),
             "p_n": pa.array(np.diff(np.append(starts, len(b_s)))
                             .astype(np.int64)),
-            "p_sum": pa.array(np.add.reduceat(x_s, starts)
-                              if len(starts) else np.empty(0)),
+            "p_sum": pa.array(np.add.reduceat(x_s, starts)),
         })
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
@@ -79,7 +82,9 @@ def pivot_counts(ds: "ray.data.Dataset", row_key: str, col_key: str,
     is stable regardless of which values appear in the data; by default
     the observed values, sorted, are used.  Distributed part: per-batch
     cell combiner → one groupby over (row, col) cells; the driver-side
-    reshape sees only the aggregated cell table."""
+    reshape sees only the aggregated cell table.  NULL keys raise (a
+    crosstab silently dropping a NULL group loses mass — fill or filter
+    them first, the same contract as :func:`rollup_sum`)."""
     from ray.data.aggregate import Sum
 
     def partial(b: pa.Table) -> pa.Table:
@@ -105,6 +110,10 @@ def pivot_counts(ds: "ray.data.Dataset", row_key: str, col_key: str,
              .groupby([row_key, col_key]).aggregate(*aggs)
              .to_pandas())  # bounded: one row per distinct key pair
 
+    if cells[row_key].isna().any() or cells[col_key].isna().any():
+        raise ValueError(
+            "pivot_counts: NULL pivot keys would silently drop mass "
+            "from the crosstab; fill or filter them first")
     if col_values is None:
         col_values = sorted(v for v in cells[col_key].unique()
                             if v is not None)

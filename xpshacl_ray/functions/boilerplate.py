@@ -44,38 +44,21 @@ import pyarrow.compute as pc
 from xpshacl_ray.functions.sketches import BloomFilter, hash64
 
 
-def _nonempty_token_lists(col: pa.ChunkedArray) -> pa.ListArray:
-    """Case-preserving split-on-single-space token lists with empty
-    tokens dropped — matches DuckDB
-    ``list_filter(str_split(text, ' '), x -> x <> '')``.  NULL text
-    yields an empty token list (the caller restores NULL output)."""
-    toks = pc.split_pattern(pc.fill_null(col, ""), " ")
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    flat = toks.flatten()
-    parent = pc.list_parent_indices(toks)
-    keep = pc.not_equal(flat, "")
-    # binary_join has no large_list<large_string> kernel; plain string
-    # offsets are safe at batch granularity (blocks are size-bounded)
-    flat_k = pc.cast(flat.filter(keep), pa.string())
-    parent_k = np.asarray(parent.filter(keep), dtype=np.int64)
-    counts = np.bincount(parent_k, minlength=len(toks))
-    offsets = np.zeros(len(toks) + 1, dtype=np.int64)
-    np.cumsum(counts, out=offsets[1:])
-    return pa.LargeListArray.from_arrays(offsets, flat_k)
-
-
 def derive_lines(batch: pa.Table, text_col: str = "text",
                  line_tokens: int = 8):
     """Token-window line derivation for one batch.
 
     Returns ``(lines, rid, line_no, n_lines)``: a StringArray of line
     texts, the batch-row index and in-doc ordinal of each line, and the
-    per-row line count.  Fully vectorized — window regrouping is an
+    per-row line count.  Fully vectorized — tokenization is the shared
+    case-preserving ``_filtered_tokens`` layout, window regrouping is an
     offsets rewrite over the flat token array, line text assembly is one
     ``binary_join`` kernel."""
-    toks = _nonempty_token_lists(batch[text_col])
-    n_tokens = np.diff(np.asarray(toks.offsets, dtype=np.int64))
+    from xpshacl_ray.functions.text import _filtered_tokens
+
+    flat_tokens, tok_offsets = _filtered_tokens(batch[text_col],
+                                                lower=False)
+    n_tokens = np.diff(tok_offsets)
     n_lines = -(-n_tokens // line_tokens)  # ceil; 0 for empty/NULL docs
     total = int(n_lines.sum())
     if total == 0:
@@ -87,7 +70,7 @@ def derive_lines(batch: pa.Table, text_col: str = "text",
     lens[ends[nz] - 1] = n_tokens[nz] - line_tokens * (n_lines[nz] - 1)
     offsets = np.zeros(total + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
-    line_lists = pa.LargeListArray.from_arrays(offsets, toks.flatten())
+    line_lists = pa.LargeListArray.from_arrays(offsets, flat_tokens)
     lines = pc.binary_join(line_lists, " ")
     rid = np.repeat(np.arange(len(batch), dtype=np.int64), n_lines)
     line_no = np.arange(total, dtype=np.int64) - np.repeat(
@@ -96,12 +79,11 @@ def derive_lines(batch: pa.Table, text_col: str = "text",
 
 
 def partial_line_docs(batch: pa.Table, text_col: str = "text",
-                      line_tokens: int = 8,
-                      id_col: str = "doc_id") -> pa.Table:
+                      line_tokens: int = 8) -> pa.Table:
     """Census combiner: one ``(line_h, partial_docs)`` row per distinct
     line per batch, where ``partial_docs`` counts DISTINCT documents in
-    this batch (exact globally — a document is one row and never spans
-    batches)."""
+    this batch — document identity IS the batch row (a document is one
+    row and never spans batches), so no id column is consulted."""
     lines, rid, _, _ = derive_lines(batch, text_col, line_tokens)
     if len(lines) == 0:
         return pa.table({"line_h": pa.array([], pa.int64()),

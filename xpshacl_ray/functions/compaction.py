@@ -70,8 +70,12 @@ def kfold_assign(ds: "ray.data.Dataset", id_col: str, k: int = 5,
         raise ValueError(f"k must be >= 2, got {k}")
 
     def assign(b: pa.Table) -> pa.Table:
+        if b[id_col].null_count:
+            raise ValueError(
+                f"kfold_assign: id column {id_col!r} contains NULLs — "
+                "an unidentifiable row cannot be folded deterministically")
         ids = pc.cast(b[id_col], pa.string()).to_pylist()
-        folds = md5_bucket(["" if v is None else v for v in ids], k, salt)
+        folds = md5_bucket(ids, k, salt)
         return b.append_column("fold", pa.array(folds, pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
@@ -117,6 +121,10 @@ def budget_sample(ds: "ray.data.Dataset", id_col: str, cost_col: str,
         if b[cost_col].null_count:
             raise ValueError(
                 f"budget_sample: cost column {cost_col!r} contains NULLs")
+        if b[id_col].null_count:
+            raise ValueError(
+                f"budget_sample: id column {id_col!r} contains NULLs — "
+                "md5 order is undefined for an unidentifiable row")
         ids = pc.cast(b[id_col], pa.string()).to_pylist()
         buckets = to_bucket(_md5_hex(ids))
         costs = np.asarray(b[cost_col], dtype=np.int64)

@@ -852,7 +852,7 @@ def simhash_near_dups(
 
 
 def ngram_set(text: str, n: int = 3) -> set:
-    toks = text.lower().split()
+    toks = (text or "").lower().split()  # NULL text == empty text
     if len(toks) < n:
         return {tuple(toks)} if toks else set()
     return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
@@ -971,8 +971,12 @@ def verify_pairs_ngram(
         batch_format="pyarrow",
     ).take_all()
     tmap = {r[id_col]: r[text_col] for r in texts}
-    # .get: a candidate id absent from ds (pairs from a superset /
-    # pre-dedup run) skips, matching the join path's inner-join behavior
+    # membership (not value) check: an id ABSENT from ds (pairs from a
+    # superset / pre-dedup run) skips, matching the join path's
+    # inner-join-on-id behavior; a present id with NULL text scores as
+    # empty text — the join path and the SQL oracles coalesce the same
+    # way, so the pair set no longer depends on the broadcast/join
+    # path choice
     out = [
         {
             "id_a": r["id_a"],
@@ -981,8 +985,7 @@ def verify_pairs_ngram(
                                  tmap[r["id_b"]], n), 6),
         }
         for r in pair_rows
-        if tmap.get(r["id_a"]) is not None
-        and tmap.get(r["id_b"]) is not None
+        if r["id_a"] in tmap and r["id_b"] in tmap
     ]
     out = [r for r in out if r[metric] >= threshold]
     if not out:
@@ -1308,10 +1311,13 @@ def source_overlap_matrix(ds: "ray.data.Dataset", key_col: str = "source",
                       key_col: b[key_col].filter(pa.array(ok))})
         return t.group_by(["h", key_col]).aggregate([])
 
+    # materialize before the self-join fan-out: both join sides read
+    # `d`, and an unmaterialized lineage would re-run the census map +
+    # distinct groupby twice
     d = (ds.map_batches(pairs, batch_format="pyarrow")
          .groupby(["h", key_col]).count()
          .map_batches(lambda b: b.select(["h", key_col]),
-                      batch_format="pyarrow"))
+                      batch_format="pyarrow")).materialize()
 
     left = d.map_batches(
         lambda b: pa.table({"h": b["h"], "src_a": b[key_col]}),

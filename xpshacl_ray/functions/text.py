@@ -1191,11 +1191,17 @@ def token_dropout(batch: pa.Table, rate_pct: int = 10,
     })
 
 
-def _filtered_tokens(col) -> Tuple[pa.Array, np.ndarray]:
-    """(flat lowered non-empty tokens, per-row int64 offsets) — the
-    list_filter(str_split(lower(text)), <> '') layout shared by the
-    bigram operators."""
-    toks = _space_token_lists(pc.fill_null(col, ""))
+def _filtered_tokens(col, lower: bool = True) -> Tuple[pa.Array, np.ndarray]:
+    """(flat non-empty tokens, per-row int64 offsets) — the
+    list_filter(str_split(text, ' '), <> '') layout shared by the bigram
+    operators (``lower=True``, the default) and the case-preserving
+    boilerplate line derivation (``lower=False``)."""
+    if lower:
+        toks = _space_token_lists(pc.fill_null(col, ""))
+    else:
+        toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
     flat = pc.list_flatten(toks)
     parent = pc.list_parent_indices(toks)
     keep = pc.not_equal(flat, "")
@@ -1287,7 +1293,6 @@ def bigram_logprob(
 
     def score(b: pa.Table) -> pa.Table:
         comps_s, logp_s = _ray.get(ref)
-        ids = np.asarray(pc.cast(b[doc_id_col], pa.int64()))
         comp, doc = _doc_bigrams(b[text_col])
         sums = np.zeros(len(b))
         nbg = np.zeros(len(b), np.int64)
@@ -1301,7 +1306,8 @@ def bigram_logprob(
             avg = np.where(nbg > 0, np.round(sums / np.maximum(nbg, 1),
                                              ndigits), 0.0)
         return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
+            # id column passes through untyped — string ids are legal
+            "doc_id": b[doc_id_col],
             "n_bigrams": pa.array(nbg),
             "avg_logprob": pa.array(avg, pa.float64()),
         })
@@ -1371,9 +1377,10 @@ def keyness_by_key(
         keep = a >= min_count
         t = b.filter(pa.array(keep))
         if t.num_rows == 0:
-            return pa.table({key_col: pa.array([], pa.string()),
-                             "term": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64()),
+            # typed-from-input empty block: a hardcoded string key here
+            # would split the unioned schema for non-string key columns
+            return pa.table({key_col: t[key_col], "term": t["term"],
+                             "n": pc.cast(t["a"], pa.int64()),
                              "g2": pa.array([], pa.float64())})
         a = a[keep]
         idx = np.asarray(pc.fill_null(

@@ -639,23 +639,21 @@ def profile_columns(ds: "ray.data.Dataset", columns: List[str],
     sketch profile (:func:`sketch_rows`), which trades exactness for
     O(1) state.
     """
+    # total row count once for the whole table (metadata-cheap on a
+    # plain read; one pipeline execution otherwise) — per-column null
+    # counts then fall out of each column's distribution for free
+    n = ds.count()
     out = {"column": [], "n": [], "n_null": [], "n_distinct": [],
            "min_str": [], "max_str": []}
     for c in columns:
-        col_ds = ds.select_columns([c])
-        # null counts come from a combiner: Ray's SORT-based groupby
-        # cannot order null string keys, so nulls never enter the shuffle
-        counts = col_ds.map_batches(
-            lambda b, c=c: pa.table({
-                "p_n": pa.array([len(b)], pa.int64()),
-                "p_null": pa.array([b[c].null_count], pa.int64()),
-            }), batch_format="pyarrow").take_all()
-        n = sum(r["p_n"] for r in counts)
-        n_null = sum(r["p_null"] for r in counts)
-        dist = (col_ds.map_batches(
+        # nulls are filtered BEFORE the groupby (Ray's sort-based
+        # shuffle cannot order null string keys) and recovered as
+        # n - sum(non-null counts) — one scan per column, not two
+        dist = (ds.select_columns([c]).map_batches(
             lambda b, c=c: b.filter(pc.is_valid(b[c])),
             batch_format="pyarrow")
             .groupby(c).count().take_all())
+        n_null = n - sum(r["count()"] for r in dist)
         vals = [r[c] for r in dist if r[c] is not None]
         out["column"].append(c)
         out["n"].append(n)
