@@ -2037,6 +2037,17 @@ def q_train_test_split(sf_dir: str):
     )
 
 
+def q_sample_weighted_k(sf_dir: str):
+    """Exactly-k weighted sampling without replacement (Efraimidis–
+    Spirakis priorities on deterministic md5 randomness): per-batch
+    partial top-k → tree merge, SQL-replayable ORDER BY + LIMIT."""
+    from xpshacl_ray.functions.sampling import sample_weighted_k
+
+    return sample_weighted_k(
+        _docs(sf_dir, columns=["doc_id", "n_chars"]),
+        id_col="doc_id", weight_col="n_chars", k=100)
+
+
 def q_sample_weighted(sf_dir: str):
     """Quality-weighted importance sampling: keep probability
     ∝ n_chars/500 (clipped to 1), decided by md5(doc_id) basis points —
@@ -2499,6 +2510,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "take_per_group": q_take_per_group,
         "train_test_split": q_train_test_split,
         "sample_weighted": q_sample_weighted,
+        "sample_weighted_k": q_sample_weighted_k,
         "bigram_pmi": q_bigram_pmi,
         "normalize_text": q_normalize_text,
         "strip_boilerplate": q_strip_boilerplate,
@@ -2969,6 +2981,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(new_users) OVER (ORDER BY day)
                         AS BIGINT) AS cume_users
             FROM daily
+        """,
+        "sample_weighted_k": """
+            WITH pri AS (
+                SELECT doc_id, n_chars,
+                       -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8))::BIGINT + 1.0)
+                           / 4294967297.0) / n_chars AS p
+                FROM documents WHERE n_chars > 0)
+            SELECT doc_id, n_chars FROM pri
+            ORDER BY p, doc_id LIMIT 100
         """,
         "latest_event": """
             SELECT event_id, ts, user_id, event_type, value

@@ -86,3 +86,31 @@ def test_budget_sample_zero_budget():
     out, report = budget_sample(ray.data.from_arrow(t), "doc_id", "cost",
                                 budget=0)
     assert out.count() == 0 and report["spent"] == 0
+
+
+def test_sample_weighted_k_proportional_and_exact():
+    import math
+    from xpshacl_ray.functions.sampling import sample_weighted_k
+    n = 400
+    # weights: heavy ids (multiples of 4) weigh 50x the rest
+    t = pa.table({"id": pa.array(range(n), pa.int64()),
+                  "w": pa.array([50 if i % 4 == 0 else 1
+                                 for i in range(n)], pa.int64())})
+    out = sample_weighted_k(ray.data.from_arrow(t).repartition(5),
+                            "id", "w", k=50).take_all()
+    assert len(out) == 50
+    heavy = sum(1 for r in out if r["id"] % 4 == 0)
+    assert heavy > 35  # heavy items dominate (prob ~ 50:1)
+    # brute-force replay: same priorities, smallest-k
+    pri = {}
+    for i in range(n):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        w = 50 if i % 4 == 0 else 1
+        pri[i] = -math.log((h + 1.0) / 4294967297.0) / w
+    expect = sorted(sorted(pri, key=lambda i: (pri[i], i))[:50])
+    assert sorted(r["id"] for r in out) == expect
+    # zero/NULL weights drop; NULL ids raise
+    t2 = pa.table({"id": pa.array([1, 2], pa.int64()),
+                   "w": pa.array([0, None], pa.int64())})
+    assert sample_weighted_k(ray.data.from_arrow(t2), "id", "w",
+                             k=5).count() == 0

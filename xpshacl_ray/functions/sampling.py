@@ -435,3 +435,65 @@ def sample_exact_k(
     out = merged.sort_values(["__rk__", id_col]).head(k) \
                 .drop(columns="__rk__")
     return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+def sample_weighted_k(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> "ray.data.Dataset":
+    """EXACTLY min(k, n) rows sampled WITHOUT replacement with
+    probability proportional to ``weight_col`` — Efraimidis–Spirakis
+    priority sampling (key = -ln(u)/w, keep the k smallest) with the
+    engine's deterministic md5 randomness: ``u = (md5_32(salt+id)+1) /
+    (2^32+1)``, so the draw is layout-stable, resume-safe and exactly
+    reproducible in SQL (same expression + ORDER BY + LIMIT).
+
+    Complements :func:`sample_weighted` (rate-based, binomial count)
+    and :func:`sample_exact_k` (uniform exact count).  Same distributed
+    shape as the latter: per-batch partial top-k → block-local combine
+    → driver merge of ≤ k × n_blocks survivors.  Rows with NULL or
+    non-positive weight are dropped (zero probability mass); NULL ids
+    raise (the draw would be undefined)."""
+    import pandas as pd
+
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    _SCALE = float((1 << 32) + 1)
+
+    def rank_partial(b: pa.Table) -> pa.Table:
+        if b[id_col].null_count:
+            raise ValueError(
+                f"sample_weighted_k: id column {id_col!r} contains NULLs")
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(w) & (w > 0)
+        ids = pc.cast(b[id_col], pa.string()).to_pylist()
+        h32 = np.array([int(hashlib.md5(f"{salt}{v}".encode())
+                            .hexdigest()[:8], 16) for v in ids],
+                       dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pri = -np.log((h32 + 1.0) / _SCALE) / w
+        t = b.append_column("__pri__", pa.array(pri, pa.float64()))
+        t = t.filter(pa.array(ok))
+        if t.num_rows <= k:
+            return t
+        p = np.asarray(t["__pri__"], dtype=np.float64)
+        idx = np.argpartition(p, k - 1)[:k] if k else np.empty(0, np.int64)
+        return t.take(pa.array(np.sort(idx)))
+
+    def combine(df: "pd.DataFrame") -> "pd.DataFrame":
+        if df.empty:
+            return df
+        return df.sort_values(["__pri__", id_col]).head(k)
+
+    merged = (ds.map_batches(rank_partial, batch_format="pyarrow")
+              .map_batches(combine, batch_format="pandas")
+              .to_pandas())
+    if merged.empty:
+        return ray.data.from_arrow(pa.table(
+            {c: pa.array([]) for c in ds.schema().names}))
+    out = merged.sort_values(["__pri__", id_col]).head(k) \
+                .drop(columns="__pri__")
+    return ray.data.from_pandas(out.reset_index(drop=True))
