@@ -1567,6 +1567,33 @@ def q_funnel(sf_dir: str):
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_late_events(sf_dir: str):
+    """Watermark late-data triage: per-user running-max ts over ARRIVAL
+    order (deterministic md5 scramble of event_id — the fixture's
+    events are perfectly ordered, so the scramble simulates network
+    reordering reproducibly on both sides); events lagging the
+    watermark by >60 s flag late.  Key-bucket shuffle + vectorized
+    grouped-cummax sweep."""
+    import hashlib as _hl
+
+    from xpshacl_ray.stages.window import flag_late_events
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def add_arrival(b: pa.Table) -> pa.Table:
+        arr = [_hl.md5(str(v).encode()).hexdigest()
+               for v in b["event_id"].to_pylist()]
+        return b.append_column("arrival", pa.array(arr, pa.string()))
+
+    out = flag_late_events(ev.map_batches(add_arrival,
+                                          batch_format="pyarrow"),
+                           key_cols=["user_id"], ts_col="ts",
+                           arrival_col="arrival",
+                           max_lateness_seconds=60.0)
+    return out.drop_columns(["arrival"])
+
+
 def q_throttle_events(sf_dir: str):
     """Burst throttling: drop events of the same (user, type) arriving
     < 300 s after their immediate predecessor (lag semantics, event_id
@@ -2480,6 +2507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "funnel": q_funnel,
         "throttle_events": q_throttle_events,
+        "late_events": q_late_events,
         "window_distinct": q_window_distinct,
         "percentile_rank": q_percentile_rank,
         "sessions": q_sessions,
@@ -3650,6 +3678,26 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER (
                        PARTITION BY lang ORDER BY n_chars), 6) AS pct_rank
             FROM documents WHERE n_chars IS NOT NULL
+        """,
+        "late_events": """
+            WITH e AS (
+                SELECT event_id, user_id, ts,
+                       md5(CAST(event_id AS VARCHAR)) AS arrival
+                FROM events),
+            w AS (
+                SELECT event_id, user_id, ts,
+                       max(ts) OVER (
+                           PARTITION BY user_id ORDER BY arrival
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS wm
+                FROM e)
+            SELECT event_id, user_id, ts,
+                   round(greatest(coalesce(
+                       (epoch_us(wm) - epoch_us(ts)) / 1000000.0, 0.0),
+                       0.0), 6) AS lateness_sec,
+                   coalesce((epoch_us(wm) - epoch_us(ts)) / 1000000.0
+                            > 60.0, FALSE) AS is_late
+            FROM w
         """,
         "throttle_events": """
             WITH e AS (

@@ -77,3 +77,21 @@ def test_pivot_rejects_null_keys():
     t = pa.table({"r": pa.array(["a", None]), "c": pa.array(["x", "x"])})
     with pytest.raises(ValueError, match="NULL"):
         pivot_counts(ray.data.from_arrow(t), "r", "c")
+
+
+def test_flag_late_events_watermark():
+    from xpshacl_ray.stages.window import flag_late_events
+    # arrival a,b,c,d; ts: 100, 250, 50 (200s late), 240 (10s late)
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "arr": pa.array(["a", "b", "c", "d"]),
+        "ts": pa.array(
+            pd.to_datetime([100, 250, 50, 240], unit="s")),
+    })
+    out = {r["arr"]: r for r in flag_late_events(
+        ray.data.from_arrow(t).repartition(2), ["k"], ts_col="ts",
+        arrival_col="arr", max_lateness_seconds=60.0).take_all()}
+    assert out["a"]["is_late"] is False and out["a"]["lateness_sec"] == 0
+    assert out["b"]["is_late"] is False
+    assert out["c"]["is_late"] is True and out["c"]["lateness_sec"] == 200
+    assert out["d"]["is_late"] is False and out["d"]["lateness_sec"] == 10

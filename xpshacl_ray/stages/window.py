@@ -360,3 +360,57 @@ def tumbling_distinct(
         .groupby(keys)
         .aggregate(Sum("partial_n", alias_name="n_distinct"))
     )
+
+
+def flag_late_events(
+    ds: "ray.data.Dataset",
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    arrival_col: str = "event_id",
+    max_lateness_seconds: float = 60.0,
+    n_parts: int = 64,
+) -> "ray.data.Dataset":
+    """Watermark-style late-data flagging: an event is LATE when its
+    timestamp lags the key's running-max timestamp (the watermark,
+    taken over ARRIVAL order = ``arrival_col``) by more than
+    ``max_lateness_seconds`` — the triage every event-time window
+    needs before deciding to drop, side-output, or re-open a window.
+
+    Exactly SQL's
+    ``max(ts) OVER (PARTITION BY key ORDER BY arrival ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` comparison, so an oracle
+    replays the flags row-for-row.  Same shape as
+    :func:`throttle_events`: one key-bucket shuffle, then a vectorized
+    sort + grouped cummax sweep per partition (no per-key Python); a
+    partition must fit one task — raise ``n_parts`` for hot keys."""
+    from ..functions.sketches import hash64
+
+    key_cols = list(key_cols)
+    order = key_cols + [arrival_col]
+
+    def tag(b: pa.Table) -> pa.Table:
+        part = (hash64(np.asarray(b[key_cols[0]])) % n_parts).astype(
+            np.int32)
+        return b.append_column("__part__", pa.array(part))
+
+    def sweep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(order)
+        # running max BEFORE each row, per key: grouped cummax then a
+        # grouped shift — both cython kernels, no per-key Python
+        g = df.groupby(key_cols, sort=False)
+        cm = g[ts_col].cummax()
+        df = df.assign(__cm__=cm)
+        wm = df.groupby(key_cols, sort=False)["__cm__"].shift()
+        df = df.drop(columns="__cm__")
+        lag = (wm - df[ts_col]).dt.total_seconds()
+        df = df.copy()
+        df["lateness_sec"] = lag.fillna(0.0).clip(lower=0.0).round(6)
+        df["is_late"] = (lag > max_lateness_seconds).fillna(False)
+        return df
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__part__")
+        .map_groups(lambda g: sweep(g.drop(columns="__part__")),
+                    batch_format="pandas")
+    )
