@@ -1514,6 +1514,95 @@ def q_knn_batch(sf_dir: str):
     })
 
 
+def q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension corpus statistics of the embedding column (the
+    whitening/normalization prep): per-batch (n, Σx, Σx²) vectors —
+    ONE fixed-width row per batch, no shuffle at all; driver finalizes
+    mean and population std per dim."""
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+
+    def part(b: pa.Table) -> pa.Table:
+        from xpshacl_ray.functions.similarity import _as_matrix
+        m = _as_matrix(b, "embedding").astype(np.float64)
+        mom = np.concatenate([[float(len(m))], m.sum(axis=0),
+                              (m * m).sum(axis=0)])
+        return pa.table({"m": pa.array([mom.tolist()],
+                                       pa.list_(pa.float64()))})
+
+    parts = emb.map_batches(part, batch_format="pyarrow").take_all()
+    tot = np.sum([np.asarray(p["m"]) for p in parts], axis=0)
+    n = tot[0]
+    d = (len(tot) - 1) // 2
+    s1, s2 = tot[1:1 + d], tot[1 + d:]
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    return pa.table({
+        "dim": pa.array(np.arange(d, dtype=np.int64)),
+        "mean": pa.array(np.round(mean, 6)),
+        "std": pa.array(np.round(np.sqrt(np.maximum(var, 0.0)), 6)),
+    })
+
+
+def q_dup_size_histogram(sf_dir: str):
+    """Duplicate-group size distribution (how bad is the dup problem
+    before paying for dedup): exact_dedup's (hash, count) output over
+    100-char prefix fingerprints (full texts are all unique in this
+    corpus; truncated re-posts collide — 22 biting groups),
+    re-aggregated by group size — both exchanges carry aggregate rows."""
+    from ray.data.aggregate import Count
+
+    from xpshacl_ray.functions.dedup import exact_dedup
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        lambda b: pa.table({
+            "doc_id": b["doc_id"],
+            "text": pc.utf8_slice_codeunits(b["text"], 0, 100),
+        }), batch_format="pyarrow")
+    groups = exact_dedup(docs)
+
+    def to_size(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "group_size": pc.add(b["n_dupes"], 1)})
+
+    return (groups.map_batches(to_size, batch_format="pyarrow")
+            .groupby("group_size")
+            .aggregate(Count(alias_name="n_groups")))
+
+
+def q_lang_source_mi(sf_dir: str):
+    """Mutual information between source and lang (is a feed drifting
+    to one language?): one (source, lang, count) exchange (≤ shards ×
+    langs rows), closed-form MI/entropies on the driver."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, columns=["source", "lang"])
+
+    def part(b: pa.Table) -> pa.Table:
+        g = b.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "lang": g["lang"],
+                         "p_n": pc.cast(g["count_all"], pa.int64())})
+
+    cells = (docs.map_batches(part, batch_format="pyarrow")
+             .groupby(["source", "lang"])
+             .aggregate(Sum("p_n", alias_name="n")).take_all())
+    n = float(sum(r["n"] for r in cells))
+    ps: dict = {}
+    pl: dict = {}
+    for r in cells:
+        ps[r["source"]] = ps.get(r["source"], 0.0) + r["n"]
+        pl[r["lang"]] = pl.get(r["lang"], 0.0) + r["n"]
+    mi = sum((r["n"] / n) * np.log((r["n"] / n)
+                                   / ((ps[r["source"]] / n)
+                                      * (pl[r["lang"]] / n)))
+             for r in cells)
+    h_s = -sum((v / n) * np.log(v / n) for v in ps.values())
+    h_l = -sum((v / n) * np.log(v / n) for v in pl.values())
+    return pa.table({"mi": pa.array([round(float(mi), 6)]),
+                     "h_source": pa.array([round(float(h_s), 6)]),
+                     "h_lang": pa.array([round(float(h_l), 6)])})
+
+
 def q_mean_pool(sf_dir: str):
     """Chunk→doc embedding pooling: element-wise mean of embeddings per
     group (vec_id // 10 plays the "chunks of one document" role).
@@ -2517,6 +2606,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_item_rollup": q_supplier_item_rollup,
         "pagerank": q_pagerank,
         "mean_pool": q_mean_pool,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "dup_size_histogram": q_dup_size_histogram,
+        "lang_source_mi": q_lang_source_mi,
         "knn_batch": q_knn_batch,
         "minmax_scale": q_minmax_scale,
         "profile_columns": q_profile_columns,
@@ -3751,6 +3843,42 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT user_id, ts FROM events
                   WHERE event_type = 'click') c
             ON v.user_id = c.user_id AND v.ts <= c.ts
+        """,
+        "embedding_dim_stats": """
+            WITH flat AS (
+                SELECT s.i - 1 AS dim,
+                       CAST(embedding[s.i] AS DOUBLE) AS x
+                FROM embeddings,
+                     unnest(generate_series(1, len(embedding))) AS s(i))
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   round(avg(x), 6) AS mean,
+                   round(stddev_pop(x), 6) AS std
+            FROM flat GROUP BY dim
+        """,
+        "dup_size_histogram": """
+            SELECT CAST(cnt AS BIGINT) AS group_size,
+                   CAST(count(*) AS BIGINT) AS n_groups
+            FROM (SELECT count(*) AS cnt FROM documents
+                  GROUP BY substr(text, 1, 100))
+            GROUP BY cnt
+        """,
+        "lang_source_mi": """
+            WITH c AS (
+                SELECT source, lang, CAST(count(*) AS DOUBLE) AS n
+                FROM documents GROUP BY 1, 2),
+            tot AS (SELECT sum(n) AS t FROM c),
+            s AS (SELECT source, sum(n) AS ns FROM c GROUP BY 1),
+            l AS (SELECT lang, sum(n) AS nl FROM c GROUP BY 1)
+            SELECT round(sum((c.n / tot.t)
+                             * ln((c.n / tot.t)
+                                  / ((s.ns / tot.t) * (l.nl / tot.t)))),
+                         6) AS mi,
+                   (SELECT round(-sum((ns / t) * ln(ns / t)), 6)
+                    FROM s, tot) AS h_source,
+                   (SELECT round(-sum((nl / t) * ln(nl / t)), 6)
+                    FROM l, tot) AS h_lang
+            FROM c JOIN s USING (source) JOIN l USING (lang)
+            CROSS JOIN tot
         """,
         "knn_batch": """
             WITH q AS (
