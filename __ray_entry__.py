@@ -1656,6 +1656,21 @@ def q_funnel(sf_dir: str):
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_ohlc_hourly(sf_dir: str):
+    """Hourly open/high/low/close per user: order-aware mergeable
+    combiner — each batch collapses to one row per (user, hour)
+    carrying the order keys, the groupby merges partials by comparing
+    them; raw events never shuffle."""
+    from xpshacl_ray.stages.window import ohlc
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"])
+    return ohlc(ev, key_cols=["user_id"], ts_col="ts",
+                value_col="value", tie_col="event_id",
+                window_seconds=3600)
+
+
 def q_late_events(sf_dir: str):
     """Watermark late-data triage: per-user running-max ts over ARRIVAL
     order (deterministic md5 scramble of event_id — the fixture's
@@ -2597,6 +2612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": q_funnel,
         "throttle_events": q_throttle_events,
         "late_events": q_late_events,
+        "ohlc_hourly": q_ohlc_hourly,
         "window_distinct": q_window_distinct,
         "percentile_rank": q_percentile_rank,
         "sessions": q_sessions,
@@ -3770,6 +3786,25 @@ def oracle_sql() -> dict[str, str]:
                    round(percent_rank() OVER (
                        PARTITION BY lang ORDER BY n_chars), 6) AS pct_rank
             FROM documents WHERE n_chars IS NOT NULL
+        """,
+        "ohlc_hourly": """
+            WITH w AS (
+                SELECT user_id,
+                       date_trunc('hour', ts) AS window_start, value,
+                       first_value(value) OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts, event_id) AS o,
+                       last_value(value) OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS c
+                FROM events)
+            SELECT user_id, window_start,
+                   min(o) AS open, min(c) AS close,
+                   min(value) AS lo, max(value) AS hi,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM w GROUP BY user_id, window_start
         """,
         "late_events": """
             WITH e AS (

@@ -95,3 +95,36 @@ def test_flag_late_events_watermark():
     assert out["b"]["is_late"] is False
     assert out["c"]["is_late"] is True and out["c"]["lateness_sec"] == 200
     assert out["d"]["is_late"] is False and out["d"]["lateness_sec"] == 10
+
+
+def test_ohlc_merges_across_batches():
+    from xpshacl_ray.stages.window import ohlc
+    # one user, one hour, events scattered over 4 partitions so open/
+    # close must come from DIFFERENT partial rows; a ts tie at the close
+    # is broken by event_id
+    ts = pd.to_datetime([3600 + 10, 3600 + 5, 3600 + 50, 3600 + 50],
+                        unit="s")
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        "value": pa.array([10.0, 20.0, 30.0, 40.0]),
+    })
+    out = ohlc(ray.data.from_arrow(t).repartition(4), ["user_id"],
+               window_seconds=3600).take_all()
+    assert len(out) == 1
+    r = out[0]
+    assert r["open"] == 20.0   # earliest ts (3605)
+    assert r["close"] == 40.0  # ts tie at 3650 -> larger event_id wins
+    assert r["lo"] == 10.0 and r["hi"] == 40.0 and r["n"] == 4
+    assert str(r["window_start"]).startswith("1970-01-01 01:00:00")
+
+
+def test_ohlc_rejects_null_order_columns():
+    from xpshacl_ray.stages.window import ohlc
+    t = pa.table({"event_id": pa.array([1], pa.int64()),
+                  "ts": pa.array(pd.to_datetime([None])),
+                  "user_id": pa.array([1], pa.int64()),
+                  "value": pa.array([1.0])})
+    with pytest.raises(Exception, match="NULL"):
+        ohlc(ray.data.from_arrow(t), ["user_id"]).take_all()

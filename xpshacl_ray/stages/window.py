@@ -414,3 +414,83 @@ def flag_late_events(
         .map_groups(lambda g: sweep(g.drop(columns="__part__")),
                     batch_format="pandas")
     )
+
+
+def ohlc(
+    ds: "ray.data.Dataset",
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+    window_seconds: int = 3600,
+) -> "ray.data.Dataset":
+    """Open/high/low/close aggregation per key per tumbling window —
+    the order-aware summary min/max alone can't give (open/close are
+    argmin/argmax over (ts, tie), not extremes of the value).
+
+    Mergeable-combiner shape: each batch collapses to ONE row per
+    (key, window) carrying (first_key, open, last_key, close, lo, hi,
+    n); the groupby then merges partials by comparing the carried
+    order keys — so the exchange holds one fixed-width row per (key,
+    window) per batch and raw events never shuffle.  ``tie_col`` makes
+    equal timestamps deterministic (SQL ``arg_min(v, (ts, tie))``
+    parity).  NULL values/timestamps raise (an unorderable event has
+    no place in an order-aware summary)."""
+    from ray.data.aggregate import AggregateFn  # noqa: F401  (doc ref)
+
+    key_cols = list(key_cols)
+    win_us = np.int64(window_seconds) * 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        for c in (ts_col, value_col, tie_col):
+            if b[c].null_count:
+                raise ValueError(f"ohlc: column {c!r} contains NULLs")
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")),
+                     pa.int64()).to_numpy(
+            zero_copy_only=False)  # µs since epoch, any input resolution
+        win = (ts // win_us) * win_us
+        tie = np.asarray(b[tie_col], dtype=np.int64)
+        val = b[value_col].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        df = b.select(key_cols).to_pandas()
+        df["__win__"] = win
+        df["__ts__"] = ts
+        df["__tie__"] = tie
+        df["__val__"] = val
+        order = df.sort_values(key_cols + ["__win__", "__ts__", "__tie__"])
+        g = order.groupby(key_cols + ["__win__"], sort=False)
+        out = g.agg(
+            open_ts=("__ts__", "first"), open_tie=("__tie__", "first"),
+            open=("__val__", "first"),
+            close_ts=("__ts__", "last"), close_tie=("__tie__", "last"),
+            close=("__val__", "last"),
+            lo=("__val__", "min"), hi=("__val__", "max"),
+            n=("__val__", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["open_ts", "open_tie"])
+        first = g.iloc[0]
+        gl = g.sort_values(["close_ts", "close_tie"])
+        last = gl.iloc[-1]
+        out = g.iloc[[0]][key_cols + ["__win__"]].copy()
+        out["open"] = first["open"]
+        out["close"] = last["close"]
+        out["lo"] = g["lo"].min()
+        out["hi"] = g["hi"].max()
+        out["n"] = int(g["n"].sum())
+        return out
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(key_cols + ["__win__"])
+              .map_groups(merge, batch_format="pandas"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        win = pc.cast(pc.cast(b["__win__"], pa.int64()),
+                      pa.timestamp("us"))
+        t = b.drop_columns(["__win__"]).add_column(
+            len(key_cols), "window_start", win)
+        return t
+
+    return merged.map_batches(finish, batch_format="pyarrow")
