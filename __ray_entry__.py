@@ -29,15 +29,28 @@ from xpshacl_ray.tuning import apply_recommended_context
 apply_recommended_context()  # hash shuffle + quiet progress (no ray.init)
 
 from xpshacl_ray import (
+    And,
+    Datatype,
+    Disjoint,
+    Equals,
+    GroupedSparql,
     InSet,
+    LessThan,
+    LessThanOrEquals,
     MaxLength,
     MinInclusive,
     MinLength,
+    NodeKind,
+    Not,
+    Or,
+    Pattern,
     Referential,
     Required,
     SqlCheck,
+    UniqueLang,
     ValidationEngine,
     ValidationSpec,
+    Xone,
 )
 from xpshacl_ray.functions.dedup import (
     embedding_near_dups,
@@ -257,6 +270,173 @@ def q_violation_summary(sf_dir: str):
     return viol.groupby(["constraint_id", "violation_type", "severity"]).aggregate(
         Count(alias_name="n_violations")
     )
+
+
+# --- constraint-family queries (C3/C5/C8/C11/C12-C18/C19-grouped) ----------
+# One oracle-checked query per family that previously had only pytest
+# coverage; each UNION-ALL oracle mirrors the engine's exact message
+# literals and null semantics (a NULL has no value node → never violates
+# a value constraint; Required covers missing values).
+
+GROUPED_VIOLATION_COLS = [
+    "focus_node", "constraint_id", "violation_type", "property_path",
+    "value", "message", "severity", "context",
+]
+
+
+def q_datatype_violations(sf_dir: str):
+    """sh:datatype (C3): events.value must parse as int64 (safe-cast
+    probe — fractional/NaN doubles violate); event_type exercises the
+    already-target-type fast path (zero rows)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value", "event_type"])
+    spec = ValidationSpec(
+        constraints=[
+            Datatype(column="value", datatype="int64"),
+            Datatype(column="event_type", datatype="string"),
+        ],
+        id_columns=["event_id"],
+        focus_template="event:{event_id}",
+    )
+    viol = ValidationEngine(spec).validate(ev)
+    return viol.select_columns(["event_id"] + VIOLATION_COLS[1:])
+
+
+def q_nodekind_violations(sf_dir: str):
+    """sh:nodeKind (C5): value-form regexes — source must be a
+    well-formed id (IRI analog), text must mention a known entity."""
+    spec = ValidationSpec(
+        constraints=[
+            NodeKind(column="source", pattern=r"^[a-z]+[0-9]+$", kind="IRI"),
+            NodeKind(column="text", pattern="(spark|vector)", kind="Literal"),
+        ],
+        id_columns=["doc_id"],
+        focus_template="doc:{doc_id}",
+    )
+    eng = ValidationEngine(spec)
+    viol = eng.validate(_docs(sf_dir, columns=eng.compiled.required_columns()))
+    return viol.select_columns(VIOLATION_COLS)
+
+
+def q_pattern_violations(sf_dir: str):
+    """sh:pattern + sh:flags (C8): three regex constraints incl. a
+    case-insensitive flags fold (``(?i)`` prefix, same RE2 dialect as
+    the DuckDB oracle)."""
+    spec = ValidationSpec(
+        constraints=[
+            Pattern(column="text", pattern=" the "),
+            Pattern(column="lang", pattern="^(DE|EN|FR|ES|ZH)$", flags="i"),
+            Pattern(column="source", pattern="^src[0-9]+$"),
+        ],
+        id_columns=["doc_id"],
+        focus_template="doc:{doc_id}",
+    )
+    eng = ValidationEngine(spec)
+    viol = eng.validate(_docs(sf_dir, columns=eng.compiled.required_columns()))
+    return viol.select_columns(VIOLATION_COLS)
+
+
+def q_property_pair_violations(sf_dir: str):
+    """sh:equals/disjoint/lessThan(OrEquals) (C12-C14) over lineitem
+    column pairs (int/string columns only — float-to-string rendering
+    differs between Arrow and SQL on integral doubles)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                 "l_linestatus", "l_suppkey", "l_partkey"])
+    spec = ValidationSpec(
+        constraints=[
+            Equals(column="l_returnflag", other_column="l_linestatus"),
+            Disjoint(column="l_suppkey", other_column="l_linenumber"),
+            LessThan(column="l_suppkey", other_column="l_partkey"),
+            LessThanOrEquals(column="l_linenumber", other_column="l_suppkey"),
+        ],
+        id_columns=["l_orderkey", "l_linenumber"],
+        focus_template="li:{l_orderkey}/{l_linenumber}",
+    )
+    viol = ValidationEngine(spec).validate(li)
+    return viol.select_columns(["l_orderkey", "l_linenumber"]
+                               + VIOLATION_COLS[1:])
+
+
+def q_logical_violations(sf_dir: str):
+    """sh:not/and/or/xone (C15-C18) over documents, composing the
+    row-local sub-constraints exactly as the reference's logical shapes
+    do (synthetic_data_generator.py:122-142)."""
+    spec = ValidationSpec(
+        constraints=[
+            Not(column="lang", inner=InSet(column="lang", allowed=["zh"])),
+            And(column="text", shapes=[
+                MinLength(column="text", min_length=100),
+                Pattern(column="text", pattern=" the "),
+            ]),
+            Or(column="lang", shapes=[
+                InSet(column="lang", allowed=["de", "en"]),
+                Pattern(column="text", pattern=" spark "),
+            ]),
+            Xone(column="lang", shapes=[
+                InSet(column="lang", allowed=["en"]),
+                Pattern(column="text", pattern=" the "),
+            ]),
+        ],
+        id_columns=["doc_id"],
+        focus_template="doc:{doc_id}",
+    )
+    eng = ValidationEngine(spec)
+    viol = eng.validate(_docs(sf_dir, columns=eng.compiled.required_columns()))
+    return viol.select_columns(VIOLATION_COLS)
+
+
+def q_uniquelang_violations(sf_dir: str):
+    """sh:uniqueLang (C11): no two documents may share a language tag
+    per source (MaxCount(1) over group_by+[lang], shark_shapes.ttl:37,45)."""
+    spec = ValidationSpec(
+        constraints=[UniqueLang(column="lang", group_by=["source"],
+                                lang_column="lang")],
+    )
+    eng = ValidationEngine(spec)
+    viol = eng.validate(_docs(sf_dir, columns=["source", "lang"]))
+    return viol.select_columns(GROUPED_VIOLATION_COLS)
+
+
+def q_sparql_grouped(sf_dir: str):
+    """C19 graph-pattern SPARQL shape, end-to-end through the grouped
+    escape hatch: the tabular analog of the shark multi-row sh:sparql
+    shapes (shark_shapes.ttl:48-67, 200-245) — a per-focus-group ordered
+    pattern ("ship dates must not decrease across line numbers") that no
+    row-local mask can express.  GroupedSparql → groupby(l_orderkey)
+    .map_groups; one violation per violating group (SELECT DISTINCT
+    $this semantics)."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    def decreasing(g: pa.Table) -> bool:
+        # violation iff some row with a STRICTLY smaller line number has a
+        # later ship date — tie-robust (duplicate line numbers exist), so
+        # the predicate is order-deterministic on both engine and oracle
+        t = g.sort_by("l_linenumber")
+        ln = np.asarray(t["l_linenumber"].combine_chunks().cast(pa.int64()))
+        sd = np.asarray(t["l_shipdate"].combine_chunks().cast(pa.int64()))
+        runmax = np.maximum.accumulate(sd)
+        prev = np.searchsorted(ln, ln, side="left") - 1
+        return bool(((prev >= 0) & (sd < runmax[prev.clip(0)])).any())
+
+    spec = ValidationSpec(
+        constraints=[GroupedSparql(
+            path="l_shipdate",
+            group_by=["l_orderkey"],
+            columns=["l_linenumber", "l_shipdate"],
+            name="shipdate-monotone",
+            fn=decreasing,
+            shape_id="http://example.org/shape/OrderShipMonotone",
+            message="Ship dates must not decrease across line numbers",
+        )],
+        id_columns=["l_orderkey"],
+        focus_template="order:{l_orderkey}",
+    )
+    viol = ValidationEngine(spec).validate(li)
+    return viol.select_columns(["l_orderkey"] + GROUPED_VIOLATION_COLS)
 
 
 def q_cardinality_orders(sf_dir: str):
@@ -2546,6 +2726,77 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        # ordered: never-driver-green first (the driver checks the
+        # first 50 entries per round; round-2 burned its window on
+        # already-green queries — VERDICT r2 item 1)
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "simhash": q_simhash,
+        "minhash_pairs": q_minhash_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ivf_knn": q_ivf_knn,
+        "drift_lang_psi": q_drift_lang_psi,
+        "partition_verdicts": q_partition_verdicts,
+        "curation": q_curation,
+        "justification_trees": q_justification_trees,
+        "explanations": q_explanations,
+        "ttl_parity": q_ttl_parity,
+        "sql_check": q_sql_check,
+        "media_features": q_media_features,
+        "datatype_violations": q_datatype_violations,
+        "nodekind_violations": q_nodekind_violations,
+        "pattern_violations": q_pattern_violations,
+        "uniquelang_violations": q_uniquelang_violations,
+        "property_pair_violations": q_property_pair_violations,
+        "logical_violations": q_logical_violations,
+        "sparql_grouped": q_sparql_grouped,
+        "dup_clusters": q_dup_clusters,
+        "containment_pairs": q_containment_pairs,
+        "edit_distance_pairs": q_edit_distance_pairs,
+        "canonical_dups": q_canonical_dups,
+        "kmeans_clusters": q_kmeans_clusters,
+        "funnel": q_funnel,
+        "throttle_events": q_throttle_events,
+        "late_events": q_late_events,
+        "ohlc_hourly": q_ohlc_hourly,
+        "window_distinct": q_window_distinct,
+        "percentile_rank": q_percentile_rank,
+        "asof_next_click": q_asof_next_click,
+        "suppliers_no_lineitems": q_suppliers_no_lineitems,
+        "supplier_item_rollup": q_supplier_item_rollup,
+        "pagerank": q_pagerank,
+        "mean_pool": q_mean_pool,
+        "embedding_dim_stats": q_embedding_dim_stats,
+        "dup_size_histogram": q_dup_size_histogram,
+        "lang_source_mi": q_lang_source_mi,
+        "knn_batch": q_knn_batch,
+        "minmax_scale": q_minmax_scale,
+        "profile_columns": q_profile_columns,
+        "cume_distinct_users": q_cume_distinct_users,
+        "equidepth_buckets": q_equidepth_buckets,
+        "reassemble_chunks": q_reassemble_chunks,
+        "json_project": q_json_project,
+        "curation_gates": q_curation_gates,
+        "curation_v3": q_curation_v3,
+        "stratified_sample": q_stratified_sample,
+        "sample_exact_k": q_sample_exact_k,
+        "take_per_group": q_take_per_group,
+        "sample_weighted": q_sample_weighted,
+        "sample_weighted_k": q_sample_weighted_k,
+        "bigram_pmi": q_bigram_pmi,
+        "normalize_text": q_normalize_text,
+        "strip_boilerplate": q_strip_boilerplate,
+        "token_dropout": q_token_dropout,
+        "bigram_logprob": q_bigram_logprob,
+        "keyness_terms": q_keyness_terms,
+        "daily_orders_ma7": q_daily_orders_ma7,
+        "feature_hash": q_feature_hash,
+        "char_entropy": q_char_entropy,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "quantile_filter": q_quantile_filter,
+        "rebalance_mixture": q_rebalance_mixture,
         "violations_documents": q_violations_documents,
         "violation_summary": q_violation_summary,
         "cardinality_orders": q_cardinality_orders,
@@ -2596,72 +2847,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": q_knn_cosine,
         "quantized_knn": q_quantized_knn,
         "embedding_near_dups": q_embedding_near_dups,
-        # rows-only (non-SQL-expressible):
-        "lang_id": q_lang_id,
-        "quality_scores": q_quality_scores,
-        "simhash": q_simhash,
-        "minhash_pairs": q_minhash_pairs,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "dup_clusters": q_dup_clusters,
-        "containment_pairs": q_containment_pairs,
-        "edit_distance_pairs": q_edit_distance_pairs,
-        "canonical_dups": q_canonical_dups,
-        "ivf_knn": q_ivf_knn,
-        "kmeans_clusters": q_kmeans_clusters,
-        "funnel": q_funnel,
-        "throttle_events": q_throttle_events,
-        "late_events": q_late_events,
-        "ohlc_hourly": q_ohlc_hourly,
-        "window_distinct": q_window_distinct,
-        "percentile_rank": q_percentile_rank,
         "sessions": q_sessions,
         "asof_purchase_signup": q_asof_purchase_signup,
-        "asof_next_click": q_asof_next_click,
-        "suppliers_no_lineitems": q_suppliers_no_lineitems,
-        "supplier_item_rollup": q_supplier_item_rollup,
-        "pagerank": q_pagerank,
-        "mean_pool": q_mean_pool,
-        "embedding_dim_stats": q_embedding_dim_stats,
-        "dup_size_histogram": q_dup_size_histogram,
-        "lang_source_mi": q_lang_source_mi,
-        "knn_batch": q_knn_batch,
-        "minmax_scale": q_minmax_scale,
-        "profile_columns": q_profile_columns,
-        "cume_distinct_users": q_cume_distinct_users,
-        "equidepth_buckets": q_equidepth_buckets,
-        "reassemble_chunks": q_reassemble_chunks,
         "json_extract_sum": q_json_extract_sum,
-        "json_project": q_json_project,
-        "sql_check": q_sql_check,
-        "ttl_parity": q_ttl_parity,
-        "media_features": q_media_features,
-        "drift_lang_psi": q_drift_lang_psi,
-        "partition_verdicts": q_partition_verdicts,
-        "curation": q_curation,
-        "curation_gates": q_curation_gates,
-        "curation_v3": q_curation_v3,
-        "stratified_sample": q_stratified_sample,
-        "sample_exact_k": q_sample_exact_k,
-        "take_per_group": q_take_per_group,
         "train_test_split": q_train_test_split,
-        "sample_weighted": q_sample_weighted,
-        "sample_weighted_k": q_sample_weighted_k,
-        "bigram_pmi": q_bigram_pmi,
-        "normalize_text": q_normalize_text,
-        "strip_boilerplate": q_strip_boilerplate,
-        "token_dropout": q_token_dropout,
-        "bigram_logprob": q_bigram_logprob,
-        "keyness_terms": q_keyness_terms,
-        "daily_orders_ma7": q_daily_orders_ma7,
-        "feature_hash": q_feature_hash,
-        "char_entropy": q_char_entropy,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "quantile_filter": q_quantile_filter,
-        "rebalance_mixture": q_rebalance_mixture,
-        "justification_trees": q_justification_trees,
-        "explanations": q_explanations,
     }
 
 
@@ -2861,6 +3050,175 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": containment_sql,
         "canonical_dups": canonical_sql,
         "violations_documents": _VIOLATIONS_SQL,
+        # constraint-family oracles (C3/C5/C8/C11/C12-C18/C19-grouped):
+        # each mirrors the engine's exact message literals and SHACL null
+        # semantics (NULL has no value node -> no violation)
+        "datatype_violations": """
+            SELECT event_id,
+                   'http://www.w3.org/ns/shacl#DatatypeConstraintComponent'
+                       AS constraint_id,
+                   'value_type' AS violation_type, 'value' AS property_path,
+                   CAST(value AS VARCHAR) AS value,
+                   'Value is not of datatype int64' AS message,
+                   'Violation' AS severity
+            FROM events
+            WHERE value IS NOT NULL
+              AND (isnan(value) OR value <> trunc(value))
+        """,
+        "nodekind_violations": """
+            SELECT doc_id,
+                   'http://www.w3.org/ns/shacl#NodeKindConstraintComponent'
+                       AS constraint_id,
+                   'value_type' AS violation_type, 'source' AS property_path,
+                   source AS value,
+                   'Value is not a well-formed IRI' AS message,
+                   'Violation' AS severity
+            FROM documents WHERE NOT regexp_matches(source, '^[a-z]+[0-9]+$')
+            UNION ALL
+            SELECT doc_id,
+                   'http://www.w3.org/ns/shacl#NodeKindConstraintComponent',
+                   'value_type', 'text', text,
+                   'Value is not a well-formed Literal', 'Violation'
+            FROM documents WHERE NOT regexp_matches(text, '(spark|vector)')
+        """,
+        "pattern_violations": """
+            SELECT doc_id,
+                   'http://www.w3.org/ns/shacl#PatternConstraintComponent'
+                       AS constraint_id,
+                   'pattern' AS violation_type, 'text' AS property_path,
+                   text AS value,
+                   'Value does not match pattern '' the ''' AS message,
+                   'Violation' AS severity
+            FROM documents WHERE NOT regexp_matches(text, ' the ')
+            UNION ALL
+            SELECT doc_id,
+                   'http://www.w3.org/ns/shacl#PatternConstraintComponent',
+                   'pattern', 'lang', lang,
+                   'Value does not match pattern ''^(DE|EN|FR|ES|ZH)$''',
+                   'Violation'
+            FROM documents
+            WHERE NOT regexp_matches(lang, '(?i)^(DE|EN|FR|ES|ZH)$')
+            UNION ALL
+            SELECT doc_id,
+                   'http://www.w3.org/ns/shacl#PatternConstraintComponent',
+                   'pattern', 'source', source,
+                   'Value does not match pattern ''^src[0-9]+$''', 'Violation'
+            FROM documents WHERE NOT regexp_matches(source, '^src[0-9]+$')
+        """,
+        "property_pair_violations": """
+            SELECT l_orderkey, l_linenumber,
+                   'http://www.w3.org/ns/shacl#EqualsConstraintComponent'
+                       AS constraint_id,
+                   'property_pair' AS violation_type,
+                   'l_returnflag' AS property_path,
+                   l_returnflag AS value,
+                   'Value of l_returnflag must equal value of l_linestatus'
+                       AS message,
+                   'Violation' AS severity
+            FROM lineitem WHERE NOT (l_returnflag = l_linestatus)
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'http://www.w3.org/ns/shacl#DisjointConstraintComponent',
+                   'property_pair', 'l_suppkey',
+                   CAST(l_suppkey AS VARCHAR),
+                   'Value of l_suppkey must not equal value of l_linenumber',
+                   'Violation'
+            FROM lineitem WHERE l_suppkey = l_linenumber
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'http://www.w3.org/ns/shacl#LessThanConstraintComponent',
+                   'property_pair', 'l_suppkey',
+                   CAST(l_suppkey AS VARCHAR),
+                   'Value of l_suppkey must be < value of l_partkey',
+                   'Violation'
+            FROM lineitem WHERE NOT (l_suppkey < l_partkey)
+            UNION ALL
+            SELECT l_orderkey, l_linenumber,
+                   'http://www.w3.org/ns/shacl#LessThanOrEqualsConstraintComponent',
+                   'property_pair', 'l_linenumber',
+                   CAST(l_linenumber AS VARCHAR),
+                   'Value of l_linenumber must be <= value of l_suppkey',
+                   'Violation'
+            FROM lineitem WHERE NOT (l_linenumber <= l_suppkey)
+        """,
+        "logical_violations": """
+            SELECT doc_id,
+                   'http://www.w3.org/ns/shacl#NotConstraintComponent'
+                       AS constraint_id,
+                   'logical' AS violation_type, 'lang' AS property_path,
+                   lang AS value,
+                   'Value conforms to negated shape (InConstraintComponent)'
+                       AS message,
+                   'Violation' AS severity
+            FROM documents WHERE lang IS NULL OR lang IN ('zh')
+            UNION ALL
+            SELECT doc_id,
+                   'http://www.w3.org/ns/shacl#AndConstraintComponent',
+                   'logical', 'text', text,
+                   'Node does not conform to all shapes in sh:and list',
+                   'Violation'
+            FROM documents
+            WHERE (text IS NOT NULL AND length(text) < 100)
+               OR (text IS NOT NULL AND NOT regexp_matches(text, ' the '))
+            UNION ALL
+            SELECT doc_id,
+                   'http://www.w3.org/ns/shacl#OrConstraintComponent',
+                   'logical', 'lang', lang,
+                   'Node does not conform to any shape in sh:or list',
+                   'Violation'
+            FROM documents
+            WHERE (lang IS NOT NULL AND lang NOT IN ('de', 'en'))
+              AND (text IS NOT NULL AND NOT regexp_matches(text, ' spark '))
+            UNION ALL
+            SELECT doc_id,
+                   'http://www.w3.org/ns/shacl#XoneConstraintComponent',
+                   'logical', 'lang', lang,
+                   'Node does not conform to exactly one shape in sh:xone list',
+                   'Violation'
+            FROM documents
+            WHERE (CASE WHEN lang IS NULL OR lang = 'en' THEN 1 ELSE 0 END)
+                + (CASE WHEN text IS NULL
+                        OR regexp_matches(text, ' the ') THEN 1 ELSE 0 END)
+                <> 1
+        """,
+        "uniquelang_violations": """
+            SELECT 'group:' || source || '/' || lang AS focus_node,
+                   'http://www.w3.org/ns/shacl#UniqueLangConstraintComponent'
+                       AS constraint_id,
+                   'other' AS violation_type, 'lang' AS property_path,
+                   CAST(count(*) AS VARCHAR) AS value,
+                   'More than one value shares a language tag (lang) per [''source'']'
+                       AS message,
+                   'Violation' AS severity,
+                   '{"uniqueLang": true, "actualCount": ' || count(*) || '}'
+                       AS context
+            FROM documents GROUP BY source, lang HAVING count(*) > 1
+        """,
+        "sparql_grouped": """
+            WITH viol AS (
+                SELECT DISTINCT l_orderkey FROM (
+                    SELECT l_orderkey, l_shipdate,
+                           max(l_shipdate) OVER (
+                               PARTITION BY l_orderkey ORDER BY l_linenumber
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS prevmax
+                    FROM lineitem)
+                WHERE prevmax IS NOT NULL AND l_shipdate < prevmax),
+            sz AS (SELECT l_orderkey, count(*) AS n
+                   FROM lineitem GROUP BY l_orderkey)
+            SELECT v.l_orderkey,
+                   'group:' || CAST(v.l_orderkey AS VARCHAR) AS focus_node,
+                   'http://www.w3.org/ns/shacl#SPARQLConstraintComponent'
+                       AS constraint_id,
+                   'other' AS violation_type, 'l_shipdate' AS property_path,
+                   CAST(sz.n AS VARCHAR) AS value,
+                   'Ship dates must not decrease across line numbers'
+                       AS message,
+                   'Violation' AS severity,
+                   '{"name": "shipdate-monotone", "actualCount": ' || sz.n || '}'
+                       AS context
+            FROM viol v JOIN sz ON v.l_orderkey = sz.l_orderkey
+        """,
         "violation_summary": f"""
             SELECT constraint_id, violation_type, severity,
                    count(*) AS n_violations

@@ -32,6 +32,7 @@ from .spec import (
     Datatype,
     Disjoint,
     Equals,
+    GroupedSparql,
     InSet,
     LessThan,
     LessThanOrEquals,

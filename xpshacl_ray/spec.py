@@ -714,6 +714,47 @@ class Referential(Constraint):
         )
 
 
+@dataclass
+class GroupedSparql(Constraint):
+    """SPARQL graph-pattern constraint over a focus GROUP (C19, grouped
+    form) — the worked escape hatch for the reference's multi-row
+    ``sh:sparql`` shapes whose WHERE clause joins several triples of one
+    focus node (e.g. "Classes must have at most one superclass",
+    shark_shapes.ttl:48-67, or the hierarchy-cycle / self-inverse
+    patterns, shark_shapes.ttl:139-149, 218-230).  Those cannot be a
+    row-local mask: the violation is a property of the whole row-group of
+    one focus node.
+
+    Tabular analog: ``fn(group: pa.Table) -> bool`` — True when the group
+    (all rows sharing ``group_by``, co-located by
+    ``ds.groupby(group_by).map_groups``) violates.  One violation row is
+    emitted per violating group, mirroring SPARQL ``SELECT DISTINCT
+    $this``; the violation ``value``/``actualCount`` carry the group row
+    count, like the grouped cardinality checks.
+
+    ``columns`` must list every non-key column ``fn`` reads so the
+    exchange ships only those (prune-at-the-read still applies).
+
+    Partitioning assumption (documented contract): one focus group fits
+    in a worker's heap — the same contract Ray Data's ``map_groups``
+    imposes.  Focus groups are bounded by the data model (rows per
+    subject), not by corpus size, so this holds at 100 TB; a mega-group
+    (skewed key) should be pre-capped upstream.
+    """
+
+    group_by: Sequence[str] = field(default_factory=list)
+    columns: Sequence[str] = field(default_factory=list)
+    fn: Optional[Callable[[pa.Table], Any]] = None
+    name: str = "sparql-group"
+    component: str = "SPARQLConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"name": self.name}
+
+    def default_message(self) -> str:
+        return f"SPARQL group constraint '{self.name}' failed"
+
+
 ROW_LOCAL_TYPES = (
     Required,
     Datatype,
@@ -737,7 +778,7 @@ ROW_LOCAL_TYPES = (
     CustomConstraint,
     SqlCheck,
 )
-GROUPED_TYPES = (MinCount, MaxCount)
+GROUPED_TYPES = (MinCount, MaxCount, GroupedSparql)
 
 
 # ---------------------------------------------------------------------------
@@ -852,6 +893,9 @@ class CompiledSpec:
                     walk(s)
             if isinstance(c, (MinCount, MaxCount)):
                 cols.extend(c.group_by)
+            if isinstance(c, GroupedSparql):
+                cols.extend(c.group_by)
+                cols.extend(c.columns)
             if isinstance(c, SqlCheck):
                 cols.extend(c.columns)
 

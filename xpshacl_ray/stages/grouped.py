@@ -203,6 +203,21 @@ def evaluate_grouped(
       costs one scan of the key columns; at scale that is small against
       the exchange it can shrink ~6×.
     """
+    from ..spec import GroupedSparql
+
+    sparql = [cc for cc in spec.grouped
+              if isinstance(cc.constraint, GroupedSparql)]
+    if sparql:
+        counts_only = CompiledSpec(
+            row_local=[], referential=[],
+            grouped=[cc for cc in spec.grouped if cc not in sparql],
+            id_columns=spec.id_columns, focus_template=spec.focus_template,
+        )
+        out = evaluate_grouped(ds, counts_only, id_types, strategy,
+                               auto_hashed_groups) if counts_only.grouped else []
+        for cc in sparql:
+            out.append(_evaluate_grouped_sparql(ds, cc, spec, id_types))
+        return out
     if strategy == "keys":
         return _evaluate_grouped_keys(ds, spec, id_types)
     if strategy == "hashed":
@@ -251,6 +266,48 @@ def _evaluate_grouped_keys(
 
         results.append(bad.map_batches(to_rows, batch_format="pyarrow"))
     return results
+
+
+def _evaluate_grouped_sparql(
+    ds: "ray.data.Dataset",
+    cc: CompiledConstraint,
+    spec: CompiledSpec,
+    id_types: Optional[List[pa.DataType]] = None,
+) -> "ray.data.Dataset":
+    """C19 grouped form (GroupedSparql): one ``map_groups`` pass.
+
+    The exchange ships only ``group_by`` + the fn's declared ``columns``
+    (prune-at-the-read); each violating group emits ONE
+    ``(keys, actual_count)`` row — SPARQL ``SELECT DISTINCT $this`` — then
+    reuses the grouped violation-row builder so focus/value/context match
+    the cardinality family byte-for-byte."""
+    if id_types is None:
+        sch0 = ds.schema()
+        tmap0 = dict(zip(sch0.names, sch0.types))
+        id_types = [tmap0[c] for c in spec.id_columns]
+    c = cc.constraint
+    keys = list(c.group_by)
+    cols = keys + [x for x in c.columns if x not in keys]
+    sub = ds.select_columns(cols)
+    sch = ds.schema()
+    tmap = dict(zip(sch.names, sch.types))
+    out_schema = pa.schema([(k, tmap[k]) for k in keys]
+                           + [("actual_count", pa.int64())])
+    fn = c.fn
+
+    def per_group(g: pa.Table) -> pa.Table:
+        if g.num_rows and bool(fn(g)):
+            row = {k: [g[k][0].as_py()] for k in keys}
+            row["actual_count"] = [g.num_rows]
+            return pa.table(row, schema=out_schema)
+        return out_schema.empty_table()
+
+    bad = sub.groupby(keys).map_groups(per_group, batch_format="pyarrow")
+
+    def to_rows(batch: pa.Table, cc=cc, keys=keys) -> pa.Table:
+        return _grouped_violation_rows(batch, cc, keys, spec, id_types)
+
+    return bad.map_batches(to_rows, batch_format="pyarrow")
 
 
 #: violating-hash broadcast bound for the hashed strategy: ~8 MB of
