@@ -48,17 +48,138 @@ def _distinct_edges(edges: "ray.data.Dataset", src: str, dst: str,
                          batch_format="pyarrow"))
 
 
+#: node-count ceiling for the driver-state path: past this the node
+#: universe / rank vector / out-degrees no longer fit one machine and
+#: pagerank() auto-switches to the rank-as-Dataset join path
+DRIVER_NODE_LIMIT = 50_000_000
+
+
+def _estimate_nodes(e: "ray.data.Dataset", src: str, dst: str) -> float:
+    """No-shuffle HLL estimate of |src ∪ dst| — the planning pass for
+    choosing driver-state vs join-state (same sketch-planning pattern as
+    the grouped-constraint strategy chooser)."""
+    from ..stages.grouped import estimate_group_count
+
+    def stack(b: pa.Table) -> pa.Table:
+        s = b[src].combine_chunks() if isinstance(b[src], pa.ChunkedArray) \
+            else b[src]
+        d = b[dst].combine_chunks() if isinstance(b[dst], pa.ChunkedArray) \
+            else b[dst]
+        return pa.table({"node": pa.concat_arrays([s, d])})
+
+    stacked = e.map_batches(stack, batch_format="pyarrow")
+    return estimate_group_count(stacked, ["node"])
+
+
+def _pagerank_join(e: "ray.data.Dataset", src: str, dst: str,
+                   damping: float, iters: int, ndigits: int,
+                   join_partitions: int = 32) -> pa.Table:
+    """Rank-as-Dataset variant: NO per-node driver state — rank and
+    out-degree live in Datasets and each round is two hash joins + one
+    groupby-sum (all exchanges carry (node, float) pairs).  Costs ~3
+    shuffles per round vs the driver path's 1, so it is only chosen when
+    the node universe exceeds driver memory (billions of nodes)."""
+    import ray.data  # noqa: F401  (Dataset ops)
+    from ray.data.aggregate import Sum
+
+    from .joins import native_join
+
+    def stack(b: pa.Table) -> pa.Table:
+        s = b[src].combine_chunks() if isinstance(b[src], pa.ChunkedArray) \
+            else b[src]
+        d = b[dst].combine_chunks() if isinstance(b[dst], pa.ChunkedArray) \
+            else b[dst]
+        return pa.table({"node": pa.concat_arrays([s, d])})
+
+    nodes = (e.map_batches(stack, batch_format="pyarrow")
+             .groupby("node").count()
+             .map_batches(lambda b: b.select(["node"]),
+                          batch_format="pyarrow")
+             .materialize())
+    n = nodes.count()
+    if n == 0:
+        return pa.table({"node": pa.array([], pa.string()),
+                         "pr": pa.array([], pa.float64())})
+    # fold out-degree into the edge table ONCE (degree is round-static):
+    # per round only ONE join (edges ⋈ ranks) remains
+    deg = (e.groupby(src).count()
+           .map_batches(lambda b: pa.table({
+               src: b[src],
+               "outdeg": pc.cast(b["count()"], pa.float64())}),
+               batch_format="pyarrow"))
+    e2 = native_join(e, deg, src,
+                     num_partitions=join_partitions).materialize()
+    base = (1.0 - damping) / n
+    pr0 = 1.0 / n
+    ranks = nodes.map_batches(
+        lambda b: b.append_column("pr", pa.array(np.full(len(b), pr0))),
+        batch_format="pyarrow").materialize()
+    # ghost zero-contributions: unioned into the per-round sum so
+    # no-in-edge nodes get rank `base` WITHOUT a second (left) join
+    zeros = nodes.map_batches(
+        lambda b: pa.table({"node": b["node"],
+                            "w": pa.array(np.zeros(len(b)))}),
+        batch_format="pyarrow")
+
+    for _ in range(iters):
+        st_src = ranks.map_batches(
+            lambda b: pa.table({src: b["node"], "pr": b["pr"]}),
+            batch_format="pyarrow")
+        joined = native_join(e2, st_src, src,
+                             num_partitions=join_partitions)
+
+        def contrib(b: pa.Table) -> pa.Table:
+            w = (np.asarray(b["pr"], dtype=np.float64)
+                 / np.asarray(b["outdeg"], dtype=np.float64))
+            t = pa.table({"node": b[dst], "w": pa.array(w)})
+            g = t.group_by(["node"]).aggregate([("w", "sum")])
+            return pa.table({"node": g["node"], "w": g["w_sum"]})
+
+        ranks = (joined.map_batches(contrib, batch_format="pyarrow")
+                 .union(zeros)
+                 .groupby("node").aggregate(Sum(on="w", alias_name="w"))
+                 .map_batches(lambda b: pa.table({
+                     "node": b["node"],
+                     "pr": pa.array(base + damping * np.asarray(
+                         b["w"], dtype=np.float64))}),
+                     batch_format="pyarrow")
+                 .materialize())
+
+    out = pa.concat_tables(
+        list(ranks.iter_batches(batch_format="pyarrow"))).sort_by("node")
+    return pa.table({"node": out["node"].combine_chunks(),
+                     "pr": pa.array(np.round(
+                         np.asarray(out["pr"], dtype=np.float64), ndigits))})
+
+
 def pagerank(edges: "ray.data.Dataset", src: str = "src",
              dst: str = "dst", damping: float = 0.85, iters: int = 3,
-             ndigits: int = 6) -> pa.Table:
+             ndigits: int = 6, node_state: str = "auto",
+             driver_node_limit: float = DRIVER_NODE_LIMIT,
+             join_partitions: int = 32) -> pa.Table:
     """(node, pr) after ``iters`` synchronous rounds from a uniform
     start.  See module docstring for the scale contract; ``ndigits``
-    rounds the published ranks (float-sum order differs from SQL's)."""
+    rounds the published ranks (float-sum order differs from SQL's).
+
+    ``node_state`` picks where per-node state lives: ``"driver"`` (rank
+    vector broadcast, fastest while N_nodes ≪ N_edges), ``"join"``
+    (rank as a Dataset, two hash joins + a groupby per round — no
+    driver bound), or ``"auto"`` (default): a no-shuffle HLL node-count
+    estimate routes to the join path past ``driver_node_limit``."""
     import ray as _ray
 
     # few wide blocks: per-round partials are (node, w) rows per block,
     # so block count × node count bounds the driver merge
     e = _distinct_edges(edges, src, dst).repartition(32).materialize()
+
+    if node_state == "auto":
+        node_state = ("join" if _estimate_nodes(e, src, dst)
+                      > driver_node_limit else "driver")
+    if node_state == "join":
+        return _pagerank_join(e, src, dst, damping, iters, ndigits,
+                              join_partitions)
+    if node_state != "driver":
+        raise ValueError(f"unknown node_state {node_state!r}")
 
     # node universe + out-degrees (driver state: one row per NODE)
     deg_rows = e.groupby(src).count().take_all()

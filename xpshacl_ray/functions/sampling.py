@@ -134,18 +134,43 @@ def exact_quantile_threshold(
     return thr, n
 
 
+#: distinct-cardinality ceiling for the exact-quantile distribution pull:
+#: the groupby(col).count().take_all() below materializes one (value,
+#: count) row per DISTINCT value on the driver — fine for ints/fixed-
+#: precision scores, a silent driver OOM for continuous floats at scale
+EXACT_QUANTILE_DISTINCT_LIMIT = 5_000_000
+
+
 def exact_quantile_thresholds(
     ds: "ray.data.Dataset",
     col: str,
     q_bps: Sequence[int],
+    distinct_limit: int = EXACT_QUANTILE_DISTINCT_LIMIT,
 ) -> Tuple[list, int]:
     """(thresholds, n) — several exact type-1 quantiles from ONE value
     distribution pass (same contract as
     :func:`exact_quantile_threshold`, amortizing the groupby when a
-    caller needs both tails, e.g. winsorization)."""
+    caller needs both tails, e.g. winsorization).
+
+    The bounded-cardinality contract is ENFORCED at runtime: a no-shuffle
+    HLL pre-estimate plans the pull, and a column whose distinct count
+    exceeds ``distinct_limit`` raises instead of silently materializing
+    every distinct value driver-side — route continuous columns to the
+    t-digest sketch path (``stages.stats.profile`` quantiles) instead.
+    """
     for q_bp in q_bps:
         if not 0 < q_bp <= 10000:
             raise ValueError(f"q_bp must be in (0, 10000], got {q_bp}")
+    from ..stages.grouped import estimate_group_count
+
+    est = estimate_group_count(ds.select_columns([col]), [col])
+    if est > distinct_limit:
+        raise ValueError(
+            f"column {col!r} has ~{est:.0f} distinct values (> "
+            f"distinct_limit={distinct_limit}); the exact-quantile path "
+            f"would materialize them all on the driver — use the t-digest "
+            f"quantile sketch (stages.stats.profile) for continuous "
+            f"columns, or raise distinct_limit explicitly")
     dist = ds.groupby(col).count().take_all()
     rows = [(r[col], r["count()"]) for r in dist if r[col] is not None]
     if not rows:

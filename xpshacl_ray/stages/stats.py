@@ -622,11 +622,57 @@ def mad_robust_z(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+#: distinct-cardinality ceiling for the exact profile path: past this,
+#: ``groupby(col).count().take_all()`` would materialize the full distinct
+#: distribution on the driver (ID-like columns at scale => driver OOM), so
+#: the profiler auto-falls back to the one-pass sketch path below
+PROFILE_EXACT_DISTINCT_LIMIT = 1_000_000
+
+
+def _profile_column_sketch(sub: "ray.data.Dataset", c: str, n: int,
+                           hll_p: int = 14) -> dict:
+    """Unbounded-cardinality fallback: ONE map-only pass emitting a tiny
+    per-batch partial (HLL bytes + null count + native-typed min/max);
+    partials merge on the driver — O(batches) rows, never O(distinct)."""
+    from ..functions.sketches import HyperLogLog
+    from .grouped import _key_hashes
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vv = col.drop_null()
+        h = HyperLogLog(p=hll_p)
+        if len(vv):
+            h.add_hashes(_key_hashes(pa.table({c: vv}), [c]))
+            mm = pc.min_max(vv)
+            lo, hi = mm["min"], mm["max"]
+        else:
+            lo = hi = pa.scalar(None, col.type)
+        return pa.table({
+            "hll": pa.array([h.to_bytes()], pa.binary()),
+            "n_null": pa.array([len(b) - len(vv)], pa.int64()),
+            "lo": pa.array([lo.as_py()], col.type),
+            "hi": pa.array([hi.as_py()], col.type),
+        })
+
+    parts = sub.map_batches(partial, batch_format="pyarrow").take_all()
+    n_null = sum(r["n_null"] for r in parts)
+    los = [r["lo"] for r in parts if r["lo"] is not None]
+    his = [r["hi"] for r in parts if r["hi"] is not None]
+    merged = HyperLogLog.merge_many([r["hll"] for r in parts]) if parts else None
+    n_distinct = int(round(merged.estimate())) if parts else 0
+    return {"n": n, "n_null": n_null, "n_distinct": n_distinct,
+            "min_str": str(min(los)) if los else None,
+            "max_str": str(max(his)) if his else None}
+
+
 def profile_columns(ds: "ray.data.Dataset", columns: List[str],
+                    exact_distinct_limit: int = PROFILE_EXACT_DISTINCT_LIMIT,
                     ) -> pa.Table:
     """Generic per-column profile — the first thing a data engineer
     runs on an unknown table: ``(column, n, n_null, n_distinct,
-    min_str, max_str)`` per requested column, all EXACT.
+    min_str, max_str)`` per requested column.
 
     Each column is profiled from its own value distribution
     (``groupby(col).count()`` — the exchange carries (value, count)
@@ -635,10 +681,17 @@ def profile_columns(ds: "ray.data.Dataset", columns: List[str],
     that distribution, then rendered as strings so heterogeneous
     columns share one output schema).  One column-pruned pass per
     column — at petabyte width, fold the per-column combiners into a
-    single melt pass instead; for unbounded-cardinality columns use the
-    sketch profile (:func:`sketch_rows`), which trades exactness for
-    O(1) state.
+    single melt pass instead.
+
+    The exact path is GUARDED: a no-shuffle HLL pre-estimate
+    (:func:`~.grouped.estimate_group_count`) plans each column, and any
+    column whose distinct cardinality exceeds ``exact_distinct_limit``
+    routes to a one-pass sketch profile instead (exact n/n_null/min/max,
+    HLL ±~1% ``n_distinct``) — an ID-like column at 100x scale must not
+    ``take_all()`` its distinct distribution onto the driver.
     """
+    from .grouped import estimate_group_count
+
     # total row count once for the whole table (metadata-cheap on a
     # plain read; one pipeline execution otherwise) — per-column null
     # counts then fall out of each column's distribution for free
@@ -646,10 +699,17 @@ def profile_columns(ds: "ray.data.Dataset", columns: List[str],
     out = {"column": [], "n": [], "n_null": [], "n_distinct": [],
            "min_str": [], "max_str": []}
     for c in columns:
+        sub = ds.select_columns([c])
+        if estimate_group_count(sub, [c]) > exact_distinct_limit:
+            prof = _profile_column_sketch(sub, c, n)
+            out["column"].append(c)
+            for k, v in prof.items():
+                out[k].append(v)
+            continue
         # nulls are filtered BEFORE the groupby (Ray's sort-based
         # shuffle cannot order null string keys) and recovered as
         # n - sum(non-null counts) — one scan per column, not two
-        dist = (ds.select_columns([c]).map_batches(
+        dist = (sub.map_batches(
             lambda b, c=c: b.filter(pc.is_valid(b[c])),
             batch_format="pyarrow")
             .groupby(c).count().take_all())
