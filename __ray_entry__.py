@@ -1034,6 +1034,22 @@ def q_window_hourly(sf_dir: str):
     return out
 
 
+def q_ewma_value(sf_dir: str):
+    """Per-user bounded-window EWMA (α=0.3, W=8) over event values —
+    one hash shuffle + a vectorized (n×W) strided sweep per partition;
+    the bounded form is exactly SQL-replayable (self-join over
+    rn BETWEEN rn-7 AND rn), unlike the overflow-prone closed form of
+    the infinite recursive EWMA."""
+    from xpshacl_ray.stages.window import ewma_by_key
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts",
+                                        "value"])
+    out = ewma_by_key(ev, "user_id", ["ts", "event_id"], "value",
+                      alpha=0.3, window=8)
+    return out.select_columns(["user_id", "event_id", "value", "ewma"])
+
+
 def q_rolling_window(sf_dir: str):
     """Sliding window: 15-min buckets + 2-bucket rolling sum per type."""
     from xpshacl_ray.stages.window import rolling_window_aggregate
@@ -2779,6 +2795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_project": q_json_project,
         "curation_gates": q_curation_gates,
         "curation_v3": q_curation_v3,
+        "ewma_value": q_ewma_value,
         "stratified_sample": q_stratified_sample,
         "sample_exact_k": q_sample_exact_k,
         "take_per_group": q_take_per_group,
@@ -3194,6 +3211,19 @@ def oracle_sql() -> dict[str, str]:
                        AS context
             FROM documents GROUP BY source, lang HAVING count(*) > 1
         """,
+        "ewma_value": """
+            WITH s AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events)
+            SELECT a.user_id, a.event_id, a.value,
+                   round(sum(b.value * pow(0.7, a.rn - b.rn))
+                         / sum(pow(0.7, a.rn - b.rn)), 6) AS ewma
+            FROM s a JOIN s b
+              ON b.user_id = a.user_id AND b.rn BETWEEN a.rn - 7 AND a.rn
+            GROUP BY a.user_id, a.event_id, a.value
+        """,
         "sparql_grouped": """
             WITH viol AS (
                 SELECT DISTINCT l_orderkey FROM (
@@ -3484,7 +3514,7 @@ def oracle_sql() -> dict[str, str]:
                            / 4294967297.0) / n_chars AS p
                 FROM documents WHERE n_chars > 0)
             SELECT doc_id, n_chars FROM pri
-            ORDER BY p, doc_id LIMIT 100
+            ORDER BY round(p, 9), doc_id LIMIT 100
         """,
         "latest_event": """
             SELECT event_id, ts, user_id, event_type, value
@@ -3805,7 +3835,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff": """
             SELECT doc_id FROM documents
             WHERE text NOT IN
-                  (SELECT text FROM documents WHERE doc_id % 2 = 0)
+                  (SELECT text FROM documents
+                   WHERE doc_id % 2 = 0 AND text IS NOT NULL)
         """,
         "exact_dedup": """
             SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,

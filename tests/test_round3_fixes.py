@@ -99,3 +99,37 @@ def test_pagerank_rejects_unknown_node_state():
     ds = ray.data.from_arrow(pa.table({"src": [1], "dst": [2]}))
     with pytest.raises(ValueError, match="node_state"):
         pagerank(ds, node_state="banana")
+
+
+# --- bounded-window EWMA -------------------------------------------------
+
+
+def test_ewma_by_key_bounded_window_and_key_reset():
+    from xpshacl_ray.stages.window import ewma_by_key
+
+    t = pa.table({
+        "k": ["a"] * 4 + ["b"] * 2,
+        "o": [1, 2, 3, 4, 1, 2],
+        "v": [1.0, 2.0, 3.0, 4.0, 10.0, 20.0],
+    })
+    out = (ewma_by_key(ray.data.from_arrow(t), "k", ["o"], "v",
+                       alpha=0.5, window=2)
+           .to_pandas().sort_values(["k", "o"]))
+    got = out["ewma"].to_numpy()
+    # W=2, α=.5: weights (1, .5)/1.5 after warmup; first row = value
+    exp = [1.0,
+           (2.0 + 0.5 * 1.0) / 1.5,
+           (3.0 + 0.5 * 2.0) / 1.5,
+           (4.0 + 0.5 * 3.0) / 1.5,
+           10.0,                      # key boundary resets the window
+           (20.0 + 0.5 * 10.0) / 1.5]
+    assert np.allclose(got, np.round(exp, 6))
+
+
+def test_ewma_by_key_rejects_null_values():
+    from xpshacl_ray.stages.window import ewma_by_key
+
+    t = pa.table({"k": ["a", "a"], "o": [1, 2],
+                  "v": pa.array([1.0, None], pa.float64())})
+    with pytest.raises((ValueError, Exception)):
+        ewma_by_key(ray.data.from_arrow(t), "k", ["o"], "v").to_pandas()

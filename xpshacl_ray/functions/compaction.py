@@ -25,6 +25,11 @@ def _latest_partial(b: pa.Table, key_col: str, order_cols: List[str],
     later columns break ties).  Vectorized lexsort + last-of-run."""
     if len(b) == 0:
         return b
+    if b[key_col].null_count:
+        # a None among string keys would raise a cryptic TypeError inside
+        # the object-dtype lexsort below — reject loudly like order_cols
+        raise ValueError(
+            f"latest_by_key: key column {key_col!r} contains NULLs")
     keys = np.asarray(b[key_col])
     sort_keys = [np.asarray(b[c]) for c in reversed(order_cols)] + [keys]
     order = np.lexsort(sort_keys)  # by key, then order_cols ascending

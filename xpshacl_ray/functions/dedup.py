@@ -49,6 +49,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from .arrowutil import agg_select
 from .sketches import hash64
 
 logger = logging.getLogger(__name__)
@@ -114,7 +115,9 @@ def exact_dedup(
         agg = h.group_by(["text_md5"]).aggregate(
             [(id_col, "min"), ([], "count_all")]
         )
-        return agg.rename_columns(["text_md5", "p_min", "p_n"])
+        return agg_select(agg, {"text_md5": "text_md5",
+                                f"{id_col}_min": "p_min",
+                                "count_all": "p_n"})
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -1245,7 +1248,8 @@ def dup_rate_by_key(ds: "ray.data.Dataset", key_col: str = "source",
                       "is_null": pa.array(null),
                       "c": pa.array(np.ones(len(b), np.int64))})
         g = t.group_by([key_col, "h", "is_null"]).aggregate([("c", "sum")])
-        return g.rename_columns([key_col, "h", "is_null", "cnt"])
+        return agg_select(g, {key_col: key_col, "h": "h",
+                              "is_null": "is_null", "c_sum": "cnt"})
 
     pair_counts = (
         ds.map_batches(pairs, batch_format="pyarrow")
@@ -1261,7 +1265,9 @@ def dup_rate_by_key(ds: "ray.data.Dataset", key_col: str = "source",
         })
         g = t.group_by([key_col]).aggregate(
             [("p_docs", "sum"), ("p_unique", "sum")])
-        return g.rename_columns([key_col, "p_docs", "p_unique"])
+        return agg_select(g, {key_col: key_col,
+                              "p_docs_sum": "p_docs",
+                              "p_unique_sum": "p_unique"})
 
     agg = (pair_counts.map_batches(per_key_partial, batch_format="pyarrow")
            .groupby(key_col)

@@ -215,7 +215,7 @@ def pagerank(edges: "ray.data.Dataset", src: str = "src",
             w = p[s_idx] / dg[s_idx]  # outdeg>0: src always has an edge
             t = pa.table({"node": b[dst], "w": pa.array(w)})
             g = t.group_by(["node"]).aggregate([("w", "sum")])
-            return g.rename_columns(["node", "w"])
+            return pa.table({"node": g["node"], "w": g["w_sum"]})
 
         # node state already lives on the driver, so merging the
         # per-block per-node partials here (streamed, vectorized) saves

@@ -454,9 +454,11 @@ def sample_exact_k(
               .map_batches(combine, batch_format="pandas")
               .to_pandas())
     if merged.empty:
-        cols = [c for c in ds.schema().names]
-        return ray.data.from_arrow(pa.table(
-            {c: pa.array([]) for c in cols}))
+        # build from the input schema — pa.array([]) would yield
+        # null-typed columns and break schema-dependent unions/writes
+        sch = ds.schema()
+        return ray.data.from_arrow(
+            pa.schema(list(zip(sch.names, sch.types))).empty_table())
     out = merged.sort_values(["__rk__", id_col]).head(k) \
                 .drop(columns="__rk__")
     return ray.data.from_pandas(out.reset_index(drop=True))
@@ -500,6 +502,10 @@ def sample_weighted_k(
                        dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             pri = -np.log((h32 + 1.0) / _SCALE) / w
+        # fixed-precision priorities: numpy and SQL ln() differ by ~1 ULP,
+        # which could flip the ORDER BY boundary at the k-th row; rounding
+        # collapses ULP noise and the id tie-break stays deterministic
+        pri = np.round(pri, 9)
         t = b.append_column("__pri__", pa.array(pri, pa.float64()))
         t = t.filter(pa.array(ok))
         if t.num_rows <= k:
@@ -517,8 +523,10 @@ def sample_weighted_k(
               .map_batches(combine, batch_format="pandas")
               .to_pandas())
     if merged.empty:
-        return ray.data.from_arrow(pa.table(
-            {c: pa.array([]) for c in ds.schema().names}))
+        # schema-preserving empty result (see sample_exact_k)
+        sch = ds.schema()
+        return ray.data.from_arrow(
+            pa.schema(list(zip(sch.names, sch.types))).empty_table())
     out = merged.sort_values(["__pri__", id_col]).head(k) \
                 .drop(columns="__pri__")
     return ray.data.from_pandas(out.reset_index(drop=True))

@@ -26,6 +26,14 @@ import pandas as pd
 _HASH_KEY = "0123456789123456"  # pandas default; fixed for determinism
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer, vectorized over uint64 (wrapping arithmetic)."""
+    z = h + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def hash64(values) -> np.ndarray:
     """Deterministic uint64 hashes of a value array (C-backed, vectorized).
 
@@ -184,7 +192,10 @@ class BloomFilter:
 
     def _positions(self, values) -> np.ndarray:
         h1 = hash64(values)
-        h2 = hash64([f"\x01{v}" for v in values])
+        # second hash derived by integer mixing (splitmix64 finalizer) —
+        # pure uint64 vector ops, no per-value string building; |1 keeps
+        # the double-hash stride nonzero
+        h2 = _mix64(h1) | np.uint64(1)
         i = np.arange(self.k, dtype=np.uint64)
         # double hashing: pos_j = (h1 + j*h2) mod m   (shape: n × k)
         return ((h1[:, None] + i[None, :] * h2[:, None])

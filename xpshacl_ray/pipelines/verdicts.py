@@ -24,6 +24,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..functions.arrowutil import agg_select
 from ..stages.stats import DriftThresholds, StatsConfig, drift_report
 
 
@@ -60,7 +61,8 @@ def violation_counts_by_partition(
             mask = valid if mask is None else pc.and_(mask, valid)
         t = t.filter(mask)
         agg = t.group_by(keys).aggregate([([], "count_all")])
-        return agg.rename_columns(keys + ["p_n"])
+        return agg_select(agg, {**{k: k for k in keys},
+                                "count_all": "p_n"})
 
     out = (
         violations.map_batches(partial, batch_format="pyarrow")

@@ -34,6 +34,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..functions.arrowutil import agg_select
 from ..spec import CompiledConstraint, CompiledSpec, MaxCount, MinCount
 from .evaluate import violations_schema
 
@@ -448,8 +449,9 @@ def _evaluate_grouped_hashed(
             # arrays (slow + opaque); the reinterpretation is lossless
             t = pa.table({"kh": pa.array(kh.view(np.int64)),
                           "partial_n": pa.array(cnt)})
-            return t.group_by(["kh"]).aggregate([("partial_n", "sum")]) \
-                .rename_columns(["kh", "partial_n"])
+            g = t.group_by(["kh"]).aggregate([("partial_n", "sum")])
+            return agg_select(g, {"kh": "kh",
+                                  "partial_n_sum": "partial_n"})
 
         counts = ds.map_batches(partial_hashed, batch_format="pyarrow") \
             .groupby("kh").aggregate(Sum("partial_n", alias_name="actual_count"))

@@ -68,12 +68,17 @@ class _RefMask:
         if isinstance(keys, BloomFilter):
             import numpy as np
 
-            vals = col.to_pylist()
-            present = keys.might_contain([str(v) for v in vals])
-            nulls = np.array([v is None for v in vals])
+            # vectorized rendering: Arrow cast-to-string (no per-value
+            # Python str()), null slots probed as "" then masked out
+            s = pc.cast(col, pa.string())
+            if isinstance(s, pa.ChunkedArray):
+                s = s.combine_chunks()
+            valid = np.asarray(pc.is_valid(s))
+            rendered = pc.fill_null(s, "").to_numpy(zero_copy_only=False)
+            present = keys.might_contain(rendered)
             if self.null_is_violation:
-                return pa.array(~present | nulls)
-            return pa.array(~present & ~nulls)
+                return pa.array(~present | ~valid)
+            return pa.array(~present & valid)
         # pc.is_in yields False (not null) for null inputs, so gate on
         # validity explicitly rather than via fill_null
         bad = pc.invert(pc.is_in(col, value_set=keys))
@@ -90,8 +95,12 @@ def bloom_keys(ref_ds: "ray.data.Dataset", column: str,
 
     def partial(b: pa.Table) -> pa.Table:
         f = BloomFilter(n_items=expected_items, fp_rate=fp_rate)
-        vals = [str(v) for v in b[column].to_pylist() if v is not None]
-        f.add(vals)
+        # Arrow cast-to-string rendering — must match the probe side
+        # (_RefMask) exactly; both are vectorized, no per-value str()
+        s = pc.cast(b[column], pa.string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        f.add(s.drop_null().to_numpy(zero_copy_only=False))
         return pa.table({"bloom": pa.array([f.to_bytes()], pa.binary())})
 
     blobs = ref_ds.select_columns([column]).map_batches(

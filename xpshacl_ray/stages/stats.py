@@ -32,6 +32,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..functions.arrowutil import agg_select
 from ..functions.sketches import (
     CategoricalHistogram,
     HyperLogLog,
@@ -409,7 +410,9 @@ def zscore_outliers(
         t = pa.table(cols)
         agg = t.group_by(group_cols).aggregate(
             [("__n", "sum"), ("__s1", "sum"), ("__s2", "sum")])
-        return agg.rename_columns(group_cols + ["n", "s1", "s2"])
+        return agg_select(agg, {**{c: c for c in group_cols},
+                                "__n_sum": "n", "__s1_sum": "s1",
+                                "__s2_sum": "s2"})
 
     stats = (
         ds.map_batches(moments, batch_format="pyarrow")
@@ -487,7 +490,8 @@ def percentile_rank(
         t = t.filter(pc.is_valid(t[value_col]))
         agg = t.group_by(group_cols + [value_col]).aggregate(
             [([], "count_all")])
-        return agg.rename_columns(group_cols + [value_col, "n"])
+        return agg_select(agg, {**{c: c for c in group_cols},
+                                value_col: value_col, "count_all": "n"})
 
     htbl = (
         ds.map_batches(hist, batch_format="pyarrow")
@@ -577,7 +581,8 @@ def mad_robust_z(
         t = t.filter(pc.is_valid(t[value_col]))
         g = t.group_by(group_cols + [value_col]).aggregate(
             [([], "count_all")])
-        return g.rename_columns(group_cols + [value_col, "n"])
+        return agg_select(g, {**{c: c for c in group_cols},
+                              value_col: value_col, "count_all": "n"})
 
     htbl = (
         ds.map_batches(hist, batch_format="pyarrow")
