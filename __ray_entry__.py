@@ -2767,6 +2767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "property_pair_violations": q_property_pair_violations,
         "logical_violations": q_logical_violations,
         "sparql_grouped": q_sparql_grouped,
+        "ewma_value": q_ewma_value,
         "dup_clusters": q_dup_clusters,
         "containment_pairs": q_containment_pairs,
         "edit_distance_pairs": q_edit_distance_pairs,
@@ -2795,7 +2796,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_project": q_json_project,
         "curation_gates": q_curation_gates,
         "curation_v3": q_curation_v3,
-        "ewma_value": q_ewma_value,
         "stratified_sample": q_stratified_sample,
         "sample_exact_k": q_sample_exact_k,
         "take_per_group": q_take_per_group,

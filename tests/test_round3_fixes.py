@@ -133,3 +133,27 @@ def test_ewma_by_key_rejects_null_values():
                   "v": pa.array([1.0, None], pa.float64())})
     with pytest.raises((ValueError, Exception)):
         ewma_by_key(ray.data.from_arrow(t), "k", ["o"], "v").to_pandas()
+
+
+def test_pagerank_mixed_width_int_ids_join_path():
+    # int32 src / int64 dst previously crashed pa.concat_arrays in the
+    # join path's node stack; both paths must agree
+    rng = np.random.default_rng(5)
+    E = pa.table({"src": pa.array(rng.integers(0, 60, 400), pa.int32()),
+                  "dst": pa.array(rng.integers(0, 60, 400), pa.int64())})
+    ds = ray.data.from_arrow(E)
+    a = pagerank(ds, node_state="driver", iters=1)
+    b = pagerank(ds, node_state="join", iters=1, join_partitions=4)
+    assert a.equals(b)
+
+
+def test_pagerank_null_endpoint_rejected_on_both_paths():
+    small = ray.data.from_arrow(pa.table(
+        {"src": pa.array([1, None], pa.int64()),
+         "dst": pa.array([2, 3], pa.int64())}))
+    with pytest.raises(Exception, match="NULL"):
+        pagerank(small)  # packed path (ids < 2^31)
+    strings = ray.data.from_arrow(pa.table(
+        {"src": pa.array(["a", None]), "dst": pa.array(["b", "c"])}))
+    with pytest.raises(Exception, match="NULL"):
+        pagerank(strings)  # two-column path

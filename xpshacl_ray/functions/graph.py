@@ -32,6 +32,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _reject_null_endpoints(b: pa.Table, src: str, dst: str) -> None:
+    """A NULL endpoint is a malformed edge, not a node — both distinct
+    strategies reject it identically (a guard only in the packed path
+    would make the failure mode depend on the ids' value range)."""
+    if b[src].null_count or b[dst].null_count:
+        raise ValueError("pagerank: edge endpoints contain NULLs")
+
+
 def _distinct_edges(edges: "ray.data.Dataset", src: str, dst: str,
                     ) -> "ray.data.Dataset":
     """Distributed DISTINCT on (src, dst): per-batch dedup first, then
@@ -52,9 +60,7 @@ def _distinct_edges(edges: "ray.data.Dataset", src: str, dst: str,
         hi = max(st[f"max({src})"] or 0, st[f"max({dst})"] or 0)
         if st[f"min({src})"] is not None and lo >= 0 and hi < 2**31:
             def pack(b: pa.Table) -> pa.Table:
-                if b[src].null_count or b[dst].null_count:
-                    raise ValueError(
-                        "pagerank: edge endpoints contain NULLs")
+                _reject_null_endpoints(b, src, dst)
                 s = np.asarray(b[src].combine_chunks().cast(pa.int64())
                                if isinstance(b[src], pa.ChunkedArray)
                                else b[src].cast(pa.int64()))
@@ -76,6 +82,7 @@ def _distinct_edges(edges: "ray.data.Dataset", src: str, dst: str,
                     .map_batches(unpack, batch_format="pyarrow"))
 
     def local(b: pa.Table) -> pa.Table:
+        _reject_null_endpoints(b, src, dst)
         return b.select([src, dst]).group_by([src, dst]).aggregate([])
 
     # aggregate-count then drop the count: one shuffle, no per-group
@@ -92,20 +99,37 @@ def _distinct_edges(edges: "ray.data.Dataset", src: str, dst: str,
 DRIVER_NODE_LIMIT = 50_000_000
 
 
+def _node_type(e: "ray.data.Dataset", src: str, dst: str) -> pa.DataType:
+    """Common Arrow type for the stacked node column: int64 when both
+    endpoint columns are integers (any width), else string — mixed-width
+    FK columns (int32 src, int64 dst) would otherwise crash
+    ``pa.concat_arrays``."""
+    sch = e.schema()
+    tmap = dict(zip(sch.names, sch.types))
+    if pa.types.is_integer(tmap[src]) and pa.types.is_integer(tmap[dst]):
+        return pa.int64()
+    return pa.string()
+
+
+def _stack_nodes(b: pa.Table, src: str, dst: str,
+                 typ: pa.DataType) -> pa.Table:
+    s = b[src].combine_chunks() if isinstance(b[src], pa.ChunkedArray) \
+        else b[src]
+    d = b[dst].combine_chunks() if isinstance(b[dst], pa.ChunkedArray) \
+        else b[dst]
+    return pa.table({"node": pa.concat_arrays(
+        [s.cast(typ), d.cast(typ)])})
+
+
 def _estimate_nodes(e: "ray.data.Dataset", src: str, dst: str) -> float:
     """No-shuffle HLL estimate of |src ∪ dst| — the planning pass for
     choosing driver-state vs join-state (same sketch-planning pattern as
     the grouped-constraint strategy chooser)."""
     from ..stages.grouped import estimate_group_count
 
-    def stack(b: pa.Table) -> pa.Table:
-        s = b[src].combine_chunks() if isinstance(b[src], pa.ChunkedArray) \
-            else b[src]
-        d = b[dst].combine_chunks() if isinstance(b[dst], pa.ChunkedArray) \
-            else b[dst]
-        return pa.table({"node": pa.concat_arrays([s, d])})
-
-    stacked = e.map_batches(stack, batch_format="pyarrow")
+    typ = _node_type(e, src, dst)
+    stacked = e.map_batches(
+        lambda b: _stack_nodes(b, src, dst, typ), batch_format="pyarrow")
     return estimate_group_count(stacked, ["node"])
 
 
@@ -122,21 +146,24 @@ def _pagerank_join(e: "ray.data.Dataset", src: str, dst: str,
 
     from .joins import native_join
 
-    def stack(b: pa.Table) -> pa.Table:
-        s = b[src].combine_chunks() if isinstance(b[src], pa.ChunkedArray) \
-            else b[src]
-        d = b[dst].combine_chunks() if isinstance(b[dst], pa.ChunkedArray) \
-            else b[dst]
-        return pa.table({"node": pa.concat_arrays([s, d])})
-
-    nodes = (e.map_batches(stack, batch_format="pyarrow")
+    typ = _node_type(e, src, dst)
+    # normalize BOTH endpoint columns to the common node type up front so
+    # every downstream join key (edges ⋈ deg, edges ⋈ ranks) type-matches
+    # the stacked node column (mixed-width FK ids: int32 src, int64 dst)
+    e = e.map_batches(
+        lambda b: pa.table({src: pc.cast(b[src], typ),
+                            dst: pc.cast(b[dst], typ)}),
+        batch_format="pyarrow")
+    nodes = (e.map_batches(
+                lambda b: _stack_nodes(b, src, dst, typ),
+                batch_format="pyarrow")
              .groupby("node").count()
              .map_batches(lambda b: b.select(["node"]),
                           batch_format="pyarrow")
              .materialize())
     n = nodes.count()
     if n == 0:
-        return pa.table({"node": pa.array([], pa.string()),
+        return pa.table({"node": pa.array([], typ),
                          "pr": pa.array([], pa.float64())})
     # fold out-degree into the edge table ONCE (degree is round-static):
     # per round only ONE join (edges ⋈ ranks) remains

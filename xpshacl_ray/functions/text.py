@@ -32,7 +32,11 @@ _EN_STOP = _STOPWORDS["en"]
 
 # BPE-ish pre-tokenizer: word pieces, numbers, or single non-space symbols
 # (the common GPT-2-style pre-tokenization regex family, simplified).
-_BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# The whitespace class is spelled out as explicit ASCII characters so the
+# pattern means the SAME thing under RE2 (Arrow kernel, ASCII \s) and
+# Python re (Unicode \s) — a literal \s here would silently change token
+# counts for NBSP/thin-space text depending on the engine.
+_BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\r\f\v]"
 
 
 def token_count_whitespace(batch: pa.Table, text_col: str = "text",
@@ -53,10 +57,13 @@ class Tokenizer:
     """BPE-ish token counting actor.
 
     Vectorized: non-overlapping match counting runs as ONE Arrow RE2
-    kernel (``pc.count_substring_regex``) over the whole batch — same
-    result as ``len(re.findall(pattern, text))`` per row.  Patterns RE2
-    rejects (lookarounds/backrefs) fall back to a compiled-once Python
-    loop, the documented slow path."""
+    kernel (``pc.count_substring_regex``) over the whole batch.  RE2
+    semantics are canonical (same dialect as the DuckDB oracles); note
+    RE2 treats class shorthands (``\\s``/``\\w``/``\\d``) as ASCII where
+    Python ``re`` is Unicode — spell out explicit classes (as the
+    default pattern does) when the distinction matters.  Patterns RE2
+    REJECTS outright (lookarounds/backrefs) fall back to a
+    compiled-once Python loop, the documented slow path."""
 
     def __init__(self, pattern: str = _BPEISH, text_col: str = "text",
                  out_col: str = "n_bpeish_tokens"):

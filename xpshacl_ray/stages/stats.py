@@ -634,6 +634,33 @@ def mad_robust_z(
 PROFILE_EXACT_DISTINCT_LIMIT = 1_000_000
 
 
+def _estimate_distinct_all(sub: "ray.data.Dataset", columns: List[str],
+                           hll_p: int = 14) -> Dict[str, float]:
+    """Per-column distinct estimates from ONE no-shuffle pass: each batch
+    emits one row holding an HLL blob per requested column; blobs merge
+    per column on the driver (O(batches × columns) tiny rows)."""
+    from ..functions.sketches import HyperLogLog
+    from .grouped import _key_hashes
+
+    def partial(b: pa.Table) -> pa.Table:
+        row = {}
+        for c in columns:
+            col = b[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vv = col.drop_null()
+            h = HyperLogLog(p=hll_p)
+            if len(vv):
+                h.add_hashes(_key_hashes(pa.table({c: vv}), [c]))
+            row[c] = pa.array([h.to_bytes()], pa.binary())
+        return pa.table(row)
+
+    parts = sub.map_batches(partial, batch_format="pyarrow").take_all()
+    return {c: (HyperLogLog.merge_many([r[c] for r in parts]).estimate()
+                if parts else 0.0)
+            for c in columns}
+
+
 def _profile_column_sketch(sub: "ray.data.Dataset", c: str, n: int,
                            hll_p: int = 14) -> dict:
     """Unbounded-cardinality fallback: ONE map-only pass emitting a tiny
@@ -688,24 +715,31 @@ def profile_columns(ds: "ray.data.Dataset", columns: List[str],
     column — at petabyte width, fold the per-column combiners into a
     single melt pass instead.
 
-    The exact path is GUARDED: a no-shuffle HLL pre-estimate
-    (:func:`~.grouped.estimate_group_count`) plans each column, and any
-    column whose distinct cardinality exceeds ``exact_distinct_limit``
-    routes to a one-pass sketch profile instead (exact n/n_null/min/max,
+    The exact path is GUARDED: one no-shuffle HLL planning pass
+    (:func:`_estimate_distinct_all`, all columns at once; skipped
+    entirely when the row count already bounds distincts under the
+    limit) plans each column, and any column whose distinct cardinality
+    exceeds ``exact_distinct_limit`` routes to a one-pass sketch
+    profile instead (exact n/n_null/min/max,
     HLL ±~1% ``n_distinct``) — an ID-like column at 100x scale must not
     ``take_all()`` its distinct distribution onto the driver.
     """
-    from .grouped import estimate_group_count
-
     # total row count once for the whole table (metadata-cheap on a
     # plain read; one pipeline execution otherwise) — per-column null
     # counts then fall out of each column's distribution for free
     n = ds.count()
+    # plan ALL columns in one pass (or zero: row count bounds distinct
+    # count, so a table under the limit needs no estimate at all) — a
+    # per-column planning scan would double I/O for the common case
+    if n <= exact_distinct_limit:
+        ests = {c: 0.0 for c in columns}
+    else:
+        ests = _estimate_distinct_all(ds.select_columns(columns), columns)
     out = {"column": [], "n": [], "n_null": [], "n_distinct": [],
            "min_str": [], "max_str": []}
     for c in columns:
         sub = ds.select_columns([c])
-        if estimate_group_count(sub, [c]) > exact_distinct_limit:
+        if ests[c] > exact_distinct_limit:
             prof = _profile_column_sketch(sub, c, n)
             out["column"].append(c)
             for k, v in prof.items():
