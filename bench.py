@@ -141,6 +141,13 @@ def run_benchmarks() -> dict:
         ("dup_rate_by_source", entrymod.q_dup_rate_by_source),
         ("mad_outliers", entrymod.q_mad_outliers),
         ("pagerank", entrymod.q_pagerank),
+        # round-3 additions: constraint families + grouped SPARQL + EWMA
+        ("property_pair_violations", entrymod.q_property_pair_violations),
+        ("logical_violations", entrymod.q_logical_violations),
+        ("datatype_violations", entrymod.q_datatype_violations),
+        ("uniquelang_violations", entrymod.q_uniquelang_violations),
+        ("sparql_grouped", entrymod.q_sparql_grouped),
+        ("ewma_value", entrymod.q_ewma_value),
     ]
     for name, fn in bench_queries:
         def run(fn=fn):
