@@ -1,0 +1,109 @@
+"""End-to-end graph-pattern SPARQL shape routed from Turtle through the
+`sparql_impls` escape hatch (VERDICT r2 missing item 3): a shark-style
+multi-row ``sh:sparql`` block ("at most one superclass",
+shark_shapes.ttl:48-67) that the FILTER-only translator cannot express
+is implemented as a GroupedSparql over the triples table — one group per
+focus subject, exactly the per-$this binding set the WHERE joins over."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from xpshacl_ray.sources.ttl import sparql_sqlchecks, load_turtle, validate_ttl
+from xpshacl_ray.spec import GroupedSparql
+
+SHAPES = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix ex: <http://example.org/> .
+
+ex:ClassShape a sh:NodeShape ;
+  sh:targetClass owl:Class ;
+  sh:property [
+    sh:path rdfs:label ;
+    sh:minCount 1 ;
+  ] ;
+  sh:property [
+    sh:message "Classes must have at most one superclass" ;
+    sh:path rdfs:subClassOf ;
+    sh:sparql [
+      sh:message "Classes must have at most one superclass" ;
+      sh:select "SELECT DISTINCT $this WHERE { $this rdfs:subClassOf ?v1 . $this rdfs:subClassOf ?v2 . FILTER(?v1 != ?v2) . }" ;
+    ] ;
+  ] .
+"""
+
+DATA = """
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix ex: <http://example.org/> .
+
+ex:A a owl:Class ; rdfs:label "A" .
+ex:B a owl:Class ; rdfs:label "B" ; rdfs:subClassOf ex:A .
+ex:C a owl:Class ; rdfs:label "C" ; rdfs:subClassOf ex:A ; rdfs:subClassOf ex:B .
+"""
+
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def _multi_superclass_impl():
+    def fn(g: pa.Table) -> bool:
+        pred = np.asarray(g["predicate"].to_numpy(zero_copy_only=False))
+        obj = np.asarray(g["object"].to_numpy(zero_copy_only=False))
+        parents = obj[pred == f"{RDFS}subClassOf"]
+        return len(set(parents)) >= 2
+
+    return GroupedSparql(
+        path=f"{RDFS}subClassOf",
+        group_by=["subject"],
+        columns=["predicate", "object"],
+        name="at-most-one-superclass",
+        fn=fn,
+        message="Classes must have at most one superclass",
+    )
+
+
+def test_graph_pattern_block_is_surfaced_not_translated(tmp_path):
+    shapes = _write(tmp_path, "shapes.ttl", SHAPES)
+    triples, _ = load_turtle(shapes)
+    checks, skipped = sparql_sqlchecks(triples)
+    # the multi-row join query must NOT silently mistranslate
+    assert not checks
+    assert len(skipped) == 1
+    assert skipped[0]["message"] == "Classes must have at most one superclass"
+
+
+def test_sparql_impls_routes_skipped_block_end_to_end(tmp_path):
+    shapes = _write(tmp_path, "shapes.ttl", SHAPES)
+    data = _write(tmp_path, "data.ttl", DATA)
+    impl = _multi_superclass_impl()
+    viol = validate_ttl(
+        data, shapes,
+        sparql_impls={"Classes must have at most one superclass": impl},
+    ).to_pandas()
+    sparql_rows = viol[viol["message"]
+                       == "Classes must have at most one superclass"]
+    # only ex:C has two distinct superclasses
+    assert list(sparql_rows["subject"]) == ["http://example.org/C"]
+    assert (sparql_rows["violation_type"] == "other").all()
+    # the rest of the shape still evaluates (minCount on label: none)
+    assert (viol["message"] != "Less than 1 values on "
+            f"{RDFS}label").all()
+
+
+def test_unmatched_impl_key_leaves_block_as_data(tmp_path):
+    shapes = _write(tmp_path, "shapes.ttl", SHAPES)
+    data = _write(tmp_path, "data.ttl", DATA)
+    viol = validate_ttl(data, shapes,
+                        sparql_impls={"some other message":
+                                      _multi_superclass_impl()}).to_pandas()
+    # no impl matched -> the block stays data; with labels present the
+    # remaining shape yields zero violations at all
+    assert len(viol) == 0

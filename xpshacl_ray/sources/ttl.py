@@ -934,6 +934,7 @@ def run_ttl(
     out_dir: Optional[str] = None,
     long_form: bool = False,
     sparql: bool = False,
+    sparql_impls: Optional[Dict[str, object]] = None,
 ):
     """The reference's full ``main.py`` surface over Turtle inputs:
     validate → signature dedup → justification trees + context →
@@ -953,7 +954,8 @@ def run_ttl(
     if not specs:
         raise ValueError("no applicable shapes/targets found")
     viol = validate_ttl(data_path, shapes_path,
-                        long_form=long_form, sparql=sparql)
+                        long_form=long_form, sparql=sparql,
+                        sparql_impls=sparql_impls)
     # enrichment/explanation stages consume violation rows, not the spec —
     # any compiled engine drives them; reuse the first class's spec
     first_spec = specs[sorted(specs)[0]]
@@ -972,7 +974,8 @@ def run_ttl(
 
 
 def validate_ttl(data_path: str, shapes_path: str,
-                 long_form: bool = False, sparql: bool = False):
+                 long_form: bool = False, sparql: bool = False,
+                 sparql_impls: Optional[Dict[str, object]] = None):
     """End-to-end: parse both files, build one entity table + spec per
     target class, run the engine, union the violations.
 
@@ -986,7 +989,18 @@ def validate_ttl(data_path: str, shapes_path: str,
     ``sh:sparql`` blocks into :class:`~xpshacl_ray.spec.SqlCheck`
     constraints (:func:`sparql_sqlchecks`; untranslatable blocks stay
     surfaced as data).  Both off by default: the entity-pivot subset is
-    the reference-README parity surface pinned by the goldens."""
+    the reference-README parity surface pinned by the goldens.
+
+    ``sparql_impls`` is the worked escape hatch for the UNtranslatable
+    (graph-pattern / multi-row) ``sh:sparql`` blocks — the shark shapes'
+    join/cycle queries (shark_shapes.ttl:48-149, 200-245): a dict keyed
+    by the block's ``sh:message`` (or its holder shape id) mapping to a
+    :class:`~xpshacl_ray.spec.GroupedSparql` (or any Constraint) that
+    implements the pattern over the TRIPLES table — each focus node's
+    triples are one group (``group_by=["subject"]``), exactly the
+    per-$this binding set the SPARQL WHERE clause joins over.  Matched
+    blocks run and union their violations in; unmatched blocks stay
+    surfaced as data (never silently dropped)."""
     import ray.data
 
     from ..pipelines.validate import ValidationEngine
@@ -1014,6 +1028,20 @@ def validate_ttl(data_path: str, shapes_path: str,
         lf = validate_ttl_long(data_triples, shape_triples)
         if lf is not None:
             parts.append(lf)
+    if sparql_impls:
+        _checks, skipped = sparql_sqlchecks(shape_triples)
+        tt = None
+        for entry in skipped:
+            impl = (sparql_impls.get(entry["message"])
+                    or sparql_impls.get(entry["shape"]))
+            if impl is None:
+                continue
+            if tt is None:
+                tt = ray.data.from_arrow(triples_table(data_triples))
+            ispec = ValidationSpec(constraints=[impl],
+                                   id_columns=["subject"],
+                                   focus_template="{subject}")
+            parts.append(ValidationEngine(ispec).validate(tt))
     for target_class, spec in sorted(specs.items()):
         table = entity_table(data_triples, target_class)
         if table.num_rows == 0:
