@@ -104,3 +104,14 @@ def test_grouped_sparql_empty_input_yields_empty_violations():
     }))
     viol = ValidationEngine(_spec()).validate(ds)
     assert viol.count() == 0
+
+
+def test_grouped_sparql_mega_group_guard():
+    spec = ValidationSpec(
+        constraints=[GroupedSparql(
+            path="ts", group_by=["user_id"], columns=["seq", "ts"],
+            name="ts-monotone", fn=_monotone_fn, max_group_rows=2)],
+        id_columns=["user_id"],
+    )
+    with pytest.raises(Exception, match="max_group_rows"):
+        ValidationEngine(spec).validate(_events()).to_pandas()

@@ -746,6 +746,10 @@ class GroupedSparql(Constraint):
     columns: Sequence[str] = field(default_factory=list)
     fn: Optional[Callable[[pa.Table], Any]] = None
     name: str = "sparql-group"
+    #: skew guard: a focus group larger than this raises instead of
+    #: silently OOMing the map_groups worker — a mega-group means the
+    #: data model's rows-per-subject bound is broken upstream
+    max_group_rows: int = 5_000_000
     component: str = "SPARQLConstraintComponent"
 
     def params(self) -> Dict[str, Any]:

@@ -296,7 +296,14 @@ def _evaluate_grouped_sparql(
                            + [("actual_count", pa.int64())])
     fn = c.fn
 
+    max_rows = getattr(c, "max_group_rows", 0) or 0
+
     def per_group(g: pa.Table) -> pa.Table:
+        if max_rows and g.num_rows > max_rows:
+            raise ValueError(
+                f"GroupedSparql {c.name!r}: focus group of {g.num_rows} "
+                f"rows exceeds max_group_rows={max_rows} — a skewed key "
+                f"broke the rows-per-subject bound; cap or salt upstream")
         if g.num_rows and bool(fn(g)):
             row = {k: [g[k][0].as_py()] for k in keys}
             row["actual_count"] = [g.num_rows]
