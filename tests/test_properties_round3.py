@@ -161,3 +161,31 @@ def test_logical_family_matches_sql(vals):
         "(CASE WHEN s IS NULL OR s IN ('a','ab') THEN 1 ELSE 0 END)"
         " + (CASE WHEN s IS NULL OR length(s) >= 3 THEN 1 ELSE 0 END)"
         " <> 1")
+
+
+# --- grouped cardinality fuzz (needs the Ray session fixture) -------------
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["s0", "s1", "s2"]),
+                          st.sampled_from(["de", "en", "fr"])),
+                min_size=1, max_size=80))
+def test_uniquelang_grouped_matches_sql(pairs):
+    import ray.data
+
+    from xpshacl_ray.spec import UniqueLang, ValidationSpec
+    from xpshacl_ray.pipelines.validate import ValidationEngine
+
+    t = pa.table({"source": pa.array([p[0] for p in pairs]),
+                  "lang": pa.array([p[1] for p in pairs])})
+    spec = ValidationSpec(constraints=[UniqueLang(
+        column="lang", group_by=["source"], lang_column="lang")])
+    viol = (ValidationEngine(spec)
+            .validate(ray.data.from_arrow(t)).to_pandas())
+    got = sorted(viol["focus_node"]) if len(viol) else []
+    con = duckdb.connect()
+    con.register("t", t)
+    want = sorted(r[0] for r in con.execute(
+        "SELECT 'group:' || source || '/' || lang FROM t "
+        "GROUP BY source, lang HAVING count(*) > 1").fetchall())
+    assert got == want
