@@ -2740,11 +2740,40 @@ def entry() -> Any:
     return res["report"]
 
 
+def _rotate_never_green_first(
+    order: dict[str, Callable[[str], Any]],
+) -> dict[str, Callable[[str], Any]]:
+    """Stable-partition the query dict: entries with no hash-green row in
+    any ``CORRECTNESS_r*.json`` so far come FIRST (the driver verifies
+    the first 50 entries per round — VERDICT r2 item 1).  Relative order
+    inside each class is preserved, so the hand-curated priority of the
+    static dict below still decides ties; with no correctness files the
+    static order stands unchanged.  This makes the rotation automatic
+    for every future round: freshly-verified queries fall to the tail
+    and the next unverified batch slides into the window."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    green: set[str] = set()
+    try:
+        for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+            for k, v in json.load(open(f)).items():
+                if v and v.get("hash_match"):
+                    green.add(k)
+    except Exception:
+        return order
+    return {**{k: v for k, v in order.items() if k not in green},
+            **{k: v for k, v in order.items() if k in green}}
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
-    return {
-        # ordered: never-driver-green first (the driver checks the
-        # first 50 entries per round; round-2 burned its window on
-        # already-green queries — VERDICT r2 item 1)
+    return _rotate_never_green_first({
+        # static priority order: never-driver-green first as of round 3
+        # (the driver checks the first 50 entries per round; round-2
+        # burned its window on already-green queries — VERDICT r2 item
+        # 1); _rotate_never_green_first keeps this rotation automatic in
+        # later rounds
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "simhash": q_simhash,
@@ -2868,7 +2897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_purchase_signup": q_asof_purchase_signup,
         "json_extract_sum": q_json_extract_sum,
         "train_test_split": q_train_test_split,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:

@@ -157,3 +157,25 @@ def test_pagerank_null_endpoint_rejected_on_both_paths():
         {"src": pa.array(["a", None]), "dst": pa.array(["b", "c"])}))
     with pytest.raises(Exception, match="NULL"):
         pagerank(strings)  # two-column path
+
+
+def test_queries_rotation_puts_never_green_first():
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as e
+
+    green = set()
+    for r in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
+        for k, v in json.load(open(f"/root/repo/{r}")).items():
+            if v and v.get("hash_match"):
+                green.add(k)
+    keys = list(e.queries().keys())
+    first_green = min(i for i, k in enumerate(keys) if k in green)
+    # stable partition: every ever-green entry sits after every
+    # never-green one, so the driver's 50-slot window is never wasted
+    assert all(k in green for k in keys[first_green:])
+    assert all(k not in green for k in keys[:first_green])
+    # oracle coverage stays total after rotation
+    assert set(keys) == set(e.oracle_sql().keys())
