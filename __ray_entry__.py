@@ -2742,29 +2742,40 @@ def entry() -> Any:
 
 def _rotate_never_green_first(
     order: dict[str, Callable[[str], Any]],
+    _here: str | None = None,
 ) -> dict[str, Callable[[str], Any]]:
-    """Stable-partition the query dict: entries with no hash-green row in
-    any ``CORRECTNESS_r*.json`` so far come FIRST (the driver verifies
-    the first 50 entries per round — VERDICT r2 item 1).  Relative order
-    inside each class is preserved, so the hand-curated priority of the
-    static dict below still decides ties; with no correctness files the
-    static order stands unchanged.  This makes the rotation automatic
-    for every future round: freshly-verified queries fall to the tail
-    and the next unverified batch slides into the window."""
+    """Order the query dict so the driver's 50-entry verification window
+    is spent where it matters most:
+
+    1. entries with NO hash-green row in any ``CORRECTNESS_r*.json`` so
+       far come first (VERDICT r2 item 1);
+    2. already-green entries follow ordered by LEAST-recently-green —
+       the round number of their newest hash-green row, ascending — so
+       the spare window slots re-verify the stalest greens each round
+       instead of a fixed prefix (VERDICT r3 item 3: a regression in a
+       query verified rounds ago would otherwise never be re-checked).
+
+    Relative order inside each tier is preserved, so the hand-curated
+    priority of the static dict below still decides ties; with no
+    correctness files the static order stands unchanged."""
     import glob
     import json
+    import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    green: set[str] = set()
+    here = _here or os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
     try:
         for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+            m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+            rnd = int(m.group(1)) if m else 0
             for k, v in json.load(open(f)).items():
                 if v and v.get("hash_match"):
-                    green.add(k)
+                    last_green[k] = max(last_green.get(k, 0), rnd)
     except Exception:
         return order
-    return {**{k: v for k, v in order.items() if k not in green},
-            **{k: v for k, v in order.items() if k in green}}
+    pos = {k: i for i, k in enumerate(order)}
+    keys = sorted(order, key=lambda k: (last_green.get(k, -1), pos[k]))
+    return {k: order[k] for k in keys}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -227,12 +227,23 @@ def run_benchmarks() -> dict:
         "code_files_per_sec": round(
             n_code / results["code_files_validate"], 1),
         "n_violations": n_viol,
-        # paired raw runs per query: spread = |s1-s2|/min quantifies the
-        # host-noise floor within THIS window, so cross-round per-query
-        # deltas smaller than the spread are noise, not code
-        "raw_runs": RAW_RUNS,
         "noise_spread_median": _median_spread(RAW_RUNS),
     }
+    # paired raw runs per query: spread = |s1-s2|/min quantifies the
+    # host-noise floor within THIS window, so cross-round per-query
+    # deltas smaller than the spread are noise, not code.  They live in
+    # a SIDECAR file (not the stdout line): folding them into the one
+    # printed JSON line pushed it past the driver's ~2,000-char stdout
+    # capture in round 3 and broke the machine-readable bench contract.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_RAW.json")
+    try:
+        with open(sidecar, "w") as f:
+            json.dump({"raw_runs": RAW_RUNS,
+                       "noise_spread_median": _median_spread(RAW_RUNS),
+                       "sf": SF_DIR, "num_cpus": NUM_CPUS}, f, indent=1)
+    except OSError:
+        pass  # read-only checkout: the summary line still prints
     ray.shutdown()
     return out
 
@@ -427,4 +438,17 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_benchmarks()))
+        out = run_benchmarks()
+        # contract: the FINAL stdout line must fit the driver's ~2,000-char
+        # capture window (round-3 lesson).  Compact separators; if a future
+        # query list still overflows, drop the longest prose field first.
+        line = json.dumps(out, separators=(",", ":"))
+        if len(line) > 1900:
+            out["metric"] = "validated docs/sec + per-pipeline wall times"
+            line = json.dumps(out, separators=(",", ":"))
+        while len(line) > 1900 and out["queries"]:
+            # last resort: trim the slowest-to-matter tail entries; the
+            # sidecar BENCH_RAW.json still has everything
+            out["queries"].pop(next(reversed(out["queries"])))
+            line = json.dumps(out, separators=(",", ":"))
+        print(line)
