@@ -66,3 +66,90 @@ def test_bench_final_line_fits_driver_capture():
     assert len(line) <= 1900
     parsed = json.loads(line)
     assert parsed["queries"]  # still carries a per-query map
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 item 4: LM-family bucketed-join fallback path parity.
+# vocab_broadcast_limit=0 forces the hash_join path; results must match
+# the broadcast-probe path (the jump_broadcast_limit=0 pattern).
+# ---------------------------------------------------------------------------
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def _lm_docs():
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa"]
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(0, 12))
+        rows.append({"doc_id": i,
+                     "text": " ".join(rng.choice(words, n).tolist())})
+    rows.append({"doc_id": 40, "text": ""})       # zero-token doc
+    rows.append({"doc_id": 41, "text": "   "})    # whitespace-only doc
+    return ray.data.from_items(rows)
+
+
+def _sorted_pdf(ds, by):
+    df = ds.to_pandas().sort_values(by).reset_index(drop=True)
+    return df[sorted(df.columns)]
+
+
+def test_unigram_logprob_join_path_parity():
+    from xpshacl_ray.functions.text import unigram_logprob
+
+    ds = _lm_docs()
+    a = _sorted_pdf(unigram_logprob(ds), "doc_id")
+    b = _sorted_pdf(unigram_logprob(ds, vocab_broadcast_limit=0), "doc_id")
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["n_tokens"]) == list(b["n_tokens"])
+    np.testing.assert_allclose(a["avg_logprob"], b["avg_logprob"],
+                               rtol=1e-12, atol=1e-12)
+    # zero-token docs survive the join path
+    assert set(b.loc[b["n_tokens"] == 0, "doc_id"]) >= {40, 41}
+
+
+def test_unigram_logprob_join_path_parity_append():
+    from xpshacl_ray.functions.text import unigram_logprob
+
+    ds = _lm_docs()
+    a = _sorted_pdf(unigram_logprob(ds, append=True), "doc_id")
+    b = _sorted_pdf(unigram_logprob(ds, append=True,
+                                    vocab_broadcast_limit=0), "doc_id")
+    assert sorted(a.columns) == sorted(b.columns)
+    assert list(a["text"]) == list(b["text"])
+    assert list(a["n_tokens"]) == list(b["n_tokens"])
+    np.testing.assert_allclose(a["avg_logprob"], b["avg_logprob"],
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_bigram_logprob_join_path_parity():
+    from xpshacl_ray.functions.text import bigram_logprob
+
+    ds = _lm_docs()
+    a = _sorted_pdf(bigram_logprob(ds), "doc_id")
+    b = _sorted_pdf(bigram_logprob(ds, vocab_broadcast_limit=0), "doc_id")
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["n_bigrams"]) == list(b["n_bigrams"])
+    # per-bigram logp is bit-identical across paths; per-doc summation
+    # order differs, absorbed by the public ndigits=6 rounding
+    np.testing.assert_allclose(a["avg_logprob"], b["avg_logprob"],
+                               rtol=0, atol=1e-9)
+    assert set(b.loc[b["n_bigrams"] == 0, "doc_id"]) >= {40, 41}
+
+
+def test_bigram_pmi_join_path_parity():
+    from xpshacl_ray.functions.text import bigram_pmi
+
+    ds = _lm_docs()
+    a = _sorted_pdf(bigram_pmi(ds, min_count=2, top_k=15), ["w1", "w2"])
+    b = _sorted_pdf(bigram_pmi(ds, min_count=2, top_k=15,
+                               vocab_broadcast_limit=0), ["w1", "w2"])
+    assert list(a["w1"]) == list(b["w1"])
+    assert list(a["w2"]) == list(b["w2"])
+    assert list(a["c12"]) == list(b["c12"])
+    # identical float64 expression on both paths: bit-for-bit
+    assert list(a["pmi"]) == list(b["pmi"])
