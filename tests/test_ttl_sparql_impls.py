@@ -107,3 +107,25 @@ def test_unmatched_impl_key_leaves_block_as_data(tmp_path):
     # no impl matched -> the block stays data; with labels present the
     # remaining shape yields zero violations at all
     assert len(viol) == 0
+
+
+DATA_NONTARGET = DATA + """
+ex:D rdfs:label "not a class" ; rdfs:subClassOf ex:A ; rdfs:subClassOf ex:B .
+ex:E a ex:Widget ; rdfs:subClassOf ex:A ; rdfs:subClassOf ex:B .
+"""
+
+
+def test_sparql_impls_scoped_to_target_class(tmp_path):
+    """SHACL focus-node semantics (ADVICE r3): the impl only sees
+    subjects typed as the holder shape's sh:targetClass — untyped ex:D
+    and differently-typed ex:E match the pattern but must NOT emit."""
+    shapes = _write(tmp_path, "shapes.ttl", SHAPES)
+    data = _write(tmp_path, "data.ttl", DATA_NONTARGET)
+    impl = _multi_superclass_impl()
+    viol = validate_ttl(
+        data, shapes,
+        sparql_impls={"Classes must have at most one superclass": impl},
+    ).to_pandas()
+    sparql_rows = viol[viol["message"]
+                       == "Classes must have at most one superclass"]
+    assert list(sparql_rows["subject"]) == ["http://example.org/C"]

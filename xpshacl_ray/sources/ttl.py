@@ -40,6 +40,7 @@ from dataclasses import dataclass
 from typing import Dict, List, Optional, Tuple
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
@@ -1030,18 +1031,35 @@ def validate_ttl(data_path: str, shapes_path: str,
             parts.append(lf)
     if sparql_impls:
         _checks, skipped = sparql_sqlchecks(shape_triples)
-        tt = None
+        full_tt = None
+        scoped: Dict[str, object] = {}
         for entry in skipped:
             impl = (sparql_impls.get(entry["message"])
                     or sparql_impls.get(entry["shape"]))
             if impl is None:
                 continue
-            if tt is None:
-                tt = ray.data.from_arrow(triples_table(data_triples))
+            if full_tt is None:
+                full_tt = triples_table(data_triples)
+            # SHACL focus-node semantics: the impl sees only the triples
+            # of subjects typed as the holder shape's sh:targetClass —
+            # a non-target subject matching the pattern must NOT emit a
+            # violation (mirrors entity_table's targeting)
+            target = entry.get("target")
+            if target not in scoped:
+                if target:
+                    subs = {t.s for t in data_triples
+                            if t.p == RDF_TYPE and t.o == target}
+                    mask = pc.is_in(full_tt["subject"],
+                                    value_set=pa.array(sorted(subs),
+                                                       pa.string()))
+                    scoped[target] = ray.data.from_arrow(
+                        full_tt.filter(mask))
+                else:
+                    scoped[target] = ray.data.from_arrow(full_tt)
             ispec = ValidationSpec(constraints=[impl],
                                    id_columns=["subject"],
                                    focus_template="{subject}")
-            parts.append(ValidationEngine(ispec).validate(tt))
+            parts.append(ValidationEngine(ispec).validate(scoped[target]))
     for target_class, spec in sorted(specs.items()):
         table = entity_table(data_triples, target_class)
         if table.num_rows == 0:
