@@ -153,3 +153,59 @@ def test_bigram_pmi_join_path_parity():
     assert list(a["c12"]) == list(b["c12"])
     # identical float64 expression on both paths: bit-for-bit
     assert list(a["pmi"]) == list(b["pmi"])
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r3 low items
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_re2_only_pattern_constructs_and_runs():
+    """\\p{L} is RE2-only; eager Python-re compilation used to fail at
+    __init__ even though the Arrow fast path would have handled it."""
+    import pyarrow as pa
+    from xpshacl_ray.functions.text import Tokenizer
+
+    t = Tokenizer(pattern=r"\p{L}+", out_col="n")
+    out = t(pa.table({"text": ["héllo wörld", None, ""]}))
+    assert out["n"].to_pylist() == [2, None, 0]
+
+
+def test_tokenizer_warns_on_ambiguous_shorthand():
+    import warnings
+    from xpshacl_ray.functions.text import Tokenizer
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Tokenizer(pattern=r"\w+")
+    assert any("shorthand" in str(x.message) for x in w)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        Tokenizer()  # default pattern: no warning
+    assert not w
+
+
+def test_tokenizer_python_fallback_still_works():
+    import pyarrow as pa
+    from xpshacl_ray.functions.text import Tokenizer
+
+    # lookahead: RE2 rejects, Python re handles (lazy compile path)
+    t = Tokenizer(pattern=r"a(?=b)", out_col="n")
+    out = t(pa.table({"text": ["ab ab a", None]}))
+    assert out["n"].to_pylist() == [2, None]
+
+
+def test_exact_quantile_skips_hll_scan_for_small_inputs(monkeypatch):
+    """ds.count() <= distinct_limit short-circuits the HLL planning
+    scan (the profile_columns pattern)."""
+    import ray.data
+    from xpshacl_ray.functions import sampling
+    from xpshacl_ray.stages import grouped
+
+    def boom(*a, **k):
+        raise AssertionError("HLL planning scan should be skipped")
+
+    monkeypatch.setattr(grouped, "estimate_group_count", boom)
+    ds = ray.data.from_items([{"v": i % 7} for i in range(100)])
+    (thr,), n = sampling.exact_quantile_thresholds(ds, "v", [5000])
+    assert n == 100 and thr in range(7)

@@ -163,7 +163,13 @@ def exact_quantile_thresholds(
             raise ValueError(f"q_bp must be in (0, 10000], got {q_bp}")
     from ..stages.grouped import estimate_group_count
 
-    est = estimate_group_count(ds.select_columns([col]), [col])
+    # row count already bounds distincts: skip the HLL planning scan
+    # for small inputs (metadata-cheap on parquet/materialized inputs —
+    # the profile_columns pattern, ADVICE r3)
+    if ds.count() <= distinct_limit:
+        est = 0
+    else:
+        est = estimate_group_count(ds.select_columns([col]), [col])
     if est > distinct_limit:
         raise ValueError(
             f"column {col!r} has ~{est:.0f} distinct values (> "

@@ -63,14 +63,30 @@ class Tokenizer:
     Python ``re`` is Unicode — spell out explicit classes (as the
     default pattern does) when the distinction matters.  Patterns RE2
     REJECTS outright (lookarounds/backrefs) fall back to a
-    compiled-once Python loop, the documented slow path."""
+    lazily-compiled Python loop, the documented slow path — lazy so
+    RE2-only syntax (``\\p{L}``) that Python ``re`` rejects still
+    constructs and runs on the fast path (ADVICE r3)."""
+
+    # shorthand classes whose RE2 (ASCII) and Python re (Unicode)
+    # semantics differ — counts would silently change if the engine
+    # picked a different path for the same pattern
+    _AMBIGUOUS = re.compile(r"\\[swdbSWDB]")
 
     def __init__(self, pattern: str = _BPEISH, text_col: str = "text",
                  out_col: str = "n_bpeish_tokens"):
         self.pattern = pattern
-        self.re = re.compile(pattern)  # fallback path only
+        self._re = None  # fallback path only; compiled on first use
         self.text_col = text_col
         self.out_col = out_col
+        if pattern is not _BPEISH and self._AMBIGUOUS.search(pattern):
+            import warnings
+
+            warnings.warn(
+                "Tokenizer pattern contains \\s/\\w/\\d/\\b shorthand, "
+                "which is ASCII under the Arrow/RE2 fast path but "
+                "Unicode under the Python-re fallback — spell out an "
+                "explicit character class if the distinction matters",
+                stacklevel=2)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         txt = batch[self.text_col]
@@ -78,9 +94,11 @@ class Tokenizer:
             counts = pc.cast(
                 pc.count_substring_regex(txt, self.pattern), pa.int64())
         except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            if self._re is None:
+                self._re = re.compile(self.pattern)
             texts = txt.to_pylist()
             counts = pa.array(
-                [None if t is None else len(self.re.findall(t))
+                [None if t is None else len(self._re.findall(t))
                  for t in texts], pa.int64())
         return batch.append_column(self.out_col, counts)
 
