@@ -34,6 +34,7 @@ from xpshacl_ray import (
     Disjoint,
     Equals,
     GroupedSparql,
+    GroupPredicate,
     InSet,
     LessThan,
     LessThanOrEquals,
@@ -404,23 +405,17 @@ def q_sparql_grouped(sf_dir: str):
     escape hatch: the tabular analog of the shark multi-row sh:sparql
     shapes (shark_shapes.ttl:48-67, 200-245) — a per-focus-group ordered
     pattern ("ship dates must not decrease across line numbers") that no
-    row-local mask can express.  GroupedSparql → groupby(l_orderkey)
-    .map_groups; one violation per violating group (SELECT DISTINCT
-    $this semantics)."""
+    row-local mask can express.  Expressed as the DECLARATIVE
+    GroupPredicate(agg='monotone') (VERDICT r3 item 5), so the engine
+    evaluates it fully vectorized — numpy segment kernels over hash
+    buckets of focus groups — instead of Python-per-group map_groups;
+    one violation per violating group (SELECT DISTINCT $this
+    semantics).  Tie-robust: a violation needs a row with a STRICTLY
+    smaller line number and a later ship date (duplicate line numbers
+    exist), matching the oracle."""
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_shipdate"])
-
-    def decreasing(g: pa.Table) -> bool:
-        # violation iff some row with a STRICTLY smaller line number has a
-        # later ship date — tie-robust (duplicate line numbers exist), so
-        # the predicate is order-deterministic on both engine and oracle
-        t = g.sort_by("l_linenumber")
-        ln = np.asarray(t["l_linenumber"].combine_chunks().cast(pa.int64()))
-        sd = np.asarray(t["l_shipdate"].combine_chunks().cast(pa.int64()))
-        runmax = np.maximum.accumulate(sd)
-        prev = np.searchsorted(ln, ln, side="left") - 1
-        return bool(((prev >= 0) & (sd < runmax[prev.clip(0)])).any())
 
     spec = ValidationSpec(
         constraints=[GroupedSparql(
@@ -428,7 +423,9 @@ def q_sparql_grouped(sf_dir: str):
             group_by=["l_orderkey"],
             columns=["l_linenumber", "l_shipdate"],
             name="shipdate-monotone",
-            fn=decreasing,
+            predicate=GroupPredicate(agg="monotone", agg_col="l_shipdate",
+                                     order_col="l_linenumber",
+                                     op=">=", value=1),
             shape_id="http://example.org/shape/OrderShipMonotone",
             message="Ship dates must not decrease across line numbers",
         )],

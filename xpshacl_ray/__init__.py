@@ -33,6 +33,7 @@ from .spec import (
     Disjoint,
     Equals,
     GroupedSparql,
+    GroupPredicate,
     InSet,
     LessThan,
     LessThanOrEquals,

@@ -274,6 +274,7 @@ def _evaluate_grouped_sparql(
     cc: CompiledConstraint,
     spec: CompiledSpec,
     id_types: Optional[List[pa.DataType]] = None,
+    force_map_groups: bool = False,
 ) -> "ray.data.Dataset":
     """C19 grouped form (GroupedSparql): one ``map_groups`` pass.
 
@@ -281,20 +282,30 @@ def _evaluate_grouped_sparql(
     (prune-at-the-read); each violating group emits ONE
     ``(keys, actual_count)`` row — SPARQL ``SELECT DISTINCT $this`` — then
     reuses the grouped violation-row builder so focus/value/context match
-    the cardinality family byte-for-byte."""
+    the cardinality family byte-for-byte.
+
+    A constraint carrying a declarative :class:`~xpshacl_ray.spec.
+    GroupPredicate` instead routes to the fully vectorized bucket sweep
+    (:func:`_evaluate_grouped_sparql_vectorized`) — no per-focus-group
+    Python.  ``force_map_groups=True`` keeps such a constraint on the
+    per-group path (via the predicate's derived fn) — the path-parity
+    forcing knob, test-only."""
     if id_types is None:
         sch0 = ds.schema()
         tmap0 = dict(zip(sch0.names, sch0.types))
         id_types = [tmap0[c] for c in spec.id_columns]
     c = cc.constraint
+    if getattr(c, "predicate", None) is not None and not force_map_groups:
+        return _evaluate_grouped_sparql_vectorized(ds, cc, spec, id_types)
     keys = list(c.group_by)
-    cols = keys + [x for x in c.columns if x not in keys]
+    cols = keys + [x for x in _sparql_value_cols(c) if x not in keys]
     sub = ds.select_columns(cols)
     sch = ds.schema()
     tmap = dict(zip(sch.names, sch.types))
     out_schema = pa.schema([(k, tmap[k]) for k in keys]
                            + [("actual_count", pa.int64())])
-    fn = c.fn
+    fn = c.fn if c.fn is not None else getattr(
+        getattr(c, "predicate", None), "fn", None)
 
     max_rows = getattr(c, "max_group_rows", 0) or 0
 
@@ -311,6 +322,183 @@ def _evaluate_grouped_sparql(
         return out_schema.empty_table()
 
     bad = sub.groupby(keys).map_groups(per_group, batch_format="pyarrow")
+
+    def to_rows(batch: pa.Table, cc=cc, keys=keys) -> pa.Table:
+        return _grouped_violation_rows(batch, cc, keys, spec, id_types)
+
+    return bad.map_batches(to_rows, batch_format="pyarrow")
+
+
+def _sparql_value_cols(c) -> List[str]:
+    """The non-key columns a GroupedSparql constraint reads: its
+    declared ``columns`` plus whatever a declarative predicate needs."""
+    cols = list(c.columns)
+    p = getattr(c, "predicate", None)
+    if p is not None:
+        for extra in (p.agg_col, p.where_col, p.order_col):
+            if extra and extra not in cols:
+                cols.append(extra)
+    return cols
+
+
+def _monotone_metric_table(sel: pa.Table, keys: List[str], p) -> pa.Table:
+    """(keys, __metric__) for ``agg='monotone'`` over ONE bucket: the
+    count of violating order-runs per focus key, computed in one numpy
+    segment sweep across ALL groups in the bucket — no per-group
+    Python.  Mirrors :func:`xpshacl_ray.spec._monotone_violating_runs`
+    run for run: a run of equal order values violates when its min
+    value is below the max over strictly-smaller-order rows of the
+    same key."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    empty = pa.table({**{k: sel[k].slice(0, 0) for k in keys},
+                      "__metric__": pa.array([], pa.int64())})
+    if sel.num_rows == 0:
+        return empty
+    # temporal → int64 keeps the numpy sweep on primitive kernels
+    # (order-isomorphic, so the metric is unchanged)
+    cast_cols = {}
+    for cname in (p.order_col, p.agg_col):
+        typ = sel.schema.field(cname).type
+        if pa.types.is_temporal(typ):
+            cast_cols[cname] = pc.cast(sel[cname], pa.int64())
+    if cast_cols:
+        for cname, arr in cast_cols.items():
+            sel = sel.set_column(sel.schema.get_field_index(cname),
+                                 cname, arr)
+    df = sel.select(keys + [p.order_col, p.agg_col]).to_pandas()
+    df = df.sort_values(keys + [p.order_col], kind="mergesort",
+                        ignore_index=True)
+    o = df[p.order_col].to_numpy()
+    v = df[p.agg_col].to_numpy()
+    if v.dtype.kind in ("O", "U", "S"):
+        # strings → order-isomorphic int codes (np.unique sorts), so
+        # reduceat/cummax stay on primitive C kernels
+        _, v = np.unique(v, return_inverse=True)
+    new_seg = np.zeros(len(df), dtype=bool)
+    new_seg[0] = True
+    for k in keys:
+        col = df[k].to_numpy()
+        new_seg[1:] |= col[1:] != col[:-1]
+    new_run = new_seg.copy()
+    new_run[1:] |= o[1:] != o[:-1]
+    run_starts = np.flatnonzero(new_run)
+    run_max = np.maximum.reduceat(v, run_starts)
+    run_min = np.minimum.reduceat(v, run_starts)
+    seg_id_row = np.cumsum(new_seg) - 1
+    seg_of_run = seg_id_row[run_starts]
+    # per-segment shifted prefix max over runs (pandas cummax is the
+    # C-vectorized segmented cumulative max)
+    s = pd.Series(run_max)
+    prev = s.groupby(seg_of_run).cummax().groupby(seg_of_run).shift(1)
+    with np.errstate(invalid="ignore"):
+        viol = run_min < prev.to_numpy()  # NaN/NaT prev → False
+    n_seg = int(seg_id_row[-1]) + 1
+    metric = np.bincount(seg_of_run[viol],
+                         minlength=n_seg).astype(np.int64)
+    seg_starts = np.flatnonzero(new_seg)
+    out = {}
+    for k in keys:
+        out[k] = pa.array(df[k].to_numpy()[seg_starts]).cast(
+            empty.schema.field(k).type)
+    out["__metric__"] = pa.array(metric, pa.int64())
+    return pa.table(out)
+
+
+def _evaluate_grouped_sparql_vectorized(
+    ds: "ray.data.Dataset",
+    cc: CompiledConstraint,
+    spec: CompiledSpec,
+    id_types: List[pa.DataType],
+) -> "ray.data.Dataset":
+    """Vectorized GroupedSparql for declarative predicates (VERDICT r3
+    item 5) — the ``funnel_counts`` bucket pattern instead of
+    Python-per-focus-group ``map_groups``:
+
+    1. prune to keys + predicate columns, tag each row with
+       ``hash(keys) % n_buckets`` (many focus groups per bucket);
+    2. ONE shuffle co-locates each bucket; inside, everything is Arrow
+       C kernels — per-key totals via ``group_by(keys).count_all``, the
+       metric via count / distinct-pair-then-count, a left-outer join
+       back to totals (absent-after-filter keys count 0, so ``< k``
+       minCount-style ops stay correct), one comparison kernel;
+    3. violating keys emit ``(keys, actual_count)`` rows into the same
+       grouped violation-row builder as the map_groups path — outputs
+       are row-for-row identical (pinned by the forcing test).
+
+    Partitioning bound: a bucket holds rows/n_buckets of the PRUNED
+    columns — the same per-task bound every bucketed stage in the
+    engine documents; the per-focus-group Python floor is gone."""
+    import ray  # noqa: F401
+
+    from ..functions.sketches import hash64
+
+    c = cc.constraint
+    p = c.predicate
+    keys = list(c.group_by)
+    cols = keys + [x for x in _sparql_value_cols(c) if x not in keys]
+    sub = ds.select_columns(cols)
+    sch = ds.schema()
+    tmap = dict(zip(sch.names, sch.types))
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    n_buckets = 4 * max(cpus, 1)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        key0 = b[keys[0]]
+        if isinstance(key0, pa.ChunkedArray):
+            key0 = key0.combine_chunks()
+        h = hash64(np.asarray(key0.to_numpy(zero_copy_only=False)))
+        for k in keys[1:]:
+            kc = b[k]
+            if isinstance(kc, pa.ChunkedArray):
+                kc = kc.combine_chunks()
+            h = h * np.uint64(0x9E3779B97F4A7C15) + hash64(
+                np.asarray(kc.to_numpy(zero_copy_only=False)))
+        bk = (h % np.uint64(n_buckets)).astype(np.int64)
+        return b.append_column("__bucket__", pa.array(bk))
+
+    out_schema = pa.schema([(k, tmap[k]) for k in keys]
+                           + [("actual_count", pa.int64())])
+
+    def bucket_sweep(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = g.drop_columns(["__bucket__"])
+        tot = g.group_by(keys).aggregate([([], "count_all")])
+        sel = g
+        if p.where_col is not None:
+            sel = sel.filter(pc.equal(sel[p.where_col], p.where_val))
+        if p.agg == "count":
+            agg = sel.group_by(keys).aggregate([([], "count_all")])
+            metric_col = "count_all"
+        elif p.agg == "distinct":
+            pairs = sel.group_by(keys + [p.agg_col]).aggregate([])
+            agg = pairs.group_by(keys).aggregate([(p.agg_col, "count")])
+            metric_col = f"{p.agg_col}_count"
+        else:  # monotone: one numpy segment sweep over the whole bucket
+            agg = _monotone_metric_table(sel, keys, p)
+            metric_col = "__metric__"
+        # rebuild by NAME (group_by output column order is an Arrow
+        # implementation detail) and avoid a count_all name collision
+        agg = pa.table({**{k: agg[k] for k in keys},
+                        "__metric__": agg[metric_col]})
+        j = tot.join(agg, keys=keys, join_type="left outer")
+        metric = np.asarray(
+            pc.fill_null(pc.cast(j["__metric__"], pa.int64()), 0))
+        mask = np.asarray(p.compare(metric), dtype=bool)
+        bad = j.filter(pa.array(mask))
+        out = {k: bad[k] for k in keys}
+        out["actual_count"] = pc.cast(bad["count_all"], pa.int64())
+        return pa.table(out, schema=out_schema)
+
+    bad = (sub.map_batches(add_bucket, batch_format="pyarrow")
+           .groupby("__bucket__")
+           .map_groups(bucket_sweep, batch_format="pyarrow"))
 
     def to_rows(batch: pa.Table, cc=cc, keys=keys) -> pa.Table:
         return _grouped_violation_rows(batch, cc, keys, spec, id_types)
