@@ -2266,6 +2266,128 @@ _TTL_PARITY_SQL = """
 """
 
 
+_TTL_AUTO_EX = "http://example.org/"
+
+
+def _ttl_auto_fixture() -> tuple:
+    """Deterministic shark-style fixture for the auto-translated SPARQL
+    subset (VERDICT r3 item 6): 50 owl:Class subjects (every 5th has two
+    DISTINCT superclasses; every 3rd repeats its first parent, which
+    must NOT count) and 20 ex:Prop subjects (every 4th is inverseOf
+    itself).  Returns (data_ttl, shapes_ttl, expected) where expected
+    is the (subject, message) violation list derived INDEPENDENTLY from
+    the generation rule — the oracle, not the engine, decides."""
+    ex = _TTL_AUTO_EX
+    data = [
+        "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .",
+        "@prefix owl: <http://www.w3.org/2002/07/owl#> .",
+        f"@prefix ex: <{ex}> .",
+    ]
+    expected = []
+    for i in range(50):
+        lines = [f"ex:C{i:02d} a owl:Class", f'rdfs:label "class {i}"',
+                 f"rdfs:subClassOf ex:P{i % 7}"]
+        if i % 3 == 0:
+            lines.append(f"rdfs:subClassOf ex:P{i % 7}")  # duplicate
+        if i % 5 == 0:
+            lines.append(f"rdfs:subClassOf ex:P{(i + 1) % 7}")
+            expected.append((f"{ex}C{i:02d}",
+                             "Classes must have at most one superclass"))
+        data.append(" ; ".join(lines) + " .")
+    for j in range(20):
+        inv = j if j % 4 == 0 else (j + 1) % 20
+        data.append(f'ex:R{j:02d} a ex:Prop ; rdfs:label "prop {j}" ; '
+                    f"ex:inverseOf ex:R{inv:02d} .")
+        if j % 4 == 0:
+            expected.append((f"{ex}R{j:02d}",
+                             "Relationships must not be inverse to "
+                             "themselves"))
+    shapes = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .
+@prefix owl: <http://www.w3.org/2002/07/owl#> .
+@prefix ex: <{ex}> .
+
+ex:ClassShape a sh:NodeShape ;
+  sh:targetClass owl:Class ;
+  sh:property [
+    sh:path rdfs:label ;
+    sh:minCount 1 ;
+  ] ;
+  sh:property [
+    sh:path rdfs:subClassOf ;
+    sh:sparql [
+      sh:message "Classes must have at most one superclass" ;
+      sh:select \"\"\"
+      PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+      SELECT DISTINCT $this
+      WHERE {{
+        $this rdfs:subClassOf ?v1 .
+        $this rdfs:subClassOf ?v2 .
+        FILTER(?v1 != ?v2) .
+      }}
+      \"\"\" ;
+    ] ;
+  ] .
+
+ex:PropShape a sh:NodeShape ;
+  sh:targetClass ex:Prop ;
+  sh:property [
+    sh:path rdfs:label ;
+    sh:minCount 1 ;
+  ] ;
+  sh:property [
+    sh:path ex:inverseOf ;
+    sh:sparql [
+      sh:message "Relationships must not be inverse to themselves" ;
+      sh:select \"\"\"
+      PREFIX ex: <{ex}>
+      SELECT $this
+      WHERE {{
+        $this a ?property .
+        FILTER(?property IN (ex:Prop)) .
+        $this ex:inverseOf $this .
+      }}
+      \"\"\" ;
+    ] ;
+  ] .
+"""
+    return "\n".join(data) + "\n", shapes, sorted(expected)
+
+
+def q_ttl_sparql_auto(sf_dir: str):
+    """Shark-style multi-row ``sh:sparql`` blocks AUTO-translated from
+    Turtle (VERDICT r3 item 6, no hand-bound ``sparql_impls``): the
+    two-triple self-join becomes a vectorized
+    GroupPredicate(distinct>=2) and the ``$this p $this`` self-inverse
+    a per-group fn, both scoped to their shape's target class.  The
+    oracle is derived independently from the fixture's generation rule.
+    (sf_dir-independent by design, like ``ttl_parity``.)"""
+    import os
+    import tempfile
+
+    from xpshacl_ray.sources.ttl import validate_ttl
+
+    data_ttl, shapes_ttl, _ = _ttl_auto_fixture()
+    d = os.path.join(tempfile.gettempdir(), "xpshacl_ttl_auto")
+    os.makedirs(d, exist_ok=True)
+    dp, sp = os.path.join(d, "data.ttl"), os.path.join(d, "shapes.ttl")
+    with open(dp, "w") as f:
+        f.write(data_ttl)
+    with open(sp, "w") as f:
+        f.write(shapes_ttl)
+    viol = validate_ttl(dp, sp, sparql=True)
+    return viol.select_columns(["subject", "message"])
+
+
+def _ttl_sparql_auto_sql() -> str:
+    _, _, expected = _ttl_auto_fixture()
+    rows = ",\n      ".join(
+        f"('{s}', '{m}')" for s, m in expected)
+    return (f"SELECT * FROM (VALUES\n      {rows}\n"
+            "    ) AS t(subject, message)")
+
+
 def q_media_features(sf_dir: str):
     """Real multimodal decode pipeline: deterministic synthesized media
     (P6 PPM / 24-bit BMP images, PCM WAV audio — stdlib+numpy codecs, no
@@ -2795,6 +2917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "justification_trees": q_justification_trees,
         "explanations": q_explanations,
         "ttl_parity": q_ttl_parity,
+        "ttl_sparql_auto": q_ttl_sparql_auto,
         "sql_check": q_sql_check,
         "media_features": q_media_features,
         "datatype_violations": q_datatype_violations,
@@ -4482,6 +4605,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN scored s ON d.doc_id = s.doc_id
         """,
         "ttl_parity": _TTL_PARITY_SQL,
+        "ttl_sparql_auto": _ttl_sparql_auto_sql(),
         "sql_check": """
             SELECT doc_id,
                    'http://www.w3.org/ns/shacl#SPARQLConstraintComponent'

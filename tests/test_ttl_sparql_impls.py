@@ -129,3 +129,107 @@ def test_sparql_impls_scoped_to_target_class(tmp_path):
     sparql_rows = viol[viol["message"]
                        == "Classes must have at most one superclass"]
     assert list(sparql_rows["subject"]) == ["http://example.org/C"]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r3 item 6: auto-translation of the two-triple self-join subset.
+# ---------------------------------------------------------------------------
+
+SHARK_SUPERCLASS_FULL = """
+PREFIX owl: <http://www.w3.org/2002/07/owl#>
+PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+SELECT DISTINCT $this
+WHERE {
+  $this rdf:type owl:Class .
+  $this rdfs:subClassOf ?v1 .
+  $this rdfs:subClassOf ?v2 .
+  FILTER NOT EXISTS {?v1 rdfs:subClassOf ?v2 }.
+  FILTER(?v1 != ?v2) .
+}
+"""
+
+
+def test_parse_self_join_accepts_pure_form():
+    from xpshacl_ray.sources.ttl import _parse_self_join_select
+
+    sel = """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    SELECT DISTINCT $this WHERE {
+      $this rdfs:subClassOf ?v1 .
+      $this rdfs:subClassOf ?v2 .
+      FILTER(?v1 != ?v2) .
+    }
+    """
+    out = _parse_self_join_select(sel, "http://www.w3.org/2002/07/owl#Class")
+    assert out == {"kind": "self_join",
+                   "path": "http://www.w3.org/2000/01/rdf-schema#subClassOf"}
+
+
+def test_parse_self_join_rejects_not_exists():
+    """The full shark superclass query carries FILTER NOT EXISTS — it
+    must stay surfaced as data, never silently mistranslated."""
+    from xpshacl_ray.sources.ttl import _parse_self_join_select
+
+    assert _parse_self_join_select(
+        SHARK_SUPERCLASS_FULL, "http://www.w3.org/2002/07/owl#Class") is None
+
+
+def test_parse_self_ref_with_in_guard():
+    from xpshacl_ray.sources.ttl import _parse_self_join_select
+
+    sel = """
+    PREFIX owl: <http://www.w3.org/2002/07/owl#>
+    PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+    SELECT $this WHERE {
+      $this a ?property .
+      $this owl:inverseOf $this .
+      FILTER(?property IN (rdf:Property, owl:DatatypeProperty, owl:ObjectProperty)) .
+    }
+    """
+    target = "http://www.w3.org/2002/07/owl#ObjectProperty"
+    out = _parse_self_join_select(sel, target)
+    assert out == {"kind": "self_ref",
+                   "path": "http://www.w3.org/2002/07/owl#inverseOf"}
+    # a target OUTSIDE the IN list must reject (the guard would exclude it)
+    assert _parse_self_join_select(sel, "http://example.org/Other") is None
+
+
+def test_parse_rejects_mismatched_type_guard_and_bind():
+    from xpshacl_ray.sources.ttl import _parse_self_join_select
+
+    sel = """
+    PREFIX rdfs: <http://www.w3.org/2000/01/rdf-schema#>
+    PREFIX owl: <http://www.w3.org/2002/07/owl#>
+    SELECT $this WHERE {
+      $this a owl:Thing .
+      $this rdfs:subClassOf ?v1 .
+      $this rdfs:subClassOf ?v2 .
+      FILTER(?v1 != ?v2) .
+    }
+    """
+    # type guard names a class other than the target
+    assert _parse_self_join_select(
+        sel, "http://www.w3.org/2002/07/owl#Class") is None
+    bind = "SELECT $this WHERE { BIND(STR($this) as ?s) . }"
+    assert _parse_self_join_select(bind, "x") is None
+
+
+def test_validate_ttl_sparql_auto_end_to_end(tmp_path):
+    """sparql=True picks the auto-translated grouped constraints up with
+    NO hand-bound sparql_impls; the engine matches the independently
+    derived expected list."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __ray_entry__ import _ttl_auto_fixture
+    from xpshacl_ray.sources.ttl import validate_ttl
+
+    data_ttl, shapes_ttl, expected = _ttl_auto_fixture()
+    dp = tmp_path / "data.ttl"
+    sp = tmp_path / "shapes.ttl"
+    dp.write_text(data_ttl)
+    sp.write_text(shapes_ttl)
+    viol = validate_ttl(str(dp), str(sp), sparql=True).to_pandas()
+    got = sorted(zip(viol["subject"], viol["message"]))
+    assert got == expected
