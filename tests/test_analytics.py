@@ -171,6 +171,7 @@ def test_dup_rate_by_key_counts():
     assert out["s2"]["dup_fraction"] == 0.0
 
 
+@pytest.mark.slow
 def test_pagerank_hand_graph_and_multi_edge_dedup():
     from xpshacl_ray.functions.graph import pagerank
     # star a->c, b->c (c dangling); duplicate a->c must NOT double-count
@@ -184,6 +185,7 @@ def test_pagerank_hand_graph_and_multi_edge_dedup():
     assert out["c"] == pytest.approx(0.135)
 
 
+@pytest.mark.slow
 def test_pagerank_cycle_stays_uniform():
     from xpshacl_ray.functions.graph import pagerank
     e = pa.table({"src": pa.array(["a", "b", "c"]),

@@ -1,5 +1,7 @@
 """CLI `validate` subcommand end-to-end (the ray-job-submit surface)."""
 
+import pytest
+
 import json
 import os
 
@@ -18,6 +20,7 @@ def _fixture(tmp_path, n=400):
     return code, commits
 
 
+@pytest.mark.slow
 def test_cli_validate_full_run(tmp_path, capsys):
     code, commits = _fixture(tmp_path)
     out = str(tmp_path / "out")
@@ -96,6 +99,7 @@ ex:C sh:message "must be even" ;
     assert summary["n_violations"] == 2
 
 
+@pytest.mark.slow
 def test_cli_curate_jsonl_gz_without_lang_column(tmp_path, capsys):
     import gzip
 

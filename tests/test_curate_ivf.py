@@ -17,6 +17,7 @@ from xpshacl_ray.functions.similarity import (
 from xpshacl_ray.pipelines.curate import CurationConfig, curate
 
 
+@pytest.mark.slow
 def test_curate_pipeline(sf_dir):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     # inject exact + near dupes
@@ -43,6 +44,7 @@ def test_curate_pipeline(sf_dir):
             ) == report.n_after_near_dedup
 
 
+@pytest.mark.slow
 def test_curate_join_strategy_matches_broadcast(sf_dir):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
     rows = docs.take(3)
@@ -58,6 +60,7 @@ def test_curate_join_strategy_matches_broadcast(sf_dir):
     assert rep_b.dropped_exact_dupes == rep_j.dropped_exact_dupes == 3
 
 
+@pytest.mark.slow
 def test_curate_near_dup_anti_join_matches_broadcast(sf_dir):
     # near-dup prune via the no-broadcast anti-join path (strategy=join)
     # must keep exactly the same survivor set as the broadcast path

@@ -114,6 +114,7 @@ def test_run_options_json_and_stats(fixture_dirs, tmp_path):
     assert res["stats"]["n_rows"].sum() == ds.count()
 
 
+@pytest.mark.slow
 def test_e2e_full_run_report_and_explanations(fixture_dirs, tmp_path):
     fx, code_path, commits_path = fixture_dirs
     eng = build_engine(kg_path=str(tmp_path / "kg.parquet"), languages=["en"])

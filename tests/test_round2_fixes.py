@@ -106,6 +106,7 @@ def test_quantized_and_full_width_sigs_agree(docs_with_dups):
         minhash_lsh_candidates(docs_with_dups, sig_bits=32)
 
 
+@pytest.mark.slow
 def test_ngram_verify_join_path_matches_broadcast(docs_with_dups):
     cand = minhash_lsh_candidates(docs_with_dups, jaccard_threshold=0.9)
     bcast = verify_pairs_ngram(docs_with_dups, cand,

@@ -98,6 +98,7 @@ def _sorted_pdf(ds, by):
     return df[sorted(df.columns)]
 
 
+@pytest.mark.slow
 def test_unigram_logprob_join_path_parity():
     from xpshacl_ray.functions.text import unigram_logprob
 
@@ -112,6 +113,7 @@ def test_unigram_logprob_join_path_parity():
     assert set(b.loc[b["n_tokens"] == 0, "doc_id"]) >= {40, 41}
 
 
+@pytest.mark.slow
 def test_unigram_logprob_join_path_parity_append():
     from xpshacl_ray.functions.text import unigram_logprob
 
@@ -126,6 +128,7 @@ def test_unigram_logprob_join_path_parity_append():
                                rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_bigram_logprob_join_path_parity():
     from xpshacl_ray.functions.text import bigram_logprob
 
@@ -141,6 +144,7 @@ def test_bigram_logprob_join_path_parity():
     assert set(b.loc[b["n_bigrams"] == 0, "doc_id"]) >= {40, 41}
 
 
+@pytest.mark.slow
 def test_bigram_pmi_join_path_parity():
     from xpshacl_ray.functions.text import bigram_pmi
 
@@ -249,6 +253,7 @@ def _compiled_sparql(pred=None, fn=None):
     return spec, spec.grouped[0]
 
 
+@pytest.mark.slow
 def test_grouped_sparql_vectorized_path_parity():
     """predicate-driven vectorized bucket sweep ≡ map_groups fn path,
     row for row (the force_map_groups knob pins both paths)."""
@@ -304,6 +309,7 @@ def test_group_predicate_validates_inputs():
         GroupPredicate(agg="median")
 
 
+@pytest.mark.slow
 def test_grouped_sparql_monotone_vectorized_parity():
     """agg='monotone' bucket sweep ≡ per-group fn path (tie-robust
     non-decreasing check, the sparql_grouped production shape)."""

@@ -1635,24 +1635,27 @@ def keyness_by_key(
           .groupby([key_col, "term"]).aggregate(Sum("n", alias_name="a"))
           .materialize())
 
-    key_tot: dict = {}
-    term_tot: dict = {}
-    for b in st.iter_batches(batch_format="pyarrow"):
-        ks = b[key_col].to_pylist()
-        ts = b["term"].to_pylist()
-        ns = np.asarray(b["a"], dtype=np.int64)
-        for k, t, v in zip(ks, ts, ns):
-            key_tot[k] = key_tot.get(k, 0) + int(v)
-            term_tot[t] = term_tot.get(t, 0) + int(v)
+    # totals come from two DISTRIBUTED groupby-sums over the already
+    # aggregated table (the driver previously looped Python-per-row over
+    # every (key, term) row): key totals are tiny (shards), term totals
+    # are vocab-bounded (the unigram-LM contract) and broadcast sorted
+    term_rows = st.groupby("term").aggregate(
+        Sum("a", alias_name="ct")).take_all()
+    key_rows = st.groupby(key_col).aggregate(
+        Sum("a", alias_name="kt")).take_all()
+    key_tot = {r[key_col]: int(r["kt"]) for r in key_rows}
     total = float(sum(key_tot.values()))
-    terms_sorted = np.array(sorted(term_tot), dtype=object)
-    ct_sorted = np.array([term_tot[t] for t in terms_sorted],
-                         dtype=np.float64)
+    terms_sorted = np.array(sorted(r["term"] for r in term_rows),
+                            dtype=object)
+    tmap = {r["term"]: r["ct"] for r in term_rows}
+    ct_sorted = np.array([tmap[t] for t in terms_sorted], dtype=np.float64)
+    keys_sorted = sorted(key_tot)
+    kt_arr = np.array([key_tot[k] for k in keys_sorted], dtype=np.float64)
     ref = _ray.put((pa.array(terms_sorted.tolist(), pa.string()),
-                    ct_sorted, dict(key_tot), total))
+                    ct_sorted, pa.array(keys_sorted), kt_arr, total))
 
     def score(b: pa.Table) -> pa.Table:
-        terms_s, ct_s, ktot, n = _ray.get(ref)
+        terms_s, ct_s, keys_s, kt_s, n = _ray.get(ref)
         a = np.asarray(b["a"], dtype=np.float64)
         keep = a >= min_count
         t = b.filter(pa.array(keep))
@@ -1666,8 +1669,9 @@ def keyness_by_key(
         idx = np.asarray(pc.fill_null(
             pc.index_in(t["term"], value_set=terms_s), 0), dtype=np.int64)
         ct = ct_s[idx]
-        ns = np.array([ktot[k] for k in t[key_col].to_pylist()],
-                      dtype=np.float64)
+        kidx = np.asarray(pc.fill_null(
+            pc.index_in(t[key_col], value_set=keys_s), 0), dtype=np.int64)
+        ns = kt_s[kidx]
         bb = ct - a
         with np.errstate(divide="ignore", invalid="ignore"):
             g2 = 2.0 * (a * np.log(a / (ns * ct / n))

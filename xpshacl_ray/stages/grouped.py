@@ -541,7 +541,9 @@ def _recover_violations_join(ds, bad, n_bad, cc, keys, spec, id_types):
     # prunes the all-groups left side down to ~violating before shuffling
     bloom = BloomFilter(n_items=max(1024, n_bad), fp_rate=0.01)
     for blk in bad.iter_batches(batch_format="pyarrow"):
-        bloom.add([str(v) for v in blk["kh"].to_pylist()])
+        # int64 hashes go straight into the vectorized hasher — building
+        # a Python str per value here cost more than the probe itself
+        bloom.add(np.asarray(blk["kh"], dtype=np.int64))
     bloom_ref = _ray.put(bloom)
 
     def lhs_rows(b: pa.Table) -> pa.Table:
@@ -549,13 +551,13 @@ def _recover_violations_join(ds, bad, n_bad, cc, keys, spec, id_types):
         t = b.select(keys).append_column(
             "__kh__", pa.array(_key_hashes(b, keys).view(np.int64)))
         t = t.group_by(keys + ["__kh__"]).aggregate([])
-        keep = f.might_contain([str(v) for v in t["__kh__"].to_pylist()])
+        keep = f.might_contain(np.asarray(t["__kh__"], dtype=np.int64))
         t = t.filter(pa.array(keep))
         return t.append_column(
             "__cnt__", pa.nulls(t.num_rows, pa.int64())).append_column(
             "__side__", pa.array(np.repeat("l", t.num_rows))).append_column(
             "__bucket__", pa.array(
-                (hash64(t["__kh__"].to_pylist()) % n_buckets
+                (hash64(np.asarray(t["__kh__"], dtype=np.int64)) % n_buckets
                  ).astype(np.int32)))
 
     def rhs_rows(b: pa.Table) -> pa.Table:
@@ -567,7 +569,7 @@ def _recover_violations_join(ds, bad, n_bad, cc, keys, spec, id_types):
         cols["__cnt__"] = pc.cast(b["actual_count"], pa.int64())
         cols["__side__"] = pa.array(np.repeat("r", len(b)))
         cols["__bucket__"] = pa.array(
-            (hash64(kh.to_pylist()) % n_buckets).astype(np.int32))
+            (hash64(np.asarray(kh, dtype=np.int64)) % n_buckets).astype(np.int32))
         return pa.table(cols)
 
     lhs = ds.select_columns(keys).map_batches(lhs_rows,
