@@ -37,6 +37,7 @@ def test_cli_validate_full_run(tmp_path, capsys):
     assert stats.num_rows > 0 and "n_rows" in stats.column_names
 
 
+@pytest.mark.slow
 def test_cli_validate_resumable_skips_on_rerun(tmp_path, capsys):
     code, commits = _fixture(tmp_path)
     out = str(tmp_path / "out_resume")
@@ -56,6 +57,7 @@ def test_cli_validate_resumable_skips_on_rerun(tmp_path, capsys):
     assert viol.count() > 0
 
 
+@pytest.mark.slow
 def test_cli_curate(tmp_path, capsys):
     out = str(tmp_path / "cur")
     rc = main(["curate", "--input", "/root/testdata/sf0.001/documents.parquet",

@@ -37,6 +37,7 @@ def _write_fixtures(tmp_path):
     return paths
 
 
+@pytest.mark.slow
 def test_all_formats_normalize_identically(tmp_path, ray_session):
     paths = _write_fixtures(tmp_path)
     frames = {}

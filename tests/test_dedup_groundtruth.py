@@ -180,6 +180,7 @@ def test_dup_clusters_matches_recursive_cte_oracle():
     assert got == want
 
 
+@pytest.mark.slow
 def test_cluster_labels_shuffle_path_still_exact():
     """jump_broadcast_limit=0 forces the sort-bucket hash_join propagate
     (the >5M-label path) — the broadcast fast path must not be the only

@@ -83,6 +83,7 @@ def test_e2e_exact_violation_counts(fixture_dirs):
     assert {r["severity"] for r in rows} == {"Violation"}
 
 
+@pytest.mark.slow
 def test_run_options_json_and_stats(fixture_dirs, tmp_path):
     import os
 

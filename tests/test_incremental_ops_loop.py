@@ -3,6 +3,8 @@ delta validation (only new/changed shards recompute) → incremental
 reference-profile maintenance (sketch merge, no history re-scan) →
 per-partition drift verdicts for the new day."""
 
+import pytest
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -36,6 +38,7 @@ def _engine():
         id_columns=["doc_id"], focus_template="doc:{doc_id}"))
 
 
+@pytest.mark.slow
 def test_daily_ops_loop(tmp_path):
     cfg = StatsConfig(group_keys=["lang"], numeric_cols=["n_chars"])
     out = str(tmp_path / "out")
