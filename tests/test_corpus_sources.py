@@ -2,6 +2,7 @@
 documents schema with content-addressed ids."""
 
 import gzip
+import pytest
 import json
 import os
 
