@@ -336,3 +336,60 @@ def test_grouped_sparql_monotone_vectorized_parity():
     s2 = slow.sort_values("focus_node").reset_index(drop=True)
     for col in f.columns:
         assert list(f[col]) == list(s2[col]), col
+
+
+# ---------------------------------------------------------------------------
+# Property tests: pure kernels of the round-4 additions.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(-3, 3)),
+                min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_monotone_violating_runs_matches_bruteforce(pairs):
+    """_monotone_violating_runs == brute force 'runs whose min value is
+    below the max over strictly-smaller-order rows'."""
+    from xpshacl_ray.spec import _monotone_violating_runs
+
+    pairs = sorted(pairs)
+    o = np.array([p[0] for p in pairs])
+    v = np.array([p[1] for p in pairs])
+    got = _monotone_violating_runs(o, v)
+    runs = sorted(set(o))
+    exp = 0
+    for r in runs:
+        smaller = v[o < r]
+        if len(smaller) and v[o == r].min() < smaller.max():
+            exp += 1
+    assert got == exp
+
+
+@given(st.integers(0, 2**31), st.integers(0, 100), st.integers(0, 100))
+@settings(max_examples=200, deadline=None)
+def test_epoch_shuffle_rank_bounds_and_determinism(seed, e1, e2):
+    from xpshacl_ray.functions.sampling import _SHUFFLE_P, epoch_shuffle_rank
+
+    ids = np.arange(0, 64, dtype=np.int64)
+    r1 = epoch_shuffle_rank(ids, seed, e1)
+    assert (r1 >= 0).all() and (r1 < 2**32).all()
+    assert (r1 == epoch_shuffle_rank(ids, seed, e1)).all()  # deterministic
+    if e1 != e2:
+        # distinct epochs reorder (affine+xor mixes can't be identical
+        # on 64 consecutive ids unless the parameters collide)
+        assert (r1 != epoch_shuffle_rank(ids, seed, e2)).any()
+
+
+def test_epoch_shuffle_dataset_resumable_and_epoch_distinct():
+    import ray.data
+    from xpshacl_ray.functions.sampling import epoch_shuffle
+
+    ds = ray.data.from_items([{"doc_id": i} for i in range(300)])
+    a = epoch_shuffle(ds, "doc_id", seed=1, epoch=0).to_pandas()
+    b = epoch_shuffle(ds.repartition(7), "doc_id", seed=1,
+                      epoch=0).to_pandas()
+    # identical order regardless of block layout (the resumability claim)
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert sorted(a["doc_id"]) == list(range(300))  # a permutation
+    c = epoch_shuffle(ds, "doc_id", seed=1, epoch=1).to_pandas()
+    assert list(a["doc_id"]) != list(c["doc_id"])

@@ -536,3 +536,90 @@ def sample_weighted_k(
     out = merged.sort_values(["__pri__", id_col]).head(k) \
                 .drop(columns="__pri__")
     return ray.data.from_pandas(out.reset_index(drop=True))
+
+
+# --- deterministic epoch shuffle ---------------------------------------------
+
+#: Mersenne prime 2^31 - 1: the mixing modulus.  Keeping every
+#: intermediate below 2^31 means products with < 2^31 multipliers stay
+#: inside int64 — EXACTLY reproducible in ANSI SQL (the oracle), unlike
+#: a hash whose implementation the two engines wouldn't share.
+_SHUFFLE_P = 2_147_483_647
+
+
+def epoch_shuffle_rank(ids: np.ndarray, seed: int, epoch: int) -> np.ndarray:
+    """Deterministic per-epoch shuffle rank for int64 ids: two affine
+    mixes mod 2^31-1 combined with XOR (the XOR breaks affinity, so the
+    composition is not a simple stride).  Pure int64 vector ops, and the
+    identical expression runs in SQL — see ``epoch_shuffle``."""
+    a1 = (1_103_515_245 * (seed + 12_345 * epoch + 1)) % _SHUFFLE_P or 1
+    b1 = (12_345 + 2_654_435_761 * epoch + seed) % _SHUFFLE_P
+    a2 = (69_069 * (seed + 1) + 987_654_321 * (epoch + 1)) % _SHUFFLE_P or 1
+    b2 = (362_437 * (epoch + 7) + seed) % _SHUFFLE_P
+    x = np.asarray(ids, dtype=np.int64) % _SHUFFLE_P
+    h1 = (a1 * x + b1) % _SHUFFLE_P
+    h2 = (a2 * h1 + b2) % _SHUFFLE_P
+    return ((h1 * 65_537) % _SHUFFLE_P) ^ h2
+
+
+def epoch_shuffle(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    epoch: int = 0,
+    limit: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Deterministic, RESUMABLE training-epoch shuffle: every row gets a
+    pseudo-random ``shuffle_rank`` computed ONLY from (id, seed, epoch),
+    then a distributed sort by (rank, id) fixes the epoch order.
+
+    Why not ``ds.random_shuffle()``: a random shuffle is neither
+    reproducible across retries (a re-executed block draws new randomness
+    — exactly the failure mode a 100 TB multi-day epoch hits) nor
+    resumable (restarting mid-epoch cannot recover the order).  Here the
+    rank is a pure function of the row id, so any shard of the epoch
+    order can be recomputed independently, epochs differ (``epoch`` is
+    mixed into the multipliers), and the SAME expression evaluates in
+    SQL for the oracle — no engine-specific hash.
+
+    One distributed sort is the only wide step (rank is map-computed);
+    ``limit`` optionally truncates to the head of the epoch order —
+    verifying both the rank values and the ordering."""
+    def rank(b: pa.Table) -> pa.Table:
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        r = epoch_shuffle_rank(
+            np.asarray(pc.cast(ids, pa.int64())), seed, epoch)
+        return pa.table({id_col: ids,
+                         "shuffle_rank": pa.array(r, pa.int64())})
+
+    out = (ds.select_columns([id_col])
+           .map_batches(rank, batch_format="pyarrow")
+           .sort(key=["shuffle_rank", id_col]))
+    return out.limit(limit) if limit else out
+
+
+def epoch_shuffle_sql(table: str = "documents", id_col: str = "doc_id",
+                      seed: int = 0, epoch: int = 0,
+                      limit: Optional[int] = None) -> str:
+    """The DuckDB-equivalent of :func:`epoch_shuffle` — same constants,
+    same int64 arithmetic, same XOR combine."""
+    P = _SHUFFLE_P
+    a1 = (1_103_515_245 * (seed + 12_345 * epoch + 1)) % P or 1
+    b1 = (12_345 + 2_654_435_761 * epoch + seed) % P
+    a2 = (69_069 * (seed + 1) + 987_654_321 * (epoch + 1)) % P or 1
+    b2 = (362_437 * (epoch + 7) + seed) % P
+    lim = f" LIMIT {int(limit)}" if limit else ""
+    return f"""
+        WITH h AS (
+            SELECT {id_col},
+                   ({a1} * ({id_col} % {P}) + {b1}) % {P} AS h1
+            FROM {table}
+        ), h2t AS (
+            SELECT {id_col}, h1, ({a2} * h1 + {b2}) % {P} AS h2 FROM h
+        )
+        SELECT {id_col}, xor((h1 * 65537) % {P}, h2) AS shuffle_rank
+        FROM h2t
+        ORDER BY shuffle_rank, {id_col}{lim}
+    """
