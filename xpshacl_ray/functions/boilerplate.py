@@ -121,7 +121,7 @@ def collect_boilerplate(ds: "ray.data.Dataset", min_docs: int = 2,
         np.asarray(b.filter(
             pc.greater_equal(b["n_docs"], min_docs))["line_h"],
             dtype=np.int64)
-        for b in counts.iter_batches(batch_format="pyarrow")
+        for b in counts.iter_batches(batch_format="pyarrow", batch_size=None)
     ]
     if not chunks:
         return np.empty(0, np.int64)

@@ -504,7 +504,7 @@ def cluster_labels_distributed(
         # hash_join path below takes over.
         if labels.count() <= jump_broadcast_limit:
             nd_l, lb_l = [], []
-            for blk in labels.iter_batches(batch_format="pyarrow"):
+            for blk in labels.iter_batches(batch_format="pyarrow", batch_size=None):
                 nd_l.append(np.asarray(blk["node"]))
                 lb_l.append(np.asarray(blk["label"]))
             nd = (np.concatenate(nd_l) if nd_l
@@ -608,14 +608,14 @@ def cluster_labels_distributed(
                         lambda b: pa.table({"label": pa.array(np.unique(
                             np.asarray(b["label"])))}),
                         batch_format="pyarrow").iter_batches(
-                            batch_format="pyarrow"):
+                            batch_format="pyarrow", batch_size=None):
                     lbl_vals.update(np.asarray(blk["label"]).tolist())
                 set_ref = _jump_put(lbl_vals)
                 mapping = {}
                 for blk in labels.map_batches(
                         lambda b, r=set_ref: _filter_label_rows(b, r),
                         batch_format="pyarrow").iter_batches(
-                            batch_format="pyarrow"):
+                            batch_format="pyarrow", batch_size=None):
                     mapping.update(zip(np.asarray(blk["node"]).tolist(),
                                        np.asarray(blk["label"]).tolist()))
                 map_ref = _jump_put(mapping)

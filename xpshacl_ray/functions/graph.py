@@ -211,7 +211,7 @@ def _pagerank_join(e: "ray.data.Dataset", src: str, dst: str,
                  .materialize())
 
     out = pa.concat_tables(
-        list(ranks.iter_batches(batch_format="pyarrow"))).sort_by("node")
+        list(ranks.iter_batches(batch_format="pyarrow", batch_size=None))).sort_by("node")
     return pa.table({"node": out["node"].combine_chunks(),
                      "pr": pa.array(np.round(
                          np.asarray(out["pr"], dtype=np.float64), ndigits))})
@@ -234,8 +234,14 @@ def pagerank(edges: "ray.data.Dataset", src: str = "src",
     import ray as _ray
 
     # few wide blocks: per-round partials are (node, w) rows per block,
-    # so block count × node count bounds the driver merge
-    e = _distinct_edges(edges, src, dst).repartition(32).materialize()
+    # so block count × node count bounds the driver merge.  The distinct
+    # aggregate already emits a bounded number of reduce partitions —
+    # re-shuffling them to exactly 32 cost a second all-to-all (~4 s at
+    # bench scale) for no per-round win, so coalesce only when the
+    # block count is genuinely pathological
+    e = _distinct_edges(edges, src, dst).materialize()
+    if e.num_blocks() > 128:
+        e = e.repartition(128).materialize()
 
     if node_state == "auto":
         # free upper bound first: nodes <= 2·edges, and count() on a
@@ -252,11 +258,34 @@ def pagerank(edges: "ray.data.Dataset", src: str = "src",
     if node_state != "driver":
         raise ValueError(f"unknown node_state {node_state!r}")
 
-    # node universe + out-degrees (driver state: one row per NODE)
-    deg_rows = e.groupby(src).count().take_all()
-    outdeg: Dict = {r[src]: r["count()"] for r in deg_rows}
-    dsts = e.groupby(dst).count().take_all()
-    nodes = sorted(set(outdeg) | {r[dst] for r in dsts})
+    # node universe + out-degrees (driver state: one row per NODE) in
+    # ONE streaming scan over the materialized edges — the previous two
+    # groupby().count().take_all() calls each paid a full sort shuffle
+    # (~4 s at bench scale) to produce tables the driver was going to
+    # hold anyway; per-batch Arrow group_by partials merge vectorized
+    import pandas as pd
+
+    ks_list, vs_list, dst_list = [], [], []
+    for b in e.iter_batches(batch_format="pyarrow", batch_size=None):
+        if len(b) == 0:
+            continue
+        g = b.group_by(src).aggregate([([], "count_all")])
+        ks_list.append(np.asarray(
+            g[src].to_numpy(zero_copy_only=False)))
+        vs_list.append(np.asarray(g["count_all"], dtype=np.int64))
+        darr = b[dst]
+        if isinstance(darr, pa.ChunkedArray):
+            darr = darr.combine_chunks()
+        dst_list.append(np.asarray(
+            pc.unique(darr).to_numpy(zero_copy_only=False)))
+    if ks_list:
+        kcat = np.concatenate(ks_list)
+        vcat = np.concatenate(vs_list)
+        outdeg: Dict = pd.Series(vcat).groupby(kcat).sum().to_dict()
+        dst_nodes = set(np.concatenate(dst_list).tolist())
+    else:
+        outdeg, dst_nodes = {}, set()
+    nodes = sorted(set(outdeg) | dst_nodes)
     n = len(nodes)
     if n == 0:
         return pa.table({"node": pa.array([], pa.string()),
@@ -294,7 +323,7 @@ def pagerank(edges: "ray.data.Dataset", src: str = "src",
         # is the swap for node-scale-exceeds-driver graphs
         acc = np.zeros(n)
         for b in (e.map_batches(contrib, batch_format="pyarrow")
-                  .iter_batches(batch_format="pyarrow")):
+                  .iter_batches(batch_format="pyarrow", batch_size=None)):
             if len(b) == 0:
                 continue
             i = np.searchsorted(node_arr, np.asarray(b["node"]))

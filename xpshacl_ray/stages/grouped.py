@@ -540,7 +540,7 @@ def _recover_violations_join(ds, bad, n_bad, cc, keys, spec, id_types):
     # Bloom of the violating hashes (~1.2 MB per million at 1% fp):
     # prunes the all-groups left side down to ~violating before shuffling
     bloom = BloomFilter(n_items=max(1024, n_bad), fp_rate=0.01)
-    for blk in bad.iter_batches(batch_format="pyarrow"):
+    for blk in bad.iter_batches(batch_format="pyarrow", batch_size=None):
         # int64 hashes go straight into the vectorized hasher — building
         # a Python str per value here cost more than the probe itself
         bloom.add(np.asarray(blk["kh"], dtype=np.int64))
@@ -695,7 +695,7 @@ def _evaluate_grouped_hashed(
 
         groups_tbl = pa.concat_tables(
             [b for b in ds.map_batches(recover_keys, batch_format="pyarrow")
-             .iter_batches(batch_format="pyarrow")]
+             .iter_batches(batch_format="pyarrow", batch_size=None)]
         )
         # dedupe across batches, attach counts
         groups_tbl = groups_tbl.group_by(keys + ["kh"]).aggregate([])
