@@ -492,22 +492,24 @@ def tfidf_top_terms(
         df_map = {r["term"]: r["df"] for r in rows}
         dfs_sorted = np.array([df_map[t] for t in terms_sorted],
                               dtype=np.float64)
-        ref = _ray.put((terms_sorted, dfs_sorted))
+        ref = _ray.put((pa.array(terms_sorted.tolist(), pa.string()),
+                        dfs_sorted))
 
         def score(batch: pa.Table) -> pa.Table:
-            terms_s, dfs_s = _ray.get(ref)
+            terms_pa, dfs_s = _ray.get(ref)
             tf = _term_frequencies(batch, text_col, doc_id_col)
             if tf.num_rows == 0:
                 return out_schema.empty_table()
             t_np = np.asarray(tf["term"].to_pylist(), dtype=object)
-            idx = np.clip(np.searchsorted(terms_s, t_np),
-                          0, max(0, len(terms_s) - 1))
+            # Arrow hash-probe (C kernel) instead of an object-array
+            # searchsorted whose comparisons are per-element Python
+            idx_arr = pc.index_in(tf["term"], value_set=terms_pa)
+            hit = np.asarray(pc.is_valid(idx_arr))
+            idx = np.asarray(pc.fill_null(idx_arr, 0), dtype=np.int64)
             # every batch term is in the global vocabulary when ds is
             # deterministic; the hit mask guards re-execution divergence
             # (nondeterministic upstream) from reading a wrong df —
             # unseen terms are unscorable and dropped
-            hit = terms_s[idx] == t_np if len(terms_s) else np.zeros(
-                len(t_np), dtype=bool)
             tf = tf.filter(pa.array(hit))
             if tf.num_rows == 0:
                 return out_schema.empty_table()
