@@ -393,3 +393,20 @@ def test_epoch_shuffle_dataset_resumable_and_epoch_distinct():
     assert sorted(a["doc_id"]) == list(range(300))  # a permutation
     c = epoch_shuffle(ds, "doc_id", seed=1, epoch=1).to_pandas()
     assert list(a["doc_id"]) != list(c["doc_id"])
+
+
+def test_unigram_logprob_join_append_with_renamed_id_col():
+    """append=True join path with a non-default id column exercises the
+    rename-before-join branch."""
+    import ray.data
+    from xpshacl_ray.functions.text import unigram_logprob
+
+    rows = [{"my_id": i, "text": "alpha beta"} for i in range(20)]
+    rows.append({"my_id": 20, "text": ""})
+    ds = ray.data.from_items(rows)
+    out = unigram_logprob(ds, doc_id_col="my_id", append=True,
+                          vocab_broadcast_limit=0).to_pandas()
+    out = out.sort_values("my_id").reset_index(drop=True)
+    assert set(out.columns) == {"my_id", "text", "n_tokens", "avg_logprob"}
+    assert list(out["my_id"]) == list(range(21))
+    assert list(out["n_tokens"]) == [2] * 20 + [0]
