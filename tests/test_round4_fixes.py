@@ -410,3 +410,36 @@ def test_unigram_logprob_join_append_with_renamed_id_col():
     assert set(out.columns) == {"my_id", "text", "n_tokens", "avg_logprob"}
     assert list(out["my_id"]) == list(range(21))
     assert list(out["n_tokens"]) == [2] * 20 + [0]
+
+
+def test_grouped_sparql_vectorized_multikey_parity():
+    """Multi-column group_by exercises the combined key hashing in the
+    bucket tagger (keys[1:] mixing path)."""
+    import ray.data
+    from xpshacl_ray.spec import (GroupedSparql, GroupPredicate,
+                                  ValidationSpec, compile_spec)
+    from xpshacl_ray.stages.grouped import _evaluate_grouped_sparql
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for a in range(40):
+        for bkey in ("x", "y"):
+            for _ in range(int(rng.integers(1, 5))):
+                rows.append({"k1": a, "k2": bkey,
+                             "v": str(int(rng.integers(0, 3)))})
+    ds = ray.data.from_items(rows)
+    pred = GroupPredicate(agg="distinct", agg_col="v", op=">=", value=2)
+    c = GroupedSparql(path="v", group_by=["k1", "k2"], columns=["v"],
+                      name="mk", predicate=pred, message="m")
+    spec = compile_spec(ValidationSpec(constraints=[c],
+                                       id_columns=["k1"],
+                                       focus_template="g:{k1}"))
+    cc = spec.grouped[0]
+    fast = _evaluate_grouped_sparql(ds, cc, spec).to_pandas()
+    slow = _evaluate_grouped_sparql(ds, cc, spec,
+                                    force_map_groups=True).to_pandas()
+    assert len(fast) > 0
+    f = fast.sort_values("focus_node").reset_index(drop=True)
+    s = slow.sort_values("focus_node").reset_index(drop=True)
+    for col in f.columns:
+        assert list(f[col]) == list(s[col]), col
