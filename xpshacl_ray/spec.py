@@ -1011,6 +1011,12 @@ class CompiledSpec:
             if isinstance(c, GroupedSparql):
                 cols.extend(c.group_by)
                 cols.extend(c.columns)
+                if c.predicate is not None:
+                    for extra in (c.predicate.agg_col,
+                                  c.predicate.where_col,
+                                  c.predicate.order_col):
+                        if extra:
+                            cols.append(extra)
             if isinstance(c, SqlCheck):
                 cols.extend(c.columns)
 
