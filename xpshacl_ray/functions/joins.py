@@ -97,7 +97,8 @@ def broadcast_join(
 def _bucketize(ds: "ray.data.Dataset", key: str, n_buckets: int,
                side: str) -> "ray.data.Dataset":
     def tag(b: pa.Table) -> pa.Table:
-        h = (hash64(b[key].to_pylist()) % n_buckets).astype(np.int32)
+        h = (hash64(b[key].to_numpy(zero_copy_only=False))
+             % n_buckets).astype(np.int32)
         return b.append_column("__bucket__", pa.array(h)).append_column(
             "__side__", pa.array(np.repeat(side, len(b)))
         )

@@ -782,7 +782,7 @@ def inverted_index(
     n_parts = int(n_buckets)
 
     def tag(b: pa.Table) -> pa.Table:
-        part = (hash64(np.asarray(b["term"].to_pylist(), dtype=object))
+        part = (hash64(b["term"].to_numpy(zero_copy_only=False))
                 % n_parts).astype(np.int32)
         return b.append_column("__part__", pa.array(part))
 

@@ -69,7 +69,7 @@ def _dedup_semi_join(ds: "ray.data.Dataset",
 
     def tag(b: pa.Table) -> pa.Table:
         h = add_text_hash(b, cfg.text_col)
-        part = (hash64(h["text_md5"].to_pylist())
+        part = (hash64(h["text_md5"].to_numpy(zero_copy_only=False))
                 % cfg.join_buckets).astype("int32")
         return h.append_column("__part__", pa.array(part))
 
@@ -98,14 +98,15 @@ def _drop_ids_anti_join(ds: "ray.data.Dataset",
     from ..functions.sketches import hash64
 
     def tag_rows(b: pa.Table) -> pa.Table:
-        h = (hash64(b[cfg.id_col].to_pylist())
+        h = (hash64(b[cfg.id_col].to_numpy(zero_copy_only=False))
              % cfg.join_buckets).astype("int32")
         return b.append_column("__part__", pa.array(h)).append_column(
             "__drop__", pa.array(np.zeros(len(b), dtype=bool)))
 
     def tag_drops(b: pa.Table) -> pa.Table:
         ids = b["id_b"]
-        h = (hash64(ids.to_pylist()) % cfg.join_buckets).astype("int32")
+        h = (hash64(ids.to_numpy(zero_copy_only=False))
+             % cfg.join_buckets).astype("int32")
         t = pa.table({cfg.id_col: ids})
         return t.append_column("__part__", pa.array(h)).append_column(
             "__drop__", pa.array(np.ones(len(b), dtype=bool)))
