@@ -500,7 +500,7 @@ def tfidf_top_terms(
             tf = _term_frequencies(batch, text_col, doc_id_col)
             if tf.num_rows == 0:
                 return out_schema.empty_table()
-            t_np = np.asarray(tf["term"].to_pylist(), dtype=object)
+            t_np = tf["term"].to_numpy(zero_copy_only=False)
             # Arrow hash-probe (C kernel) instead of an object-array
             # searchsorted whose comparisons are per-element Python
             idx_arr = pc.index_in(tf["term"], value_set=terms_pa)
