@@ -443,3 +443,10 @@ def test_grouped_sparql_vectorized_multikey_parity():
     s = slow.sort_values("focus_node").reset_index(drop=True)
     for col in f.columns:
         assert list(f[col]) == list(s[col]), col
+
+
+def test_epoch_shuffle_rejects_negative_ids():
+    from xpshacl_ray.functions.sampling import epoch_shuffle_rank
+
+    with pytest.raises(ValueError, match="non-negative"):
+        epoch_shuffle_rank(np.array([-1, 2], dtype=np.int64), 0, 0)

@@ -556,7 +556,13 @@ def epoch_shuffle_rank(ids: np.ndarray, seed: int, epoch: int) -> np.ndarray:
     b1 = (12_345 + 2_654_435_761 * epoch + seed) % _SHUFFLE_P
     a2 = (69_069 * (seed + 1) + 987_654_321 * (epoch + 1)) % _SHUFFLE_P or 1
     b2 = (362_437 * (epoch + 7) + seed) % _SHUFFLE_P
-    x = np.asarray(ids, dtype=np.int64) % _SHUFFLE_P
+    x = np.asarray(ids, dtype=np.int64)
+    if len(x) and x.min() < 0:
+        # numpy's % is non-negative for a positive modulus; SQL's takes
+        # the dividend's sign — the two engines would silently disagree
+        raise ValueError("epoch_shuffle requires non-negative ids "
+                         "(numpy and SQL modulo semantics differ below 0)")
+    x = x % _SHUFFLE_P
     h1 = (a1 * x + b1) % _SHUFFLE_P
     h2 = (a2 * h1 + b2) % _SHUFFLE_P
     return ((h1 * 65_537) % _SHUFFLE_P) ^ h2
