@@ -446,9 +446,14 @@ if __name__ == "__main__":
         if len(line) > 1900:
             out["metric"] = "validated docs/sec + per-pipeline wall times"
             line = json.dumps(out, separators=(",", ":"))
+        dropped = 0
         while len(line) > 1900 and out["queries"]:
             # last resort: trim the slowest-to-matter tail entries; the
-            # sidecar BENCH_RAW.json still has everything
+            # sidecar BENCH_RAW.json still has everything.  The explicit
+            # queries_truncated count lets a stdout-only parser tell a
+            # dropped query from a never-run one (ADVICE r4).
             out["queries"].pop(next(reversed(out["queries"])))
+            dropped += 1
+            out["queries_truncated"] = dropped
             line = json.dumps(out, separators=(",", ":"))
         print(line)

@@ -445,8 +445,12 @@ def test_grouped_sparql_vectorized_multikey_parity():
         assert list(f[col]) == list(s[col]), col
 
 
-def test_epoch_shuffle_rejects_negative_ids():
-    from xpshacl_ray.functions.sampling import epoch_shuffle_rank
+def test_epoch_shuffle_accepts_negative_ids():
+    """Round-5 supersedes the r4 rejection: negative / signed-hash ids
+    fold through the residue-side zigzag instead of raising (VERDICT r4
+    item 8).  Full-domain oracle parity lives in test_round5_fixes."""
+    from xpshacl_ray.functions.sampling import _SHUFFLE_P, epoch_shuffle_rank
 
-    with pytest.raises(ValueError, match="non-negative"):
-        epoch_shuffle_rank(np.array([-1, 2], dtype=np.int64), 0, 0)
+    r = epoch_shuffle_rank(
+        np.array([-1, 2, np.iinfo(np.int64).min], dtype=np.int64), 0, 0)
+    assert (r >= 0).all() and (r < 2**32).all()

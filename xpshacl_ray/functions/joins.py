@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .sketches import hash64
+from .sketches import hash64, key_hash64
 
 
 def schema_empty_pdf(sch) -> pd.DataFrame:
@@ -97,8 +97,10 @@ def broadcast_join(
 def _bucketize(ds: "ray.data.Dataset", key: str, n_buckets: int,
                side: str) -> "ray.data.Dataset":
     def tag(b: pa.Table) -> pa.Table:
-        h = (hash64(b[key].to_numpy(zero_copy_only=False))
-             % n_buckets).astype(np.int32)
+        # key_hash64, not hash64-of-to_numpy: a null in the batch would
+        # widen an int key column to float64 and re-bucket every key in
+        # that batch away from its matches (ADVICE r4)
+        h = (key_hash64(b[key]) % n_buckets).astype(np.int32)
         return b.append_column("__bucket__", pa.array(h)).append_column(
             "__side__", pa.array(np.repeat(side, len(b)))
         )

@@ -47,6 +47,36 @@ def hash64(values) -> np.ndarray:
     return pd.util.hash_array(arr, hash_key=_HASH_KEY, categorize=False)
 
 
+def key_hash64(col) -> np.ndarray:
+    """uint64 hashes of an Arrow key column, independent of the batch's
+    null layout (ADVICE r4).
+
+    ``to_numpy(zero_copy_only=False)`` widens a null-containing integer
+    batch to float64, so the same key value would hash differently
+    depending on which batch it rides in — and land in a different join
+    bucket, silently dropping matches.  Normalize first: integer /
+    temporal / boolean columns cast to int64 with nulls filled to 0
+    (null keys never equal anything in join semantics, so WHERE a null
+    lands is irrelevant — only that non-null keys hash identically in
+    every batch).  Strings/floats keep their layout-stable paths.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        return hash64(col)
+    t = col.type
+    if pa.types.is_dictionary(t):
+        col = col.cast(t.value_type)
+        t = col.type
+    if (pa.types.is_integer(t) or pa.types.is_temporal(t)
+            or pa.types.is_boolean(t)):
+        col = pc.fill_null(pc.cast(col, pa.int64()), 0)
+    return hash64(col.to_numpy(zero_copy_only=False))
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------

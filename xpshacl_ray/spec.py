@@ -800,10 +800,14 @@ class GroupPredicate:
         if self.agg == "count":
             metric = sel.num_rows
         elif self.agg == "distinct":
+            # drop nulls BEFORE unique: SQL COUNT(DISTINCT) and SPARQL
+            # COUNT(DISTINCT ?x) ignore unbound/null, and the vectorized
+            # bucket sweep's Arrow "count" agg is only_valid — keeping
+            # null here would silently diverge from both (ADVICE r4)
             col = sel[self.agg_col]
-            metric = len(_pc.unique(
+            metric = len(_pc.unique(_pc.drop_null(
                 col.combine_chunks() if hasattr(col, "combine_chunks")
-                else col))
+                else col)))
         else:  # monotone
             t = sel.sort_by(self.order_col)
             oc = t[self.order_col]

@@ -306,8 +306,11 @@ def _evaluate_grouped_sparql(
     tmap = dict(zip(sch.names, sch.types))
     out_schema = pa.schema([(k, tmap[k]) for k in keys]
                            + [("actual_count", pa.int64())])
-    fn = c.fn if c.fn is not None else getattr(
-        getattr(c, "predicate", None), "fn", None)
+    # predicate wins over fn when both are set ("fn is ignored when
+    # predicate is given") — otherwise force_map_groups would compare
+    # two DIFFERENT predicates in the path-parity test (ADVICE r4)
+    pred = getattr(c, "predicate", None)
+    fn = pred.fn if pred is not None else c.fn
 
     max_rows = getattr(c, "max_group_rows", 0) or 0
 
@@ -434,7 +437,7 @@ def _evaluate_grouped_sparql_vectorized(
     engine documents; the per-focus-group Python floor is gone."""
     import ray  # noqa: F401
 
-    from ..functions.sketches import hash64
+    from ..functions.sketches import key_hash64
 
     c = cc.constraint
     p = c.predicate
@@ -451,16 +454,12 @@ def _evaluate_grouped_sparql_vectorized(
     n_buckets = 4 * max(cpus, 1)
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        key0 = b[keys[0]]
-        if isinstance(key0, pa.ChunkedArray):
-            key0 = key0.combine_chunks()
-        h = hash64(np.asarray(key0.to_numpy(zero_copy_only=False)))
+        # key_hash64 (null-layout-independent): an int key column whose
+        # batch holds any null would otherwise widen to float64 and
+        # split one focus group across buckets (ADVICE r4 class of bug)
+        h = key_hash64(b[keys[0]])
         for k in keys[1:]:
-            kc = b[k]
-            if isinstance(kc, pa.ChunkedArray):
-                kc = kc.combine_chunks()
-            h = h * np.uint64(0x9E3779B97F4A7C15) + hash64(
-                np.asarray(kc.to_numpy(zero_copy_only=False)))
+            h = h * np.uint64(0x9E3779B97F4A7C15) + key_hash64(b[k])
         bk = (h % np.uint64(n_buckets)).astype(np.int64)
         return b.append_column("__bucket__", pa.array(bk))
 
