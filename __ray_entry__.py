@@ -2881,13 +2881,20 @@ def _rotate_never_green_first(
     """Order the query dict so the driver's 50-entry verification window
     is spent where it matters most:
 
-    1. entries with NO hash-green row in any ``CORRECTNESS_r*.json`` so
-       far come first (VERDICT r2 item 1);
+    1. entries with NO hash-green row in any ``CORRECTNESS_r*.json`` or
+       ``ORACLE_SWEEP_r*.json`` so far come first (VERDICT r2 item 1);
     2. already-green entries follow ordered by LEAST-recently-green —
        the round number of their newest hash-green row, ascending — so
        the spare window slots re-verify the stalest greens each round
        instead of a fixed prefix (VERDICT r3 item 3: a regression in a
        query verified rounds ago would otherwise never be re-checked).
+
+    Both artifact families count as green evidence (VERDICT r4 item 7):
+    the driver's ``CORRECTNESS_r{N}.json`` covers its ~50-query window,
+    and the committed full-sweep ``ORACLE_SWEEP_r{N}.json`` (written by
+    ``tools/check_oracle.py --json``) covers ALL queries — so window
+    slots point at genuinely stale queries, not ones the sweep already
+    re-verified this round.
 
     Relative order inside each tier is preserved, so the hand-curated
     priority of the static dict below still decides ties; with no
@@ -2899,8 +2906,10 @@ def _rotate_never_green_first(
     here = _here or os.path.dirname(os.path.abspath(__file__))
     last_green: dict[str, int] = {}
     try:
-        for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
-            m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        files = (glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+                 + glob.glob(os.path.join(here, "ORACLE_SWEEP_r*.json")))
+        for f in sorted(files):
+            m = re.search(r"_r(\d+)\.json$", f)
             rnd = int(m.group(1)) if m else 0
             for k, v in json.load(open(f)).items():
                 if v and v.get("hash_match"):

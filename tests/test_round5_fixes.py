@@ -269,3 +269,46 @@ def test_epoch_shuffle_zigzag_interleaves_small_ids():
     ids = np.arange(-1000, 1000, dtype=np.int64)
     z = _zigzag_mod_p(ids)
     assert len(np.unique(z)) == len(ids)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 items 1+7: ORACLE_SWEEP artifacts feed the rotation
+# ---------------------------------------------------------------------------
+
+
+def test_rotation_consumes_oracle_sweep_artifacts(tmp_path):
+    """Green evidence from ORACLE_SWEEP_r*.json counts exactly like
+    CORRECTNESS_r*.json: the full sweep re-verifies every query each
+    round, so window slots point at genuinely stale entries (VERDICT
+    r4 item 7)."""
+    import json
+
+    from __ray_entry__ import _rotate_never_green_first
+
+    order = {k: (lambda sf, _k=k: _k) for k in "abcde"}
+    # driver window r1 greens a,b; the r2 FULL sweep re-greens b,c,d;
+    # driver window r3 re-greens a. e never green anywhere.
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({k: {"hash_match": True} for k in ["a", "b"]}))
+    (tmp_path / "ORACLE_SWEEP_r02.json").write_text(
+        json.dumps({k: {"hash_match": True} for k in ["b", "c", "d"]}))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"a": {"hash_match": True}}))
+    out = list(_rotate_never_green_first(order, _here=str(tmp_path)))
+    # e (never) < b,c,d (newest green r2, static tie order) < a (r3)
+    assert out == ["e", "b", "c", "d", "a"]
+
+
+def test_rotation_sweep_rows_only_entries_not_green(tmp_path):
+    """Sweep entries for rows-only queries carry hash_match=None and
+    must NOT count as hash-green."""
+    import json
+
+    from __ray_entry__ import _rotate_never_green_first
+
+    order = {k: (lambda sf: None) for k in ["a", "b"]}
+    (tmp_path / "ORACLE_SWEEP_r01.json").write_text(json.dumps({
+        "a": {"hash_match": None, "rows_match": True},
+        "b": {"hash_match": True, "rows_match": True}}))
+    out = list(_rotate_never_green_first(order, _here=str(tmp_path)))
+    assert out == ["a", "b"]
