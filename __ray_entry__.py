@@ -2403,6 +2403,193 @@ def _ttl_sparql_auto_sql() -> str:
             "    ) AS t(subject, message)")
 
 
+def _ttl_shark_fixture() -> tuple:
+    """Deterministic fixture for the round-5 SPARQL translations
+    (VERDICT r4 items 2+3), mirroring the shark shapes' EXACT select
+    texts (``/root/reference/data/shark_shapes.ttl:48-67, 200-214,
+    231-245``):
+
+    - superclass NOT-EXISTS sibling anti-join: 40 classes cycle through
+      5 hierarchy layouts — two unrelated parents (VIOLATION), two
+      related parents, owl:Thing + one parent, self + one parent, one
+      parent (all fine);
+    - BIND/REPLACE class naming: every 4th class name starts lowercase
+      (VIOLATION of the ``/([a-z][1]?[A-z0-9]*)$`` regex);
+    - BIND/REPLACE property naming over a THREE-targetClass shape:
+      24 properties cycle rdf:Property / owl:DatatypeProperty /
+      owl:ObjectProperty; every 3rd has a capital-letter name
+      (VIOLATION of ``/[A-Z][A-z0-9]*$``);
+    - multi-BIND ``||`` is-a check (ObjectProperty only): names
+      containing ``isA`` / case-insensitive ``is_a`` VIOLATE.
+
+    Returns (data_ttl, shapes_ttl, expected) with expected derived
+    INDEPENDENTLY from the generation rule — the oracle, not the
+    engine, decides."""
+    ex = _TTL_AUTO_EX
+    rdfs = "http://www.w3.org/2000/01/rdf-schema#"
+    owl = "http://www.w3.org/2002/07/owl#"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    data = [
+        f"@prefix rdfs: <{rdfs}> .",
+        f"@prefix rdf: <{rdf}> .",
+        f"@prefix owl: <{owl}> .",
+        f"@prefix ex: <{ex}> .",
+        "ex:Top a owl:Class .",
+        "ex:Mid a owl:Class ; rdfs:subClassOf ex:Top .",
+        "ex:Other a owl:Class .",
+    ]
+    expected = []
+    m_super = "Classes must have at most one superclass"
+    m_lower = "Classes names must not start with a lowercase letter"
+    m_cap = "Properties names must not start with a capital letter"
+    m_isa = "Detect wrongly defined relationship 'is'"
+    for i in range(40):
+        name = f"klass{i:02d}" if i % 4 == 0 else f"Class{i:02d}"
+        lines = [f"ex:{name} a owl:Class"]
+        if i % 5 == 0:
+            lines.append("rdfs:subClassOf ex:Top , ex:Other")
+            expected.append((ex + name, m_super))
+        elif i % 5 == 1:
+            lines.append("rdfs:subClassOf ex:Mid , ex:Top")
+        elif i % 5 == 2:
+            lines.append("rdfs:subClassOf owl:Thing , ex:Top")
+        elif i % 5 == 3:
+            lines.append(f"rdfs:subClassOf ex:{name} , ex:Top")
+        else:
+            lines.append("rdfs:subClassOf ex:Top")
+        if i % 4 == 0:
+            expected.append((ex + name, m_lower))
+        data.append(" ; ".join(lines) + " .")
+    ptypes = ["rdf:Property", "owl:DatatypeProperty", "owl:ObjectProperty"]
+    for j in range(24):
+        pt = ptypes[j % 3]
+        if j % 3 == 2 and j % 4 == 2:
+            pname = f"rel_isA_{j:02d}" if j % 2 == 0 else f"rel_IS_a{j:02d}"
+            expected.append((ex + pname, m_isa))
+        elif j % 3 == 0:
+            pname = f"Prop{j:02d}"
+            expected.append((ex + pname, m_cap))
+        else:
+            pname = f"prop{j:02d}"
+        data.append(f"ex:{pname} a {pt} .")
+    shapes = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rdfs: <{rdfs}> .
+@prefix rdf: <{rdf}> .
+@prefix owl: <{owl}> .
+@prefix ex: <{ex}> .
+
+ex:ClassShape a sh:NodeShape ;
+  sh:targetClass owl:Class ;
+  sh:sparql [
+    sh:message "{m_super}" ;
+    sh:select \"\"\"
+  PREFIX owl: <{owl}>
+  PREFIX rdfs: <{rdfs}>
+  PREFIX rdf: <{rdf}>
+  SELECT DISTINCT $this
+  WHERE {{
+    $this rdf:type owl:Class .
+    $this rdfs:subClassOf ?v1 .
+    $this rdfs:subClassOf ?v2 .
+    FILTER NOT EXISTS {{?v1 rdfs:subClassOf ?v2 }}.
+    FILTER NOT EXISTS {{?v2 rdfs:subClassOf ?v1 }}.
+    FILTER(?v1 != ?v2) .
+    FILTER(?v1 != owl:Thing) .
+    FILTER(?v2 != owl:Thing) .
+    FILTER($this != ?v1) .
+    FILTER($this != ?v2) .
+  }}
+  \"\"\" ;
+  ] ;
+  sh:sparql [
+    sh:message "{m_lower}" ;
+    sh:select \"\"\"
+  PREFIX owl: <{owl}>
+  PREFIX rdfs: <{rdfs}>
+  PREFIX rdf: <{rdf}>
+  SELECT $this
+  WHERE {{
+    $this a owl:Class .
+    BIND(REPLACE(STR($this), '/([a-z][1]?[A-z0-9]*)$', '' ) as ?str1) .
+    FILTER(STR($this) != STR(?str1)) .
+  }}
+  \"\"\" ;
+  ] .
+
+ex:PropShape a sh:NodeShape ;
+  sh:targetClass rdf:Property ;
+  sh:targetClass owl:DatatypeProperty ;
+  sh:targetClass owl:ObjectProperty ;
+  sh:sparql [
+    sh:message "{m_cap}" ;
+    sh:select \"\"\"
+  PREFIX owl: <{owl}>
+  PREFIX rdfs: <{rdfs}>
+  PREFIX rdf: <{rdf}>
+  SELECT $this
+  WHERE {{
+    $this a ?property .
+    FILTER(?property IN (rdf:Property, owl:DatatypeProperty, owl:ObjectProperty)) .
+    BIND(REPLACE(STR($this), '/[A-Z][A-z0-9]*$', '' ) as ?str1) .
+    FILTER(STR($this) != STR(?str1)) .
+  }}
+  \"\"\" ;
+  ] ;
+  sh:sparql [
+    sh:message "{m_isa}" ;
+    sh:select \"\"\"
+  PREFIX owl: <{owl}>
+  PREFIX rdfs: <{rdfs}>
+  PREFIX rdf: <{rdf}>
+  SELECT $this
+  WHERE {{
+    $this a owl:ObjectProperty .
+    BIND(REPLACE(STR($this), 'isA', '' ) as ?str1) .
+    BIND(REPLACE(STR($this), 'is_a', '' ,'i') as ?str2) .
+    FILTER(STR($this) != STR(?str1) || STR($this) != STR(?str2)) .
+  }}
+  \"\"\" ;
+  ] .
+"""
+    return "\n".join(data) + "\n", shapes, sorted(expected)
+
+
+def q_ttl_sparql_shark(sf_dir: str):
+    """Round-5 SPARQL auto-translation frontier (VERDICT r4 items 2+3):
+    the shark BIND/REPLACE naming shapes become target-scoped
+    :class:`~xpshacl_ray.spec.RegexMatch` row constraints and the
+    NOT-EXISTS superclass shape a join-aware
+    :class:`~xpshacl_ray.spec.SiblingAntiJoin` (broadcast edge probe,
+    bucketed anti-join past ``edge_broadcast_limit``) — all translated
+    from the Turtle shapes, zero hand-bound ``sparql_impls``.  The
+    oracle is derived independently from the fixture's generation rule.
+    (sf_dir-independent by design, like ``ttl_parity``.)"""
+    import os
+    import tempfile
+
+    from xpshacl_ray.sources.ttl import validate_ttl
+
+    data_ttl, shapes_ttl, _ = _ttl_shark_fixture()
+    d = os.path.join(tempfile.gettempdir(), "xpshacl_ttl_shark")
+    os.makedirs(d, exist_ok=True)
+    dp, sp = os.path.join(d, "data.ttl"), os.path.join(d, "shapes.ttl")
+    with open(dp, "w") as f:
+        f.write(data_ttl)
+    with open(sp, "w") as f:
+        f.write(shapes_ttl)
+    viol = validate_ttl(dp, sp, sparql=True)
+    return viol.select_columns(["subject", "message"])
+
+
+def _ttl_sparql_shark_sql() -> str:
+    _, _, expected = _ttl_shark_fixture()
+    rows = ",\n      ".join(
+        "('{}', '{}')".format(s, m.replace("'", "''")) for s, m in expected)
+    return (f"SELECT * FROM (VALUES\n      {rows}\n"
+            "    ) AS t(subject, message)")
+
+
 def q_media_features(sf_dir: str):
     """Real multimodal decode pipeline: deterministic synthesized media
     (P6 PPM / 24-bit BMP images, PCM WAV audio — stdlib+numpy codecs, no
@@ -2942,6 +3129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explanations": q_explanations,
         "ttl_parity": q_ttl_parity,
         "ttl_sparql_auto": q_ttl_sparql_auto,
+        "ttl_sparql_shark": q_ttl_sparql_shark,
         "epoch_shuffle": q_epoch_shuffle,
         "sql_check": q_sql_check,
         "media_features": q_media_features,
@@ -4631,6 +4819,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ttl_parity": _TTL_PARITY_SQL,
         "ttl_sparql_auto": _ttl_sparql_auto_sql(),
+        "ttl_sparql_shark": _ttl_sparql_shark_sql(),
         "epoch_shuffle": __import__(
             "xpshacl_ray.functions.sampling",
             fromlist=["epoch_shuffle_sql"]).epoch_shuffle_sql(

@@ -437,12 +437,17 @@ def _hydrate_list_values(elems: List[Triple]) -> List:
 def _node_shapes_with_target(triples, obj) -> List[Tuple[str, str]]:
     """[(shape, target_class)] for `a sh:NodeShape` / `a sh:Shape`
     declarations carrying sh:targetClass — ONE place for the type
-    spellings the reference fixtures use."""
+    spellings the reference fixtures use.
+
+    A shape may declare SEVERAL ``sh:targetClass`` values (the shark
+    PropertyShape targets rdf:Property, owl:DatatypeProperty AND
+    owl:ObjectProperty — ``shark_shapes.ttl:152-155``); SHACL semantics
+    are the union of the targets, so one (shape, target) pair is
+    yielded per declared class, in declaration order."""
     out = []
     for t in triples:
         if t.p == RDF_TYPE and t.o in (SH_NS + "NodeShape", SH_NS + "Shape"):
-            tc = _first(obj, t.s, SH_NS + "targetClass")
-            if tc is not None:
+            for tc in obj.get((t.s, SH_NS + "targetClass"), []):
                 out.append((t.s, tc.o))
     return out
 
@@ -888,8 +893,13 @@ def sparql_sqlchecks(shape_triples: List[Triple]):
 
     A block is translatable when its holder property shape has a single
     ``sh:path`` and its SELECT is the FILTER-only form
-    (:func:`sparql_filter_to_sql`)."""
-    from ..spec import SqlCheck
+    (:func:`sparql_filter_to_sql`), or when the SELECT is the
+    BIND/REPLACE subject-naming form (``shark_shapes.ttl:200-214,
+    231-245``) — a row-local regex on the subject IRI that becomes a
+    target-scoped :class:`~xpshacl_ray.spec.RegexMatch` over the entity
+    table's ``subject`` column (VERDICT r4 item 2; needs no
+    ``sh:path``)."""
+    from ..spec import RegexMatch, SqlCheck
 
     obj = _sp_index(shape_triples)
     checks: Dict[str, List] = {}
@@ -898,13 +908,14 @@ def sparql_sqlchecks(shape_triples: List[Triple]):
     for shape, target in _node_shapes_with_target(shape_triples, obj):
         # any object of the node shape that carries sh:sparql is a holder
         # (the reference attaches them via the nonstandard
-        # sh:PropertyConstraintComponent predicate); a holder may carry
-        # SEVERAL sh:sparql blocks — every one translates or is surfaced
-        # as skipped, never silently dropped
-        for t in shape_triples:
-            if t.s != shape or t.kind == "literal":
-                continue
-            holder = t.o
+        # sh:PropertyConstraintComponent predicate) — and so is the node
+        # shape ITSELF (the shark shapes attach sh:sparql directly to the
+        # shape, shark_shapes.ttl:48, 200); a holder may carry SEVERAL
+        # sh:sparql blocks — every one translates or is surfaced as
+        # skipped, never silently dropped
+        holders = [shape] + [t.o for t in shape_triples
+                             if t.s == shape and t.kind != "literal"]
+        for holder in holders:
             path_t = _first(obj, holder, SH_NS + "path")
             for sq in obj.get((holder, SH_NS + "sparql"), []):
                 if (target, holder, sq.o) in seen:
@@ -917,13 +928,21 @@ def sparql_sqlchecks(shape_triples: List[Triple]):
                          "select": sel.o if sel else ""}
                 sql = (sparql_filter_to_sql(sel.o, path_t.o)
                        if sel is not None and path_t is not None else None)
-                if sql is None:
-                    skipped.append(entry)
+                if sql is not None:
+                    checks.setdefault(target, []).append(SqlCheck(
+                        column=path_t.o, shape_id=holder,
+                        message=msg.o if msg else None,
+                        where=sql, name=sq.o, columns=[path_t.o]))
                     continue
-                checks.setdefault(target, []).append(SqlCheck(
-                    column=path_t.o, shape_id=holder,
-                    message=msg.o if msg else None,
-                    where=sql, name=sq.o, columns=[path_t.o]))
+                parsed = (_parse_self_join_select(sel.o, target)
+                          if sel is not None else None)
+                if parsed is not None and parsed["kind"] == "subject_regex":
+                    checks.setdefault(target, []).append(RegexMatch(
+                        column="subject", patterns=parsed["patterns"],
+                        shape_id=holder, name=sq.o,
+                        message=msg.o if msg else None))
+                    continue
+                skipped.append(entry)
     return checks, skipped
 
 
@@ -960,6 +979,20 @@ def _parse_self_join_select(select: str, target: str):
       for target-scoped groups, optionally constrained by
       ``FILTER(?var IN (...))`` which must include the target class
     - ``FILTER(?v1 != ?v2)``    — the self-join inequality
+    - ``BIND(REPLACE(STR($this), 'rx', '' [,'flags']) as ?v)`` +
+      ``FILTER(STR($this) != STR(?v) [|| ...])`` — the shark
+      subject-naming form (``shark_shapes.ttl:200-214, 231-245``):
+      $this violates iff ANY bound regex changes the IRI, i.e. finds a
+      non-empty match → ``{"kind": "subject_regex", "patterns": [...]}``
+      with SPARQL flags (i/s/m only) folded inline
+    - ``FILTER NOT EXISTS {?v1 <q> ?v2}`` in BOTH directions over the
+      self-join pair, plus optional ``FILTER(?vi != <const>)`` /
+      ``FILTER($this != ?vi)`` exclusions — the shark superclass shape
+      (``shark_shapes.ttl:48-67``, VERDICT r4 item 3) →
+      ``{"kind": "sibling_antijoin", "path": p, "edge": q,
+      "exclude": [...], "exclude_self": bool}``.  Exclusion filters
+      must apply to BOTH pair variables (or neither): the pair set is
+      symmetric, so a one-sided exclusion has no sound translation.
     """
     prefixes = dict(re.findall(r"PREFIX\s+([\w-]+):\s*<([^>]+)>", select))
     m = re.search(r"\{(.*)\}", select, re.S)
@@ -973,10 +1006,25 @@ def _parse_self_join_select(select: str, target: str):
     neq: List[Tuple[str, str]] = []
     type_vars: List[str] = []
     in_filters: List[Tuple[str, List[Optional[str]]]] = []
+    binds: Dict[str, Tuple[str, str]] = {}
+    str_neq_vars: List[str] = []
+    not_exists: List[Tuple[str, str, str]] = []
+    const_neq: Dict[str, set] = {}
+    this_neq: set = set()
     for s in stmts:
         m3 = re.fullmatch(r"\$this\s+(\S+)\s+(\S+)", s)
         if m3:
-            p = _expand_prefixed(m3.group(1), prefixes)
+            ptok = m3.group(1)
+            # SPARQL property PATHS (elt+ / elt* / elt? / ^elt / a|b /
+            # a/b in prefixed form) are transitive/compound semantics the
+            # subset cannot express — reject so the block surfaces as
+            # data instead of silently matching a literal '...Of+' IRI
+            # (the shark cycles shape, shark_shapes.ttl:128-137)
+            if (ptok[-1] in "+*?" or ptok.startswith("^")
+                    or ptok.startswith("!") or "|" in ptok
+                    or ("/" in ptok and not ptok.startswith("<"))):
+                return None
+            p = _expand_prefixed(ptok, prefixes)
             if p is None:
                 return None
             o = m3.group(2)
@@ -1005,6 +1053,64 @@ def _parse_self_join_select(select: str, target: str):
                      for x in mi.group(2).split(",")]
             in_filters.append((mi.group(1), items))
             continue
+        mne = re.fullmatch(
+            r"FILTER\s+NOT\s+EXISTS\s*\{\s*\?(\w+)\s+(\S+)\s+\?(\w+)\s*\}",
+            s, re.IGNORECASE)
+        if mne:
+            qtok = mne.group(2)
+            if qtok[-1] in "+*?" or qtok.startswith(("^", "!")) \
+                    or "|" in qtok or ("/" in qtok
+                                       and not qtok.startswith("<")):
+                return None  # property path inside NOT EXISTS
+            q = _expand_prefixed(qtok, prefixes)
+            if q is None:
+                return None
+            not_exists.append(("?" + mne.group(1), q, "?" + mne.group(3)))
+            continue
+        mc = re.fullmatch(r"FILTER\s*\(\s*\?(\w+)\s*!=\s*([^?$\s)][^)\s]*)"
+                          r"\s*\)", s)
+        if mc:
+            const = _expand_prefixed(mc.group(2), prefixes)
+            if const is None:
+                return None
+            const_neq.setdefault("?" + mc.group(1), set()).add(const)
+            continue
+        mt = (re.fullmatch(r"FILTER\s*\(\s*\$this\s*!=\s*\?(\w+)\s*\)", s)
+              or re.fullmatch(r"FILTER\s*\(\s*\?(\w+)\s*!=\s*\$this\s*\)",
+                              s))
+        if mt:
+            this_neq.add("?" + mt.group(1))
+            continue
+        mb = re.fullmatch(
+            r"BIND\s*\(\s*REPLACE\s*\(\s*STR\s*\(\s*\$this\s*\)\s*,\s*"
+            r"'((?:[^'\\]|\\.)*)'\s*,\s*''\s*"
+            r"(?:,\s*'([a-zA-Z]*)'\s*)?\)\s+as\s+\?(\w+)\s*\)",
+            s, re.IGNORECASE)
+        if mb:
+            # only the quote escape is undone — the shark regexes carry
+            # no other SPARQL string escapes, and a lossy unescape would
+            # silently change regex semantics (surface as data instead)
+            binds["?" + mb.group(3)] = (mb.group(1).replace("\\'", "'"),
+                                        mb.group(2) or "")
+            continue
+        ms = re.fullmatch(r"FILTER\s*\((.*)\)", s, re.S)
+        if ms:
+            clauses = [c.strip() for c in ms.group(1).split("||")]
+            ok_vars = []
+            for c in clauses:
+                mc = (re.fullmatch(
+                    r"STR\s*\(\s*\$this\s*\)\s*!=\s*STR\s*\(\s*\?(\w+)\s*\)",
+                    c)
+                    or re.fullmatch(
+                    r"STR\s*\(\s*\?(\w+)\s*\)\s*!=\s*STR\s*\(\s*\$this\s*\)",
+                    c))
+                if mc is None:
+                    ok_vars = None
+                    break
+                ok_vars.append("?" + mc.group(1))
+            if ok_vars:
+                str_neq_vars.extend(ok_vars)
+                continue
         return None
     # variable type guards: the engine's target scoping already
     # guarantees a matching rdf:type triple; an IN list must contain
@@ -1012,14 +1118,53 @@ def _parse_self_join_select(select: str, target: str):
     for var, items in in_filters:
         if var not in type_vars or None in items or target not in items:
             return None
+    if binds or str_neq_vars:
+        if (triples or self_refs or neq or not str_neq_vars
+                or not_exists or const_neq or this_neq):
+            return None
+        pats: List[str] = []
+        seen_v = set()
+        for v in str_neq_vars:
+            if v in seen_v:
+                continue
+            seen_v.add(v)
+            if v not in binds:
+                return None
+            rx, flags = binds[v]
+            if set(flags) - set("ism"):
+                return None  # q/x flags have no inline RE2/Python fold
+            pats.append((f"(?{flags})" if flags else "") + rx)
+        return {"kind": "subject_regex", "patterns": pats}
     if len(triples) == 2 and not self_refs:
         (p1, v1), (p2, v2) = triples
         if p1 != p2 or v1 == v2:
             return None
         if len(neq) != 1 or set(neq[0]) != {v1, v2}:
             return None
+        if not_exists:
+            if len(not_exists) != 2:
+                return None
+            qs = {q for _, q, _ in not_exists}
+            dirs = {(a, b) for a, _, b in not_exists}
+            if len(qs) != 1 or dirs != {(v1, v2), (v2, v1)}:
+                return None
+            # exclusions must be symmetric over the pair (or absent):
+            # the pair set is unordered, so a one-sided FILTER has no
+            # sound translation — surface as data instead
+            if const_neq and (set(const_neq) != {v1, v2}
+                              or const_neq[v1] != const_neq[v2]):
+                return None
+            if this_neq and this_neq != {v1, v2}:
+                return None
+            return {"kind": "sibling_antijoin", "path": p1,
+                    "edge": qs.pop(),
+                    "exclude": sorted(const_neq.get(v1, set())),
+                    "exclude_self": bool(this_neq)}
+        if const_neq or this_neq:
+            return None
         return {"kind": "self_join", "path": p1}
-    if len(self_refs) == 1 and not triples and not neq:
+    if (len(self_refs) == 1 and not triples and not neq
+            and not not_exists and not const_neq and not this_neq):
         return {"kind": "self_ref", "path": self_refs[0]}
     return None
 
@@ -1048,11 +1193,19 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
       on the fully vectorized bucket sweep;
     - ``$this p $this`` (self-inverse) → a per-group fn constraint.
 
+    - the two-triple self-join with pairwise ``FILTER NOT EXISTS`` over
+      an edge predicate (the shark superclass shape,
+      ``shark_shapes.ttl:48-67``, VERDICT r4 item 3) →
+      :class:`~xpshacl_ray.spec.SiblingAntiJoin` — the engine binds its
+      join-aware fn once the data graph's edge relation is known
+      (broadcast probe, or the bucketed anti-join past
+      ``edge_broadcast_limit``).
+
     Returns ``(impls, still_skipped)`` where ``impls`` is a list of
     ``(entry, constraint)`` pairs (``entry`` is the same dict
     :func:`sparql_sqlchecks` yields, carrying the target class for
     scoping) and ``still_skipped`` the untranslatable remainder."""
-    from ..spec import GroupedSparql, GroupPredicate
+    from ..spec import GroupedSparql, GroupPredicate, SiblingAntiJoin
 
     _checks, skipped = sparql_sqlchecks(shape_triples)
     impls = []
@@ -1073,7 +1226,7 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
                 name=f"auto-self-join:{parsed['path']}",
                 shape_id=entry.get("shape") or None,
                 message=entry.get("message") or None)
-        else:
+        elif parsed["kind"] == "self_ref":
             c = GroupedSparql(
                 path=parsed["path"], group_by=["subject"],
                 columns=["predicate", "object"],
@@ -1081,6 +1234,21 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
                 name=f"auto-self-ref:{parsed['path']}",
                 shape_id=entry.get("shape") or None,
                 message=entry.get("message") or None)
+        elif parsed["kind"] == "sibling_antijoin":
+            c = SiblingAntiJoin(
+                path=parsed["path"], edge_pred=parsed["edge"],
+                exclude=parsed["exclude"],
+                exclude_self=parsed["exclude_self"],
+                group_by=["subject"], columns=["predicate", "object"],
+                name=f"auto-sibling-antijoin:{parsed['path']}",
+                shape_id=entry.get("shape") or None,
+                message=entry.get("message") or None)
+        else:
+            # row-local kinds (subject_regex) are sparql_sqlchecks'
+            # business — they never reach `skipped`, but a future kind
+            # must surface as data, not fall into the wrong grouped path
+            still.append(entry)
+            continue
         impls.append((entry, c))
     return impls, still
 
@@ -1167,7 +1335,7 @@ def validate_ttl(data_path: str, shapes_path: str,
     import ray.data
 
     from ..pipelines.validate import ValidationEngine
-    from ..spec import ValidationSpec
+    from ..spec import SiblingAntiJoin, ValidationSpec
 
     data_triples, _ = load_turtle(data_path)
     shape_triples, _ = load_turtle(shapes_path)
@@ -1227,6 +1395,33 @@ def validate_ttl(data_path: str, shapes_path: str,
             ispec = ValidationSpec(constraints=[impl],
                                    id_columns=["subject"],
                                    focus_template="{subject}")
+            if isinstance(impl, SiblingAntiJoin):
+                # join-aware constraint: bind the plan now that the data
+                # graph's edge relation is known.  Edges come from the
+                # FULL graph (NOT EXISTS consults every triple, not just
+                # target-scoped ones).
+                from ..spec import compile_constraint, compile_spec
+                from ..stages.grouped import (
+                    evaluate_sibling_join,
+                    normalized_edge_pairs,
+                    sibling_fn,
+                )
+
+                emask = pc.equal(full_tt["predicate"], impl.edge_pred)
+                edges = full_tt.filter(pc.fill_null(emask, False)).select(
+                    ["subject", "object"])
+                limit = impl.edge_broadcast_limit
+                if limit and edges.num_rows <= limit:
+                    pairs_ref = ray.put(normalized_edge_pairs(edges))
+                    impl.fn = sibling_fn(pairs_ref, impl)
+                    parts.append(
+                        ValidationEngine(ispec).validate(scoped[target]))
+                else:
+                    cspec = compile_spec(ispec)
+                    parts.append(evaluate_sibling_join(
+                        scoped[target], edges, compile_constraint(impl),
+                        cspec))
+                continue
             parts.append(ValidationEngine(ispec).validate(scoped[target]))
     for target_class, spec in sorted(specs.items()):
         table = entity_table(data_triples, target_class)

@@ -711,3 +711,169 @@ def _evaluate_grouped_hashed(
                                             id_types)
         results.append(rd.from_arrow(viol_rows))
     return results
+
+
+# ---------------------------------------------------------------------------
+# SiblingAntiJoin (C19 join form) — broadcast probe or bucketed anti-join
+# ---------------------------------------------------------------------------
+
+#: per-worker memo of ray.get'd edge-pair sets, keyed by ObjectRef hex —
+#: one fetch per worker process, not one per focus group
+_SIBLING_PAIRS_CACHE: dict = {}
+
+
+def normalized_edge_pairs(edges: pa.Table) -> frozenset:
+    """Undirected ``(lo, hi)`` pair set of an edge table with
+    ``subject``/``object`` columns.  Direction-insensitive because
+    :class:`~xpshacl_ray.spec.SiblingAntiJoin` applies its two NOT
+    EXISTS filters in BOTH directions, so only unordered relatedness
+    matters."""
+    import pyarrow.compute as pc
+
+    s, o = edges["subject"], edges["object"]
+    lo = pc.min_element_wise(s, o).to_pylist()
+    hi = pc.max_element_wise(s, o).to_pylist()
+    return frozenset((a, b) for a, b in zip(lo, hi)
+                     if a is not None and b is not None)
+
+
+def _sibling_pairs(ref):
+    if isinstance(ref, frozenset):  # driver-side / unit tests
+        return ref
+    key = ref.hex()
+    if key not in _SIBLING_PAIRS_CACHE:
+        import ray
+
+        _SIBLING_PAIRS_CACHE[key] = ray.get(ref)
+    return _SIBLING_PAIRS_CACHE[key]
+
+
+def sibling_fn(pairs_ref, c):
+    """Per-group violation fn for the BROADCAST plan of
+    :class:`~xpshacl_ray.spec.SiblingAntiJoin`: True iff some normalized
+    pair of the group's sibling set is absent from the edge-pair set.
+    ``pairs_ref`` is a ``ray.ObjectRef`` of :func:`normalized_edge_pairs`
+    output — ``ray.put`` ONCE on the driver, fetched once per worker
+    (module memo), never re-shipped per batch."""
+
+    def fn(g: pa.Table) -> bool:
+        S = c.sibling_set(g)
+        n = len(S)
+        if n < 2:
+            return False
+        pairs = _sibling_pairs(pairs_ref)
+        # S is sorted, so (S[i], S[j]) with i<j is already (lo, hi);
+        # sibling sets are data-model-bounded (values per subject), so
+        # the pair scan is tiny and early-exits on the first hit
+        for i in range(n):
+            for j in range(i + 1, n):
+                if (S[i], S[j]) not in pairs:
+                    return True
+        return False
+
+    return fn
+
+
+def evaluate_sibling_join(
+    ds: "ray.data.Dataset",
+    edges,
+    cc: CompiledConstraint,
+    spec: CompiledSpec,
+    id_types: Optional[List[pa.DataType]] = None,
+) -> "ray.data.Dataset":
+    """Bucketed anti-join plan for SiblingAntiJoin — the scale path when
+    the edge relation exceeds ``edge_broadcast_limit`` (or ``=0`` forces
+    it, the path-parity test knob).
+
+    No driver-side edge set at any point: candidate (lo, hi) pairs are
+    generated per focus group, unioned with the normalized edge pairs,
+    and co-partitioned by ONE ``groupby(["lo", "hi"])`` — a pair bucket
+    holding no edge row marks all its candidate subjects violating.  A
+    final tiny ``groupby(subject)`` dedupes subjects that violate via
+    several pairs.  Partitioning assumption: one (lo, hi) pair bucket
+    fits in a worker (bounded by duplicate-edge multiplicity, not corpus
+    size).  Per-bucket work is Python, so the broadcast plan stays the
+    default whenever the edge relation is TBox-sized.
+
+    ``edges``: Dataset or pa.Table of (subject, object) rows of
+    ``edge_pred`` over the FULL graph (not target-scoped — NOT EXISTS
+    consults the whole graph)."""
+    import pyarrow.compute as pc
+
+    c = cc.constraint
+    keys = list(c.group_by)
+    if id_types is None:
+        sch0 = ds.schema()
+        tmap0 = dict(zip(sch0.names, sch0.types))
+        id_types = [tmap0[col] for col in spec.id_columns]
+
+    pair_schema = pa.schema([
+        ("lo", pa.string()), ("hi", pa.string()),
+        ("subject", pa.string()), ("n_rows", pa.int64()),
+        ("is_edge", pa.int64()),
+    ])
+
+    def pairs_of(g: pa.Table) -> pa.Table:
+        S = c.sibling_set(g)
+        n = len(S)
+        if n < 2:
+            return pair_schema.empty_table()
+        subj = g["subject"][0].as_py()
+        lo: List[str] = []
+        hi: List[str] = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                lo.append(S[i])
+                hi.append(S[j])
+        k = len(lo)
+        return pa.table(
+            {"lo": lo, "hi": hi, "subject": [subj] * k,
+             "n_rows": [g.num_rows] * k, "is_edge": [0] * k},
+            schema=pair_schema)
+
+    cand = (ds.select_columns(["subject", "predicate", "object"])
+            .groupby("subject").map_groups(pairs_of, batch_format="pyarrow"))
+
+    if isinstance(edges, pa.Table):
+        edges = ray.data.from_arrow(edges)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b["subject"]), pc.is_valid(b["object"]))
+        b = b.filter(keep)
+        k = b.num_rows
+        return pa.table(
+            {"lo": pc.min_element_wise(b["subject"], b["object"]),
+             "hi": pc.max_element_wise(b["subject"], b["object"]),
+             "subject": pa.array([""] * k, pa.string()),
+             "n_rows": pa.array([0] * k, pa.int64()),
+             "is_edge": pa.array([1] * k, pa.int64())},
+            schema=pair_schema)
+
+    edge_pairs = edges.map_batches(edge_rows, batch_format="pyarrow")
+
+    bad_schema = pa.schema([("subject", pa.string()),
+                            ("n_rows", pa.int64())])
+
+    def bucket(g: pa.Table) -> pa.Table:
+        if pc.any(pc.equal(g["is_edge"], 1)).as_py():
+            return bad_schema.empty_table()
+        return g.select(["subject", "n_rows"])
+
+    viol_pairs = (cand.union(edge_pairs).groupby(["lo", "hi"])
+                  .map_groups(bucket, batch_format="pyarrow"))
+
+    out_schema = pa.schema([("subject", pa.string()),
+                            ("actual_count", pa.int64())])
+
+    def dedupe(g: pa.Table) -> pa.Table:
+        return pa.table({"subject": [g["subject"][0].as_py()],
+                         "actual_count": [g["n_rows"][0].as_py()]},
+                        schema=out_schema)
+
+    bad = viol_pairs.groupby("subject").map_groups(
+        dedupe, batch_format="pyarrow")
+
+    def to_rows(batch: pa.Table, cc=cc, keys=keys) -> pa.Table:
+        return _grouped_violation_rows(batch, cc, keys, spec, id_types)
+
+    return bad.map_batches(to_rows, batch_format="pyarrow")
