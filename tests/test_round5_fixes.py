@@ -312,3 +312,61 @@ def test_rotation_sweep_rows_only_entries_not_green(tmp_path):
         "b": {"hash_match": True, "rows_match": True}}))
     out = list(_rotate_never_green_first(order, _here=str(tmp_path)))
     assert out == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 item 4: dup_clusters round summary fused into one execution
+# ---------------------------------------------------------------------------
+
+
+def test_label_round_summary_fuses_sum_hll_and_vals():
+    import pyarrow as pa
+
+    from xpshacl_ray.functions.dedup import _label_round_summary
+    from xpshacl_ray.functions.sketches import HyperLogLog
+
+    b = pa.table({"node": pa.array([5, 6, 7, 8], pa.int64()),
+                  "label": pa.array([5, 5, 7, 7], pa.int64())})
+    s = _label_round_summary(b)
+    assert s["partial_sum"][0].as_py() == 24
+    assert not s["capped"][0].as_py()
+    assert sorted(s["vals"][0].as_py()) == [5, 7]
+    est = HyperLogLog.from_bytes(s["hll"][0].as_py()).estimate()
+    assert 1 <= est <= 4
+
+
+def test_label_round_summary_caps_diverse_batches(monkeypatch):
+    import pyarrow as pa
+
+    import xpshacl_ray.functions.dedup as dedup
+
+    monkeypatch.setattr(dedup, "_SUMMARY_VALS_CAP", 3)
+    b = pa.table({"node": pa.array(range(5), pa.int64()),
+                  "label": pa.array(range(5), pa.int64())})
+    s = dedup._label_round_summary(b)
+    assert s["capped"][0].as_py()
+    assert s["vals"][0].as_py() == []  # nothing shipped past the cap
+
+
+@pytest.mark.slow
+def test_shuffle_path_jump_engages_from_fused_vals(ray_session):
+    """jump_broadcast_limit small-but-nonzero keeps the label table on
+    the shuffle-propagate path while letting the pointer jump engage
+    once the distinct-label HLL collapses under the limit — the jump's
+    label values must come from the FUSED summary (no separate pass)."""
+    import pandas as pd
+
+    import ray
+    from xpshacl_ray.functions.dedup import (
+        cluster_labels,
+        cluster_labels_distributed,
+    )
+
+    pairs = [(i, i + 1) for i in range(16)]  # 17-node chain
+    want = cluster_labels(pairs)
+    ds = ray.data.from_pandas(pd.DataFrame(pairs, columns=["id_a", "id_b"]))
+    got = {r["node"]: r["label"]
+           for r in cluster_labels_distributed(
+               ds, n_buckets=4, max_rounds=16,
+               jump_broadcast_limit=10).take_all()}
+    assert got == want

@@ -559,11 +559,6 @@ def cluster_labels_distributed(
             continue
 
         # --- shuffle-propagate path (labels exceed the broadcast bound) --
-        cur = labels.sum("label")
-        if cur is None or (prev_sum is not None and cur == prev_sum):
-            break
-        prev_sum = cur
-
         # propagate: dst receives src's label, then node = min(all offers)
         def rename(b: pa.Table) -> pa.Table:
             return pa.table({"src": b["node"], "offer": b["label"]})
@@ -586,30 +581,51 @@ def cluster_labels_distributed(
             .map_batches(
                 lambda b: pa.table({"node": b["dst"], "label": b["label"]}),
                 batch_format="pyarrow")
-            .materialize()  # read twice: jump-mapping pass + jump pass
+            .materialize()  # read twice: summary pass + jump pass
         )
+        # ONE summary pass over the fresh labels folds what used to be
+        # three separate executions (VERDICT r4 item 4): the convergence
+        # partial sums, the per-batch distinct-label HLL blobs, AND the
+        # per-batch unique label values (capped — a batch with more than
+        # _SUMMARY_VALS_CAP uniques ships none and sets `capped`, so the
+        # driver collect stays bounded in the early near-n-distinct
+        # rounds, which are exactly the rounds the jump skips anyway).
+        summaries = labels.map_batches(
+            _label_round_summary, batch_format="pyarrow").take_all()
+        cur = sum(int(r["partial_sum"]) for r in summaries)
+        # measured PRE-jump each round, so sums are comparable: equal
+        # consecutive pre-jump sums + per-element monotone decrease ⟹
+        # element-wise fixpoint (jump at fixpoint is identity)
+        if prev_sum is not None and cur == prev_sum:
+            break
+        prev_sum = cur
         if pointer_jumping:
-            # rows exceed the broadcast bound — per-batch HLL estimates
-            # DISTINCT labels (a set that only shrinks); broadcast the
-            # label→label mapping only once it fits
+            # labels rows exceed the broadcast bound, but the DISTINCT
+            # label set only shrinks; broadcast the label→label mapping
+            # only once it fits
             from .sketches import HyperLogLog
 
-            blobs = labels.map_batches(
-                lambda b: pa.table({"hll": pa.array(
-                    [_hll_of_int64(b["label"])], pa.binary())}),
-                batch_format="pyarrow").take_all()
-            est = HyperLogLog.merge_many([r["hll"] for r in blobs]).estimate()
+            est = HyperLogLog.merge_many(
+                [r["hll"] for r in summaries]).estimate()
             if est <= jump_broadcast_limit:
                 # mapping rows: nodes that ARE label values (every label
                 # value has a label row; per-batch membership filter,
                 # driver collect bounded by the distinct-label count)
-                lbl_vals = set()
-                for blk in labels.map_batches(
-                        lambda b: pa.table({"label": pa.array(np.unique(
-                            np.asarray(b["label"])))}),
-                        batch_format="pyarrow").iter_batches(
-                            batch_format="pyarrow", batch_size=None):
-                    lbl_vals.update(np.asarray(blk["label"]).tolist())
+                if any(r["capped"] for r in summaries):
+                    # rare: HLL says the set fits but some batch was
+                    # locally too diverse to ship its values for free —
+                    # fall back to the dedicated collection pass
+                    lbl_vals = set()
+                    for blk in labels.map_batches(
+                            lambda b: pa.table({"label": pa.array(np.unique(
+                                np.asarray(b["label"])))}),
+                            batch_format="pyarrow").iter_batches(
+                                batch_format="pyarrow", batch_size=None):
+                        lbl_vals.update(np.asarray(blk["label"]).tolist())
+                else:
+                    lbl_vals = set()
+                    for r in summaries:
+                        lbl_vals.update(r["vals"])
                 set_ref = _jump_put(lbl_vals)
                 mapping = {}
                 for blk in labels.map_batches(
@@ -644,6 +660,30 @@ def _hll_of_int64(col) -> bytes:
     vals = np.asarray(col)
     h.add_hashes(hash64([str(v) for v in vals]).astype(np.uint64))
     return h.to_bytes()
+
+
+#: per-batch unique-label shipping cap for the fused round summary —
+#: bounds the driver collect at (blocks × cap) int64s even when the HLL
+#: estimate is about to say "skip the jump this round"
+_SUMMARY_VALS_CAP = 50_000
+
+
+def _label_round_summary(b: pa.Table) -> pa.Table:
+    """One row per labels batch: convergence partial sum + distinct-label
+    HLL blob + the batch's unique label values (empty + ``capped=True``
+    when there are more than :data:`_SUMMARY_VALS_CAP` of them).  Fuses
+    the three per-round driver reads of the shuffle-propagate path into
+    one execution (VERDICT r4 item 4)."""
+    lab = np.asarray(b["label"])
+    uniq = np.unique(lab)
+    capped = len(uniq) > _SUMMARY_VALS_CAP
+    return pa.table({
+        "partial_sum": pa.array([int(lab.sum())], pa.int64()),
+        "hll": pa.array([_hll_of_int64(b["label"])], pa.binary()),
+        "vals": pa.array([[] if capped else uniq.tolist()],
+                         pa.list_(pa.int64())),
+        "capped": pa.array([capped], pa.bool_()),
+    })
 
 
 def _jump_put(obj):
