@@ -148,6 +148,10 @@ def run_benchmarks() -> dict:
         ("uniquelang_violations", entrymod.q_uniquelang_violations),
         ("sparql_grouped", entrymod.q_sparql_grouped),
         ("ewma_value", entrymod.q_ewma_value),
+        # round-5 additions: bucketed-join LM path at a realistic
+        # vocabulary + the shark SPARQL translation frontier
+        ("bigram_logprob_bucketed", entrymod.q_bigram_logprob_bucketed),
+        ("ttl_sparql_shark", entrymod.q_ttl_sparql_shark),
     ]
     for name, fn in bench_queries:
         def run(fn=fn):

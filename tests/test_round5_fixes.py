@@ -370,3 +370,48 @@ def test_shuffle_path_jump_engages_from_fused_vals(ray_session):
                ds, n_buckets=4, max_rounds=16,
                jump_broadcast_limit=10).take_all()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 item 6: bucketed LM path at a REALISTIC vocabulary
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_bigram_bucketed_autoswitch_at_realistic_vocab(ray_session,
+                                                       monkeypatch):
+    """A corpus whose distinct-bigram count exceeds a small-but-NONZERO
+    vocab_broadcast_limit must route through _bigram_logprob_join via
+    the auto-switch (not the =0 forcing knob) and agree with the
+    broadcast path bit-for-bit after the public rounding."""
+    import numpy as np
+    import ray.data
+
+    from xpshacl_ray.functions import text as text_mod
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i:03d}" for i in range(60)]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(words, 12).tolist())}
+            for i in range(80)]
+    ds = ray.data.from_items(rows)
+
+    took_join = {"n": 0}
+    real = text_mod._bigram_logprob_join
+
+    def spy(*a, **k):
+        took_join["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(text_mod, "_bigram_logprob_join", spy)
+    a = text_mod.bigram_logprob(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert took_join["n"] == 0  # default limit: broadcast path
+    b = text_mod.bigram_logprob(
+        ds, vocab_broadcast_limit=50).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert took_join["n"] == 1  # vocabulary genuinely exceeded the limit
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["n_bigrams"]) == list(b["n_bigrams"])
+    np.testing.assert_allclose(a["avg_logprob"], b["avg_logprob"],
+                               rtol=0, atol=1e-9)
