@@ -2420,7 +2420,17 @@ def _ttl_shark_fixture() -> tuple:
       owl:ObjectProperty; every 3rd has a capital-letter name
       (VIOLATION of ``/[A-Z][A-z0-9]*$``);
     - multi-BIND ``||`` is-a check (ObjectProperty only): names
-      containing ``isA`` / case-insensitive ``is_a`` VIOLATE.
+      containing ``isA`` / case-insensitive ``is_a`` VIOLATE;
+    - must-have-instances (``OPTIONAL {?v a $this}`` +
+      ``HAVING(COUNT(?v)=0)``, ``shark_shapes.ttl:86-99``): every 8th
+      class gets no instance (VIOLATION), Island classes none either;
+    - unconnected classes (six conjunctive NOT EXISTS,
+      ``shark_shapes.ttl:118-136``): two Island classes with no edges
+      at all VIOLATE; everything else is connected by construction;
+    - synonyms (shared REPLACE namespace image over
+      ``owl:equivalentClass``, ``shark_shapes.ttl:101-116``): SynA ≡
+      SynB share the ex: namespace (VIOLATION); SynC's equivalent lives
+      in another namespace (fine).
 
     Returns (data_ttl, shapes_ttl, expected) with expected derived
     INDEPENDENTLY from the generation rule — the oracle, not the
@@ -2443,6 +2453,13 @@ def _ttl_shark_fixture() -> tuple:
     m_lower = "Classes names must not start with a lowercase letter"
     m_cap = "Properties names must not start with a capital letter"
     m_isa = "Detect wrongly defined relationship 'is'"
+    m_inst = "Classes must have instances"
+    m_unconn = "Detect unconnected classes"
+    m_syn = "Detect synonyms created as classes"
+    # the hierarchy roots are connected (incoming/outgoing subClassOf)
+    # and instantiated, so they violate nothing
+    data += ["ex:instTop a ex:Top .", "ex:instMid a ex:Mid .",
+             "ex:instOther a ex:Other ."]
     for i in range(40):
         name = f"klass{i:02d}" if i % 4 == 0 else f"Class{i:02d}"
         lines = [f"ex:{name} a owl:Class"]
@@ -2459,7 +2476,30 @@ def _ttl_shark_fixture() -> tuple:
             lines.append("rdfs:subClassOf ex:Top")
         if i % 4 == 0:
             expected.append((ex + name, m_lower))
+        if i % 8 == 0:
+            expected.append((ex + name, m_inst))  # no instance emitted
+        else:
+            data.append(f"ex:i{i:02d} a ex:{name} .")
         data.append(" ; ".join(lines) + " .")
+    # isolation: two classes with no edges at all — unconnected AND
+    # uninstantiated (everything else is connected by construction:
+    # every Class/klass has outgoing subClassOf, the roots have incoming)
+    for nm in ("Island1", "Island2"):
+        data.append(f"ex:{nm} a owl:Class .")
+        expected.append((ex + nm, m_inst))
+        expected.append((ex + nm, m_unconn))
+    # synonyms: SynA ≡ SynB within the ex: namespace (violation); SynC's
+    # equivalent lives elsewhere (fine).  equivalentClass edges keep all
+    # three connected; instances keep them instantiated.
+    data += [
+        "ex:SynA a owl:Class ; owl:equivalentClass ex:SynB .",
+        "ex:SynB a owl:Class .",
+        "ex:SynC a owl:Class ; owl:equivalentClass "
+        "<http://other.org/vocab#SynC> .",
+        "ex:instSynA a ex:SynA .", "ex:instSynB a ex:SynB .",
+        "ex:instSynC a ex:SynC .",
+    ]
+    expected.append((ex + "SynA", m_syn))
     ptypes = ["rdf:Property", "owl:DatatypeProperty", "owl:ObjectProperty"]
     for j in range(24):
         pt = ptypes[j % 3]
@@ -2513,6 +2553,55 @@ ex:ClassShape a sh:NodeShape ;
     $this a owl:Class .
     BIND(REPLACE(STR($this), '/([a-z][1]?[A-z0-9]*)$', '' ) as ?str1) .
     FILTER(STR($this) != STR(?str1)) .
+  }}
+  \"\"\" ;
+  ] ;
+  sh:sparql [
+    sh:message "{m_inst}" ;
+    sh:select \"\"\"
+  PREFIX owl: <{owl}>
+  PREFIX rdfs: <{rdfs}>
+  PREFIX rdf: <{rdf}>
+  SELECT DISTINCT ?value $this
+  WHERE {{
+    $this a owl:Class .
+    OPTIONAL {{ ?value a $this }} .
+  }}
+  GROUP BY $this ?value
+  HAVING (COUNT(?value) = 0 )
+  \"\"\" ;
+  ] ;
+  sh:sparql [
+    sh:message "{m_syn}" ;
+    sh:select \"\"\"
+  PREFIX owl: <{owl}>
+  PREFIX rdfs: <{rdfs}>
+  PREFIX rdf: <{rdf}>
+  SELECT $this
+  WHERE {{
+    $this a owl:Class .
+    $this owl:equivalentClass ?other
+    BIND(REPLACE(STR($this), '(#|/)[^#/]*$', '$1' ) as ?ns1) .
+    BIND(REPLACE(STR(?other), '(#|/)[^#/]*$', '$1' ) as ?ns2) .
+    FILTER(?ns1 = ?ns2) .
+  }}
+  \"\"\" ;
+  ] ;
+  sh:sparql [
+    sh:message "{m_unconn}" ;
+    sh:select \"\"\"
+  PREFIX owl: <{owl}>
+  PREFIX rdfs: <{rdfs}>
+  PREFIX rdf: <{rdf}>
+  SELECT $this WHERE
+  {{
+    $this a owl:Class .
+    FILTER NOT EXISTS {{$this rdfs:subClassOf ?any1}} .
+    FILTER NOT EXISTS {{?any2 owl:equivalentClass $this}} .
+    FILTER NOT EXISTS {{$this owl:equivalentClass ?any3}} .
+    FILTER NOT EXISTS {{?any4 rdfs:subClassOf $this}} .
+    FILTER NOT EXISTS {{?any5 rdfs:range $this}} .
+    FILTER NOT EXISTS {{?any6 rdfs:domain $this}} .
   }}
   \"\"\" ;
   ] .

@@ -162,10 +162,10 @@ def test_shark_shapes_full_translation_inventory():
     assert sibs[0].edge_pred == RDFS + "subClassOf"
     assert sibs[0].exclude == [OWL + "Thing"]
     assert sibs[0].exclude_self
-    # instances / synonyms / unconnected / cycles stay surfaced as data
+    # only transitive-closure semantics stay surfaced as data
     msgs = {e["message"] for e in still}
     assert "Detect cycles in the class hierarchy" in msgs
-    assert "Classes must have instances" in msgs
+    assert "Classes must have instances" not in msgs  # round-5 frontier
 
 
 # ---------------------------------------------------------------------------
@@ -237,3 +237,130 @@ def test_shark_fixture_forced_join_plan_parity(shark_fixture,
         sparql_impls={"Classes must have at most one superclass": sib},
     ).to_pandas()
     assert sorted(zip(v["subject"], v["message"])) == expected
+
+
+# ---------------------------------------------------------------------------
+# round-5 frontier: isolation / must-have-instances / synonyms forms
+# ---------------------------------------------------------------------------
+
+
+def test_parse_unconnected_isolation():
+    sel = _wrap(
+        "$this a owl:Class",
+        "FILTER NOT EXISTS {$this rdfs:subClassOf ?any1}",
+        "FILTER NOT EXISTS {?any2 owl:equivalentClass $this}",
+        "FILTER NOT EXISTS {$this owl:equivalentClass ?any3}",
+        "FILTER NOT EXISTS {?any4 rdfs:subClassOf $this}",
+        "FILTER NOT EXISTS {?any5 rdfs:range $this}",
+        "FILTER NOT EXISTS {?any6 rdfs:domain $this}")
+    parsed = _parse_self_join_select(sel, OWL + "Class")
+    assert parsed == {
+        "kind": "isolation",
+        "outgoing": sorted([RDFS + "subClassOf", OWL + "equivalentClass"]),
+        "incoming": sorted([OWL + "equivalentClass", RDFS + "subClassOf",
+                            RDFS + "range", RDFS + "domain"])}
+
+
+def test_parse_must_have_instances_optional_having():
+    sel = PREFIXES + """
+  SELECT DISTINCT ?value $this
+  WHERE {
+    $this a owl:Class .
+    OPTIONAL { ?value a $this } .
+  }
+  GROUP BY $this ?value
+  HAVING (COUNT(?value) = 0 )
+  """
+    parsed = _parse_self_join_select(sel, OWL + "Class")
+    assert parsed == {
+        "kind": "isolation", "outgoing": [],
+        "incoming": ["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]}
+
+
+def test_parse_rejects_having_without_optional():
+    # an aggregate HAVING on a plain triple pattern is NOT the
+    # must-have-instances form — never mistranslate it
+    sel = PREFIXES + """
+  SELECT $this WHERE {
+    $this rdfs:subClassOf ?v .
+  }
+  GROUP BY $this
+  HAVING (COUNT(?v) = 3)
+  """
+    assert _parse_self_join_select(sel, OWL + "Class") is None
+
+
+def test_parse_rejects_having_count_nonzero():
+    sel = PREFIXES + """
+  SELECT $this WHERE {
+    $this a owl:Class .
+    OPTIONAL { ?value a $this } .
+  }
+  HAVING (COUNT(?value) = 2)
+  """
+    assert _parse_self_join_select(sel, OWL + "Class") is None
+
+
+def test_parse_synonyms_same_replace_eq():
+    sel = PREFIXES + """
+  SELECT $this
+  WHERE {
+    $this a owl:Class .
+    $this owl:equivalentClass ?other
+    BIND(REPLACE(STR($this), '(#|/)[^#/]*$', '$1' ) as ?ns1) .
+    BIND(REPLACE(STR(?other), '(#|/)[^#/]*$', '$1' ) as ?ns2) .
+    FILTER(?ns1 = ?ns2) .
+  }
+  """
+    parsed = _parse_self_join_select(sel, OWL + "Class")
+    assert parsed == {"kind": "same_replace_eq",
+                      "path": OWL + "equivalentClass",
+                      "pattern": "(#|/)[^#/]*$", "replacement": "$1"}
+
+
+def test_parse_rejects_synonyms_with_different_regexes():
+    sel = _wrap(
+        "$this a owl:Class",
+        "$this owl:equivalentClass ?other",
+        "BIND(REPLACE(STR($this), '(#|/)[^#/]*$', '$1' ) as ?ns1)",
+        "BIND(REPLACE(STR(?other), '#.*$', '$1' ) as ?ns2)",
+        "FILTER(?ns1 = ?ns2)")
+    assert _parse_self_join_select(sel, OWL + "Class") is None
+
+
+def test_shark_shapes_round5_inventory():
+    """Every shark sh:sparql except the transitive-closure cycles shape
+    (and the is-a block under targets its type guard excludes) now
+    auto-translates."""
+    from xpshacl_ray.spec import NodeIsolation
+
+    shapes, _ = load_turtle("/root/reference/data/shark_shapes.ttl")
+    impls, still = sparql_grouped_constraints(shapes)
+    isos = [c for _, c in impls if isinstance(c, NodeIsolation)]
+    assert len(isos) == 2
+    by_name = {tuple(c.incoming): c for c in isos}
+    # must-have-instances: incoming rdf:type only
+    assert ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",) in by_name
+    syn = [c for _, c in impls
+           if c.name.startswith("auto-same-replace-eq:")]
+    assert len(syn) == 1
+    msgs = sorted({e["message"] for e in still})
+    assert msgs == ["Detect cycles in the class hierarchy",
+                    "Detect wrongly defined relationship 'is'"]
+
+
+def test_shark_fixture_round5_counts(shark_fixture, ray_session):
+    """The extended fixture's expected list covers all SEVEN translated
+    shapes: 8 superclass + 10 lowercase + 4 capital + 2 is-a + 7
+    no-instances + 2 unconnected + 1 synonyms = 38 rows (counts derived
+    from the generation rule, duplicates across shapes intended)."""
+    _, _, expected = shark_fixture
+    from collections import Counter
+
+    by_msg = Counter(m for _, m in expected)
+    assert by_msg["Classes must have at most one superclass"] == 8
+    assert by_msg["Classes names must not start with a lowercase letter"] == 10
+    assert by_msg["Classes must have instances"] == 7
+    assert by_msg["Detect unconnected classes"] == 2
+    assert by_msg["Detect synonyms created as classes"] == 1
+    assert sum(by_msg.values()) == len(expected)

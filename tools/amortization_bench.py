@@ -66,6 +66,30 @@ def _prep_trade(reps: int, out_dir: str) -> None:
     pq.write_table(pa.concat_tables(od_parts), f"{out_dir}/orders.parquet")
 
 
+def _prep_docs_salted(reps: int, out_dir: str) -> None:
+    """Replicate documents with every token suffixed by the replica id:
+    copies of one doc never cross-match in MinHash space, so the
+    replicated corpus keeps the ORIGINAL dup-rate — the honest
+    dup_clusters scaling input (plain replication makes the candidate
+    graph quadratically denser: every text gains reps-1 identical twins
+    and each LSH bucket pays O(members²) pair generation)."""
+    t = pq.read_table(f"{SF}/documents.parquet")
+    texts = t["text"].to_pylist()
+    parts = []
+    for k in range(reps):
+        salted = pa.array(
+            [None if x is None else
+             " ".join(f"{w}{k}" for w in x.split(" ")) for x in texts],
+            pa.string())
+        ids = pa.array(np.asarray(t["doc_id"]) + k * 10_000_000,
+                       pa.int64())
+        c = t.set_column(t.column_names.index("doc_id"), "doc_id", ids)
+        parts.append(c.set_column(c.column_names.index("text"),
+                                  "text", salted))
+    pq.write_table(pa.concat_tables(parts),
+                   f"{out_dir}/documents.parquet")
+
+
 def prep() -> None:
     for name, doc_reps, trade_reps in (("1x", 12, 1), ("10x", 120, 10)):
         d = os.path.join(OUT, name)
@@ -75,6 +99,12 @@ def prep() -> None:
         print(name, "ready:", {t: pq.read_metadata(
             f"{d}/{t}.parquet").num_rows
             for t in ("documents", "lineitem", "orders")})
+    for name, doc_reps in (("1x_salted", 12), ("10x_salted", 120)):
+        d = os.path.join(OUT, name)
+        os.makedirs(d, exist_ok=True)
+        _prep_docs_salted(doc_reps, d)
+        print(name, "ready:", pq.read_metadata(
+            f"{d}/documents.parquet").num_rows)
 
 
 def run(size: str) -> None:
@@ -98,16 +128,21 @@ def run(size: str) -> None:
                                      columns=["doc_id", "text"])
         return bigram_logprob(docs, vocab_broadcast_limit=0)
 
-    jobs = {
-        "pagerank": qs["pagerank"],
-        "dup_clusters": qs["dup_clusters"],
-        "sparql_grouped": qs["sparql_grouped"],
-        "bigram_logprob_bucketed": lm_bucketed,
-    }
-    rows = {"documents": pq.read_metadata(
-                f"{sf_dir}/documents.parquet").num_rows,
-            "lineitem": pq.read_metadata(
-                f"{sf_dir}/lineitem.parquet").num_rows}
+    if size.endswith("_salted"):
+        jobs = {"dup_clusters": qs["dup_clusters"]}
+        rows = {"documents": pq.read_metadata(
+                    f"{sf_dir}/documents.parquet").num_rows}
+    else:
+        jobs = {
+            "pagerank": qs["pagerank"],
+            "dup_clusters": qs["dup_clusters"],
+            "sparql_grouped": qs["sparql_grouped"],
+            "bigram_logprob_bucketed": lm_bucketed,
+        }
+        rows = {"documents": pq.read_metadata(
+                    f"{sf_dir}/documents.parquet").num_rows,
+                "lineitem": pq.read_metadata(
+                    f"{sf_dir}/lineitem.parquet").num_rows}
     out = {"size": size, "rows": rows, "queries": {}}
     for name, fn in jobs.items():
         t0 = time.perf_counter()

@@ -946,6 +946,19 @@ def sparql_sqlchecks(shape_triples: List[Triple]):
     return checks, skipped
 
 
+def _plain_pred(tok: str, prefixes: Dict[str, str]) -> Optional[str]:
+    """Expand a predicate token, rejecting SPARQL property-PATH syntax
+    (``elt+ / elt* / elt? / ^elt / a|b / a/b`` in prefixed form) —
+    transitive/compound semantics the translation subset cannot express;
+    the block must surface as data instead of silently matching a
+    literal ``...Of+`` IRI (the shark cycles shape,
+    ``shark_shapes.ttl:128-137``)."""
+    if (not tok or tok[-1] in "+*?" or tok.startswith(("^", "!"))
+            or "|" in tok or ("/" in tok and not tok.startswith("<"))):
+        return None
+    return _expand_prefixed(tok, prefixes)
+
+
 def _expand_prefixed(tok: str, prefixes: Dict[str, str]) -> Optional[str]:
     tok = tok.strip()
     if tok.startswith("<") and tok.endswith(">"):
@@ -993,6 +1006,25 @@ def _parse_self_join_select(select: str, target: str):
       "exclude": [...], "exclude_self": bool}``.  Exclusion filters
       must apply to BOTH pair variables (or neither): the pair set is
       symmetric, so a one-sided exclusion has no sound translation.
+    - ``FILTER NOT EXISTS {$this <p> ?v}`` / ``{?v <p> $this}`` (any
+      number, conjunctive) — the shark unconnected-classes shape
+      (``shark_shapes.ttl:118-136``): $this violates iff it has NO
+      outgoing edge of any listed predicate AND appears as the OBJECT
+      of none of the listed incoming predicates →
+      ``{"kind": "isolation", "outgoing": [...], "incoming": [...]}``.
+      The single-``OPTIONAL`` + ``HAVING(COUNT(?v) = 0)`` form of the
+      must-have-instances shape (``shark_shapes.ttl:86-99``) is the
+      same check spelled as an aggregate and parses to the same kind.
+    - ``$this <p> ?o`` + two BINDs applying the SAME
+      ``REPLACE(STR(·), rx, repl)`` to ``$this`` and ``?o`` +
+      ``FILTER(?a = ?b)`` — the shark synonyms shape
+      (``shark_shapes.ttl:101-116``): $this violates iff some object
+      of ``p`` shares its REPLACE image (e.g. namespace) →
+      ``{"kind": "same_replace_eq", "path": p, "pattern": rx,
+      "replacement": repl}`` (group-local; evaluated per focus group).
+      SELECT without DISTINCT is treated as DISTINCT $this — the engine
+      emits ONE violation per focus node, matching SHACL validators'
+      identical-result dedup.
     """
     prefixes = dict(re.findall(r"PREFIX\s+([\w-]+):\s*<([^>]+)>", select))
     m = re.search(r"\{(.*)\}", select, re.S)
@@ -1006,25 +1038,20 @@ def _parse_self_join_select(select: str, target: str):
     neq: List[Tuple[str, str]] = []
     type_vars: List[str] = []
     in_filters: List[Tuple[str, List[Optional[str]]]] = []
-    binds: Dict[str, Tuple[str, str]] = {}
+    binds: Dict[str, Tuple[str, str, str, str]] = {}
     str_neq_vars: List[str] = []
     not_exists: List[Tuple[str, str, str]] = []
     const_neq: Dict[str, set] = {}
     this_neq: set = set()
+    iso_out: List[str] = []
+    iso_in: List[str] = []
+    eq_filters: List[Tuple[str, str]] = []
+    optionals: List[Tuple[str, str, str]] = []  # (dir, pred, var)
+    having = re.search(r"\bHAVING\b", select, re.IGNORECASE)
     for s in stmts:
         m3 = re.fullmatch(r"\$this\s+(\S+)\s+(\S+)", s)
         if m3:
-            ptok = m3.group(1)
-            # SPARQL property PATHS (elt+ / elt* / elt? / ^elt / a|b /
-            # a/b in prefixed form) are transitive/compound semantics the
-            # subset cannot express — reject so the block surfaces as
-            # data instead of silently matching a literal '...Of+' IRI
-            # (the shark cycles shape, shark_shapes.ttl:128-137)
-            if (ptok[-1] in "+*?" or ptok.startswith("^")
-                    or ptok.startswith("!") or "|" in ptok
-                    or ("/" in ptok and not ptok.startswith("<"))):
-                return None
-            p = _expand_prefixed(ptok, prefixes)
+            p = _plain_pred(m3.group(1), prefixes)
             if p is None:
                 return None
             o = m3.group(2)
@@ -1057,15 +1084,47 @@ def _parse_self_join_select(select: str, target: str):
             r"FILTER\s+NOT\s+EXISTS\s*\{\s*\?(\w+)\s+(\S+)\s+\?(\w+)\s*\}",
             s, re.IGNORECASE)
         if mne:
-            qtok = mne.group(2)
-            if qtok[-1] in "+*?" or qtok.startswith(("^", "!")) \
-                    or "|" in qtok or ("/" in qtok
-                                       and not qtok.startswith("<")):
-                return None  # property path inside NOT EXISTS
-            q = _expand_prefixed(qtok, prefixes)
+            q = _plain_pred(mne.group(2), prefixes)
             if q is None:
                 return None
             not_exists.append(("?" + mne.group(1), q, "?" + mne.group(3)))
+            continue
+        mio = re.fullmatch(
+            r"FILTER\s+NOT\s+EXISTS\s*\{\s*\$this\s+(\S+)\s+\?\w+\s*\}",
+            s, re.IGNORECASE)
+        if mio:
+            q = _plain_pred(mio.group(1), prefixes)
+            if q is None:
+                return None
+            iso_out.append(q)
+            continue
+        mii = re.fullmatch(
+            r"FILTER\s+NOT\s+EXISTS\s*\{\s*\?\w+\s+(\S+)\s+\$this\s*\}",
+            s, re.IGNORECASE)
+        if mii:
+            q = _plain_pred(mii.group(1), prefixes)
+            if q is None:
+                return None
+            iso_in.append(q)
+            continue
+        mop = re.fullmatch(
+            r"OPTIONAL\s*\{\s*(\$this|\?\w+)\s+(\S+)\s+(\$this|\?\w+)"
+            r"\s*\}", s, re.IGNORECASE)
+        if mop:
+            subj, ptok, obj = mop.groups()
+            q = _plain_pred(ptok, prefixes)
+            if q is None:
+                return None
+            if subj == "$this" and obj.startswith("?"):
+                optionals.append(("out", q, obj))
+            elif obj == "$this" and subj.startswith("?"):
+                optionals.append(("in", q, subj))
+            else:
+                return None
+            continue
+        meq = re.fullmatch(r"FILTER\s*\(\s*\?(\w+)\s*=\s*\?(\w+)\s*\)", s)
+        if meq:
+            eq_filters.append(("?" + meq.group(1), "?" + meq.group(2)))
             continue
         mc = re.fullmatch(r"FILTER\s*\(\s*\?(\w+)\s*!=\s*([^?$\s)][^)\s]*)"
                           r"\s*\)", s)
@@ -1082,16 +1141,17 @@ def _parse_self_join_select(select: str, target: str):
             this_neq.add("?" + mt.group(1))
             continue
         mb = re.fullmatch(
-            r"BIND\s*\(\s*REPLACE\s*\(\s*STR\s*\(\s*\$this\s*\)\s*,\s*"
-            r"'((?:[^'\\]|\\.)*)'\s*,\s*''\s*"
+            r"BIND\s*\(\s*REPLACE\s*\(\s*STR\s*\(\s*(\$this|\?\w+)\s*\)"
+            r"\s*,\s*'((?:[^'\\]|\\.)*)'\s*,\s*'((?:[^'\\]|\\.)*)'\s*"
             r"(?:,\s*'([a-zA-Z]*)'\s*)?\)\s+as\s+\?(\w+)\s*\)",
             s, re.IGNORECASE)
         if mb:
             # only the quote escape is undone — the shark regexes carry
             # no other SPARQL string escapes, and a lossy unescape would
             # silently change regex semantics (surface as data instead)
-            binds["?" + mb.group(3)] = (mb.group(1).replace("\\'", "'"),
-                                        mb.group(2) or "")
+            binds["?" + mb.group(5)] = (
+                mb.group(1), mb.group(2).replace("\\'", "'"),
+                mb.group(3).replace("\\'", "'"), mb.group(4) or "")
             continue
         ms = re.fullmatch(r"FILTER\s*\((.*)\)", s, re.S)
         if ms:
@@ -1118,6 +1178,52 @@ def _parse_self_join_select(select: str, target: str):
     for var, items in in_filters:
         if var not in type_vars or None in items or target not in items:
             return None
+    if having and not optionals:
+        return None  # aggregate forms beyond OPTIONAL + COUNT(?v)=0
+    if optionals:
+        # must-have-instances form: exactly ONE optional triple whose
+        # free variable is counted to zero by the HAVING clause
+        if (len(optionals) != 1 or binds or str_neq_vars or eq_filters
+                or triples or self_refs or neq or not_exists
+                or const_neq or this_neq or iso_out or iso_in):
+            return None
+        d, q, var = optionals[0]
+        mh = re.search(
+            r"HAVING\s*\(\s*COUNT\s*\(\s*\?(\w+)\s*\)\s*=\s*0\s*\)",
+            select, re.IGNORECASE)
+        if mh is None or "?" + mh.group(1) != var:
+            return None
+        return {"kind": "isolation",
+                "outgoing": [q] if d == "out" else [],
+                "incoming": [q] if d == "in" else []}
+    if iso_out or iso_in:
+        if (binds or str_neq_vars or eq_filters or triples or self_refs
+                or neq or not_exists or const_neq or this_neq):
+            return None
+        return {"kind": "isolation", "outgoing": sorted(set(iso_out)),
+                "incoming": sorted(set(iso_in))}
+    if eq_filters:
+        # synonyms form: one triple, one REPLACE image shared by $this
+        # and the triple's object variable, equality filter between them
+        if (len(eq_filters) != 1 or len(binds) != 2 or str_neq_vars
+                or self_refs or neq or not_exists or const_neq
+                or this_neq or len(triples) != 1):
+            return None
+        a, b = eq_filters[0]
+        if a == b or a not in binds or b not in binds:
+            return None
+        s1, rx1, rp1, fl1 = binds[a]
+        s2, rx2, rp2, fl2 = binds[b]
+        if rx1 != rx2 or rp1 != rp2 or fl1 != fl2:
+            return None
+        if set(fl1) - set("ism"):
+            return None
+        p, other = triples[0]
+        if {s1, s2} != {"$this", other}:
+            return None
+        return {"kind": "same_replace_eq", "path": p,
+                "pattern": (f"(?{fl1})" if fl1 else "") + rx1,
+                "replacement": rp1}
     if binds or str_neq_vars:
         if (triples or self_refs or neq or not str_neq_vars
                 or not_exists or const_neq or this_neq):
@@ -1130,7 +1236,9 @@ def _parse_self_join_select(select: str, target: str):
             seen_v.add(v)
             if v not in binds:
                 return None
-            rx, flags = binds[v]
+            src, rx, repl, flags = binds[v]
+            if src != "$this" or repl != "":
+                return None  # only the subject-naming REPLACE('',…) form
             if set(flags) - set("ism"):
                 return None  # q/x flags have no inline RE2/Python fold
             pats.append((f"(?{flags})" if flags else "") + rx)
@@ -1182,6 +1290,27 @@ def _self_ref_fn(p_iri: str):
     return fn
 
 
+def _same_replace_eq_fn(p_iri: str, pattern: str, replacement: str):
+    """Per-group predicate for the shark synonyms form
+    (``shark_shapes.ttl:101-116``): the focus violates iff some object
+    of ``p`` shares its ``REPLACE(STR(·), pattern, replacement)`` image
+    with the subject IRI (e.g. both collapse to the same namespace).
+    SPARQL ``$N`` backrefs are mapped to Python ``\\N``.  Group-local —
+    objects live in the focus group; no global state."""
+    rx = re.compile(pattern)
+    repl = re.sub(r"\$(\d)", r"\\\1", replacement)
+
+    def fn(g: pa.Table) -> bool:
+        subj = g["subject"][0].as_py()
+        key = rx.sub(repl, subj)
+        m = pc.equal(g["predicate"], p_iri)
+        objs = pc.drop_null(pc.unique(
+            pc.filter(g["object"], pc.fill_null(m, False))))
+        return any(rx.sub(repl, o) == key for o in objs.to_pylist())
+
+    return fn
+
+
 def sparql_grouped_constraints(shape_triples: List[Triple]):
     """Auto-translate the two-triple-pattern self-join ``sh:sparql``
     subset into grouped constraints over the triples table (VERDICT r3
@@ -1201,11 +1330,24 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
       (broadcast probe, or the bucketed anti-join past
       ``edge_broadcast_limit``).
 
+    - conjunctive single-triple NOT EXISTS / the OPTIONAL+HAVING(=0)
+      aggregate spelling (unconnected classes / must-have-instances,
+      ``shark_shapes.ttl:86-99, 118-136``) →
+      :class:`~xpshacl_ray.spec.NodeIsolation` — evaluated by the
+      witness anti-join plan over the full graph;
+    - the shared-REPLACE-image equality form (synonyms,
+      ``shark_shapes.ttl:101-116``) → a group-local fn constraint.
+
     Returns ``(impls, still_skipped)`` where ``impls`` is a list of
     ``(entry, constraint)`` pairs (``entry`` is the same dict
     :func:`sparql_sqlchecks` yields, carrying the target class for
     scoping) and ``still_skipped`` the untranslatable remainder."""
-    from ..spec import GroupedSparql, GroupPredicate, SiblingAntiJoin
+    from ..spec import (
+        GroupedSparql,
+        GroupPredicate,
+        NodeIsolation,
+        SiblingAntiJoin,
+    )
 
     _checks, skipped = sparql_sqlchecks(shape_triples)
     impls = []
@@ -1241,6 +1383,23 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
                 exclude_self=parsed["exclude_self"],
                 group_by=["subject"], columns=["predicate", "object"],
                 name=f"auto-sibling-antijoin:{parsed['path']}",
+                shape_id=entry.get("shape") or None,
+                message=entry.get("message") or None)
+        elif parsed["kind"] == "isolation":
+            c = NodeIsolation(
+                outgoing=parsed["outgoing"], incoming=parsed["incoming"],
+                group_by=["subject"], columns=["predicate", "object"],
+                name="auto-isolation:" + ",".join(
+                    parsed["outgoing"] + parsed["incoming"]),
+                shape_id=entry.get("shape") or None,
+                message=entry.get("message") or None)
+        elif parsed["kind"] == "same_replace_eq":
+            c = GroupedSparql(
+                path=parsed["path"], group_by=["subject"],
+                columns=["predicate", "object"],
+                fn=_same_replace_eq_fn(parsed["path"], parsed["pattern"],
+                                       parsed["replacement"]),
+                name=f"auto-same-replace-eq:{parsed['path']}",
                 shape_id=entry.get("shape") or None,
                 message=entry.get("message") or None)
         else:
@@ -1335,7 +1494,7 @@ def validate_ttl(data_path: str, shapes_path: str,
     import ray.data
 
     from ..pipelines.validate import ValidationEngine
-    from ..spec import SiblingAntiJoin, ValidationSpec
+    from ..spec import NodeIsolation, SiblingAntiJoin, ValidationSpec
 
     data_triples, _ = load_turtle(data_path)
     shape_triples, _ = load_turtle(shapes_path)
@@ -1395,6 +1554,17 @@ def validate_ttl(data_path: str, shapes_path: str,
             ispec = ValidationSpec(constraints=[impl],
                                    id_columns=["subject"],
                                    focus_template="{subject}")
+            if isinstance(impl, NodeIsolation):
+                # witness anti-join over the FULL graph (NOT EXISTS
+                # consults every triple, not just target-scoped ones)
+                from ..spec import compile_constraint, compile_spec
+                from ..stages.grouped import evaluate_node_isolation
+
+                cspec = compile_spec(ispec)
+                parts.append(evaluate_node_isolation(
+                    scoped[target], full_tt, compile_constraint(impl),
+                    cspec))
+                continue
             if isinstance(impl, SiblingAntiJoin):
                 # join-aware constraint: bind the plan now that the data
                 # graph's edge relation is known.  Edges come from the

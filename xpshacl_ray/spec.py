@@ -992,6 +992,41 @@ class SiblingAntiJoin(GroupedSparql):
                       and not (self.exclude_self and v == subj))
 
 
+@dataclass
+class NodeIsolation(GroupedSparql):
+    """The shark unconnected-classes / must-have-instances shapes (C19,
+    anti-join form; ``/root/reference/data/shark_shapes.ttl:86-99,
+    118-136``, round-5 frontier): a focus node violates iff it has NO
+    outgoing triple of any ``outgoing`` predicate AND appears as the
+    OBJECT of no ``incoming`` predicate anywhere in the FULL graph —
+    conjunctive ``FILTER NOT EXISTS`` over single-triple patterns (the
+    ``OPTIONAL {?v a $this} … HAVING(COUNT(?v)=0)`` spelling of
+    must-have-instances is the incoming=rdf:type special case).
+
+    Engine plan (:func:`xpshacl_ray.stages.grouped.
+    evaluate_node_isolation`): candidate rows (one per focus node, with
+    its triple count) union WITNESS rows (subjects of ``outgoing`` /
+    objects of ``incoming`` triples from the full graph) through ONE
+    vectorized groupby — a node with a candidate row and no witness row
+    violates.  No broadcast, no per-group Python, no driver state: the
+    exchange carries one slim (node, int, int) row per candidate/witness
+    occurrence at any scale.
+    """
+
+    outgoing: Sequence[str] = field(default_factory=list)
+    incoming: Sequence[str] = field(default_factory=list)
+    name: str = "node-isolation"
+
+    def params(self) -> Dict[str, Any]:
+        return {"name": self.name, "outgoing": list(self.outgoing),
+                "incoming": list(self.incoming)}
+
+    def default_message(self) -> str:
+        return ("Node has no edge of "
+                f"{list(self.outgoing)} and is referenced by none of "
+                f"{list(self.incoming)}")
+
+
 ROW_LOCAL_TYPES = (
     Required,
     Datatype,

@@ -877,3 +877,94 @@ def evaluate_sibling_join(
         return _grouped_violation_rows(batch, cc, keys, spec, id_types)
 
     return bad.map_batches(to_rows, batch_format="pyarrow")
+
+
+def evaluate_node_isolation(
+    ds: "ray.data.Dataset",
+    full,
+    cc: CompiledConstraint,
+    spec: CompiledSpec,
+    id_types: Optional[List[pa.DataType]] = None,
+) -> "ray.data.Dataset":
+    """Anti-join plan for :class:`~xpshacl_ray.spec.NodeIsolation`:
+    candidates (one slim row per focus node) union witness rows
+    (subjects of ``outgoing`` / objects of ``incoming`` triples of the
+    FULL graph) through ONE vectorized groupby — fully distributed, no
+    broadcast, no per-group Python.
+
+    ``ds``: the target-scoped triples Dataset (focus nodes' own rows);
+    ``full``: Dataset or pa.Table of the FULL graph's
+    (subject, predicate, object) rows (NOT EXISTS consults every
+    triple)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max
+
+    c = cc.constraint
+    keys = list(c.group_by)
+    if id_types is None:
+        sch0 = ds.schema()
+        tmap0 = dict(zip(sch0.names, sch0.types))
+        id_types = [tmap0[col] for col in spec.id_columns]
+
+    node_schema = pa.schema([("node", pa.string()),
+                             ("n_rows", pa.int64()),
+                             ("is_witness", pa.int64())])
+    out_pred = pa.array(sorted(set(c.outgoing)), pa.string())
+    in_pred = pa.array(sorted(set(c.incoming)), pa.string())
+
+    def cand_rows(b: pa.Table) -> pa.Table:
+        # per-batch combiner: one (node, partial_count) row per subject
+        agg = b.select(["subject"]).group_by(["subject"]).aggregate(
+            [([], "count_all")])
+        k = agg.num_rows
+        return pa.table(
+            {"node": agg["subject"],
+             "n_rows": pc.cast(agg["count_all"], pa.int64()),
+             "is_witness": pa.array([0] * k, pa.int64())},
+            schema=node_schema)
+
+    cand = ds.select_columns(["subject"]).map_batches(
+        cand_rows, batch_format="pyarrow")
+
+    if isinstance(full, pa.Table):
+        full = ray.data.from_arrow(full)
+
+    def witness_rows(b: pa.Table) -> pa.Table:
+        parts = []
+        if len(out_pred):
+            m = pc.is_in(b["predicate"], value_set=out_pred)
+            parts.append(b.filter(pc.fill_null(m, False))["subject"])
+        if len(in_pred):
+            m = pc.is_in(b["predicate"], value_set=in_pred)
+            parts.append(b.filter(pc.fill_null(m, False))["object"])
+        nodes = pa.concat_arrays(
+            [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+             for p in parts]) if parts else pa.array([], pa.string())
+        nodes = pc.drop_null(nodes)
+        # batch-local dedup: the groupby needs one witness per node, not
+        # one per occurrence — shrinks the exchange on dense graphs
+        nodes = pc.unique(nodes)
+        k = len(nodes)
+        return pa.table(
+            {"node": nodes, "n_rows": pa.array([0] * k, pa.int64()),
+             "is_witness": pa.array([1] * k, pa.int64())},
+            schema=node_schema)
+
+    wit = full.select_columns(["subject", "predicate", "object"]) \
+        .map_batches(witness_rows, batch_format="pyarrow")
+
+    from ray.data.aggregate import Sum
+
+    agg = (cand.union(wit).groupby("node")
+           .aggregate(Max("is_witness", alias_name="w"),
+                      Sum("n_rows", alias_name="actual_count")))
+    bad = agg.filter(expr="w == 0 and actual_count > 0").map_batches(
+        lambda b: pa.table({"subject": b["node"],
+                            "actual_count": pc.cast(b["actual_count"],
+                                                    pa.int64())}),
+        batch_format="pyarrow")
+
+    def to_rows(batch: pa.Table, cc=cc, keys=keys) -> pa.Table:
+        return _grouped_violation_rows(batch, cc, keys, spec, id_types)
+
+    return bad.map_batches(to_rows, batch_format="pyarrow")
