@@ -2087,6 +2087,51 @@ def q_pagerank(sf_dir: str):
                     damping=0.85, iters=3)
 
 
+def q_cycle_members(sf_dir: str):
+    """Directed-cycle membership over a deterministic functional graph
+    derived from customers (``dst = (c² + 3) mod N + 1`` — squaring is
+    many-to-one, so the ρ-shaped out-degree-1 graph has long acyclic
+    tails feeding small cycles; the oracle computes the exact cycle set
+    via a recursive reachability CTE).  Engine plan
+    (:func:`xpshacl_ray.functions.graph.cycle_members`): distributed
+    TRIM to fixpoint (tails peel off round by round with only the
+    distinct node set broadcast) + exact Tarjan SCC on the surviving
+    cyclic core — the iterative operator behind the shark
+    ``subClassOf+`` shape, here checked against closed-form SQL
+    recursion rather than a generation-rule VALUES list."""
+    from xpshacl_ray.functions.graph import cycle_members
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    n = int(cust.max("c_custkey"))
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        s = np.asarray(pc.cast(b["c_custkey"], pa.int64()))
+        d = (s * s + 3) % np.int64(n) + 1
+        return pa.table({"src": pa.array(s, pa.int64()),
+                         "dst": pa.array(d, pa.int64())})
+
+    edges = cust.map_batches(to_edges, batch_format="pyarrow")
+    return cycle_members(edges)
+
+
+_CYCLE_MEMBERS_SQL = """
+    WITH RECURSIVE e AS (
+        SELECT s, t FROM (
+            SELECT c_custkey AS s,
+                   (c_custkey * c_custkey + 3) % (SELECT max(c_custkey)
+                                                  FROM customer) + 1 AS t
+            FROM customer) raw
+    ),
+    reach(s, t) AS (
+        SELECT s, t FROM e
+        UNION
+        SELECT r.s, e.t FROM reach r JOIN e ON r.t = e.s
+    )
+    SELECT DISTINCT s AS node FROM reach WHERE s = t
+"""
+
+
 def q_suppliers_no_lineitems(sf_dir: str):
     """Explicit distributed anti-join: suppliers with no lineitem —
     distinct-key build (combiner-bounded) + broadcast miss-probe, the
@@ -2430,7 +2475,12 @@ def _ttl_shark_fixture() -> tuple:
     - synonyms (shared REPLACE namespace image over
       ``owl:equivalentClass``, ``shark_shapes.ttl:101-116``): SynA ≡
       SynB share the ex: namespace (VIOLATION); SynC's equivalent lives
-      in another namespace (fine).
+      in another namespace (fine);
+    - hierarchy cycles (``$this rdfs:subClassOf+ $this``,
+      ``shark_shapes.ttl:128-137``): the CycA→CycB→CycC→CycA trio and
+      the i%5==3 classes' 1-edge self-loops VIOLATE — evaluated by the
+      iterative trim+SCC plan, so the full shark sh:sparql inventory
+      now translates.
 
     Returns (data_ttl, shapes_ttl, expected) with expected derived
     INDEPENDENTLY from the generation rule — the oracle, not the
@@ -2500,6 +2550,24 @@ def _ttl_shark_fixture() -> tuple:
         "ex:instSynC a ex:SynC .",
     ]
     expected.append((ex + "SynA", m_syn))
+    # transitive cycles ($this subClassOf+ $this): a 3-cycle trio plus
+    # the i%5==3 classes' 1-edge self-loops; everything on a cycle is
+    # connected and instantiated, and single parents dodge the sibling
+    # shape
+    m_cycle = "Detect cycles in the class hierarchy"
+    data += [
+        "ex:CycA a owl:Class ; rdfs:subClassOf ex:CycB .",
+        "ex:CycB a owl:Class ; rdfs:subClassOf ex:CycC .",
+        "ex:CycC a owl:Class ; rdfs:subClassOf ex:CycA .",
+        "ex:instCycA a ex:CycA .", "ex:instCycB a ex:CycB .",
+        "ex:instCycC a ex:CycC .",
+    ]
+    for nm in ("CycA", "CycB", "CycC"):
+        expected.append((ex + nm, m_cycle))
+    for i in range(40):
+        if i % 5 == 3:  # self-loop parent: a 1-edge subClassOf cycle
+            name = f"klass{i:02d}" if i % 4 == 0 else f"Class{i:02d}"
+            expected.append((ex + name, m_cycle))
     ptypes = ["rdf:Property", "owl:DatatypeProperty", "owl:ObjectProperty"]
     for j in range(24):
         pt = ptypes[j % 3]
@@ -2602,6 +2670,19 @@ ex:ClassShape a sh:NodeShape ;
     FILTER NOT EXISTS {{?any4 rdfs:subClassOf $this}} .
     FILTER NOT EXISTS {{?any5 rdfs:range $this}} .
     FILTER NOT EXISTS {{?any6 rdfs:domain $this}} .
+  }}
+  \"\"\" ;
+  ] ;
+  sh:sparql [
+    sh:message "{m_cycle}" ;
+    sh:select \"\"\"
+  PREFIX owl: <{owl}>
+  PREFIX rdfs: <{rdfs}>
+  PREFIX rdf: <{rdf}>
+  SELECT $this WHERE
+  {{
+    $this a owl:Class .
+    $this rdfs:subClassOf+ $this .
   }}
   \"\"\" ;
   ] .
@@ -3260,6 +3341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_no_lineitems": q_suppliers_no_lineitems,
         "supplier_item_rollup": q_supplier_item_rollup,
         "pagerank": q_pagerank,
+        "cycle_members": q_cycle_members,
         "mean_pool": q_mean_pool,
         "embedding_dim_stats": q_embedding_dim_stats,
         "dup_size_histogram": q_dup_size_histogram,
@@ -5042,4 +5124,5 @@ def oracle_sql() -> dict[str, str]:
     # the bucketed-join LM scoring path is contract-identical to the
     # broadcast path — one oracle, two engine plans (VERDICT r4 item 6)
     out["bigram_logprob_bucketed"] = out["bigram_logprob"]
+    out["cycle_members"] = _CYCLE_MEMBERS_SQL
     return out

@@ -96,12 +96,21 @@ def _wrap(*stmts):
         "\n".join(f"    {s} ." for s in stmts) + "\n}"
 
 
-def test_parse_rejects_property_path_self_ref():
-    # shark cycles shape: subClassOf+ is transitive closure, NOT a
-    # literal predicate — translating it as self-ref would silently
-    # match nothing
+def test_parse_transitive_cycle_self_ref():
+    # shark cycles shape: subClassOf+ is transitive closure — it parses
+    # to its own iterative-plan kind, never to a literal-predicate
+    # self-ref (which would silently match nothing)
     sel = _wrap("$this a owl:Class", "$this rdfs:subClassOf+ $this")
-    assert _parse_self_join_select(sel, OWL + "Class") is None
+    assert _parse_self_join_select(sel, OWL + "Class") == {
+        "kind": "transitive_cycle", "path": RDFS + "subClassOf"}
+
+
+def test_parse_rejects_other_property_paths():
+    for form in ("$this rdfs:subClassOf* $this",
+                 "$this ^rdfs:subClassOf $this",
+                 "$this rdfs:subClassOf+ ?v"):
+        sel = _wrap("$this a owl:Class", form)
+        assert _parse_self_join_select(sel, OWL + "Class") is None, form
 
 
 def test_parse_rejects_one_sided_exclusion():
@@ -162,10 +171,12 @@ def test_shark_shapes_full_translation_inventory():
     assert sibs[0].edge_pred == RDFS + "subClassOf"
     assert sibs[0].exclude == [OWL + "Thing"]
     assert sibs[0].exclude_self
-    # only transitive-closure semantics stay surfaced as data
+    # round-5 frontier: every shark sh:sparql translates; the only
+    # surfaced entries are the is-a block under the two property targets
+    # its $this-a-ObjectProperty guard excludes (it IS translated under
+    # ObjectProperty)
     msgs = {e["message"] for e in still}
-    assert "Detect cycles in the class hierarchy" in msgs
-    assert "Classes must have instances" not in msgs  # round-5 frontier
+    assert msgs == {"Detect wrongly defined relationship 'is'"}
 
 
 # ---------------------------------------------------------------------------
@@ -329,10 +340,9 @@ def test_parse_rejects_synonyms_with_different_regexes():
 
 
 def test_shark_shapes_round5_inventory():
-    """Every shark sh:sparql except the transitive-closure cycles shape
-    (and the is-a block under targets its type guard excludes) now
-    auto-translates."""
-    from xpshacl_ray.spec import NodeIsolation
+    """EVERY shark sh:sparql now auto-translates (the is-a block only
+    under the target its type guard names)."""
+    from xpshacl_ray.spec import NodeIsolation, TransitiveCycle
 
     shapes, _ = load_turtle("/root/reference/data/shark_shapes.ttl")
     impls, still = sparql_grouped_constraints(shapes)
@@ -344,16 +354,18 @@ def test_shark_shapes_round5_inventory():
     syn = [c for _, c in impls
            if c.name.startswith("auto-same-replace-eq:")]
     assert len(syn) == 1
+    cyc = [c for _, c in impls if isinstance(c, TransitiveCycle)]
+    assert len(cyc) == 1 and cyc[0].path == RDFS + "subClassOf"
     msgs = sorted({e["message"] for e in still})
-    assert msgs == ["Detect cycles in the class hierarchy",
-                    "Detect wrongly defined relationship 'is'"]
+    assert msgs == ["Detect wrongly defined relationship 'is'"]
 
 
 def test_shark_fixture_round5_counts(shark_fixture, ray_session):
-    """The extended fixture's expected list covers all SEVEN translated
+    """The extended fixture's expected list covers all EIGHT translated
     shapes: 8 superclass + 10 lowercase + 4 capital + 2 is-a + 7
-    no-instances + 2 unconnected + 1 synonyms = 38 rows (counts derived
-    from the generation rule, duplicates across shapes intended)."""
+    no-instances + 2 unconnected + 1 synonyms + 11 cycles = 49 rows
+    (counts derived from the generation rule, duplicates across shapes
+    intended)."""
     _, _, expected = shark_fixture
     from collections import Counter
 
@@ -363,4 +375,77 @@ def test_shark_fixture_round5_counts(shark_fixture, ray_session):
     assert by_msg["Classes must have instances"] == 7
     assert by_msg["Detect unconnected classes"] == 2
     assert by_msg["Detect synonyms created as classes"] == 1
-    assert sum(by_msg.values()) == len(expected)
+    assert by_msg["Detect cycles in the class hierarchy"] == 11
+    assert sum(by_msg.values()) == len(expected) == 49
+
+
+# ---------------------------------------------------------------------------
+# cycle_members operator (trim + exact SCC)
+# ---------------------------------------------------------------------------
+
+
+def test_cycle_members_rho_and_dag(ray_session):
+    import ray.data
+
+    from xpshacl_ray.functions.graph import cycle_members
+
+    # rho: 1→2→3→1 with tail 5→4→1; self-loop 9; DAG 6→7→8
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 4), (9, 9),
+             (6, 7), (7, 8)]
+    ds = ray.data.from_arrow(pa.table(
+        {"src": pa.array([s for s, _ in edges], pa.int64()),
+         "dst": pa.array([d for _, d in edges], pa.int64())}))
+    got = sorted(r["node"] for r in cycle_members(ds).take_all())
+    assert got == [1, 2, 3, 9]
+    # pure DAG trims to empty — zero driver graph work
+    dag = ray.data.from_arrow(pa.table(
+        {"src": pa.array([1, 2, 3], pa.int64()),
+         "dst": pa.array([2, 3, 4], pa.int64())}))
+    assert cycle_members(dag).count() == 0
+
+
+def test_cycle_members_string_nodes_two_sccs(ray_session):
+    import ray.data
+
+    from xpshacl_ray.functions.graph import cycle_members
+
+    # two separate 2-cycles joined by a non-cycle bridge node
+    edges = [("a", "b"), ("b", "a"), ("b", "m"), ("m", "c"),
+             ("c", "d"), ("d", "c")]
+    ds = ray.data.from_arrow(pa.table(
+        {"src": pa.array([s for s, _ in edges], pa.string()),
+         "dst": pa.array([d for _, d in edges], pa.string())}))
+    got = sorted(r["node"] for r in cycle_members(ds).take_all())
+    # m sits BETWEEN two cycles (in-degree and out-degree ≥1, survives
+    # trim) but is on no cycle — exact SCC must drop it
+    assert got == ["a", "b", "c", "d"]
+
+
+def test_cycle_members_matches_bruteforce_random(ray_session):
+    import numpy as np
+
+    import ray.data
+    from xpshacl_ray.functions.graph import cycle_members
+
+    rng = np.random.default_rng(5)
+    n = 60
+    src = rng.integers(0, n, 150).astype("int64")
+    dst = rng.integers(0, n, 150).astype("int64")
+    # brute force: node on cycle iff it reaches itself via >=1 edge
+    adj = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), set()).add(int(d))
+    want = []
+    for x in range(n):
+        seen, frontier = set(), set(adj.get(x, ()))
+        while frontier:
+            if x in frontier:
+                want.append(x)
+                break
+            seen |= frontier
+            frontier = set().union(
+                *(adj.get(y, set()) for y in frontier)) - seen
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                       "dst": pa.array(dst)}))
+    got = sorted(r["node"] for r in cycle_members(ds).take_all())
+    assert got == want

@@ -77,9 +77,12 @@ def _prep_docs_salted(reps: int, out_dir: str) -> None:
     texts = t["text"].to_pylist()
     parts = []
     for k in range(reps):
+        # '~' separator: a bare numeric suffix is ambiguous across
+        # replicas (token 'abc1' + '2' == 'abc' + '12'), which re-links
+        # copies and defeats the dup-rate-preserving construction
         salted = pa.array(
             [None if x is None else
-             " ".join(f"{w}{k}" for w in x.split(" ")) for x in texts],
+             " ".join(f"{w}~{k}" for w in x.split(" ")) for x in texts],
             pa.string())
         ids = pa.array(np.asarray(t["doc_id"]) + k * 10_000_000,
                        pa.int64())

@@ -332,3 +332,166 @@ def pagerank(edges: "ray.data.Dataset", src: str = "src",
 
     return pa.table({"node": pa.array(nodes),
                      "pr": pa.array(np.round(pr, ndigits))})
+
+
+# ---------------------------------------------------------------------------
+# Directed-cycle membership (the shark subClassOf+ hierarchy-cycle shape)
+# ---------------------------------------------------------------------------
+
+
+def _tarjan_cycle_nodes(edge_list) -> set:
+    """Exact cycle membership on a driver-resident edge list: members of
+    Tarjan SCCs of size ≥ 2, plus self-loop nodes.  Iterative (no
+    recursion-depth bound)."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    nodes = set()
+    out = set()
+    for s, d in edge_list:
+        nodes.add(s)
+        nodes.add(d)
+        if s == d:
+            out.add(s)  # self-loop: a 1-edge cycle
+        else:
+            adj[s].append(d)
+    index: Dict = {}
+    low: Dict = {}
+    on = set()
+    stack: list = []
+    counter = [0]
+    for root in nodes:
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on.add(v)
+            recursed = False
+            nbrs = adj.get(v, ())
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recursed = True
+                    break
+                if w in on:
+                    low[v] = min(low[v], index[w])
+            if recursed:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                if len(comp) >= 2:
+                    out.update(comp)
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    return out
+
+
+def cycle_members(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    max_trim_rounds: int = 100,
+    set_broadcast_limit: int = 10_000_000,
+    core_limit: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Nodes lying on at least one DIRECTED cycle — the distributed
+    analog of the shark ``$this rdfs:subClassOf+ $this`` shape
+    (``/root/reference/data/shark_shapes.ttl:128-137``), which needs
+    transitive closure no single groupby can express.
+
+    Two-phase plan:
+
+    1. **Distributed TRIM to fixpoint**: a node with in-degree 0 or
+       out-degree 0 is on no cycle; removing its edges may expose more.
+       Each round broadcasts the distinct src / dst node sets
+       (``ray.put`` once, ``pc.is_in`` probe per batch — never
+       re-shipped) and filters the edge Dataset distributed; the edge
+       table shrinks monotonically and a DAG — the healthy-hierarchy
+       common case — trims to EMPTY, exiting with zero driver graph
+       work.  Contract: the distinct node set of the edge relation fits
+       ``set_broadcast_limit`` (class hierarchies are TBox-sized even
+       under 100 TB of instance data; raise past it).
+    2. **Exact SCC on the core**: whatever survives trimming is the
+       cyclic core (cycles + paths between cycles) — collected
+       (``core_limit`` guard) and resolved with iterative Tarjan;
+       members of SCCs of size ≥ 2 plus self-loops are the answer.
+
+    Returns a Dataset with one ``node`` column."""
+    import ray as _ray
+    import ray.data
+
+    e = edges
+    node_t = _node_type(e, src, dst)
+    prev = None
+    for _ in range(max_trim_rounds):
+        # distinct src / dst sets via per-batch unique + driver union —
+        # bounded by the node-set contract, never by edge multiplicity
+        src_set, dst_set = set(), set()
+        for blk in e.map_batches(
+                lambda b: pa.table(
+                    {"s": pc.unique(b[src].combine_chunks()
+                                    if isinstance(b[src], pa.ChunkedArray)
+                                    else b[src])}),
+                batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None):
+            src_set.update(blk["s"].to_pylist())
+        for blk in e.map_batches(
+                lambda b: pa.table(
+                    {"d": pc.unique(b[dst].combine_chunks()
+                                    if isinstance(b[dst], pa.ChunkedArray)
+                                    else b[dst])}),
+                batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None):
+            dst_set.update(blk["d"].to_pylist())
+        if len(src_set) + len(dst_set) > set_broadcast_limit:
+            raise ValueError(
+                f"cycle_members: {len(src_set) + len(dst_set)} distinct "
+                f"endpoint nodes exceed set_broadcast_limit="
+                f"{set_broadcast_limit} — not a TBox-sized relation")
+        alive = src_set & dst_set  # has out-edge AND in-edge
+        if not alive:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], node_t)}))
+        alive_arr = pa.array(sorted(alive), node_t)
+        ref = _ray.put(alive_arr)
+
+        def keep(b: pa.Table, r=ref) -> pa.Table:
+            a = _ray.get(r)
+            m = pc.and_(
+                pc.fill_null(pc.is_in(b[src], value_set=a), False),
+                pc.fill_null(pc.is_in(b[dst], value_set=a), False))
+            return b.filter(m)
+
+        e = e.map_batches(keep, batch_format="pyarrow").materialize()
+        n = e.count()
+        if n == 0:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], node_t)}))
+        if prev is not None and n == prev:
+            break  # trim fixpoint: the cyclic core
+        prev = n
+    if prev is None or (prev or 0) > core_limit:
+        raise ValueError(
+            f"cycle_members: cyclic core of {prev} edges exceeds "
+            f"core_limit={core_limit} — the relation is not a hierarchy")
+    pairs = []
+    for blk in e.iter_batches(batch_format="pyarrow", batch_size=None):
+        pairs.extend(zip(blk[src].to_pylist(), blk[dst].to_pylist()))
+    members = sorted(_tarjan_cycle_nodes(pairs))
+    return ray.data.from_arrow(pa.table({"node": pa.array(members,
+                                                          node_t)}))

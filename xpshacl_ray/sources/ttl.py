@@ -1025,6 +1025,12 @@ def _parse_self_join_select(select: str, target: str):
       SELECT without DISTINCT is treated as DISTINCT $this — the engine
       emits ONE violation per focus node, matching SHACL validators'
       identical-result dedup.
+    - ``$this <p>+ $this`` — the transitive-closure hierarchy-cycle
+      form (``shark_shapes.ttl:128-137``) →
+      ``{"kind": "transitive_cycle", "path": p}``, evaluated by the
+      iterative :func:`~xpshacl_ray.functions.graph.cycle_members`
+      plan (distributed trim + exact SCC on the cyclic core).  Other
+      property-path operators stay rejected.
     """
     prefixes = dict(re.findall(r"PREFIX\s+([\w-]+):\s*<([^>]+)>", select))
     m = re.search(r"\{(.*)\}", select, re.S)
@@ -1047,11 +1053,19 @@ def _parse_self_join_select(select: str, target: str):
     iso_in: List[str] = []
     eq_filters: List[Tuple[str, str]] = []
     optionals: List[Tuple[str, str, str]] = []  # (dir, pred, var)
+    trans_self: List[str] = []
     having = re.search(r"\bHAVING\b", select, re.IGNORECASE)
     for s in stmts:
         m3 = re.fullmatch(r"\$this\s+(\S+)\s+(\S+)", s)
         if m3:
-            p = _plain_pred(m3.group(1), prefixes)
+            ptok = m3.group(1)
+            if (m3.group(2) == "$this" and ptok.endswith("+")
+                    and _plain_pred(ptok[:-1], prefixes) is not None):
+                # $this <p>+ $this — the transitive-closure cycle form
+                # (shark_shapes.ttl:128-137)
+                trans_self.append(_plain_pred(ptok[:-1], prefixes))
+                continue
+            p = _plain_pred(ptok, prefixes)
             if p is None:
                 return None
             o = m3.group(2)
@@ -1180,6 +1194,14 @@ def _parse_self_join_select(select: str, target: str):
             return None
     if having and not optionals:
         return None  # aggregate forms beyond OPTIONAL + COUNT(?v)=0
+    if trans_self:
+        # $this <p>+ $this: transitive-closure cycle membership — the
+        # one form needing an iterative engine plan (cycle_members)
+        if (len(trans_self) != 1 or triples or self_refs or neq or binds
+                or str_neq_vars or not_exists or const_neq or this_neq
+                or iso_out or iso_in or eq_filters or optionals):
+            return None
+        return {"kind": "transitive_cycle", "path": trans_self[0]}
     if optionals:
         # must-have-instances form: exactly ONE optional triple whose
         # free variable is counted to zero by the HAVING clause
@@ -1347,6 +1369,7 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
         GroupPredicate,
         NodeIsolation,
         SiblingAntiJoin,
+        TransitiveCycle,
     )
 
     _checks, skipped = sparql_sqlchecks(shape_triples)
@@ -1391,6 +1414,13 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
                 group_by=["subject"], columns=["predicate", "object"],
                 name="auto-isolation:" + ",".join(
                     parsed["outgoing"] + parsed["incoming"]),
+                shape_id=entry.get("shape") or None,
+                message=entry.get("message") or None)
+        elif parsed["kind"] == "transitive_cycle":
+            c = TransitiveCycle(
+                path=parsed["path"], group_by=["subject"],
+                columns=["predicate", "object"],
+                name=f"auto-transitive-cycle:{parsed['path']}",
                 shape_id=entry.get("shape") or None,
                 message=entry.get("message") or None)
         elif parsed["kind"] == "same_replace_eq":
@@ -1482,9 +1512,13 @@ def validate_ttl(data_path: str, shapes_path: str,
     the reference-README parity surface pinned by the goldens.
 
     ``sparql_impls`` is the worked escape hatch for the UNtranslatable
-    (graph-pattern / multi-row) ``sh:sparql`` blocks — the shark shapes'
-    join/cycle queries (shark_shapes.ttl:48-149, 200-245): a dict keyed
-    by the block's ``sh:message`` (or its holder shape id) mapping to a
+    (transitive-closure / beyond-subset) ``sh:sparql`` blocks — after
+    round 5's frontier (BIND/REPLACE naming, NOT-EXISTS sibling
+    anti-join, node isolation incl. the OPTIONAL/HAVING spelling,
+    shared-REPLACE-image synonyms) the only shark shape still needing it
+    is the ``subClassOf+`` hierarchy-cycle query
+    (shark_shapes.ttl:128-137): a dict keyed by the block's
+    ``sh:message`` (or its holder shape id) mapping to a
     :class:`~xpshacl_ray.spec.GroupedSparql` (or any Constraint) that
     implements the pattern over the TRIPLES table — each focus node's
     triples are one group (``group_by=["subject"]``), exactly the
@@ -1494,7 +1528,12 @@ def validate_ttl(data_path: str, shapes_path: str,
     import ray.data
 
     from ..pipelines.validate import ValidationEngine
-    from ..spec import NodeIsolation, SiblingAntiJoin, ValidationSpec
+    from ..spec import (
+        NodeIsolation,
+        SiblingAntiJoin,
+        TransitiveCycle,
+        ValidationSpec,
+    )
 
     data_triples, _ = load_turtle(data_path)
     shape_triples, _ = load_turtle(shapes_path)
@@ -1563,6 +1602,23 @@ def validate_ttl(data_path: str, shapes_path: str,
                 cspec = compile_spec(ispec)
                 parts.append(evaluate_node_isolation(
                     scoped[target], full_tt, compile_constraint(impl),
+                    cspec))
+                continue
+            if isinstance(impl, TransitiveCycle):
+                # iterative plan: cycle membership of the FULL graph's
+                # <path> relation, scoped back to the target subjects
+                from ..functions.graph import cycle_members
+                from ..spec import compile_constraint, compile_spec
+                from ..stages.grouped import evaluate_membership
+
+                emask = pc.equal(full_tt["predicate"], impl.path)
+                ed = full_tt.filter(pc.fill_null(emask, False))
+                edges_ds = ray.data.from_arrow(pa.table(
+                    {"src": ed["subject"], "dst": ed["object"]}))
+                members = cycle_members(edges_ds)
+                cspec = compile_spec(ispec)
+                parts.append(evaluate_membership(
+                    scoped[target], members, compile_constraint(impl),
                     cspec))
                 continue
             if isinstance(impl, SiblingAntiJoin):

@@ -1027,6 +1027,28 @@ class NodeIsolation(GroupedSparql):
                 f"{list(self.incoming)}")
 
 
+@dataclass
+class TransitiveCycle(GroupedSparql):
+    """The shark hierarchy-cycle shape (C19, transitive-closure form;
+    ``/root/reference/data/shark_shapes.ttl:128-137``):
+    ``$this <path>+ $this`` — a focus node violates iff it lies on a
+    directed cycle of the ``path`` relation in the FULL graph.  No
+    single groupby can express transitive closure; the engine binds the
+    iterative plan :func:`xpshacl_ray.functions.graph.cycle_members`
+    (distributed trim to fixpoint — a DAG, the healthy-hierarchy common
+    case, trims to empty with zero driver work — then exact Tarjan SCC
+    on the surviving cyclic core) and marks the scoped focus nodes that
+    are members."""
+
+    name: str = "transitive-cycle"
+
+    def params(self) -> Dict[str, Any]:
+        return {"name": self.name, "path": self.path}
+
+    def default_message(self) -> str:
+        return f"Node lies on a {self.path} cycle"
+
+
 ROW_LOCAL_TYPES = (
     Required,
     Datatype,

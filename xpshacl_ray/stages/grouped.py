@@ -968,3 +968,76 @@ def evaluate_node_isolation(
         return _grouped_violation_rows(batch, cc, keys, spec, id_types)
 
     return bad.map_batches(to_rows, batch_format="pyarrow")
+
+
+def evaluate_membership(
+    ds: "ray.data.Dataset",
+    members,
+    cc: CompiledConstraint,
+    spec: CompiledSpec,
+    id_types: Optional[List[pa.DataType]] = None,
+) -> "ray.data.Dataset":
+    """Mark the focus nodes of ``ds`` that appear in ``members`` (a
+    Dataset/Table with one ``node`` column) — the mirror image of
+    :func:`evaluate_node_isolation` (violation iff the witness IS
+    present).  Used by :class:`~xpshacl_ray.spec.TransitiveCycle` to
+    scope cycle membership back to the shape's target class.  One
+    vectorized groupby; no broadcast, no per-group Python."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Sum
+
+    c = cc.constraint
+    keys = list(c.group_by)
+    if id_types is None:
+        sch0 = ds.schema()
+        tmap0 = dict(zip(sch0.names, sch0.types))
+        id_types = [tmap0[col] for col in spec.id_columns]
+
+    node_schema = pa.schema([("node", pa.string()),
+                             ("n_rows", pa.int64()),
+                             ("is_witness", pa.int64())])
+
+    def cand_rows(b: pa.Table) -> pa.Table:
+        agg = b.select(["subject"]).group_by(["subject"]).aggregate(
+            [([], "count_all")])
+        k = agg.num_rows
+        return pa.table(
+            {"node": agg["subject"],
+             "n_rows": pc.cast(agg["count_all"], pa.int64()),
+             "is_witness": pa.array([0] * k, pa.int64())},
+            schema=node_schema)
+
+    cand = ds.select_columns(["subject"]).map_batches(
+        cand_rows, batch_format="pyarrow")
+
+    if isinstance(members, pa.Table):
+        members = ray.data.from_arrow(members)
+
+    def member_rows(b: pa.Table) -> pa.Table:
+        nodes = b["node"]
+        if not pa.types.is_string(nodes.type) and not \
+                pa.types.is_large_string(nodes.type):
+            nodes = pc.cast(nodes, pa.string())
+        nodes = pc.drop_null(
+            nodes.combine_chunks() if isinstance(nodes, pa.ChunkedArray)
+            else nodes)
+        k = len(nodes)
+        return pa.table(
+            {"node": nodes, "n_rows": pa.array([0] * k, pa.int64()),
+             "is_witness": pa.array([1] * k, pa.int64())},
+            schema=node_schema)
+
+    wit = members.map_batches(member_rows, batch_format="pyarrow")
+    agg = (cand.union(wit).groupby("node")
+           .aggregate(Max("is_witness", alias_name="w"),
+                      Sum("n_rows", alias_name="actual_count")))
+    bad = agg.filter(expr="w == 1 and actual_count > 0").map_batches(
+        lambda b: pa.table({"subject": b["node"],
+                            "actual_count": pc.cast(b["actual_count"],
+                                                    pa.int64())}),
+        batch_format="pyarrow")
+
+    def to_rows(batch: pa.Table, cc=cc, keys=keys) -> pa.Table:
+        return _grouped_violation_rows(batch, cc, keys, spec, id_types)
+
+    return bad.map_batches(to_rows, batch_format="pyarrow")
