@@ -66,23 +66,36 @@ def _prep_trade(reps: int, out_dir: str) -> None:
     pq.write_table(pa.concat_tables(od_parts), f"{out_dir}/orders.parquet")
 
 
+import string
+
+
 def _prep_docs_salted(reps: int, out_dir: str) -> None:
-    """Replicate documents with every token suffixed by the replica id:
-    copies of one doc never cross-match in MinHash space, so the
-    replicated corpus keeps the ORIGINAL dup-rate — the honest
-    dup_clusters scaling input (plain replication makes the candidate
-    graph quadratically denser: every text gains reps-1 identical twins
-    and each LSH bucket pays O(members²) pair generation)."""
+    """Replicate documents through a per-replica CHARACTER-permutation
+    cipher (alphanumerics rotated by the replica id; whitespace and
+    punctuation untouched).  A bijection on the alphabet is a bijection
+    on char shingles, so every within-replica pairwise Jaccard is
+    EXACTLY the original corpus's, while cross-replica shingle sets are
+    disjoint (any shingle containing a letter/digit differs) — the
+    dup-rate-preserving scaling input for dup_clusters.  (Token
+    suffixing is NOT enough: the engine shingles characters, and a
+    shared per-copy suffix inflates within-copy similarity.)"""
     t = pq.read_table(f"{SF}/documents.parquet")
     texts = t["text"].to_pylist()
+    alpha = string.ascii_lowercase
+    upper = string.ascii_uppercase
+    digits = string.digits
     parts = []
     for k in range(reps):
-        # '~' separator: a bare numeric suffix is ambiguous across
-        # replicas (token 'abc1' + '2' == 'abc' + '12'), which re-links
-        # copies and defeats the dup-rate-preserving construction
+        # seeded PERMUTATION per replica (a rotation would repeat every
+        # 26 replicas, re-creating identical cross-copy texts at 120×)
+        rng = np.random.default_rng(10_000 + k)
+        tr = str.maketrans(
+            alpha + upper + digits,
+            "".join(rng.permutation(list(alpha)))
+            + "".join(rng.permutation(list(upper)))
+            + "".join(rng.permutation(list(digits))))
         salted = pa.array(
-            [None if x is None else
-             " ".join(f"{w}~{k}" for w in x.split(" ")) for x in texts],
+            [None if x is None else x.translate(tr) for x in texts],
             pa.string())
         ids = pa.array(np.asarray(t["doc_id"]) + k * 10_000_000,
                        pa.int64())
