@@ -442,19 +442,19 @@ def cycle_members(
         # distinct src / dst sets via per-batch unique + driver union —
         # bounded by the node-set contract, never by edge multiplicity
         src_set, dst_set = set(), set()
+
+        def _uniq(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.drop_null(pc.unique(col))  # null endpoint ≠ node
+
         for blk in e.map_batches(
-                lambda b: pa.table(
-                    {"s": pc.unique(b[src].combine_chunks()
-                                    if isinstance(b[src], pa.ChunkedArray)
-                                    else b[src])}),
+                lambda b: pa.table({"s": _uniq(b[src])}),
                 batch_format="pyarrow").iter_batches(
                     batch_format="pyarrow", batch_size=None):
             src_set.update(blk["s"].to_pylist())
         for blk in e.map_batches(
-                lambda b: pa.table(
-                    {"d": pc.unique(b[dst].combine_chunks()
-                                    if isinstance(b[dst], pa.ChunkedArray)
-                                    else b[dst])}),
+                lambda b: pa.table({"d": _uniq(b[dst])}),
                 batch_format="pyarrow").iter_batches(
                     batch_format="pyarrow", batch_size=None):
             dst_set.update(blk["d"].to_pylist())
