@@ -449,3 +449,21 @@ def test_cycle_members_matches_bruteforce_random(ray_session):
                                        "dst": pa.array(dst)}))
     got = sorted(r["node"] for r in cycle_members(ds).take_all())
     assert got == want
+
+
+def test_cycle_members_forced_distributed_path_parity(ray_session):
+    """edge_collect_limit=0 forces the distributed trim + core-collect
+    plan; it must agree with the small-relation one-pass Tarjan path."""
+    import ray.data
+
+    from xpshacl_ray.functions.graph import cycle_members
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (5, 4), (9, 9),
+             (6, 7), (7, 8), (10, 11), (11, 10)]
+    ds = ray.data.from_arrow(pa.table(
+        {"src": pa.array([s for s, _ in edges], pa.int64()),
+         "dst": pa.array([d for _, d in edges], pa.int64())}))
+    fast = sorted(r["node"] for r in cycle_members(ds).take_all())
+    slow = sorted(r["node"] for r in cycle_members(
+        ds, edge_collect_limit=0).take_all())
+    assert fast == slow == [1, 2, 3, 9, 10, 11]

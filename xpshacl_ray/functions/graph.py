@@ -408,24 +408,28 @@ def cycle_members(
     max_trim_rounds: int = 100,
     set_broadcast_limit: int = 10_000_000,
     core_limit: int = 5_000_000,
+    edge_collect_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Nodes lying on at least one DIRECTED cycle — the distributed
     analog of the shark ``$this rdfs:subClassOf+ $this`` shape
     (``/root/reference/data/shark_shapes.ttl:128-137``), which needs
     transitive closure no single groupby can express.
 
-    Two-phase plan:
+    Plan, by size:
 
-    1. **Distributed TRIM to fixpoint**: a node with in-degree 0 or
-       out-degree 0 is on no cycle; removing its edges may expose more.
-       Each round broadcasts the distinct src / dst node sets
-       (``ray.put`` once, ``pc.is_in`` probe per batch — never
-       re-shipped) and filters the edge Dataset distributed; the edge
-       table shrinks monotonically and a DAG — the healthy-hierarchy
-       common case — trims to EMPTY, exiting with zero driver graph
-       work.  Contract: the distinct node set of the edge relation fits
-       ``set_broadcast_limit`` (class hierarchies are TBox-sized even
-       under 100 TB of instance data; raise past it).
+    0. **Small-relation fast path**: distinct edges are collected with
+       per-batch dedup while they fit ``edge_collect_limit`` (class
+       hierarchies are TBox-sized even under 100 TB of instance data)
+       and resolved in ONE Tarjan pass — a deep trim tail costs
+       driver-scan rounds the exact algorithm doesn't need.  ``=0``
+       forces the distributed path (the parity-forcing knob).
+    1. **Distributed TRIM to fixpoint** (past the limit): a node with
+       in-degree 0 or out-degree 0 is on no cycle; removing its edges
+       may expose more.  Each round broadcasts the distinct src / dst
+       node sets (``ray.put`` once, ``pc.is_in`` probe per batch) and
+       filters the edge Dataset distributed; the edge table shrinks
+       monotonically and a DAG trims to EMPTY.  Contract: the distinct
+       node set fits ``set_broadcast_limit``.
     2. **Exact SCC on the core**: whatever survives trimming is the
        cyclic core (cycles + paths between cycles) — collected
        (``core_limit`` guard) and resolved with iterative Tarjan;
@@ -437,6 +441,25 @@ def cycle_members(
 
     e = edges
     node_t = _node_type(e, src, dst)
+    if edge_collect_limit:
+        pair_set: set = set()
+        over = False
+        for blk in e.map_batches(
+                lambda b: b.select([src, dst]).group_by(
+                    [src, dst]).aggregate([]),
+                batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow", batch_size=None):
+            pair_set.update(
+                (s, d) for s, d in zip(blk[src].to_pylist(),
+                                       blk[dst].to_pylist())
+                if s is not None and d is not None)
+            if len(pair_set) > edge_collect_limit:
+                over = True
+                break
+        if not over:
+            members = sorted(_tarjan_cycle_nodes(pair_set))
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array(members, node_t)}))
     prev = None
     for _ in range(max_trim_rounds):
         # distinct src / dst sets via per-batch unique + driver union —
