@@ -3253,20 +3253,19 @@ def _rotate_never_green_first(
     """Order the query dict so the driver's 50-entry verification window
     is spent where it matters most:
 
-    1. entries with NO hash-green row in any ``CORRECTNESS_r*.json`` or
-       ``ORACLE_SWEEP_r*.json`` so far come first (VERDICT r2 item 1);
-    2. already-green entries follow ordered by LEAST-recently-green —
-       the round number of their newest hash-green row, ascending — so
-       the spare window slots re-verify the stalest greens each round
-       instead of a fixed prefix (VERDICT r3 item 3: a regression in a
-       query verified rounds ago would otherwise never be re-checked).
-
-    Both artifact families count as green evidence (VERDICT r4 item 7):
-    the driver's ``CORRECTNESS_r{N}.json`` covers its ~50-query window,
-    and the committed full-sweep ``ORACLE_SWEEP_r{N}.json`` (written by
-    ``tools/check_oracle.py --json``) covers ALL queries — so window
-    slots point at genuinely stale queries, not ones the sweep already
-    re-verified this round.
+    1. entries the DRIVER has never hash-greened (no green row in any
+       ``CORRECTNESS_r*.json``) come first — within them, entries with
+       no green evidence anywhere precede sweep-green-only ones.  The
+       driver's independent execution is the hard gate; a query green
+       only in the builder-run ``ORACLE_SWEEP`` still deserves a
+       driver slot (VERDICT r2 item 1 + r4 item 7 refinement);
+    2. driver-green entries follow ordered by LEAST-recently-green —
+       the round number of their newest hash-green row across BOTH
+       artifact families, ascending — so the spare window slots
+       re-verify the stalest greens each round instead of a fixed
+       prefix (VERDICT r3 item 3), and a full sweep this round keeps
+       its re-verified queries out of the window's scarce slots
+       (VERDICT r4 item 7).
 
     Relative order inside each tier is preserved, so the hand-curated
     priority of the static dict below still decides ties; with no
@@ -3277,19 +3276,24 @@ def _rotate_never_green_first(
 
     here = _here or os.path.dirname(os.path.abspath(__file__))
     last_green: dict[str, int] = {}
+    driver_green: set = set()
     try:
         files = (glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
                  + glob.glob(os.path.join(here, "ORACLE_SWEEP_r*.json")))
         for f in sorted(files):
             m = re.search(r"_r(\d+)\.json$", f)
             rnd = int(m.group(1)) if m else 0
+            is_driver = "CORRECTNESS" in os.path.basename(f)
             for k, v in json.load(open(f)).items():
                 if v and v.get("hash_match"):
                     last_green[k] = max(last_green.get(k, 0), rnd)
+                    if is_driver:
+                        driver_green.add(k)
     except Exception:
         return order
     pos = {k: i for i, k in enumerate(order)}
-    keys = sorted(order, key=lambda k: (last_green.get(k, -1), pos[k]))
+    keys = sorted(order, key=lambda k: (k in driver_green,
+                                        last_green.get(k, -1), pos[k]))
     return {k: order[k] for k in keys}
 
 

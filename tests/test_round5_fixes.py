@@ -295,8 +295,11 @@ def test_rotation_consumes_oracle_sweep_artifacts(tmp_path):
     (tmp_path / "CORRECTNESS_r03.json").write_text(
         json.dumps({"a": {"hash_match": True}}))
     out = list(_rotate_never_green_first(order, _here=str(tmp_path)))
-    # e (never) < b,c,d (newest green r2, static tie order) < a (r3)
-    assert out == ["e", "b", "c", "d", "a"]
+    # never-DRIVER-green tier first: e (never anywhere) < c,d (sweep-
+    # green only, r2) — the driver's independent gate still owes them a
+    # slot; then driver-greens by last green round across BOTH
+    # families: b (max(r1, sweep r2)=r2) < a (r3)
+    assert out == ["e", "c", "d", "b", "a"]
 
 
 def test_rotation_sweep_rows_only_entries_not_green(tmp_path):
