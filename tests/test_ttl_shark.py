@@ -467,3 +467,126 @@ def test_cycle_members_forced_distributed_path_parity(ray_session):
     slow = sorted(r["node"] for r in cycle_members(
         ds, edge_collect_limit=0).take_all())
     assert fast == slow == [1, 2, 3, 9, 10, 11]
+
+
+# ---------------------------------------------------------------------------
+# brute-force cross-checks of the new constraint semantics
+# ---------------------------------------------------------------------------
+
+
+def test_sibling_fn_matches_bruteforce_random():
+    import numpy as np
+
+    from xpshacl_ray.stages.grouped import (
+        normalized_edge_pairs,
+        sibling_fn,
+    )
+
+    rng = np.random.default_rng(17)
+    P = "http://x/p"
+    Q_NODES = [f"n{i}" for i in range(12)]
+    for case in range(60):
+        # random focus group: some p-triples, some noise triples
+        k = int(rng.integers(1, 7))
+        objs = list(rng.choice(Q_NODES, k))
+        subj = "focus"
+        g = pa.table({
+            "subject": pa.array([subj] * (k + 2), pa.string()),
+            "predicate": pa.array([P] * k + ["http://x/q"] * 2,
+                                  pa.string()),
+            "object": pa.array(objs + ["zz", None], pa.string()),
+        })
+        # random edge relation over the node universe
+        m = int(rng.integers(0, 20))
+        es = rng.choice(Q_NODES, m)
+        ed = rng.choice(Q_NODES, m)
+        edges = pa.table({"subject": pa.array(es, pa.string()),
+                          "object": pa.array(ed, pa.string())})
+        excl = {"n0"} if case % 3 == 0 else set()
+        exclude_self = case % 2 == 0
+
+        from xpshacl_ray.spec import SiblingAntiJoin
+
+        c = SiblingAntiJoin(path=P, edge_pred="http://x/e",
+                            exclude=sorted(excl),
+                            exclude_self=exclude_self,
+                            group_by=["subject"],
+                            columns=["predicate", "object"])
+        fn = sibling_fn(normalized_edge_pairs(edges), c)
+
+        # brute force, straight from the SPARQL semantics
+        S = sorted({o for o in objs
+                    if o not in excl
+                    and not (exclude_self and o == subj)})
+        rel = {(s, d) for s, d in zip(es.tolist(), ed.tolist())}
+        want = any(
+            (a, b) not in rel and (b, a) not in rel
+            for i, a in enumerate(S) for b in S[i + 1:])
+        assert fn(g) == want, (case, S)
+
+
+def test_regexmatch_matches_re_sub_bruteforce():
+    import re as _re
+
+    import numpy as np
+
+    from xpshacl_ray.spec import RegexMatch
+
+    rng = np.random.default_rng(23)
+    pats = ["ab", "a+b", "x[yz]", "q$", "^r", "a{2}", "(?i)AB"]
+    alphabet = list("abxyzqr")
+    vals = ["".join(rng.choice(alphabet, int(rng.integers(0, 8))))
+            for _ in range(200)]
+    for p in pats:
+        c = RegexMatch(column="subject", patterns=[p])
+        got = _mask(c, vals)
+        rx = _re.compile(p)
+        want = [rx.sub("", v) != v for v in vals]
+        assert got == want, p
+
+
+def test_node_isolation_matches_bruteforce(ray_session):
+    import numpy as np
+
+    import ray.data
+    from xpshacl_ray.spec import (
+        NodeIsolation,
+        ValidationSpec,
+        compile_constraint,
+        compile_spec,
+    )
+    from xpshacl_ray.stages.grouped import evaluate_node_isolation
+
+    rng = np.random.default_rng(31)
+    nodes = [f"c{i}" for i in range(30)]
+    preds = ["http://x/sub", "http://x/eq", "http://x/dom"]
+    rows = []
+    for _ in range(40):  # sparse: some nodes stay genuinely isolated
+        rows.append((str(rng.choice(nodes)), str(rng.choice(preds)),
+                     str(rng.choice(nodes))))
+    # every node is also typed (focus candidates)
+    T = "http://x/T"
+    TY = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    rows += [(n, TY, T) for n in nodes]
+    full = pa.table({
+        "subject": pa.array([r[0] for r in rows], pa.string()),
+        "predicate": pa.array([r[1] for r in rows], pa.string()),
+        "object": pa.array([r[2] for r in rows], pa.string()),
+    })
+    c = NodeIsolation(outgoing=["http://x/sub"],
+                      incoming=["http://x/eq", "http://x/dom"],
+                      group_by=["subject"],
+                      columns=["predicate", "object"])
+    spec = ValidationSpec(constraints=[c], id_columns=["subject"],
+                          focus_template="{subject}")
+    out = evaluate_node_isolation(
+        ray.data.from_arrow(full), full, compile_constraint(c),
+        compile_spec(spec)).to_pandas()
+    got = sorted(out["subject"]) if len(out) else []
+
+    want = sorted(
+        n for n in nodes
+        if not any(s == n and p == "http://x/sub" for s, p, _ in rows)
+        and not any(o == n and p in ("http://x/eq", "http://x/dom")
+                    for _, p, o in rows))
+    assert got == want
