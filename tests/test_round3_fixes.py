@@ -162,10 +162,12 @@ def test_pagerank_null_endpoint_rejected_on_both_paths():
 
 
 def test_queries_rotation_puts_never_green_first():
-    """Round 4 refined the rotation to least-recently-green (see
-    test_round4_fixes for the ordering pin); the invariant kept here:
-    never-green entries lead and greens follow by ascending newest
-    hash-green round, against the REAL on-disk CORRECTNESS files."""
+    """Round 4 refined the rotation to least-recently-green and round 5
+    added the ORACLE_SWEEP artifact family (see test_round4_fixes /
+    test_round5_fixes for the synthetic ordering pins); the invariant
+    kept here runs against the REAL on-disk artifacts: never-DRIVER-
+    green entries lead, and within each tier the newest hash-green
+    round (across BOTH families) is non-decreasing."""
     import glob
     import json
     import re
@@ -174,15 +176,20 @@ def test_queries_rotation_puts_never_green_first():
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as e
 
-    last = {}
-    for f in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
-        rnd = int(re.search(r"r(\d+)", f).group(1))
+    last: dict = {}
+    driver_green: set = set()
+    files = (glob.glob("/root/repo/CORRECTNESS_r*.json")
+             + glob.glob("/root/repo/ORACLE_SWEEP_r*.json"))
+    for f in sorted(files):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
         for k, v in json.load(open(f)).items():
             if v and v.get("hash_match"):
                 last[k] = max(last.get(k, 0), rnd)
+                if "CORRECTNESS" in f:
+                    driver_green.add(k)
     keys = list(e.queries().keys())
-    ranks = [last.get(k, -1) for k in keys]
-    # never-green (-1) first, then non-decreasing last-green round
+    ranks = [(k in driver_green, last.get(k, -1)) for k in keys]
+    # never-driver-green first, then non-decreasing last-green round
     assert ranks == sorted(ranks)
     # oracle coverage stays total after rotation
     assert set(keys) == set(e.oracle_sql().keys())

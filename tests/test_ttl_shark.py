@@ -469,6 +469,57 @@ def test_cycle_members_forced_distributed_path_parity(ray_session):
     assert fast == slow == [1, 2, 3, 9, 10, 11]
 
 
+def test_cycle_members_distributed_scc_parity_random(ray_session):
+    """core_limit=0 forces the distributed coloring SCC (no edge
+    collect anywhere); it must agree with the one-pass Tarjan path on
+    random graphs dense enough to have nested / overlapping SCCs."""
+    import numpy as np
+
+    import ray.data
+    from xpshacl_ray.functions.graph import cycle_members
+
+    for seed in (0, 7, 21):
+        rng = np.random.default_rng(seed)
+        n = 80
+        src = rng.integers(0, n, 220).astype("int64")
+        dst = rng.integers(0, n, 220).astype("int64")
+        ds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                           "dst": pa.array(dst)}))
+        fast = sorted(r["node"] for r in cycle_members(ds).take_all())
+        dist = sorted(r["node"] for r in cycle_members(
+            ds, edge_collect_limit=0, core_limit=0).take_all())
+        assert dist == fast, f"seed={seed}"
+
+
+def test_cycle_members_distributed_scc_structured_cases(ray_session):
+    """Hand-built shapes on the forced distributed path: self-loops,
+    a bridge node between two SCCs (survives trim, not a member), a
+    long cycle (many propagation rounds), string node ids, nulls."""
+    import ray.data
+
+    from xpshacl_ray.functions.graph import cycle_members
+
+    def run(edges, typ):
+        ds = ray.data.from_arrow(pa.table(
+            {"src": pa.array([s for s, _ in edges], typ),
+             "dst": pa.array([d for _, d in edges], typ)}))
+        return sorted(r["node"] for r in cycle_members(
+            ds, edge_collect_limit=0, core_limit=0).take_all())
+
+    # two 2-cycles joined by a bridge node m (in+out degree >= 1)
+    assert run([("a", "b"), ("b", "a"), ("b", "m"), ("m", "c"),
+                ("c", "d"), ("d", "c")], pa.string()) == \
+        ["a", "b", "c", "d"]
+    # self-loop only + DAG + null endpoint (dropped, not a node)
+    assert run([(9, 9), (1, 2), (2, 3), (None, 4)], pa.int64()) == [9]
+    # one long cycle: 40 color-propagation rounds, exercises fixpoint
+    cyc = [(i, (i + 1) % 40) for i in range(40)]
+    assert run(cyc, pa.int64()) == list(range(40))
+    # rho with duplicate (multi-)edges: dedup must not double-resolve
+    assert run([(1, 2), (1, 2), (2, 1), (2, 1), (3, 1)],
+               pa.int64()) == [1, 2]
+
+
 # ---------------------------------------------------------------------------
 # brute-force cross-checks of the new constraint semantics
 # ---------------------------------------------------------------------------

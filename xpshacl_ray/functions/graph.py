@@ -401,6 +401,203 @@ def _tarjan_cycle_nodes(edge_list) -> set:
     return out
 
 
+def _scc_cycle_members_distributed(
+    e: "ray.data.Dataset",
+    src: str,
+    dst: str,
+    node_t: pa.DataType,
+    set_broadcast_limit: int,
+    max_outer_rounds: int = 64,
+) -> "ray.data.Dataset":
+    """Cycle membership WITHOUT collecting the edge table: the coloring
+    SCC algorithm (forward max-color propagation → backward reachability
+    from color roots → remove resolved SCCs → re-trim → repeat), the
+    standard distributed-SCC scheme (FW-BW/coloring family).
+
+    Scale contract: per-NODE state (color / reach / alive — a few int64
+    + bool arrays) lives on the driver and is re-broadcast per round via
+    ``ray.put`` (bounded by ``set_broadcast_limit``, the same contract
+    the trim stage already carries); the EDGE table is unbounded — it is
+    converted ONCE to index space ((int64, int64) pairs, nulls dropped)
+    and every subsequent pass streams it distributed with pure-numpy
+    per-batch kernels.  Per-batch partials are pre-reduced (group-max by
+    dst / unique node sets) so driver merges see at most one row per
+    (block, node).
+
+    Round counts: trim ≤ longest dangling path, color propagation ≤
+    longest simple path inside the cyclic core, backward BFS ≤ core
+    diameter — each round is one streamed pass over the index edges.
+    Real class hierarchies have short cycles; a single 10^6-node cycle
+    would take 10^6 propagation rounds (the known cost of coloring
+    without pointer doubling) — correct, but that is what
+    ``edge_collect_limit``'s one-pass Tarjan fast path is for.
+    """
+    import ray as _ray
+    import ray.data
+
+    # -- node universe (distinct endpoints), bounded by the broadcast
+    # contract; values collected via per-batch unique + driver union
+    vals: set = set()
+    for blk in e.map_batches(
+            lambda b: pa.table({"n": pc.drop_null(pc.unique(
+                _stack_nodes(b, src, dst, node_t)["node"]))}),
+            batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+        vals.update(blk["n"].to_pylist())
+        if len(vals) > set_broadcast_limit:
+            raise ValueError(
+                f"cycle_members: {len(vals)}+ distinct nodes exceed "
+                f"set_broadcast_limit={set_broadcast_limit}")
+    if not vals:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], node_t)}))
+    if pa.types.is_integer(node_t):
+        nodes = np.array(sorted(vals), dtype=np.int64)
+    else:
+        nodes = np.array(sorted(vals), dtype=object)
+    n = len(nodes)
+    nodes_ref = _ray.put(nodes)
+
+    # -- edges → index space ONCE (null endpoints dropped, the exchange
+    # from here on is (int64, int64) regardless of id width/type)
+    def to_idx(b: pa.Table, nref=nodes_ref) -> pa.Table:
+        nd = _ray.get(nref)
+        m = pc.and_(pc.is_valid(b[src]), pc.is_valid(b[dst]))
+        b = b.filter(m)
+        if len(b) == 0:
+            return pa.table({"s": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        s = np.searchsorted(nd, pc.cast(
+            b[src], node_t).to_numpy(zero_copy_only=False))
+        d = np.searchsorted(nd, pc.cast(
+            b[dst], node_t).to_numpy(zero_copy_only=False))
+        return pa.table({"s": pa.array(s.astype(np.int64)),
+                         "d": pa.array(d.astype(np.int64))})
+
+    idx_e = e.map_batches(to_idx, batch_format="pyarrow").materialize()
+
+    # -- self-loops are 1-edge cycles: fold them into the result up
+    # front and exclude them from the SCC loop (a size-1 SCC would
+    # otherwise be indistinguishable from a cycle-free node)
+    result = np.zeros(n, dtype=bool)
+    for blk in idx_e.map_batches(
+            lambda b: pa.table({"u": pa.array(np.unique(
+                np.asarray(b["s"])[np.asarray(b["s"])
+                                   == np.asarray(b["d"])]))}),
+            batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow", batch_size=None):
+        result[np.asarray(blk["u"], dtype=np.int64)] = True
+    idx_e = idx_e.map_batches(
+        lambda b: b.filter(pc.not_equal(b["s"], b["d"])),
+        batch_format="pyarrow").materialize()
+
+    alive = np.ones(n, dtype=bool)
+    arange = np.arange(n, dtype=np.int64)
+    for _ in range(max_outer_rounds):
+        # trim to fixpoint: alive nodes need >=1 alive in- AND out-edge
+        while True:
+            has_out = np.zeros(n, dtype=bool)
+            has_in = np.zeros(n, dtype=bool)
+            aref = _ray.put(alive)
+
+            def degs(b: pa.Table, aref=aref) -> pa.Table:
+                a = _ray.get(aref)
+                s = np.asarray(b["s"], dtype=np.int64)
+                d = np.asarray(b["d"], dtype=np.int64)
+                m = a[s] & a[d]
+                us, ud = np.unique(s[m]), np.unique(d[m])
+                return pa.table({
+                    "u": pa.array(np.concatenate([us, ud])),
+                    "f": pa.array(np.concatenate(
+                        [np.zeros(len(us), np.int8),
+                         np.ones(len(ud), np.int8)]))})
+
+            for blk in idx_e.map_batches(
+                    degs, batch_format="pyarrow").iter_batches(
+                        batch_format="pyarrow", batch_size=None):
+                u = np.asarray(blk["u"], dtype=np.int64)
+                f = np.asarray(blk["f"], dtype=np.int8)
+                has_out[u[f == 0]] = True
+                has_in[u[f == 1]] = True
+            new_alive = alive & has_out & has_in
+            if (new_alive == alive).all():
+                break
+            alive = new_alive
+        if not alive.any():
+            break
+
+        # forward coloring: color(v) = max node index that reaches v
+        # inside the alive subgraph (fixpoint; converges in <= n rounds)
+        colors = np.where(alive, arange, np.int64(-1))
+        while True:
+            cref = _ray.put(colors)
+            aref = _ray.put(alive)
+
+            def prop(b: pa.Table, cref=cref, aref=aref) -> pa.Table:
+                c, a = _ray.get(cref), _ray.get(aref)
+                s = np.asarray(b["s"], dtype=np.int64)
+                d = np.asarray(b["d"], dtype=np.int64)
+                m = a[s] & a[d]
+                s, d = s[m], d[m]
+                t = pa.table({"d": pa.array(d), "c": pa.array(c[s])})
+                g = t.group_by(["d"]).aggregate([("c", "max")])
+                return pa.table({"d": g["d"], "c": g["c_max"]})
+
+            newc = colors.copy()
+            for blk in idx_e.map_batches(
+                    prop, batch_format="pyarrow").iter_batches(
+                        batch_format="pyarrow", batch_size=None):
+                np.maximum.at(newc, np.asarray(blk["d"], dtype=np.int64),
+                              np.asarray(blk["c"], dtype=np.int64))
+            if (newc == colors).all():
+                break
+            colors = newc
+
+        # backward BFS from each color root within its color class:
+        # reach[v] = v can reach its root; SCC(root) = its reach set
+        reach = alive & (colors == arange)
+        while True:
+            rref = _ray.put(reach)
+            cref = _ray.put(colors)
+            aref = _ray.put(alive)
+
+            def back(b: pa.Table, rref=rref, cref=cref,
+                     aref=aref) -> pa.Table:
+                r, c, a = (_ray.get(rref), _ray.get(cref),
+                           _ray.get(aref))
+                s = np.asarray(b["s"], dtype=np.int64)
+                d = np.asarray(b["d"], dtype=np.int64)
+                m = a[s] & a[d] & (c[s] == c[d]) & r[d] & ~r[s]
+                return pa.table({"u": pa.array(np.unique(s[m]))})
+
+            grew = False
+            for blk in idx_e.map_batches(
+                    back, batch_format="pyarrow").iter_batches(
+                        batch_format="pyarrow", batch_size=None):
+                u = np.asarray(blk["u"], dtype=np.int64)
+                fresh = u[~reach[u]]
+                if len(fresh):
+                    reach[fresh] = True
+                    grew = True
+            if not grew:
+                break
+
+        # resolved this round: every reach node's SCC is final; members
+        # of SCCs of size >= 2 are cycle members
+        sizes = np.bincount(colors[reach], minlength=n)
+        result |= reach & (sizes[np.clip(colors, 0, n - 1)] >= 2) & alive
+        alive &= ~reach  # every color root resolves → guaranteed progress
+        if not alive.any():
+            break
+    else:
+        raise RuntimeError(
+            "cycle_members: distributed SCC did not converge within "
+            f"{max_outer_rounds} outer rounds")
+    members = nodes[result]
+    return ray.data.from_arrow(
+        pa.table({"node": pa.array(members.tolist(), node_t)}))
+
+
 def cycle_members(
     edges: "ray.data.Dataset",
     src: str = "src",
@@ -431,9 +628,16 @@ def cycle_members(
        monotonically and a DAG trims to EMPTY.  Contract: the distinct
        node set fits ``set_broadcast_limit``.
     2. **Exact SCC on the core**: whatever survives trimming is the
-       cyclic core (cycles + paths between cycles) — collected
-       (``core_limit`` guard) and resolved with iterative Tarjan;
-       members of SCCs of size ≥ 2 plus self-loops are the answer.
+       cyclic core (cycles + paths between cycles) — collected while it
+       fits ``core_limit`` and resolved with iterative Tarjan; members
+       of SCCs of size ≥ 2 plus self-loops are the answer.
+    3. **Distributed SCC past ``core_limit``** (``=0`` forces it): the
+       coloring algorithm in :func:`_scc_cycle_members_distributed` —
+       per-node state on the driver (bounded by the SAME
+       ``set_broadcast_limit`` contract the trim carries), edges
+       streamed distributed in (int64, int64) index space.  No edge
+       collect anywhere, so a non-hierarchy-sized cyclic relation now
+       resolves instead of raising.
 
     Returns a Dataset with one ``node`` column."""
     import ray as _ray
@@ -508,10 +712,13 @@ def cycle_members(
         if prev is not None and n == prev:
             break  # trim fixpoint: the cyclic core
         prev = n
-    if prev is None or (prev or 0) > core_limit:
-        raise ValueError(
-            f"cycle_members: cyclic core of {prev} edges exceeds "
-            f"core_limit={core_limit} — the relation is not a hierarchy")
+    if prev is None or not core_limit or (prev or 0) > core_limit:
+        # cyclic core too big to collect (or ``core_limit=0`` forcing):
+        # resolve it with the distributed coloring SCC — node state on
+        # the driver (same set_broadcast_limit contract as the trim),
+        # edges streamed in index space, no edge collect anywhere
+        return _scc_cycle_members_distributed(
+            e, src, dst, node_t, set_broadcast_limit)
     pairs = []
     for blk in e.iter_batches(batch_format="pyarrow", batch_size=None):
         pairs.extend(zip(blk[src].to_pylist(), blk[dst].to_pylist()))
