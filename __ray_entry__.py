@@ -2760,6 +2760,120 @@ def _ttl_sparql_shark_sql() -> str:
             "    ) AS t(subject, message)")
 
 
+def _ttl_paths_fixture() -> tuple:
+    """Deterministic fixture for SHACL property PATHS beyond a plain
+    predicate (inverse + sequence forms, ``sources/ttl.py:resolve_path``
+    — the reference gets these free from pyshacl): 60 persons / 12
+    companies with rule-derived violations:
+
+    - ``[sh:inversePath ex:knows]`` maxCount 1: person i knows
+      P(i%15), so P00–P14 are each known by 4 (VIOLATION);
+    - ``(ex:worksFor ex:name)`` minCount 1: every 10th-ends-in-7
+      person has no employer and companies F02/F06/F10 have no name
+      (VIOLATION for their staff);
+    - same path, pattern ^[A-Z]: odd-numbered companies are named
+      lowercase (VIOLATION per walked value);
+    - ``([sh:inversePath ex:worksFor] ex:age)`` minInclusive 18 on
+      Company: ages are 15+i%30, so employees 0,1,2,30,31,32 are
+      minors (VIOLATION per distinct underage age value per firm).
+
+    Returns (data_ttl, shapes_ttl, expected) with expected derived
+    INDEPENDENTLY from the generation rules — the oracle, not the
+    engine, decides."""
+    ex = _TTL_AUTO_EX
+    data = [f"@prefix ex: <{ex}> ."]
+    expected = []
+    comp_name: dict = {}
+    for j in range(12):
+        nm = (None if j % 4 == 2
+              else f"firm{j}" if j % 2 == 1 else f"Firm{j}")
+        comp_name[j] = nm
+        lines = [f"ex:F{j:02d} a ex:Company"]
+        if nm is not None:
+            lines.append(f'ex:name "{nm}"')
+        data.append(" ; ".join(lines) + " .")
+    ages, emp = {}, {}
+    for i in range(60):
+        ages[i] = 15 + i % 30
+        lines = [f"ex:P{i:02d} a ex:Person",
+                 f"ex:knows ex:P{i % 15:02d}",
+                 f"ex:age {ages[i]}"]
+        if i % 10 != 7:
+            emp[i] = i % 12
+            lines.append(f"ex:worksFor ex:F{i % 12:02d}")
+        data.append(" ; ".join(lines) + " .")
+    for j in range(15):  # known by {j, j+15, j+30, j+45}
+        expected.append((f"{ex}P{j:02d}", "known by too many"))
+    for i in range(60):
+        if i not in emp or comp_name[emp[i]] is None:
+            expected.append((f"{ex}P{i:02d}", "employer name required"))
+        elif not comp_name[emp[i]][0].isupper():
+            expected.append((f"{ex}P{i:02d}",
+                             "employer name capitalized"))
+    minors: dict = {}
+    for i, j in emp.items():
+        if ages[i] < 18:
+            minors.setdefault(j, set()).add(ages[i])
+    for j in sorted(minors):
+        for _ in minors[j]:  # one row per DISTINCT underage value node
+            expected.append((f"{ex}F{j:02d}", "employee under 18"))
+    shapes = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{ex}> .
+
+ex:PopularShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path [ sh:inversePath ex:knows ] ; sh:maxCount 1 ;
+                sh:message "known by too many" ] .
+
+ex:EmpNameReq a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ( ex:worksFor ex:name ) ; sh:minCount 1 ;
+                sh:message "employer name required" ] .
+
+ex:EmpNameCap a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ( ex:worksFor ex:name ) ; sh:pattern "^[A-Z]" ;
+                sh:message "employer name capitalized" ] .
+
+ex:YoungShape a sh:NodeShape ; sh:targetClass ex:Company ;
+  sh:property [ sh:path ( [ sh:inversePath ex:worksFor ] ex:age ) ;
+                sh:minInclusive 18 ;
+                sh:message "employee under 18" ] .
+"""
+    return "\n".join(data) + "\n", shapes, sorted(expected)
+
+
+def q_ttl_paths(sf_dir: str):
+    """SHACL property paths beyond a plain predicate: inverse paths,
+    sequence paths and mixed forms compile to walked value rows and run
+    through the SAME grouped/row-local constraint machinery; operators
+    outside the subset (alternative / zeroOrMore / ...) are surfaced as
+    data by ``unsupported_path_shapes`` — never mistranslated.  The
+    oracle is derived independently from the fixture's generation rule.
+    (sf_dir-independent by design, like ``ttl_parity``.)"""
+    import os
+    import tempfile
+
+    from xpshacl_ray.sources.ttl import validate_ttl
+
+    data_ttl, shapes_ttl, _ = _ttl_paths_fixture()
+    d = os.path.join(tempfile.gettempdir(), "xpshacl_ttl_paths")
+    os.makedirs(d, exist_ok=True)
+    dp, sp = os.path.join(d, "data.ttl"), os.path.join(d, "shapes.ttl")
+    with open(dp, "w") as f:
+        f.write(data_ttl)
+    with open(sp, "w") as f:
+        f.write(shapes_ttl)
+    viol = validate_ttl(dp, sp, long_form=True)
+    return viol.select_columns(["subject", "message"])
+
+
+def _ttl_paths_sql() -> str:
+    _, _, expected = _ttl_paths_fixture()
+    rows = ",\n      ".join(
+        f"('{s}', '{m}')" for s, m in expected)
+    return (f"SELECT * FROM (VALUES\n      {rows}\n"
+            "    ) AS t(subject, message)")
+
+
 def q_media_features(sf_dir: str):
     """Real multimodal decode pipeline: deterministic synthesized media
     (P6 PPM / 24-bit BMP images, PCM WAV audio — stdlib+numpy codecs, no
@@ -3319,6 +3433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttl_parity": q_ttl_parity,
         "ttl_sparql_auto": q_ttl_sparql_auto,
         "ttl_sparql_shark": q_ttl_sparql_shark,
+        "ttl_paths": q_ttl_paths,
         "epoch_shuffle": q_epoch_shuffle,
         "sql_check": q_sql_check,
         "media_features": q_media_features,
@@ -5011,6 +5126,7 @@ def oracle_sql() -> dict[str, str]:
         "ttl_parity": _TTL_PARITY_SQL,
         "ttl_sparql_auto": _ttl_sparql_auto_sql(),
         "ttl_sparql_shark": _ttl_sparql_shark_sql(),
+        "ttl_paths": _ttl_paths_sql(),
         "epoch_shuffle": __import__(
             "xpshacl_ray.functions.sampling",
             fromlist=["epoch_shuffle_sql"]).epoch_shuffle_sql(

@@ -152,6 +152,7 @@ def run_benchmarks() -> dict:
         # vocabulary + the shark SPARQL translation frontier
         ("bigram_logprob_bucketed", entrymod.q_bigram_logprob_bucketed),
         ("ttl_sparql_shark", entrymod.q_ttl_sparql_shark),
+        ("ttl_paths", entrymod.q_ttl_paths),
         ("cycle_members", entrymod.q_cycle_members),
     ]
     for name, fn in bench_queries:

@@ -434,6 +434,76 @@ def _hydrate_list_values(elems: List[Triple]) -> List:
     return [t.o for t in elems]
 
 
+def resolve_path(obj, path_t: Triple) -> Optional[List[Tuple[str, str]]]:
+    """``sh:path`` node → ordered steps ``[("fwd"|"inv", predicate_iri),
+    ...]``, or ``None`` for forms outside the subset.
+
+    Supported (mirrors pyshacl's path evaluation for these forms —
+    the reference delegates ALL path handling to pyshacl):
+    plain predicate IRI; ``[sh:inversePath <p>]``; and SEQUENCE paths
+    written as RDF lists whose elements are plain IRIs or inversePath
+    nodes, e.g. ``sh:path (ex:worksFor ex:name)`` or
+    ``sh:path ([sh:inversePath ex:knows] ex:age)``.
+
+    Everything else — ``sh:alternativePath``, ``sh:zeroOrMorePath``,
+    ``sh:oneOrMorePath``, ``sh:zeroOrOnePath``, nested lists — returns
+    None and is surfaced as data by :func:`unsupported_path_shapes`
+    (the same never-mistranslate contract the sh:sparql translator
+    carries)."""
+    def step(o: str, kind: str) -> Optional[Tuple[str, str]]:
+        if kind == "iri":
+            return ("fwd", o)
+        if kind == "bnode":
+            inv = _first(obj, o, SH_NS + "inversePath")
+            if (inv is not None and inv.kind == "iri"
+                    and _first(obj, o, RDF_FIRST) is None):
+                return ("inv", inv.o)
+        return None
+
+    if path_t.kind == "iri":
+        return [("fwd", path_t.o)]
+    if path_t.kind == "bnode":
+        if _first(obj, path_t.o, RDF_FIRST) is not None:
+            elems = rdf_list_triples(obj, path_t.o)
+            steps = []
+            for e in elems:
+                st = step(e.o, e.kind)
+                if st is None:
+                    return None
+                steps.append(st)
+            return steps or None
+        return None if step(path_t.o, "bnode") is None \
+            else [step(path_t.o, "bnode")]
+    return None
+
+
+def path_str(steps: List[Tuple[str, str]]) -> str:
+    """SPARQL-ish display string for a resolved path: ``^`` marks an
+    inverse step, ``/`` separates sequence steps — this is what lands
+    in the violation row's ``property_path`` column."""
+    return "/".join(("^" + p) if d == "inv" else p for d, p in steps)
+
+
+def unsupported_path_shapes(triples: List[Triple]) -> List[Dict[str, str]]:
+    """Property shapes whose ``sh:path`` is OUTSIDE the resolvable
+    subset (alternative / zeroOrMore / oneOrMore / zeroOrOne / nested
+    forms), surfaced as data: ``[{"shape", "pshape", "target",
+    "path_node"}]``.  These shapes are never evaluated — a blank-node
+    path must not silently become a (nonexistent) pivot column, and a
+    wrong approximation is worse than an explicit gap."""
+    obj = _sp_index(triples)
+    out = []
+    for shape, target in _node_shapes_with_target(triples, obj):
+        for pt in obj.get((shape, SH_NS + "property"), []):
+            path_t = _first(obj, pt.o, SH_NS + "path")
+            if path_t is None:
+                continue
+            if resolve_path(obj, path_t) is None:
+                out.append({"shape": shape, "pshape": pt.o,
+                            "target": target, "path_node": path_t.o})
+    return out
+
+
 def _node_shapes_with_target(triples, obj) -> List[Tuple[str, str]]:
     """[(shape, target_class)] for `a sh:NodeShape` / `a sh:Shape`
     declarations carrying sh:targetClass — ONE place for the type
@@ -485,6 +555,12 @@ def shapes_to_specs(triples: List[Triple], long_form: bool = False):
             pshape = pt.o
             path_t = first(pshape, SH_NS + "path")
             if path_t is None:
+                continue
+            if path_t.kind != "iri":
+                # complex path (inverse / sequence): evaluated exactly by
+                # validate_ttl_long's path walker; unsupported operators
+                # are surfaced by unsupported_path_shapes().  Either way
+                # a blank-node id must never become a pivot column name.
                 continue
             col = path_t.o
             # sh:message overrides every constraint message of this
@@ -628,7 +704,15 @@ def long_form_property_shapes(triples: List[Triple]):
 
     Returns ``[(target_class, pshape, predicate, facets)]`` where facets
     is a dict with any of ``max_count``/``min_count``/``node_kind``/
-    ``class_iri``/``language_in``/``message``."""
+    ``class_iri``/``language_in``/``message``.
+
+    COMPLEX paths (inverse / sequence — :func:`resolve_path`) also land
+    here: their facets carry ``steps`` (the resolved step list) and the
+    ROW-LOCAL facets too (``pattern``/``min_length``/``max_length``/
+    ``datatype``/``in_set``/``min_count`` down to 1) — the entity pivot
+    cannot see path-walked values, so every facet of a complex-path
+    shape is evaluated over the walked value rows.  Unresolvable paths
+    are skipped (surfaced by :func:`unsupported_path_shapes`)."""
     obj = _sp_index(triples)
     out = []
     for shape, target in _node_shapes_with_target(triples, obj):
@@ -637,7 +721,41 @@ def long_form_property_shapes(triples: List[Triple]):
             path_t = _first(obj, pshape, SH_NS + "path")
             if path_t is None:
                 continue
+            steps = resolve_path(obj, path_t)
+            if steps is None:
+                continue  # unsupported form: surfaced as data, not run
+            complex_path = len(steps) > 1 or steps[0][0] != "fwd"
             facets: Dict[str, object] = {}
+            if complex_path:
+                facets["steps"] = steps
+                mn1 = _first(obj, pshape, SH_NS + "minCount")
+                if mn1 is not None and int(mn1.o) == 1:
+                    facets["min_count"] = 1
+                pat = _first(obj, pshape, SH_NS + "pattern")
+                if pat is not None:
+                    facets["pattern"] = pat.o
+                for k in ("minLength", "maxLength"):
+                    b = _first(obj, pshape, SH_NS + k)
+                    if b is not None:
+                        facets[{"minLength": "min_length",
+                                "maxLength": "max_length"}[k]] = int(b.o)
+                dt = (_first(obj, pshape, SH_NS + "datatype")
+                      or _first(obj, pshape, SH_NS + "dataType"))
+                if dt is not None:
+                    facets["datatype"] = dt.o
+                in_t = _first(obj, pshape, SH_NS + "in")
+                if in_t is not None:
+                    facets["in_set"] = _hydrate_list_values(
+                        rdf_list_triples(obj, in_t.o))
+                bounds = []
+                for bk in ("minInclusive", "maxInclusive",
+                           "minExclusive", "maxExclusive"):
+                    b = _first(obj, pshape, SH_NS + bk)
+                    if b is not None:
+                        bounds.append((bk, float(b.o) if "." in b.o
+                                       else int(b.o)))
+                if bounds:
+                    facets["bounds"] = bounds
             msg_t = _first(obj, pshape, SH_NS + "message")
             if msg_t is not None:
                 facets["message"] = msg_t.o
@@ -662,8 +780,59 @@ def long_form_property_shapes(triples: List[Triple]):
                 else:
                     facets["language_in"] = [
                         t.o for t in rdf_list_triples(obj, li.o)]
-            if set(facets) - {"message"}:
-                out.append((target, pshape, path_t.o, facets))
+            if set(facets) - {"message", "steps"}:
+                out.append((target, pshape,
+                            path_str(steps) if complex_path else path_t.o,
+                            facets))
+    return out
+
+
+def _walk_path_rows(data_triples: List[Triple], subjects: List[str],
+                    steps: List[Tuple[str, str]]):
+    """Evaluate a resolved property path over the data graph for each
+    focus subject: returns ``{subject: [(value, kind, lang), ...]}``
+    with DISTINCT value nodes (SHACL counts value nodes, not derivation
+    paths — a value reachable two ways is one value).
+
+    Node identity is the full RDF term ``(lexical, kind, lang,
+    datatype)``; forward steps follow triples whose subject is a
+    non-literal frontier node, inverse steps follow triples whose
+    OBJECT term equals the frontier node (matching lang/datatype, so
+    ``"x"@en`` and ``"x"@fr`` stay distinct).  Driver-side by design —
+    TTL inputs are small by construction (the 100 TB path is Parquet,
+    where paths become joins)."""
+    fwd_idx: Dict[Tuple[str, str], List[Triple]] = {}
+    inv_idx: Dict[Tuple[str, str, Optional[str], Optional[str], str],
+                  List[str]] = {}
+    fwd_preds = {p for d, p in steps if d == "fwd"}
+    inv_preds = {p for d, p in steps if d == "inv"}
+    for t in data_triples:
+        if t.p in fwd_preds:
+            fwd_idx.setdefault((t.s, t.p), []).append(t)
+        if t.p in inv_preds:
+            inv_idx.setdefault((t.o, t.kind, t.lang, t.datatype, t.p),
+                               []).append(t.s)
+    out: Dict[str, list] = {}
+    for s in subjects:
+        skind = "bnode" if s.startswith("_:") else "iri"
+        frontier = {(s, skind, None, None)}
+        for d, p in steps:
+            nxt = set()
+            for node in frontier:
+                if d == "fwd":
+                    if node[1] == "literal":
+                        continue  # literals have no outgoing edges
+                    for t in fwd_idx.get((node[0], p), ()):
+                        nxt.add((t.o, t.kind, t.lang, t.datatype))
+                else:
+                    for u in inv_idx.get(
+                            (node[0], node[1], node[2], node[3], p), ()):
+                        nxt.add((u, "bnode" if u.startswith("_:")
+                                 else "iri", None, None))
+            frontier = nxt
+            if not frontier:
+                break
+        out[s] = sorted((v, k, lg) for v, k, lg, _dt in frontier)
     return out
 
 
@@ -687,10 +856,19 @@ def validate_ttl_long(data_triples: List[Triple],
 
     from ..pipelines.validate import ValidationEngine
     from ..spec import (
+        Datatype,
+        InSet,
         LanguageIn,
         MaxCount,
+        MaxExclusive,
+        MaxInclusive,
+        MaxLength,
         MinCount,
+        MinExclusive,
+        MinInclusive,
+        MinLength,
         NodeKind,
+        Pattern,
         Referential,
         ValidationSpec,
     )
@@ -708,19 +886,39 @@ def validate_ttl_long(data_triples: List[Triple],
         if not subjects:
             continue
         subj_set = set(subjects)
-        rows = [t for t in data_triples
-                if t.p == pred and t.s in subj_set]
-        have = {t.s for t in rows}
-        cols = {
-            "subject": ([t.s for t in rows]
-                        + [s for s in subjects if s not in have]),
-            "object": ([t.o for t in rows]
-                       + [None] * (len(subjects) - len(have))),
-            "kind": ([t.kind for t in rows]
-                     + [None] * (len(subjects) - len(have))),
-            "lang": ([t.lang or "" for t in rows]
-                     + [None] * (len(subjects) - len(have))),
-        }
+        if "steps" in facets:
+            # complex (inverse / sequence) path: one row per DISTINCT
+            # walked value node, null row for zero-valued subjects
+            walked = _walk_path_rows(data_triples, subjects,
+                                     facets["steps"])
+            cols = {"subject": [], "object": [], "kind": [], "lang": []}
+            for s in subjects:
+                vals = walked.get(s, [])
+                if not vals:
+                    cols["subject"].append(s)
+                    cols["object"].append(None)
+                    cols["kind"].append(None)
+                    cols["lang"].append(None)
+                    continue
+                for v, k, lg in vals:
+                    cols["subject"].append(s)
+                    cols["object"].append(v)
+                    cols["kind"].append(k)
+                    cols["lang"].append(lg or "")
+        else:
+            rows = [t for t in data_triples
+                    if t.p == pred and t.s in subj_set]
+            have = {t.s for t in rows}
+            cols = {
+                "subject": ([t.s for t in rows]
+                            + [s for s in subjects if s not in have]),
+                "object": ([t.o for t in rows]
+                           + [None] * (len(subjects) - len(have))),
+                "kind": ([t.kind for t in rows]
+                         + [None] * (len(subjects) - len(have))),
+                "lang": ([t.lang or "" for t in rows]
+                         + [None] * (len(subjects) - len(have))),
+            }
         table = pa.table({k: pa.array(v, pa.string())
                           for k, v in cols.items()})
         msg = facets.get("message")
@@ -757,6 +955,45 @@ def validate_ttl_long(data_triples: List[Triple],
                 column="object", shape_id=pshape, message=msg, path=pred,
                 ref_table="rdf:type", ref_column=str(facets["class_iri"])))
             ref_keys = {"object": pa.array(members, pa.string())}
+        # row-local facets of COMPLEX-path shapes ride the same value
+        # rows (the entity pivot can't see path-walked values); null
+        # object rows (zero-valued subjects) are excused by every
+        # row-local family, matching SHACL's per-value-node semantics
+        if "pattern" in facets:
+            constraints.append(Pattern(
+                column="object", shape_id=pshape, message=msg,
+                path=pred, pattern=str(facets["pattern"])))
+        if "min_length" in facets:
+            constraints.append(MinLength(
+                column="object", shape_id=pshape, message=msg,
+                path=pred, min_length=int(facets["min_length"])))
+        if "max_length" in facets:
+            constraints.append(MaxLength(
+                column="object", shape_id=pshape, message=msg,
+                path=pred, max_length=int(facets["max_length"])))
+        if "datatype" in facets:
+            arrow = ("int64" if facets["datatype"] in _INT_TYPES
+                     else "float64" if facets["datatype"] in _FLOAT_TYPES
+                     else "string")
+            constraints.append(Datatype(
+                column="object", shape_id=pshape, message=msg,
+                path=pred, datatype=arrow))
+        if "in_set" in facets:
+            # value rows are lexical strings: compare lexically (the
+            # hydrated list is stringified back — numeric in-sets with
+            # non-canonical lexical forms belong to the pivot path)
+            constraints.append(InSet(
+                column="object", shape_id=pshape, message=msg,
+                path=pred,
+                allowed=[str(x) for x in facets["in_set"]]))
+        for bk, bound in facets.get("bounds", ()):
+            cls = {"minInclusive": MinInclusive,
+                   "maxInclusive": MaxInclusive,
+                   "minExclusive": MinExclusive,
+                   "maxExclusive": MaxExclusive}[bk]
+            constraints.append(cls(
+                column="object", shape_id=pshape, message=msg,
+                path=pred, bound=bound))
         if not constraints:
             continue
         # id_columns carries the focus subject so the schema unions
