@@ -46,9 +46,9 @@ ex:ManagedAgeShape a sh:NodeShape ;
                 sh:minInclusive 18 ;
                 sh:message "employee under 18" ] .
 
-ex:AltShape a sh:NodeShape ;
+ex:NestedShape a sh:NodeShape ;
   sh:targetClass ex:Person ;
-  sh:property [ sh:path [ sh:alternativePath ( ex:a ex:b ) ] ;
+  sh:property [ sh:path [ sh:alternativePath ( ex:a ( ex:b ex:c ) ) ] ;
                 sh:minCount 1 ] .
 """
 
@@ -93,10 +93,11 @@ def test_resolve_path_forms():
     assert mix_f["steps"] == [("inv", EX + "worksFor"),
                               ("fwd", EX + "age")]
     assert mix_f["bounds"] == [("minInclusive", 18)]
-    # alternativePath: not resolvable, not evaluated, surfaced as data
-    assert None not in by_msg  # the AltShape entry (no message) is absent
+    # nested composite (alternative containing a sequence): not
+    # resolvable, not evaluated, surfaced as data
+    assert None not in by_msg  # the NestedShape entry (no message) absent
     unsup = unsupported_path_shapes(shapes)
-    assert [u["shape"] for u in unsup] == [EX + "AltShape"]
+    assert [u["shape"] for u in unsup] == [EX + "NestedShape"]
     # display helper round-trips
     assert path_str([("inv", "p"), ("fwd", "q")]) == "^p/q"
     # plain IRI resolves to a single forward step
@@ -157,6 +158,113 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
 """)
     out = validate_ttl_long(data, shapes)
     assert out is None or out.count() == 0
+
+
+def test_alternative_and_closure_paths(ray_session):
+    """alt / zeroOrMore / oneOrMore / zeroOrOne step semantics: value
+    sets match the SHACL spec (star includes the focus node; closures
+    are cycle-safe)."""
+    data = _t("""
+@prefix ex: <http://example.org/> .
+ex:r a ex:Node ; ex:child ex:m .
+ex:m ex:child ex:l1 ; ex:child ex:l2 .
+ex:l2 ex:child ex:r .
+ex:s a ex:Node2 ; ex:p "viaP" ; ex:q "viaQ" .
+ex:t a ex:Node2 .
+""")
+    shapes_alt = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Node2 ;
+  sh:property [ sh:path [ sh:alternativePath ( ex:p ex:q ) ] ;
+                sh:minCount 2 ; sh:message "needs p and q" ] .
+""")
+    viol = validate_ttl_long(data, shapes_alt).to_pandas()
+    # s has both (2 values), t has none (0 < 2): only t violates
+    assert list(viol["focus_node"]) == ["group:" + EX + "t"]
+    assert viol.iloc[0]["property_path"] == \
+        "(" + EX + "p|" + EX + "q)"
+
+    # oneOrMorePath over a CYCLIC child relation: r+ reaches
+    # {m, l1, l2, r} (cycle-safe, includes r itself via the loop)
+    shapes_plus = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Node ;
+  sh:property [ sh:path [ sh:oneOrMorePath ex:child ] ;
+                sh:maxCount 3 ; sh:message "too many descendants" ] .
+""")
+    viol = validate_ttl_long(data, shapes_plus).to_pandas()
+    assert len(viol) == 1  # 4 > 3
+    assert '"actualCount": 4' in viol.iloc[0]["context"]
+
+    # on the CYCLE the star set equals the plus set (the loop already
+    # re-reaches the focus node): 4 values → maxCount 4 passes
+    shapes_star = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Node ;
+  sh:property [ sh:path [ sh:zeroOrMorePath ex:child ] ;
+                sh:maxCount 4 ; sh:message "m" ] .
+""")
+    out = validate_ttl_long(data, shapes_star)
+    assert out is None or out.count() == 0
+
+    # ACYCLIC focus separates them: solo child+ = {x} (passes
+    # maxCount 1) but child* = {solo, x} (violates, actualCount 2)
+    data2 = _t("""
+@prefix ex: <http://example.org/> .
+ex:solo a ex:Node ; ex:child ex:x .
+""")
+    shapes_star1 = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Node ;
+  sh:property [ sh:path [ sh:zeroOrMorePath ex:child ] ;
+                sh:maxCount 1 ; sh:message "m" ] .
+""")
+    viol = validate_ttl_long(data2, shapes_star1).to_pandas()
+    assert len(viol) == 1
+    assert '"actualCount": 2' in viol.iloc[0]["context"]
+    shapes_plus1 = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Node ;
+  sh:property [ sh:path [ sh:oneOrMorePath ex:child ] ;
+                sh:maxCount 1 ] .
+""")
+    out = validate_ttl_long(data2, shapes_plus1)
+    assert out is None or out.count() == 0
+
+    # zeroOrOnePath: focus node + direct children = {r, m} → 2, passes 2
+    shapes_opt = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Node ;
+  sh:property [ sh:path [ sh:zeroOrOnePath ex:child ] ;
+                sh:maxCount 2 ] .
+""")
+    out = validate_ttl_long(data, shapes_opt)
+    assert out is None or out.count() == 0
+
+
+def test_closure_inside_sequence(ray_session):
+    # (child+ name): names of all strict descendants
+    data = _t("""
+@prefix ex: <http://example.org/> .
+ex:root a ex:Node ; ex:child ex:a .
+ex:a ex:child ex:b ; ex:name "A" .
+ex:b ex:name "b-lower" .
+""")
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Node ;
+  sh:property [ sh:path ( [ sh:oneOrMorePath ex:child ] ex:name ) ;
+                sh:pattern "^[A-Z]" ; sh:message "bad name" ] .
+""")
+    viol = validate_ttl_long(data, shapes).to_pandas()
+    assert len(viol) == 1 and viol.iloc[0]["value"] == "b-lower"
 
 
 def test_lang_tagged_values_stay_distinct(ray_session):

@@ -434,30 +434,55 @@ def _hydrate_list_values(elems: List[Triple]) -> List:
     return [t.o for t in elems]
 
 
-def resolve_path(obj, path_t: Triple) -> Optional[List[Tuple[str, str]]]:
-    """``sh:path`` node → ordered steps ``[("fwd"|"inv", predicate_iri),
-    ...]``, or ``None`` for forms outside the subset.
+def resolve_path(obj, path_t: Triple) -> Optional[List[Tuple]]:
+    """``sh:path`` node → ordered steps, or ``None`` for forms outside
+    the subset.  Step kinds (mirrors pyshacl's path evaluation — the
+    reference delegates ALL path handling to pyshacl):
 
-    Supported (mirrors pyshacl's path evaluation for these forms —
-    the reference delegates ALL path handling to pyshacl):
-    plain predicate IRI; ``[sh:inversePath <p>]``; and SEQUENCE paths
-    written as RDF lists whose elements are plain IRIs or inversePath
-    nodes, e.g. ``sh:path (ex:worksFor ex:name)`` or
-    ``sh:path ([sh:inversePath ex:knows] ex:age)``.
+    - ``("fwd", p)`` / ``("inv", p)`` — plain IRI / ``[sh:inversePath
+      <p>]``;
+    - ``("alt", [atom, ...])`` — ``[sh:alternativePath (…)]`` whose
+      alternatives are plain-or-inverse atoms;
+    - ``("star"|"plus"|"opt", atom)`` — ``sh:zeroOrMorePath`` /
+      ``sh:oneOrMorePath`` / ``sh:zeroOrOnePath`` over a plain-or-
+      inverse atom (closure semantics: star includes the start node);
+    - a SEQUENCE (RDF list) of any of the above.
 
-    Everything else — ``sh:alternativePath``, ``sh:zeroOrMorePath``,
-    ``sh:oneOrMorePath``, ``sh:zeroOrOnePath``, nested lists — returns
-    None and is surfaced as data by :func:`unsupported_path_shapes`
-    (the same never-mistranslate contract the sh:sparql translator
-    carries)."""
-    def step(o: str, kind: str) -> Optional[Tuple[str, str]]:
+    Nested composites (an alternative of sequences, a closure over a
+    sequence, …) return None and are surfaced as data by
+    :func:`unsupported_path_shapes` (the same never-mistranslate
+    contract the sh:sparql translator carries)."""
+    def atom(o: str, kind: str) -> Optional[Tuple[str, str]]:
+        """A plain predicate or its inverse — the closure/alternative
+        operand grammar."""
         if kind == "iri":
             return ("fwd", o)
-        if kind == "bnode":
+        if kind == "bnode" and _first(obj, o, RDF_FIRST) is None:
             inv = _first(obj, o, SH_NS + "inversePath")
-            if (inv is not None and inv.kind == "iri"
-                    and _first(obj, o, RDF_FIRST) is None):
+            if inv is not None and inv.kind == "iri":
                 return ("inv", inv.o)
+        return None
+
+    def step(o: str, kind: str) -> Optional[Tuple]:
+        st = atom(o, kind)
+        if st is not None:
+            return st
+        if kind != "bnode":
+            return None
+        alt = _first(obj, o, SH_NS + "alternativePath")
+        if alt is not None:
+            elems = rdf_list_triples(obj, alt.o)
+            branches = [atom(e.o, e.kind) for e in elems]
+            if branches and all(b is not None for b in branches):
+                return ("alt", branches)
+            return None
+        for pred, k in ((SH_NS + "zeroOrMorePath", "star"),
+                        (SH_NS + "oneOrMorePath", "plus"),
+                        (SH_NS + "zeroOrOnePath", "opt")):
+            t = _first(obj, o, pred)
+            if t is not None:
+                a = atom(t.o, t.kind)
+                return (k, a) if a is not None else None
         return None
 
     if path_t.kind == "iri":
@@ -472,25 +497,36 @@ def resolve_path(obj, path_t: Triple) -> Optional[List[Tuple[str, str]]]:
                     return None
                 steps.append(st)
             return steps or None
-        return None if step(path_t.o, "bnode") is None \
-            else [step(path_t.o, "bnode")]
+        st = step(path_t.o, "bnode")
+        return None if st is None else [st]
     return None
 
 
-def path_str(steps: List[Tuple[str, str]]) -> str:
+def path_str(steps: List[Tuple]) -> str:
     """SPARQL-ish display string for a resolved path: ``^`` marks an
-    inverse step, ``/`` separates sequence steps — this is what lands
-    in the violation row's ``property_path`` column."""
-    return "/".join(("^" + p) if d == "inv" else p for d, p in steps)
+    inverse step, ``/`` separates sequence steps, ``|`` alternatives,
+    ``* + ?`` the closures — this is what lands in the violation row's
+    ``property_path`` column."""
+    def one(st) -> str:
+        d = st[0]
+        if d == "fwd":
+            return st[1]
+        if d == "inv":
+            return "^" + st[1]
+        if d == "alt":
+            return "(" + "|".join(one(b) for b in st[1]) + ")"
+        return one(st[1]) + {"star": "*", "plus": "+", "opt": "?"}[d]
+    return "/".join(one(st) for st in steps)
 
 
 def unsupported_path_shapes(triples: List[Triple]) -> List[Dict[str, str]]:
     """Property shapes whose ``sh:path`` is OUTSIDE the resolvable
-    subset (alternative / zeroOrMore / oneOrMore / zeroOrOne / nested
-    forms), surfaced as data: ``[{"shape", "pshape", "target",
-    "path_node"}]``.  These shapes are never evaluated — a blank-node
-    path must not silently become a (nonexistent) pivot column, and a
-    wrong approximation is worse than an explicit gap."""
+    subset (nested composites: an alternative of sequences, a closure
+    over a sequence, an inverse of a composite, …), surfaced as data:
+    ``[{"shape", "pshape", "target", "path_node"}]``.  These shapes are
+    never evaluated — a blank-node path must not silently become a
+    (nonexistent) pivot column, and a wrong approximation is worse than
+    an explicit gap."""
     obj = _sp_index(triples)
     out = []
     for shape, target in _node_shapes_with_target(triples, obj):
@@ -801,35 +837,73 @@ def _walk_path_rows(data_triples: List[Triple], subjects: List[str],
     ``"x"@en`` and ``"x"@fr`` stay distinct).  Driver-side by design —
     TTL inputs are small by construction (the 100 TB path is Parquet,
     where paths become joins)."""
+    def atoms_of(st):
+        d = st[0]
+        if d in ("fwd", "inv"):
+            return [st]
+        if d == "alt":
+            return list(st[1])
+        return [st[1]]  # star / plus / opt
+
+    fwd_preds = {p for st in steps for d, p in atoms_of(st) if d == "fwd"}
+    inv_preds = {p for st in steps for d, p in atoms_of(st) if d == "inv"}
     fwd_idx: Dict[Tuple[str, str], List[Triple]] = {}
     inv_idx: Dict[Tuple[str, str, Optional[str], Optional[str], str],
                   List[str]] = {}
-    fwd_preds = {p for d, p in steps if d == "fwd"}
-    inv_preds = {p for d, p in steps if d == "inv"}
     for t in data_triples:
         if t.p in fwd_preds:
             fwd_idx.setdefault((t.s, t.p), []).append(t)
         if t.p in inv_preds:
             inv_idx.setdefault((t.o, t.kind, t.lang, t.datatype, t.p),
                                []).append(t.s)
+
+    def succ(node, d, p):
+        if d == "fwd":
+            if node[1] == "literal":
+                return ()  # literals have no outgoing edges
+            return [(t.o, t.kind, t.lang, t.datatype)
+                    for t in fwd_idx.get((node[0], p), ())]
+        return [(u, "bnode" if u.startswith("_:") else "iri", None, None)
+                for u in inv_idx.get(
+                    (node[0], node[1], node[2], node[3], p), ())]
+
+    def hop(frontier, atom):
+        nxt = set()
+        for node in frontier:
+            nxt.update(succ(node, *atom))
+        return nxt
+
+    def closure(frontier, atom):
+        """All nodes reachable via >=1 application (cycle-safe)."""
+        seen: set = set()
+        cur = hop(frontier, atom)
+        while cur:
+            fresh = cur - seen
+            if not fresh:
+                break
+            seen |= fresh
+            cur = hop(fresh, atom)
+        return seen
+
     out: Dict[str, list] = {}
     for s in subjects:
         skind = "bnode" if s.startswith("_:") else "iri"
         frontier = {(s, skind, None, None)}
-        for d, p in steps:
-            nxt = set()
-            for node in frontier:
-                if d == "fwd":
-                    if node[1] == "literal":
-                        continue  # literals have no outgoing edges
-                    for t in fwd_idx.get((node[0], p), ()):
-                        nxt.add((t.o, t.kind, t.lang, t.datatype))
-                else:
-                    for u in inv_idx.get(
-                            (node[0], node[1], node[2], node[3], p), ()):
-                        nxt.add((u, "bnode" if u.startswith("_:")
-                                 else "iri", None, None))
-            frontier = nxt
+        for st in steps:
+            d = st[0]
+            if d in ("fwd", "inv"):
+                frontier = hop(frontier, st)
+            elif d == "alt":
+                nxt = set()
+                for b in st[1]:
+                    nxt |= hop(frontier, b)
+                frontier = nxt
+            elif d == "opt":
+                frontier = frontier | hop(frontier, st[1])
+            elif d == "plus":
+                frontier = closure(frontier, st[1])
+            else:  # star: zero applications keep the start nodes
+                frontier = frontier | closure(frontier, st[1])
             if not frontier:
                 break
         out[s] = sorted((v, k, lg) for v, k, lg, _dt in frontier)
