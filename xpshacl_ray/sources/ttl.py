@@ -321,21 +321,36 @@ def triples_table(triples: List[Triple]) -> pa.Table:
 
 
 def entity_table(triples: List[Triple],
-                 target_class: Optional[str] = None) -> pa.Table:
+                 target_class: Optional[str] = None,
+                 subjects: Optional[List[str]] = None) -> pa.Table:
     """One row per subject (of ``target_class`` if given); one column per
     predicate (full IRI), holding the FIRST value; numeric xsd datatypes
     hydrate to int64/float64 when every value parses.
 
+    ``subjects`` overrides the rdf:type scan with an explicit focus-node
+    list (the extended-target kinds: targetNode / targetSubjectsOf /
+    targetObjectsOf — see :func:`target_subjects`).
+
     Multi-valued predicates keep the first value — grouped cardinality
     checks should run on :func:`triples_table` with the engine's grouped
     MinCount/MaxCount instead (documented scope)."""
-    subjects: List[str] = []
-    seen = set()
-    for t in triples:
-        if t.p == RDF_TYPE and (target_class is None or t.o == target_class):
-            if t.s not in seen:
-                seen.add(t.s)
-                subjects.append(t.s)
+    if subjects is not None:
+        seen = set()
+        uniq: List[str] = []
+        for s in subjects:
+            if s not in seen:
+                seen.add(s)
+                uniq.append(s)
+        subjects = uniq
+    else:
+        subjects = []
+        seen = set()
+        for t in triples:
+            if t.p == RDF_TYPE and (target_class is None
+                                    or t.o == target_class):
+                if t.s not in seen:
+                    seen.add(t.s)
+                    subjects.append(t.s)
     by_sp: Dict[Tuple[str, str], Triple] = {}
     preds: List[str] = []
     for t in triples:
@@ -540,21 +555,80 @@ def unsupported_path_shapes(triples: List[Triple]) -> List[Dict[str, str]]:
     return out
 
 
+#: extended-target sentinel prefixes — a target key is either a plain
+#: class IRI (sh:targetClass, the overwhelmingly common case, kept
+#: unprefixed for artifact/golden stability) or one of these
+TARGET_NODE = "target:node="
+TARGET_SUBJECTS_OF = "target:subjectsOf="
+TARGET_OBJECTS_OF = "target:objectsOf="
+
+
 def _node_shapes_with_target(triples, obj) -> List[Tuple[str, str]]:
-    """[(shape, target_class)] for `a sh:NodeShape` / `a sh:Shape`
-    declarations carrying sh:targetClass — ONE place for the type
-    spellings the reference fixtures use.
+    """[(shape, target_key)] for `a sh:NodeShape` / `a sh:Shape`
+    declarations — ONE place for the type spellings the reference
+    fixtures use.
 
     A shape may declare SEVERAL ``sh:targetClass`` values (the shark
     PropertyShape targets rdf:Property, owl:DatatypeProperty AND
     owl:ObjectProperty — ``shark_shapes.ttl:152-155``); SHACL semantics
     are the union of the targets, so one (shape, target) pair is
-    yielded per declared class, in declaration order."""
+    yielded per declared target, in declaration order.  Beyond
+    ``sh:targetClass`` (plain class-IRI key), ``sh:targetNode`` /
+    ``sh:targetSubjectsOf`` / ``sh:targetObjectsOf`` yield sentinel
+    keys (``TARGET_NODE`` etc.) that :func:`target_subjects` resolves
+    to focus-node sets — the reference gets all four target kinds free
+    from pyshacl."""
     out = []
     for t in triples:
         if t.p == RDF_TYPE and t.o in (SH_NS + "NodeShape", SH_NS + "Shape"):
             for tc in obj.get((t.s, SH_NS + "targetClass"), []):
                 out.append((t.s, tc.o))
+            for tn in obj.get((t.s, SH_NS + "targetNode"), []):
+                out.append((t.s, TARGET_NODE + tn.o))
+            for ts in obj.get((t.s, SH_NS + "targetSubjectsOf"), []):
+                out.append((t.s, TARGET_SUBJECTS_OF + ts.o))
+            for to in obj.get((t.s, SH_NS + "targetObjectsOf"), []):
+                out.append((t.s, TARGET_OBJECTS_OF + to.o))
+    return out
+
+
+def target_subjects(data_triples: List[Triple], target: str,
+                    types: Optional[Dict[str, set]] = None) -> List[str]:
+    """Focus-node set for a target key, in first-seen order:
+
+    - plain class IRI → subjects with an EXPLICIT ``rdf:type`` triple
+      (no-inference semantics, matching pyshacl's default);
+    - ``TARGET_NODE + n`` → exactly ``n`` (a declared focus node is in
+      scope whether or not it appears in the data graph);
+    - ``TARGET_SUBJECTS_OF + p`` → distinct subjects of ``p`` triples;
+    - ``TARGET_OBJECTS_OF + p`` → distinct objects of ``p`` triples
+      (literal objects included — constraints over their properties
+      simply find no values, as in pyshacl)."""
+    if target.startswith(TARGET_NODE):
+        return [target[len(TARGET_NODE):]]
+    if target.startswith(TARGET_SUBJECTS_OF):
+        p = target[len(TARGET_SUBJECTS_OF):]
+        out, seen = [], set()
+        for t in data_triples:
+            if t.p == p and t.s not in seen:
+                seen.add(t.s)
+                out.append(t.s)
+        return out
+    if target.startswith(TARGET_OBJECTS_OF):
+        p = target[len(TARGET_OBJECTS_OF):]
+        out, seen = [], set()
+        for t in data_triples:
+            if t.p == p and t.o not in seen:
+                seen.add(t.o)
+                out.append(t.o)
+        return out
+    if types is not None:
+        return [s for s, ts in types.items() if target in ts]
+    out, seen = [], set()
+    for t in data_triples:
+        if t.p == RDF_TYPE and t.o == target and t.s not in seen:
+            seen.add(t.s)
+            out.append(t.s)
     return out
 
 
@@ -702,10 +776,11 @@ def validate_unique_lang(data_triples: List[Triple],
             types.setdefault(t.s, set()).add(t.o)
     parts = []
     for target_class, pred in sorted(set(pairs)):
+        focus = set(target_subjects(data_triples, target_class, types))
         rows = [
             {"subject": t.s, "object": t.o, "lang": t.lang or ""}
             for t in data_triples
-            if t.p == pred and target_class in types.get(t.s, ())
+            if t.p == pred and t.s in focus
         ]
         if not rows:
             continue
@@ -956,7 +1031,7 @@ def validate_ttl_long(data_triples: List[Triple],
             types.setdefault(t.s, set()).add(t.o)
     parts = []
     for target, pshape, pred, facets in shapes:
-        subjects = sorted(s for s, ts in types.items() if target in ts)
+        subjects = sorted(target_subjects(data_triples, target, types))
         if not subjects:
             continue
         subj_set = set(subjects)
@@ -1892,8 +1967,7 @@ def validate_ttl(data_path: str, shapes_path: str,
             target = entry.get("target")
             if target not in scoped:
                 if target:
-                    subs = {t.s for t in data_triples
-                            if t.p == RDF_TYPE and t.o == target}
+                    subs = set(target_subjects(data_triples, target))
                     mask = pc.is_in(full_tt["subject"],
                                     value_set=pa.array(sorted(subs),
                                                        pa.string()))
@@ -1961,7 +2035,12 @@ def validate_ttl(data_path: str, shapes_path: str,
                 continue
             parts.append(ValidationEngine(ispec).validate(scoped[target]))
     for target_class, spec in sorted(specs.items()):
-        table = entity_table(data_triples, target_class)
+        if target_class.startswith("target:"):
+            table = entity_table(
+                data_triples,
+                subjects=target_subjects(data_triples, target_class))
+        else:
+            table = entity_table(data_triples, target_class)
         if table.num_rows == 0:
             continue
         have = set(table.column_names)
