@@ -43,7 +43,8 @@ def test_parse_bind_replace_single():
   """
     parsed = _parse_self_join_select(sel, OWL + "Class")
     assert parsed == {"kind": "subject_regex",
-                      "patterns": ["/([a-z][1]?[A-z0-9]*)$"]}
+                      "patterns": ["/([a-z][1]?[A-z0-9]*)$"],
+                      "guards": [[OWL + "Class"]]}
 
 
 def test_parse_bind_replace_multi_or_with_flags():
@@ -59,7 +60,8 @@ def test_parse_bind_replace_multi_or_with_flags():
   """
     parsed = _parse_self_join_select(sel, OWL + "ObjectProperty")
     assert parsed == {"kind": "subject_regex",
-                      "patterns": ["isA", "(?i)is-a", "(?i)is_a"]}
+                      "patterns": ["isA", "(?i)is-a", "(?i)is_a"],
+                      "guards": [[OWL + "ObjectProperty"]]}
 
 
 def test_parse_sibling_antijoin():
@@ -83,7 +85,8 @@ def test_parse_sibling_antijoin():
                       "path": RDFS + "subClassOf",
                       "edge": RDFS + "subClassOf",
                       "exclude": [OWL + "Thing"],
-                      "exclude_self": True}
+                      "exclude_self": True,
+                      "guards": [[OWL + "Class"]]}
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +105,8 @@ def test_parse_transitive_cycle_self_ref():
     # self-ref (which would silently match nothing)
     sel = _wrap("$this a owl:Class", "$this rdfs:subClassOf+ $this")
     assert _parse_self_join_select(sel, OWL + "Class") == {
-        "kind": "transitive_cycle", "path": RDFS + "subClassOf"}
+        "kind": "transitive_cycle", "path": RDFS + "subClassOf",
+        "guards": [[OWL + "Class"]]}
 
 
 def test_parse_rejects_other_property_paths():
@@ -153,30 +157,33 @@ def test_parse_rejects_unbound_str_filter_var():
 
 
 def test_shark_shapes_full_translation_inventory():
+    """The shark shapes declare targetClass AND targetSubjectsOf
+    (shark_shapes.ttl:30-31, 154-158), so each shape now evaluates ONCE
+    over its target UNION; type guards inside the selects are enforced
+    dynamically, and every sh:sparql block translates — none surface."""
     shapes, _ = load_turtle("/root/reference/data/shark_shapes.ttl")
-    checks, _skipped = sparql_sqlchecks(shapes)
-    regex = [(t.split("#")[-1], tuple(c.patterns))
-             for t, cs in checks.items() for c in cs
-             if isinstance(c, RegexMatch)]
-    assert ("Class", ("/([a-z][1]?[A-z0-9]*)$",)) in regex
-    assert ("ObjectProperty", ("isA", "(?i)is-a", "(?i)is_a")) in regex
-    # the capital-letter check lands on ALL THREE property targets
-    caps = [t for t, p in regex if p == ("/[A-Z][A-z0-9]*$",)]
-    assert sorted(caps) == ["DatatypeProperty", "ObjectProperty",
-                            "Property"]
-
     impls, still = sparql_grouped_constraints(shapes)
+    assert still == []
+    regex = [(e, c) for e, c in impls if isinstance(c, RegexMatch)]
+    by_pats = {tuple(c.patterns): e for e, c in regex}
+    # all three naming blocks route through the guard-aware grouped
+    # path (their union scopes include a subjects-of sentinel, so the
+    # entity-pivot fast path cannot statically cover the guard)
+    assert by_pats[("/([a-z][1]?[A-z0-9]*)$",)]["guards"] == \
+        [[OWL + "Class"]]
+    assert by_pats[("isA", "(?i)is-a", "(?i)is_a")]["guards"] == \
+        [[OWL + "ObjectProperty"]]
+    assert sorted(by_pats[("/[A-Z][A-z0-9]*$",)]["guards"][0]) == sorted([
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#Property",
+        OWL + "DatatypeProperty", OWL + "ObjectProperty"])
+    # ONE entry per block — the union key replaces per-target repeats
+    assert len(regex) == 3
+
     sibs = [c for _, c in impls if isinstance(c, SiblingAntiJoin)]
     assert len(sibs) == 1
     assert sibs[0].edge_pred == RDFS + "subClassOf"
     assert sibs[0].exclude == [OWL + "Thing"]
     assert sibs[0].exclude_self
-    # round-5 frontier: every shark sh:sparql translates; the only
-    # surfaced entries are the is-a block under the two property targets
-    # its $this-a-ObjectProperty guard excludes (it IS translated under
-    # ObjectProperty)
-    msgs = {e["message"] for e in still}
-    assert msgs == {"Detect wrongly defined relationship 'is'"}
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +276,8 @@ def test_parse_unconnected_isolation():
         "kind": "isolation",
         "outgoing": sorted([RDFS + "subClassOf", OWL + "equivalentClass"]),
         "incoming": sorted([OWL + "equivalentClass", RDFS + "subClassOf",
-                            RDFS + "range", RDFS + "domain"])}
+                            RDFS + "range", RDFS + "domain"]),
+        "guards": [[OWL + "Class"]]}
 
 
 def test_parse_must_have_instances_optional_having():
@@ -285,7 +293,8 @@ def test_parse_must_have_instances_optional_having():
     parsed = _parse_self_join_select(sel, OWL + "Class")
     assert parsed == {
         "kind": "isolation", "outgoing": [],
-        "incoming": ["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]}
+        "incoming": ["http://www.w3.org/1999/02/22-rdf-syntax-ns#type"],
+        "guards": [[OWL + "Class"]]}
 
 
 def test_parse_rejects_having_without_optional():
@@ -326,7 +335,8 @@ def test_parse_synonyms_same_replace_eq():
     parsed = _parse_self_join_select(sel, OWL + "Class")
     assert parsed == {"kind": "same_replace_eq",
                       "path": OWL + "equivalentClass",
-                      "pattern": "(#|/)[^#/]*$", "replacement": "$1"}
+                      "pattern": "(#|/)[^#/]*$", "replacement": "$1",
+                      "guards": [[OWL + "Class"]]}
 
 
 def test_parse_rejects_synonyms_with_different_regexes():
@@ -340,9 +350,13 @@ def test_parse_rejects_synonyms_with_different_regexes():
 
 
 def test_shark_shapes_round5_inventory():
-    """EVERY shark sh:sparql now auto-translates (the is-a block only
-    under the target its type guard names)."""
-    from xpshacl_ray.spec import NodeIsolation, TransitiveCycle
+    """EVERY shark sh:sparql auto-translates — with union targets and
+    dynamic type guards, nothing surfaces at all."""
+    from xpshacl_ray.spec import (
+        GroupedSparql,
+        NodeIsolation,
+        TransitiveCycle,
+    )
 
     shapes, _ = load_turtle("/root/reference/data/shark_shapes.ttl")
     impls, still = sparql_grouped_constraints(shapes)
@@ -356,8 +370,15 @@ def test_shark_shapes_round5_inventory():
     assert len(syn) == 1
     cyc = [c for _, c in impls if isinstance(c, TransitiveCycle)]
     assert len(cyc) == 1 and cyc[0].path == RDFS + "subClassOf"
-    msgs = sorted({e["message"] for e in still})
-    assert msgs == ["Detect wrongly defined relationship 'is'"]
+    # inverse-to-self: ONE union entry (was one per property class),
+    # guard = the IN list
+    inv = [(e, c) for e, c in impls if isinstance(c, GroupedSparql)
+           and c.name.startswith("auto-self-ref:")]
+    assert len(inv) == 1
+    assert sorted(inv[0][0]["guards"][0]) == sorted([
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#Property",
+        OWL + "DatatypeProperty", OWL + "ObjectProperty"])
+    assert still == []
 
 
 def test_shark_fixture_round5_counts(shark_fixture, ray_session):

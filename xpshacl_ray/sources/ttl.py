@@ -544,7 +544,7 @@ def unsupported_path_shapes(triples: List[Triple]) -> List[Dict[str, str]]:
     an explicit gap."""
     obj = _sp_index(triples)
     out = []
-    for shape, target in _node_shapes_with_target(triples, obj):
+    for shape, target in _shape_target_keys(triples, obj):
         for pt in obj.get((shape, SH_NS + "property"), []):
             path_t = _first(obj, pt.o, SH_NS + "path")
             if path_t is None:
@@ -561,6 +561,11 @@ def unsupported_path_shapes(triples: List[Triple]) -> List[Dict[str, str]]:
 TARGET_NODE = "target:node="
 TARGET_SUBJECTS_OF = "target:subjectsOf="
 TARGET_OBJECTS_OF = "target:objectsOf="
+#: a shape with SEVERAL targets gets ONE union key (SHACL focus set =
+#: union of all targets; every focus node is evaluated ONCE) — parts
+#: joined by an unencodable-in-IRIs separator
+TARGET_UNION = "target:union="
+_UNION_SEP = "\x1f"
 
 
 def _node_shapes_with_target(triples, obj) -> List[Tuple[str, str]]:
@@ -592,6 +597,30 @@ def _node_shapes_with_target(triples, obj) -> List[Tuple[str, str]]:
     return out
 
 
+def _shape_target_keys(triples, obj) -> List[Tuple[str, str]]:
+    """ONE (shape, target_key) per shape: the single declared target,
+    or a ``TARGET_UNION`` key over all of them.  SHACL's focus set is
+    the UNION of a shape's targets and each focus node is validated
+    once — per-target evaluation would double-report a node matched by
+    two targets (the shark ClassShape targets ``owl:Class`` AND
+    ``sh:targetSubjectsOf rdfs:subClassOf``; most typed classes match
+    both)."""
+    by_shape: Dict[str, List[str]] = {}
+    order: List[str] = []
+    for shape, target in _node_shapes_with_target(triples, obj):
+        if shape not in by_shape:
+            by_shape[shape] = []
+            order.append(shape)
+        if target not in by_shape[shape]:
+            by_shape[shape].append(target)
+    out = []
+    for shape in order:
+        ts = by_shape[shape]
+        out.append((shape, ts[0] if len(ts) == 1
+                    else TARGET_UNION + _UNION_SEP.join(ts)))
+    return out
+
+
 def target_subjects(data_triples: List[Triple], target: str,
                     types: Optional[Dict[str, set]] = None) -> List[str]:
     """Focus-node set for a target key, in first-seen order:
@@ -603,7 +632,17 @@ def target_subjects(data_triples: List[Triple], target: str,
     - ``TARGET_SUBJECTS_OF + p`` → distinct subjects of ``p`` triples;
     - ``TARGET_OBJECTS_OF + p`` → distinct objects of ``p`` triples
       (literal objects included — constraints over their properties
-      simply find no values, as in pyshacl)."""
+      simply find no values, as in pyshacl);
+    - ``TARGET_UNION + k1␟k2…`` → deduped union of the parts."""
+    if target.startswith(TARGET_UNION):
+        parts = target[len(TARGET_UNION):].split(_UNION_SEP)
+        out, seen = [], set()
+        for part in parts:
+            for s in target_subjects(data_triples, part, types):
+                if s not in seen:
+                    seen.add(s)
+                    out.append(s)
+        return out
     if target.startswith(TARGET_NODE):
         return [target[len(TARGET_NODE):]]
     if target.startswith(TARGET_SUBJECTS_OF):
@@ -659,7 +698,7 @@ def shapes_to_specs(triples: List[Triple], long_form: bool = False):
         return _first(obj, s, p)
 
     specs: Dict[str, ValidationSpec] = {}
-    for shape, target in _node_shapes_with_target(triples, obj):
+    for shape, target in _shape_target_keys(triples, obj):
         constraints = []
         for pt in obj.get((shape, SH_NS + "property"), []):
             pshape = pt.o
@@ -748,7 +787,7 @@ def unique_lang_constraints(triples: List[Triple]):
     literals need the long form)."""
     obj = _sp_index(triples)
     out = []
-    for shape, target in _node_shapes_with_target(triples, obj):
+    for shape, target in _shape_target_keys(triples, obj):
         for pt in obj.get((shape, SH_NS + "property"), []):
             path_t = _first(obj, pt.o, SH_NS + "path")
             ul = _first(obj, pt.o, SH_NS + "uniqueLang")
@@ -826,7 +865,7 @@ def long_form_property_shapes(triples: List[Triple]):
     are skipped (surfaced by :func:`unsupported_path_shapes`)."""
     obj = _sp_index(triples)
     out = []
-    for shape, target in _node_shapes_with_target(triples, obj):
+    for shape, target in _shape_target_keys(triples, obj):
         for pt in obj.get((shape, SH_NS + "property"), []):
             pshape = pt.o
             path_t = _first(obj, pshape, SH_NS + "path")
@@ -1287,11 +1326,26 @@ def sparql_sqlchecks(shape_triples: List[Triple]):
     ``sh:path``)."""
     from ..spec import RegexMatch, SqlCheck
 
+    def covered(target: str, guards) -> bool:
+        """True when the target key's scope statically satisfies every
+        type guard — i.e. every scope part is a plain class IRI that
+        appears in each (non-empty) guard's class list.  Only then may
+        a guard-bearing block run on the entity pivot (which has no
+        rdf:type column); otherwise the grouped translator handles it
+        with dynamic guard intersection."""
+        if not guards:
+            return True
+        parts = (target[len(TARGET_UNION):].split(_UNION_SEP)
+                 if target.startswith(TARGET_UNION) else [target])
+        if any(p.startswith("target:") for p in parts):
+            return False
+        return all((not g) or all(p in g for p in parts) for g in guards)
+
     obj = _sp_index(shape_triples)
     checks: Dict[str, List] = {}
     skipped: List[Dict[str, str]] = []
     seen = set()
-    for shape, target in _node_shapes_with_target(shape_triples, obj):
+    for shape, target in _shape_target_keys(shape_triples, obj):
         # any object of the node shape that carries sh:sparql is a holder
         # (the reference attaches them via the nonstandard
         # sh:PropertyConstraintComponent predicate) — and so is the node
@@ -1322,7 +1376,14 @@ def sparql_sqlchecks(shape_triples: List[Triple]):
                     continue
                 parsed = (_parse_self_join_select(sel.o, target)
                           if sel is not None else None)
-                if parsed is not None and parsed["kind"] == "subject_regex":
+                if parsed is not None:
+                    entry["guards"] = parsed.get("guards", [])
+                if (parsed is not None
+                        and parsed["kind"] == "subject_regex"
+                        and covered(target, parsed["guards"])):
+                    # pivot fast path: guards statically satisfied by
+                    # the target scope; otherwise fall through to the
+                    # grouped translator's focus-table plan
                     checks.setdefault(target, []).append(RegexMatch(
                         column="subject", patterns=parsed["patterns"],
                         shape_id=holder, name=sq.o,
@@ -1371,12 +1432,17 @@ def _parse_self_join_select(select: str, target: str):
     - ``$this <p> ?v``          — triple pattern (two with the same
       ``p`` + ``FILTER(?v1 != ?v2)`` ≡ "at most one value of p")
     - ``$this <p> $this``       — self-reference (e.g. owl:inverseOf)
-    - ``$this rdf:type <C>``    — type guard; accepted iff C == the
-      holder shape's target class (the engine's scoping already
-      enforces it)
-    - ``$this a ?var``          — variable type guard; always satisfied
-      for target-scoped groups, optionally constrained by
-      ``FILTER(?var IN (...))`` which must include the target class
+    - ``$this rdf:type <C>``    — type guard; recorded in the returned
+      dict's ``guards`` (conjunctive list of disjunctive class lists;
+      ``[]`` = "typed at all") — the CONSUMER intersects the focus
+      scope with the guard classes' members, so translation is valid
+      under any target incl. multi-target union scopes
+    - ``$this a ?var``          — variable type guard (guard ``[]``),
+      optionally constrained by ``FILTER(?var IN (...))`` (guard =
+      the IN list)
+
+    ``target`` is retained for signature stability but no longer
+    gates translation.
     - ``FILTER(?v1 != ?v2)``    — the self-join inequality
     - ``BIND(REPLACE(STR($this), 'rx', '' [,'flags']) as ?v)`` +
       ``FILTER(STR($this) != STR(?v) [|| ...])`` — the shark
@@ -1429,6 +1495,7 @@ def _parse_self_join_select(select: str, target: str):
     self_refs: List[str] = []
     neq: List[Tuple[str, str]] = []
     type_vars: List[str] = []
+    guards: List[List[str]] = []  # conjunctive; [] = "typed at all"
     in_filters: List[Tuple[str, List[Optional[str]]]] = []
     binds: Dict[str, Tuple[str, str, str, str]] = {}
     str_neq_vars: List[str] = []
@@ -1466,8 +1533,14 @@ def _parse_self_join_select(select: str, target: str):
                     triples.append((p, o))
             else:
                 oi = _expand_prefixed(o, prefixes)
-                if p != RDF_TYPE or oi != target:
+                if p != RDF_TYPE or oi is None:
                     return None  # constant-object pattern: not in subset
+                # `$this a <C>`: a TYPE GUARD — the query restricts its
+                # own bindings to instances of C; the consumer must
+                # intersect the focus scope with C's members (under a
+                # multi-target union scope the guard is NOT implied by
+                # target scoping)
+                guards.append([oi])
             continue
         mf = re.fullmatch(r"FILTER\s*\(\s*\?(\w+)\s*!=\s*\?(\w+)\s*\)", s)
         if mf:
@@ -1572,12 +1645,25 @@ def _parse_self_join_select(select: str, target: str):
                 str_neq_vars.extend(ok_vars)
                 continue
         return None
-    # variable type guards: the engine's target scoping already
-    # guarantees a matching rdf:type triple; an IN list must contain
-    # the target class or the guard could exclude scoped subjects
+    # variable type guards: `$this a ?v` + FILTER(?v IN (...)) is a
+    # disjunctive type guard; a bare `$this a ?v` merely requires SOME
+    # rdf:type triple.  Both become guard entries the consumer
+    # intersects the focus scope with (target no longer needs to equal
+    # the guard class — multi-target shapes evaluate under one union
+    # scope, VERDICT r5 target-union refactor)
     for var, items in in_filters:
-        if var not in type_vars or None in items or target not in items:
+        if var not in type_vars or None in items:
             return None
+        guards.append([x for x in items if x is not None])
+    constrained = {var for var, _ in in_filters}
+    for var in type_vars:
+        if var not in constrained:
+            guards.append([])  # bare `$this a ?v`: typed at all
+
+    def done(d: dict) -> dict:
+        d["guards"] = guards
+        return d
+
     if having and not optionals:
         return None  # aggregate forms beyond OPTIONAL + COUNT(?v)=0
     if trans_self:
@@ -1587,7 +1673,7 @@ def _parse_self_join_select(select: str, target: str):
                 or str_neq_vars or not_exists or const_neq or this_neq
                 or iso_out or iso_in or eq_filters or optionals):
             return None
-        return {"kind": "transitive_cycle", "path": trans_self[0]}
+        return done({"kind": "transitive_cycle", "path": trans_self[0]})
     if optionals:
         # must-have-instances form: exactly ONE optional triple whose
         # free variable is counted to zero by the HAVING clause
@@ -1601,15 +1687,15 @@ def _parse_self_join_select(select: str, target: str):
             select, re.IGNORECASE)
         if mh is None or "?" + mh.group(1) != var:
             return None
-        return {"kind": "isolation",
+        return done({"kind": "isolation",
                 "outgoing": [q] if d == "out" else [],
-                "incoming": [q] if d == "in" else []}
+                "incoming": [q] if d == "in" else []})
     if iso_out or iso_in:
         if (binds or str_neq_vars or eq_filters or triples or self_refs
                 or neq or not_exists or const_neq or this_neq):
             return None
-        return {"kind": "isolation", "outgoing": sorted(set(iso_out)),
-                "incoming": sorted(set(iso_in))}
+        return done({"kind": "isolation", "outgoing": sorted(set(iso_out)),
+                "incoming": sorted(set(iso_in))})
     if eq_filters:
         # synonyms form: one triple, one REPLACE image shared by $this
         # and the triple's object variable, equality filter between them
@@ -1629,9 +1715,9 @@ def _parse_self_join_select(select: str, target: str):
         p, other = triples[0]
         if {s1, s2} != {"$this", other}:
             return None
-        return {"kind": "same_replace_eq", "path": p,
+        return done({"kind": "same_replace_eq", "path": p,
                 "pattern": (f"(?{fl1})" if fl1 else "") + rx1,
-                "replacement": rp1}
+                "replacement": rp1})
     if binds or str_neq_vars:
         if (triples or self_refs or neq or not str_neq_vars
                 or not_exists or const_neq or this_neq):
@@ -1650,7 +1736,7 @@ def _parse_self_join_select(select: str, target: str):
             if set(flags) - set("ism"):
                 return None  # q/x flags have no inline RE2/Python fold
             pats.append((f"(?{flags})" if flags else "") + rx)
-        return {"kind": "subject_regex", "patterns": pats}
+        return done({"kind": "subject_regex", "patterns": pats})
     if len(triples) == 2 and not self_refs:
         (p1, v1), (p2, v2) = triples
         if p1 != p2 or v1 == v2:
@@ -1672,16 +1758,16 @@ def _parse_self_join_select(select: str, target: str):
                 return None
             if this_neq and this_neq != {v1, v2}:
                 return None
-            return {"kind": "sibling_antijoin", "path": p1,
+            return done({"kind": "sibling_antijoin", "path": p1,
                     "edge": qs.pop(),
                     "exclude": sorted(const_neq.get(v1, set())),
-                    "exclude_self": bool(this_neq)}
+                    "exclude_self": bool(this_neq)})
         if const_neq or this_neq:
             return None
-        return {"kind": "self_join", "path": p1}
+        return done({"kind": "self_join", "path": p1})
     if (len(self_refs) == 1 and not triples and not neq
             and not not_exists and not const_neq and not this_neq):
-        return {"kind": "self_ref", "path": self_refs[0]}
+        return done({"kind": "self_ref", "path": self_refs[0]})
     return None
 
 
@@ -1754,6 +1840,7 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
         GroupedSparql,
         GroupPredicate,
         NodeIsolation,
+        RegexMatch,
         SiblingAntiJoin,
         TransitiveCycle,
     )
@@ -1767,7 +1854,18 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
         if parsed is None:
             still.append(entry)
             continue
-        if parsed["kind"] == "self_join":
+        entry["guards"] = parsed.get("guards", [])
+        if parsed["kind"] == "subject_regex":
+            # reaches here (instead of sparql_sqlchecks' pivot path)
+            # when the type guards are NOT statically covered by the
+            # target scope — evaluated over the guard-intersected
+            # focus table by validate_ttl
+            c = RegexMatch(
+                column="subject", patterns=parsed["patterns"],
+                shape_id=entry.get("shape") or None,
+                name="auto-subject-regex",
+                message=entry.get("message") or None)
+        elif parsed["kind"] == "self_join":
             c = GroupedSparql(
                 path=parsed["path"], group_by=["subject"],
                 columns=["predicate", "object"],
@@ -1819,9 +1917,8 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
                 shape_id=entry.get("shape") or None,
                 message=entry.get("message") or None)
         else:
-            # row-local kinds (subject_regex) are sparql_sqlchecks'
-            # business — they never reach `skipped`, but a future kind
-            # must surface as data, not fall into the wrong grouped path
+            # a future kind must surface as data, not fall into the
+            # wrong grouped path
             still.append(entry)
             continue
         impls.append((entry, c))
@@ -1916,6 +2013,7 @@ def validate_ttl(data_path: str, shapes_path: str,
     from ..pipelines.validate import ValidationEngine
     from ..spec import (
         NodeIsolation,
+        RegexMatch,
         SiblingAntiJoin,
         TransitiveCycle,
         ValidationSpec,
@@ -1961,23 +2059,48 @@ def validate_ttl(data_path: str, shapes_path: str,
             if full_tt is None:
                 full_tt = triples_table(data_triples)
             # SHACL focus-node semantics: the impl sees only the triples
-            # of subjects typed as the holder shape's sh:targetClass —
-            # a non-target subject matching the pattern must NOT emit a
-            # violation (mirrors entity_table's targeting)
+            # of the holder shape's focus nodes (union of its declared
+            # targets), further intersected with the select's own type
+            # guards (`$this a <C>` restricts bindings to C's members —
+            # under a multi-target union scope the guard is NOT implied
+            # by target scoping)
             target = entry.get("target")
-            if target not in scoped:
+            guards = tuple(tuple(g) for g in entry.get("guards") or ())
+            skey = (target, guards)
+            if skey not in scoped:
                 if target:
                     subs = set(target_subjects(data_triples, target))
-                    mask = pc.is_in(full_tt["subject"],
-                                    value_set=pa.array(sorted(subs),
-                                                       pa.string()))
-                    scoped[target] = ray.data.from_arrow(
-                        full_tt.filter(mask))
                 else:
-                    scoped[target] = ray.data.from_arrow(full_tt)
+                    subs = {t.s for t in data_triples}
+                if guards:
+                    types_map: Dict[str, set] = {}
+                    for t in data_triples:
+                        if t.p == RDF_TYPE:
+                            types_map.setdefault(t.s, set()).add(t.o)
+                    for g in guards:
+                        if g:
+                            subs = {s for s in subs
+                                    if types_map.get(s, set()) & set(g)}
+                        else:  # bare `$this a ?v`: typed at all
+                            subs = {s for s in subs if s in types_map}
+                mask = pc.is_in(full_tt["subject"],
+                                value_set=pa.array(sorted(subs),
+                                                   pa.string()))
+                scoped[skey] = (ray.data.from_arrow(
+                    full_tt.filter(mask)), sorted(subs))
+            scoped_ds, scoped_subs = scoped[skey]
             ispec = ValidationSpec(constraints=[impl],
                                    id_columns=["subject"],
                                    focus_template="{subject}")
+            if isinstance(impl, RegexMatch):
+                # row-local subject regex under dynamic guards: one row
+                # per FOCUS NODE (the triples table would emit one
+                # violation per triple of the subject)
+                focus_tbl = pa.table({"subject": pa.array(
+                    scoped_subs, pa.string())})
+                parts.append(ValidationEngine(ispec).validate(
+                    ray.data.from_arrow(focus_tbl)))
+                continue
             if isinstance(impl, NodeIsolation):
                 # witness anti-join over the FULL graph (NOT EXISTS
                 # consults every triple, not just target-scoped ones)
@@ -1986,7 +2109,7 @@ def validate_ttl(data_path: str, shapes_path: str,
 
                 cspec = compile_spec(ispec)
                 parts.append(evaluate_node_isolation(
-                    scoped[target], full_tt, compile_constraint(impl),
+                    scoped_ds, full_tt, compile_constraint(impl),
                     cspec))
                 continue
             if isinstance(impl, TransitiveCycle):
@@ -2003,7 +2126,7 @@ def validate_ttl(data_path: str, shapes_path: str,
                 members = cycle_members(edges_ds)
                 cspec = compile_spec(ispec)
                 parts.append(evaluate_membership(
-                    scoped[target], members, compile_constraint(impl),
+                    scoped_ds, members, compile_constraint(impl),
                     cspec))
                 continue
             if isinstance(impl, SiblingAntiJoin):
@@ -2026,14 +2149,14 @@ def validate_ttl(data_path: str, shapes_path: str,
                     pairs_ref = ray.put(normalized_edge_pairs(edges))
                     impl.fn = sibling_fn(pairs_ref, impl)
                     parts.append(
-                        ValidationEngine(ispec).validate(scoped[target]))
+                        ValidationEngine(ispec).validate(scoped_ds))
                 else:
                     cspec = compile_spec(ispec)
                     parts.append(evaluate_sibling_join(
-                        scoped[target], edges, compile_constraint(impl),
+                        scoped_ds, edges, compile_constraint(impl),
                         cspec))
                 continue
-            parts.append(ValidationEngine(ispec).validate(scoped[target]))
+            parts.append(ValidationEngine(ispec).validate(scoped_ds))
     for target_class, spec in sorted(specs.items()):
         if target_class.startswith("target:"):
             table = entity_table(
