@@ -2841,6 +2841,77 @@ ex:YoungShape a sh:NodeShape ; sh:targetClass ex:Company ;
     return "\n".join(data) + "\n", shapes, sorted(expected)
 
 
+def _ttl_closed_fixture() -> tuple:
+    """Deterministic fixture for sh:closed / sh:ignoredProperties /
+    sh:hasValue / sh:deactivated (``sources/ttl.py:closed_node_shapes``
+    — the reference gets these free from pyshacl): 40 Things where
+    every 3rd is not "active" (hasValue VIOLATION) and every 5th
+    carries an undeclared ex:extra predicate (closed VIOLATION);
+    rdf:type is ignored, and a deactivated minCount-99 shape must NOT
+    fire.  Expected derives from the generation rule."""
+    ex = _TTL_AUTO_EX
+    data = [f"@prefix ex: <{ex}> ."]
+    expected = []
+    for i in range(40):
+        lines = [f"ex:T{i:02d} a ex:Thing",
+                 f'ex:name "Item{i}"',
+                 'ex:status "active"' if i % 3 else 'ex:status "retired"']
+        if i % 3 == 0:
+            expected.append((f"{ex}T{i:02d}", "things must be active"))
+        if i % 5 == 0:
+            lines.append(f'ex:extra "x{i}"')
+            expected.append((f"{ex}T{i:02d}", "undeclared property"))
+        data.append(" ; ".join(lines) + " .")
+    shapes = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix ex: <{ex}> .
+
+ex:ThingShape a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:closed true ;
+  sh:message "undeclared property" ;
+  sh:ignoredProperties ( rdf:type ) ;
+  sh:property [ sh:path ex:name ; sh:minLength 1 ] ;
+  sh:property [ sh:path ex:status ; sh:hasValue "active" ;
+                sh:message "things must be active" ] ;
+  sh:property [ sh:path ex:status ; sh:minCount 99 ;
+                sh:deactivated true ] .
+"""
+    return "\n".join(data) + "\n", shapes, sorted(expected)
+
+
+def q_ttl_closed(sf_dir: str):
+    """sh:closed (undeclared predicates, with ignoredProperties) +
+    sh:hasValue (grouped required-value via the vectorized
+    GroupPredicate sweep) + sh:deactivated (skipped shapes) — the
+    standard-SHACL surface beyond the reference's own fixtures.  The
+    oracle is derived independently from the fixture's generation rule.
+    (sf_dir-independent by design, like ``ttl_parity``.)"""
+    import os
+    import tempfile
+
+    from xpshacl_ray.sources.ttl import validate_ttl
+
+    data_ttl, shapes_ttl, _ = _ttl_closed_fixture()
+    d = os.path.join(tempfile.gettempdir(), "xpshacl_ttl_closed")
+    os.makedirs(d, exist_ok=True)
+    dp, sp = os.path.join(d, "data.ttl"), os.path.join(d, "shapes.ttl")
+    with open(dp, "w") as f:
+        f.write(data_ttl)
+    with open(sp, "w") as f:
+        f.write(shapes_ttl)
+    viol = validate_ttl(dp, sp, long_form=True)
+    return viol.select_columns(["subject", "message"])
+
+
+def _ttl_closed_sql() -> str:
+    _, _, expected = _ttl_closed_fixture()
+    rows = ",\n      ".join(
+        f"('{s}', '{m}')" for s, m in expected)
+    return (f"SELECT * FROM (VALUES\n      {rows}\n"
+            "    ) AS t(subject, message)")
+
+
 def q_ttl_paths(sf_dir: str):
     """SHACL property paths beyond a plain predicate: inverse paths,
     sequence paths and mixed forms compile to walked value rows and run
@@ -3434,6 +3505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttl_sparql_auto": q_ttl_sparql_auto,
         "ttl_sparql_shark": q_ttl_sparql_shark,
         "ttl_paths": q_ttl_paths,
+        "ttl_closed": q_ttl_closed,
         "epoch_shuffle": q_epoch_shuffle,
         "sql_check": q_sql_check,
         "media_features": q_media_features,
@@ -5127,6 +5199,7 @@ def oracle_sql() -> dict[str, str]:
         "ttl_sparql_auto": _ttl_sparql_auto_sql(),
         "ttl_sparql_shark": _ttl_sparql_shark_sql(),
         "ttl_paths": _ttl_paths_sql(),
+        "ttl_closed": _ttl_closed_sql(),
         "epoch_shuffle": __import__(
             "xpshacl_ray.functions.sampling",
             fromlist=["epoch_shuffle_sql"]).epoch_shuffle_sql(

@@ -153,6 +153,7 @@ def run_benchmarks() -> dict:
         ("bigram_logprob_bucketed", entrymod.q_bigram_logprob_bucketed),
         ("ttl_sparql_shark", entrymod.q_ttl_sparql_shark),
         ("ttl_paths", entrymod.q_ttl_paths),
+        ("ttl_closed", entrymod.q_ttl_closed),
         ("cycle_members", entrymod.q_cycle_members),
     ]
     for name, fn in bench_queries:

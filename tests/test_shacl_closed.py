@@ -1,0 +1,143 @@
+"""sh:deactivated / sh:hasValue / sh:closed + sh:ignoredProperties —
+standard-SHACL surface the reference gets free from pyshacl
+(/root/reference/src/xpshacl_engine.py delegates to pyshacl.validate)."""
+
+from xpshacl_ray.sources.ttl import (
+    closed_node_shapes,
+    long_form_property_shapes,
+    parse_turtle,
+    shapes_to_specs,
+    validate_ttl_long,
+)
+
+EX = "http://example.org/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _t(text):
+    t, _ = parse_turtle(text)
+    return t
+
+
+DATA = """
+@prefix ex: <http://example.org/> .
+
+ex:a a ex:Thing ; ex:name "A" ; ex:status "active" .
+ex:b a ex:Thing ; ex:name "B" ; ex:status "retired" ; ex:extra "oops" .
+ex:c a ex:Thing ; ex:status "active" .
+"""
+
+
+def test_deactivated_node_shape_skipped(ray_session):
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:deactivated true ;
+  sh:property [ sh:path ex:name ; sh:minCount 2 ] .
+""")
+    assert shapes_to_specs(shapes) == {}
+    assert long_form_property_shapes(shapes) == []
+    out = validate_ttl_long(_t(DATA), shapes)
+    assert out is None
+
+
+def test_deactivated_property_shape_skipped(ray_session):
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:name ; sh:minCount 2 ;
+                sh:deactivated true ] ;
+  sh:property [ sh:path ex:status ; sh:maxCount 1 ] .
+""")
+    lf = long_form_property_shapes(shapes)
+    # only the active status shape survives
+    assert len(lf) == 1 and lf[0][2] == EX + "status"
+    out = validate_ttl_long(_t(DATA), shapes)
+    assert out is None or out.count() == 0  # all pass maxCount 1
+
+
+def test_has_value_grouped(ray_session):
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:status ; sh:hasValue "active" ;
+                sh:message "must be active" ] .
+""")
+    viol = validate_ttl_long(_t(DATA), shapes).to_pandas()
+    assert list(viol["focus_node"]) == ["group:" + EX + "b"]
+    assert viol.iloc[0]["message"] == "must be active"
+    assert viol.iloc[0]["constraint_id"].endswith(
+        "HasValueConstraintComponent")
+    # a subject with NO value of the path also violates hasValue
+    data2 = _t("""
+@prefix ex: <http://example.org/> .
+ex:z a ex:Thing ; ex:name "Z" .
+""")
+    viol2 = validate_ttl_long(data2, shapes).to_pandas()
+    assert list(viol2["focus_node"]) == ["group:" + EX + "z"]
+
+
+def test_has_value_on_sequence_path(ray_session):
+    # composes with the path walker: employer's name must include Acme
+    data = _t("""
+@prefix ex: <http://example.org/> .
+ex:p a ex:Person ; ex:worksFor ex:f .
+ex:q a ex:Person ; ex:worksFor ex:g .
+ex:f ex:name "Acme" .
+ex:g ex:name "Globex" .
+""")
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ( ex:worksFor ex:name ) ;
+                sh:hasValue "Acme" ] .
+""")
+    viol = validate_ttl_long(data, shapes).to_pandas()
+    assert list(viol["focus_node"]) == ["group:" + EX + "q"]
+
+
+def test_closed_shape(ray_session):
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:closed true ;
+  sh:ignoredProperties ( rdf:type ) ;
+  sh:property [ sh:path ex:name ; sh:minLength 1 ] ;
+  sh:property [ sh:path ex:status ; sh:maxCount 1 ] .
+""")
+    walked = closed_node_shapes(shapes)
+    assert len(walked) == 1
+    target, shape, allowed, msg = walked[0]
+    assert set(allowed) == {RDF_TYPE, EX + "name", EX + "status"}
+    viol = validate_ttl_long(_t(DATA), shapes).to_pandas()
+    closed = viol[viol["constraint_id"].str.endswith(
+        "ClosedConstraintComponent")]
+    assert len(closed) == 1
+    row = closed.iloc[0]
+    assert row["focus_node"] == EX + "b"
+    assert row["property_path"] == EX + "extra"
+    assert row["value"] == "oops"
+
+
+def test_closed_without_ignoring_rdf_type_flags_it(ray_session):
+    # pyshacl-consistent gotcha: rdf:type is NOT implicitly allowed
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:closed true ;
+  sh:property [ sh:path ex:name ; sh:minLength 1 ] ;
+  sh:property [ sh:path ex:status ; sh:maxCount 1 ] .
+""")
+    viol = validate_ttl_long(_t(DATA), shapes).to_pandas()
+    closed = viol[viol["constraint_id"].str.endswith(
+        "ClosedConstraintComponent")]
+    # rdf:type on a, b, c + ex:extra on b
+    assert len(closed) == 4
+    assert set(closed["property_path"]) == {RDF_TYPE, EX + "extra"}

@@ -34,6 +34,7 @@ from .spec import (
     Equals,
     GroupedSparql,
     GroupPredicate,
+    Closed,
     InSet,
     LessThan,
     LessThanOrEquals,

@@ -546,6 +546,8 @@ def unsupported_path_shapes(triples: List[Triple]) -> List[Dict[str, str]]:
     out = []
     for shape, target in _shape_target_keys(triples, obj):
         for pt in obj.get((shape, SH_NS + "property"), []):
+            if _deactivated(obj, pt.o):
+                continue
             path_t = _first(obj, pt.o, SH_NS + "path")
             if path_t is None:
                 continue
@@ -586,6 +588,8 @@ def _node_shapes_with_target(triples, obj) -> List[Tuple[str, str]]:
     out = []
     for t in triples:
         if t.p == RDF_TYPE and t.o in (SH_NS + "NodeShape", SH_NS + "Shape"):
+            if _deactivated(obj, t.s):
+                continue  # sh:deactivated true: shape is skipped entirely
             for tc in obj.get((t.s, SH_NS + "targetClass"), []):
                 out.append((t.s, tc.o))
             for tn in obj.get((t.s, SH_NS + "targetNode"), []):
@@ -595,6 +599,13 @@ def _node_shapes_with_target(triples, obj) -> List[Tuple[str, str]]:
             for to in obj.get((t.s, SH_NS + "targetObjectsOf"), []):
                 out.append((t.s, TARGET_OBJECTS_OF + to.o))
     return out
+
+
+def _deactivated(obj, node: str) -> bool:
+    """``sh:deactivated true`` — pyshacl skips such shapes (node OR
+    property shapes) without evaluating any of their constraints."""
+    d = _first(obj, node, SH_NS + "deactivated")
+    return d is not None and d.o == "true"
 
 
 def _shape_target_keys(triples, obj) -> List[Tuple[str, str]]:
@@ -702,6 +713,8 @@ def shapes_to_specs(triples: List[Triple], long_form: bool = False):
         constraints = []
         for pt in obj.get((shape, SH_NS + "property"), []):
             pshape = pt.o
+            if _deactivated(obj, pshape):
+                continue
             path_t = first(pshape, SH_NS + "path")
             if path_t is None:
                 continue
@@ -789,10 +802,41 @@ def unique_lang_constraints(triples: List[Triple]):
     out = []
     for shape, target in _shape_target_keys(triples, obj):
         for pt in obj.get((shape, SH_NS + "property"), []):
+            if _deactivated(obj, pt.o):
+                continue
             path_t = _first(obj, pt.o, SH_NS + "path")
             ul = _first(obj, pt.o, SH_NS + "uniqueLang")
             if path_t is not None and ul is not None and ul.o == "true":
                 out.append((target, path_t.o))
+    return out
+
+
+def closed_node_shapes(triples: List[Triple]):
+    """``sh:closed true`` node shapes → ``[(target_key, shape,
+    allowed_predicates, message)]`` where allowed = the shape's direct
+    predicate-IRI property paths ∪ ``sh:ignoredProperties``.  Complex
+    paths do NOT whitelist a predicate (per the SHACL spec: only IRI
+    paths count), and ``rdf:type`` is only allowed when ignored —
+    pyshacl-consistent."""
+    obj = _sp_index(triples)
+    out = []
+    for shape, target in _shape_target_keys(triples, obj):
+        cl = _first(obj, shape, SH_NS + "closed")
+        if cl is None or cl.o != "true":
+            continue
+        allowed = set()
+        for pt in obj.get((shape, SH_NS + "property"), []):
+            if _deactivated(obj, pt.o):
+                continue
+            path_t = _first(obj, pt.o, SH_NS + "path")
+            if path_t is not None and path_t.kind == "iri":
+                allowed.add(path_t.o)
+        ig = _first(obj, shape, SH_NS + "ignoredProperties")
+        if ig is not None:
+            allowed.update(t.o for t in rdf_list_triples(obj, ig.o))
+        msg = _first(obj, shape, SH_NS + "message")
+        out.append((target, shape, sorted(allowed),
+                    msg.o if msg is not None else None))
     return out
 
 
@@ -868,6 +912,8 @@ def long_form_property_shapes(triples: List[Triple]):
     for shape, target in _shape_target_keys(triples, obj):
         for pt in obj.get((shape, SH_NS + "property"), []):
             pshape = pt.o
+            if _deactivated(obj, pshape):
+                continue
             path_t = _first(obj, pshape, SH_NS + "path")
             if path_t is None:
                 continue
@@ -921,6 +967,11 @@ def long_form_property_shapes(triples: List[Triple]):
             cl = _first(obj, pshape, SH_NS + "class")
             if cl is not None:
                 facets["class_iri"] = cl.o
+            hv = _first(obj, pshape, SH_NS + "hasValue")
+            if hv is not None:
+                # sh:hasValue needs ALL values of the path (violation =
+                # NO value equals the required one) — long-form only
+                facets["has_value"] = hv.o
             li = _first(obj, pshape, SH_NS + "languageIn")
             if li is not None:
                 if li.kind == "literal":
@@ -1062,7 +1113,7 @@ def validate_ttl_long(data_triples: List[Triple],
     )
 
     shapes = long_form_property_shapes(shape_triples)
-    if not shapes:
+    if not shapes and not closed_node_shapes(shape_triples):
         return None
     types: Dict[str, set] = {}
     for t in data_triples:
@@ -1121,6 +1172,22 @@ def validate_ttl_long(data_triples: List[Triple],
                 column="object", group_by=["subject"],
                 min_count=int(facets["min_count"]), shape_id=pshape,
                 message=msg, path=pred))
+        if "has_value" in facets:
+            # violation = the focus group has ZERO rows whose object
+            # equals the required value — a declarative GroupPredicate,
+            # so it runs on the vectorized bucket sweep
+            from ..spec import GroupedSparql, GroupPredicate
+
+            hv = str(facets["has_value"])
+            constraints.append(GroupedSparql(
+                path=pred, group_by=["subject"], columns=["object"],
+                predicate=GroupPredicate(
+                    agg="count", agg_col="object", op="<=", value=0,
+                    where_col="object", where_val=hv),
+                component="HasValueConstraintComponent",
+                name=f"has-value:{hv}",
+                shape_id=pshape,
+                message=msg or f"Missing required value {hv} on {pred}"))
         if "node_kind" in facets:
             kind = str(facets["node_kind"])
             constraints.append(NodeKind(
@@ -1191,6 +1258,33 @@ def validate_ttl_long(data_triples: List[Triple],
                               focus_template="{subject}")
         parts.append(ValidationEngine(spec).validate(
             ray.data.from_arrow(table), ref_keys=ref_keys))
+    # sh:closed: undeclared predicates on focus nodes, one violation
+    # per offending (predicate, value) with the true resultPath
+    from ..spec import Closed
+
+    for target, shape, allowed, cmsg in closed_node_shapes(shape_triples):
+        focus = set(target_subjects(data_triples, target, types))
+        if not focus:
+            continue
+        allowed_set = set(allowed)
+        by_p: Dict[str, list] = {}
+        for t in data_triples:
+            if t.s in focus and t.p not in allowed_set:
+                by_p.setdefault(t.p, []).append(t)
+        for p, ts in sorted(by_p.items()):
+            table = pa.table({
+                "subject": pa.array([t.s for t in ts], pa.string()),
+                "predicate": pa.array([t.p for t in ts], pa.string()),
+                "object": pa.array([t.o for t in ts], pa.string()),
+            })
+            spec = ValidationSpec(
+                constraints=[Closed(
+                    column="predicate", allowed=allowed, path=p,
+                    value_column="object", shape_id=shape,
+                    message=cmsg)],
+                id_columns=["subject"], focus_template="{subject}")
+            parts.append(ValidationEngine(spec).validate(
+                ray.data.from_arrow(table)))
     if not parts:
         return None
     out = parts[0]
@@ -1356,6 +1450,8 @@ def sparql_sqlchecks(shape_triples: List[Triple]):
         holders = [shape] + [t.o for t in shape_triples
                              if t.s == shape and t.kind != "literal"]
         for holder in holders:
+            if _deactivated(obj, holder):
+                continue
             path_t = _first(obj, holder, SH_NS + "path")
             for sq in obj.get((holder, SH_NS + "sparql"), []):
                 if (target, holder, sq.o) in seen:

@@ -423,6 +423,24 @@ class InSet(Constraint):
 
 
 @dataclass
+class Closed(InSet):
+    """sh:closed (with sh:ignoredProperties): a focus node may only
+    carry predicates declared by the shape's property paths or listed
+    as ignored — every other (predicate, value) pair violates.  Same
+    membership mask as :class:`InSet` over the predicate column, but
+    reported under the SHACL closed component (pyshacl parity: rdf:type
+    is NOT implicitly allowed; list it in sh:ignoredProperties)."""
+
+    component: str = "ClosedConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"closed": True, "ignoredOrDeclared": list(self.allowed)}
+
+    def default_message(self) -> str:
+        return "Predicate is not allowed (closed shape)"
+
+
+@dataclass
 class LanguageIn(InSet):
     """sh:languageIn (C10): allowed language tags — an InSet over the lang
     column with the languageIn component id (classified OTHER like the
