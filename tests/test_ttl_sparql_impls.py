@@ -163,7 +163,8 @@ def test_parse_self_join_accepts_pure_form():
     """
     out = _parse_self_join_select(sel, "http://www.w3.org/2002/07/owl#Class")
     assert out == {"kind": "self_join",
-                   "path": "http://www.w3.org/2000/01/rdf-schema#subClassOf"}
+                   "path": "http://www.w3.org/2000/01/rdf-schema#subClassOf",
+                   "guards": []}
 
 
 def test_parse_self_join_rejects_not_exists():
@@ -189,13 +190,20 @@ def test_parse_self_ref_with_in_guard():
     """
     target = "http://www.w3.org/2002/07/owl#ObjectProperty"
     out = _parse_self_join_select(sel, target)
-    assert out == {"kind": "self_ref",
-                   "path": "http://www.w3.org/2002/07/owl#inverseOf"}
-    # a target OUTSIDE the IN list must reject (the guard would exclude it)
-    assert _parse_self_join_select(sel, "http://example.org/Other") is None
+    guard = sorted([
+        "http://www.w3.org/1999/02/22-rdf-syntax-ns#Property",
+        "http://www.w3.org/2002/07/owl#DatatypeProperty",
+        "http://www.w3.org/2002/07/owl#ObjectProperty"])
+    assert out["kind"] == "self_ref"
+    assert out["path"] == "http://www.w3.org/2002/07/owl#inverseOf"
+    assert sorted(out["guards"][0]) == guard
+    # target no longer gates translation: the IN list becomes a guard
+    # the CONSUMER intersects the focus scope with (union-target model)
+    other = _parse_self_join_select(sel, "http://example.org/Other")
+    assert sorted(other["guards"][0]) == guard
 
 
-def test_parse_rejects_mismatched_type_guard_and_bind():
+def test_parse_type_guard_recorded_and_bind_rejected():
     from xpshacl_ray.sources.ttl import _parse_self_join_select
 
     sel = """
@@ -208,9 +216,12 @@ def test_parse_rejects_mismatched_type_guard_and_bind():
       FILTER(?v1 != ?v2) .
     }
     """
-    # type guard names a class other than the target
-    assert _parse_self_join_select(
-        sel, "http://www.w3.org/2002/07/owl#Class") is None
+    # a type guard naming another class parses WITH the guard recorded
+    # (the consumer intersects the scope; round-3 rejected this form)
+    out = _parse_self_join_select(
+        sel, "http://www.w3.org/2002/07/owl#Class")
+    assert out["kind"] == "self_join"
+    assert out["guards"] == [["http://www.w3.org/2002/07/owl#Thing"]]
     bind = "SELECT $this WHERE { BIND(STR($this) as ?s) . }"
     assert _parse_self_join_select(bind, "x") is None
 
