@@ -113,8 +113,9 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
 """)
     walked = closed_node_shapes(shapes)
     assert len(walked) == 1
-    target, shape, allowed, msg = walked[0]
+    target, shape, allowed, msg, sev = walked[0]
     assert set(allowed) == {RDF_TYPE, EX + "name", EX + "status"}
+    assert sev == "Violation"
     viol = validate_ttl_long(_t(DATA), shapes).to_pandas()
     closed = viol[viol["constraint_id"].str.endswith(
         "ClosedConstraintComponent")]
@@ -123,6 +124,41 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
     assert row["focus_node"] == EX + "b"
     assert row["property_path"] == EX + "extra"
     assert row["value"] == "oops"
+
+
+def test_severity_from_ttl(ray_session):
+    # sh:severity on the property shape lands on the violation rows;
+    # a node-shape-level severity is the fallback
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:severity sh:Info ;
+  sh:property [ sh:path ex:status ; sh:maxCount 1 ;
+                sh:severity sh:Warning ] ;
+  sh:property [ sh:path ex:name ; sh:minCount 2 ] .
+""")
+    data = _t("""
+@prefix ex: <http://example.org/> .
+ex:a a ex:Thing ; ex:status "x" ; ex:status "y" ; ex:name "A" .
+""")
+    viol = validate_ttl_long(data, shapes).to_pandas()
+    sev = dict(zip(viol["property_path"], viol["severity"]))
+    assert sev[EX + "status"] == "Warning"   # pshape-level
+    assert sev[EX + "name"] == "Info"        # node-shape fallback
+    # entity pivot path: severity on a row-local facet
+    from xpshacl_ray.sources.ttl import shapes_to_specs
+
+    shapes2 = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:name ; sh:minLength 3 ;
+                sh:severity sh:Warning ] .
+""")
+    specs = shapes2 and shapes_to_specs(shapes2)
+    c = list(specs.values())[0].constraints[0]
+    assert c.severity == "Warning"
 
 
 def test_closed_without_ignoring_rdf_type_flags_it(ray_session):

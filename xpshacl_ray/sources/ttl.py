@@ -608,6 +608,20 @@ def _deactivated(obj, node: str) -> bool:
     return d is not None and d.o == "true"
 
 
+def _severity(obj, pshape: str, shape: str) -> str:
+    """``sh:severity`` of the property shape (falling back to its node
+    shape), mapped to the engine's Violation/Warning/Info strings —
+    default sh:Violation, unknown IRIs kept as Violation (never
+    silently downgraded)."""
+    t = (_first(obj, pshape, SH_NS + "severity")
+         or _first(obj, shape, SH_NS + "severity"))
+    if t is None:
+        return "Violation"
+    local = t.o.rsplit("#", 1)[-1]
+    return local if local in ("Violation", "Warning", "Info") \
+        else "Violation"
+
+
 def _shape_target_keys(triples, obj) -> List[Tuple[str, str]]:
     """ONE (shape, target_key) per shape: the single declared target,
     or a ``TARGET_UNION`` key over all of them.  SHACL's focus set is
@@ -730,6 +744,8 @@ def shapes_to_specs(triples: List[Triple], long_form: bool = False):
             # shark_shapes.ttl puts one on nearly every shape)
             msg_t = first(pshape, SH_NS + "message")
             msg = msg_t.o if msg_t is not None else None
+            sev = _severity(obj, pshape, shape)
+            start = len(constraints)
             mc = first(pshape, SH_NS + "minCount")
             if mc is not None and int(mc.o) >= 1 and not (
                     long_form and int(mc.o) > 1):
@@ -784,6 +800,9 @@ def shapes_to_specs(triples: List[Triple], long_form: bool = False):
                 constraints.append(
                     InSet(column=col, shape_id=pshape, message=msg,
                           allowed=_hydrate_list_values(elems)))
+            if sev != "Violation":
+                for c in constraints[start:]:
+                    c.severity = sev
         if constraints:
             specs[target] = ValidationSpec(
                 constraints=constraints,
@@ -836,7 +855,8 @@ def closed_node_shapes(triples: List[Triple]):
             allowed.update(t.o for t in rdf_list_triples(obj, ig.o))
         msg = _first(obj, shape, SH_NS + "message")
         out.append((target, shape, sorted(allowed),
-                    msg.o if msg is not None else None))
+                    msg.o if msg is not None else None,
+                    _severity(obj, shape, shape)))
     return out
 
 
@@ -922,6 +942,9 @@ def long_form_property_shapes(triples: List[Triple]):
                 continue  # unsupported form: surfaced as data, not run
             complex_path = len(steps) > 1 or steps[0][0] != "fwd"
             facets: Dict[str, object] = {}
+            sev = _severity(obj, pshape, shape)
+            if sev != "Violation":
+                facets["severity"] = sev
             if complex_path:
                 facets["steps"] = steps
                 mn1 = _first(obj, pshape, SH_NS + "minCount")
@@ -981,7 +1004,7 @@ def long_form_property_shapes(triples: List[Triple]):
                 else:
                     facets["language_in"] = [
                         t.o for t in rdf_list_triples(obj, li.o)]
-            if set(facets) - {"message", "steps"}:
+            if set(facets) - {"message", "steps", "severity"}:
                 out.append((target, pshape,
                             path_str(steps) if complex_path else path_t.o,
                             facets))
@@ -1251,6 +1274,9 @@ def validate_ttl_long(data_triples: List[Triple],
                 path=pred, bound=bound))
         if not constraints:
             continue
+        if "severity" in facets:
+            for c in constraints:
+                c.severity = str(facets["severity"])
         # id_columns carries the focus subject so the schema unions
         # cleanly with the entity-pivot violations in validate_ttl
         spec = ValidationSpec(constraints=constraints,
@@ -1262,7 +1288,8 @@ def validate_ttl_long(data_triples: List[Triple],
     # per offending (predicate, value) with the true resultPath
     from ..spec import Closed
 
-    for target, shape, allowed, cmsg in closed_node_shapes(shape_triples):
+    for target, shape, allowed, cmsg, csev in closed_node_shapes(
+            shape_triples):
         focus = set(target_subjects(data_triples, target, types))
         if not focus:
             continue
@@ -1281,7 +1308,7 @@ def validate_ttl_long(data_triples: List[Triple],
                 constraints=[Closed(
                     column="predicate", allowed=allowed, path=p,
                     value_column="object", shape_id=shape,
-                    message=cmsg)],
+                    message=cmsg, severity=csev)],
                 id_columns=["subject"], focus_template="{subject}")
             parts.append(ValidationEngine(spec).validate(
                 ray.data.from_arrow(table)))
