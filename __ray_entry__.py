@@ -2852,6 +2852,11 @@ def _ttl_closed_fixture() -> tuple:
     ex = _TTL_AUTO_EX
     data = [f"@prefix ex: <{ex}> ."]
     expected = []
+    for k in range(5):  # owners: odd ones lack the email OwnerShape needs
+        lines = [f"ex:U{k} a ex:Owner"]
+        if k % 2 == 0:
+            lines.append(f'ex:email "u{k}@example.org"')
+        data.append(" ; ".join(lines) + " .")
     for i in range(40):
         lines = [f"ex:T{i:02d} a ex:Thing",
                  f'ex:name "Item{i}"',
@@ -2861,6 +2866,11 @@ def _ttl_closed_fixture() -> tuple:
         if i % 5 == 0:
             lines.append(f'ex:extra "x{i}"')
             expected.append((f"{ex}T{i:02d}", "undeclared property"))
+        if i % 2 == 0:
+            lines.append(f"ex:owner ex:U{i % 5}")
+            if (i % 5) % 2 == 1:  # sh:node: owner without email
+                expected.append((f"{ex}T{i:02d}",
+                                 "owner must have an email"))
         data.append(" ; ".join(lines) + " .")
     shapes = f"""
 @prefix sh: <http://www.w3.org/ns/shacl#> .
@@ -2874,8 +2884,13 @@ ex:ThingShape a sh:NodeShape ; sh:targetClass ex:Thing ;
   sh:property [ sh:path ex:name ; sh:minLength 1 ] ;
   sh:property [ sh:path ex:status ; sh:hasValue "active" ;
                 sh:message "things must be active" ] ;
+  sh:property [ sh:path ex:owner ; sh:node ex:OwnerShape ;
+                sh:message "owner must have an email" ] ;
   sh:property [ sh:path ex:status ; sh:minCount 99 ;
                 sh:deactivated true ] .
+
+ex:OwnerShape a sh:NodeShape ;
+  sh:property [ sh:path ex:email ; sh:minCount 1 ] .
 """
     return "\n".join(data) + "\n", shapes, sorted(expected)
 
@@ -2883,7 +2898,8 @@ ex:ThingShape a sh:NodeShape ; sh:targetClass ex:Thing ;
 def q_ttl_closed(sf_dir: str):
     """sh:closed (undeclared predicates, with ignoredProperties) +
     sh:hasValue (grouped required-value via the vectorized
-    GroupPredicate sweep) + sh:deactivated (skipped shapes) — the
+    GroupPredicate sweep) + sh:node (value-node conformance against a
+    referenced node shape) + sh:deactivated (skipped shapes) — the
     standard-SHACL surface beyond the reference's own fixtures.  The
     oracle is derived independently from the fixture's generation rule.
     (sf_dir-independent by design, like ``ttl_parity``.)"""

@@ -177,3 +177,74 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
     # rdf:type on a, b, c + ex:extra on b
     assert len(closed) == 4
     assert set(closed["property_path"]) == {RDF_TYPE, EX + "extra"}
+
+
+def test_sh_node_value_conformance(ray_session):
+    # values of ex:worksFor must conform to CompanyShape (name with
+    # uppercase start + numeric founded year); a literal value has no
+    # properties and fails the inner Required
+    data = _t("""
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:worksFor ex:good .
+ex:p2 a ex:Person ; ex:worksFor ex:bad .
+ex:p3 a ex:Person ; ex:worksFor "not-a-company" .
+ex:p4 a ex:Person .
+ex:good ex:name "Acme" ; ex:founded 1999 .
+ex:bad ex:name "lower" ; ex:founded 2001 .
+""")
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ;
+                sh:message "employer must be a proper company" ] .
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ; sh:pattern "^[A-Z]" ] ;
+  sh:property [ sh:path ex:founded ; sh:minCount 1 ] .
+""")
+    viol = validate_ttl_long(data, shapes).to_pandas()
+    node = viol[viol["constraint_id"].str.endswith(
+        "NodeConstraintComponent")]
+    got = sorted(zip(node["focus_node"], node["value"]))
+    # p2's employer fails the pattern; p3's literal fails Required;
+    # p1 conforms; p4 has no value (sh:node alone never fires on zero)
+    assert got == [
+        (EX + "p2", EX + "bad"),
+        (EX + "p3", "not-a-company"),
+    ]
+    assert set(node["message"]) == {"employer must be a proper company"}
+
+
+def test_sh_node_all_conforming_no_rows(ray_session):
+    data = _t("""
+@prefix ex: <http://example.org/> .
+ex:p a ex:Person ; ex:worksFor ex:f .
+ex:f ex:name "Acme" .
+""")
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] .
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+""")
+    out = validate_ttl_long(data, shapes)
+    assert out is None or out.count() == 0
+
+
+def test_sh_node_deactivated_inner_shape_conforms(ray_session):
+    data = _t("""
+@prefix ex: <http://example.org/> .
+ex:p a ex:Person ; ex:worksFor ex:f .
+""")
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] .
+ex:CompanyShape a sh:NodeShape ; sh:deactivated true ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+""")
+    out = validate_ttl_long(data, shapes)
+    assert out is None or out.count() == 0

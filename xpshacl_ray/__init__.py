@@ -35,6 +35,7 @@ from .spec import (
     GroupedSparql,
     GroupPredicate,
     Closed,
+    NodeConformance,
     InSet,
     LessThan,
     LessThanOrEquals,

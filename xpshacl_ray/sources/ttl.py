@@ -703,6 +703,26 @@ def shapes_to_specs(triples: List[Triple], long_form: bool = False):
     ``sh:minCount > 1`` shapes — :func:`validate_ttl_long` evaluates those
     exactly (including zero-valued subjects), so keeping the row form too
     would double-report."""
+    from ..spec import ValidationSpec
+
+    obj = _sp_index(triples)
+    specs: Dict[str, ValidationSpec] = {}
+    for shape, target in _shape_target_keys(triples, obj):
+        constraints = _row_local_constraints(obj, shape, long_form)
+        if constraints:
+            specs[target] = ValidationSpec(
+                constraints=constraints,
+                id_columns=["subject"],
+                focus_template="{subject}",
+            )
+    return specs
+
+
+def _row_local_constraints(obj, shape: str, long_form: bool) -> List:
+    """Row-local (entity-pivot) constraints of one node shape's direct-
+    IRI-path property shapes — shared by :func:`shapes_to_specs` and
+    the ``sh:node`` inner-shape evaluation (which checks VALUE nodes'
+    own properties against a referenced shape)."""
     from ..spec import (
         Datatype,
         InSet,
@@ -714,102 +734,91 @@ def shapes_to_specs(triples: List[Triple], long_form: bool = False):
         MinLength,
         Pattern,
         Required,
-        ValidationSpec,
     )
-
-    obj = _sp_index(triples)
 
     def first(s, p):
         return _first(obj, s, p)
 
-    specs: Dict[str, ValidationSpec] = {}
-    for shape, target in _shape_target_keys(triples, obj):
-        constraints = []
-        for pt in obj.get((shape, SH_NS + "property"), []):
-            pshape = pt.o
-            if _deactivated(obj, pshape):
-                continue
-            path_t = first(pshape, SH_NS + "path")
-            if path_t is None:
-                continue
-            if path_t.kind != "iri":
-                # complex path (inverse / sequence): evaluated exactly by
-                # validate_ttl_long's path walker; unsupported operators
-                # are surfaced by unsupported_path_shapes().  Either way
-                # a blank-node id must never become a pivot column name.
-                continue
-            col = path_t.o
-            # sh:message overrides every constraint message of this
-            # property shape (pyshacl reports the custom message verbatim;
-            # shark_shapes.ttl puts one on nearly every shape)
-            msg_t = first(pshape, SH_NS + "message")
-            msg = msg_t.o if msg_t is not None else None
-            sev = _severity(obj, pshape, shape)
-            start = len(constraints)
-            mc = first(pshape, SH_NS + "minCount")
-            if mc is not None and int(mc.o) >= 1 and not (
-                    long_form and int(mc.o) > 1):
-                # minCount 1 → row-form Required (MinCountConstraintComponent);
-                # minCount > 1 is exact only in the grouped form over the
-                # triples table (validate_ttl_long) — the row form here is
-                # its zero-values approximation for the default path
+    constraints: List = []
+    for pt in obj.get((shape, SH_NS + "property"), []):
+        pshape = pt.o
+        if _deactivated(obj, pshape):
+            continue
+        path_t = first(pshape, SH_NS + "path")
+        if path_t is None:
+            continue
+        if path_t.kind != "iri":
+            # complex path (inverse / sequence): evaluated exactly by
+            # validate_ttl_long's path walker; unsupported operators
+            # are surfaced by unsupported_path_shapes().  Either way
+            # a blank-node id must never become a pivot column name.
+            continue
+        col = path_t.o
+        # sh:message overrides every constraint message of this
+        # property shape (pyshacl reports the custom message verbatim;
+        # shark_shapes.ttl puts one on nearly every shape)
+        msg_t = first(pshape, SH_NS + "message")
+        msg = msg_t.o if msg_t is not None else None
+        sev = _severity(obj, pshape, shape)
+        start = len(constraints)
+        mc = first(pshape, SH_NS + "minCount")
+        if mc is not None and int(mc.o) >= 1 and not (
+                long_form and int(mc.o) > 1):
+            # minCount 1 → row-form Required (MinCountConstraintComponent);
+            # minCount > 1 is exact only in the grouped form over the
+            # triples table (validate_ttl_long) — the row form here is
+            # its zero-values approximation for the default path
+            constraints.append(
+                Required(column=col, shape_id=pshape, message=msg,
+                         min_count=int(mc.o),
+                         treat_empty_string_as_null=False))
+        # shark_shapes.ttl writes the nonstandard `sh:dataType`
+        # (capital T) — accept both spellings like the reference does
+        dt = (first(pshape, SH_NS + "datatype")
+              or first(pshape, SH_NS + "dataType"))
+        if dt is not None:
+            arrow = ("int64" if dt.o in _INT_TYPES
+                     else "float64" if dt.o in _FLOAT_TYPES
+                     else "string")
+            constraints.append(
+                Datatype(column=col, shape_id=pshape, message=msg,
+                         datatype=arrow))
+        for pred, cls, op in (
+            ("minInclusive", MinInclusive, ">="),
+            ("maxInclusive", MaxInclusive, "<="),
+            ("minExclusive", MinExclusive, ">"),
+            ("maxExclusive", MaxExclusive, "<"),
+        ):
+            b = first(pshape, SH_NS + pred)
+            if b is not None:
+                bound = float(b.o) if "." in b.o else int(b.o)
                 constraints.append(
-                    Required(column=col, shape_id=pshape, message=msg,
-                             min_count=int(mc.o),
-                             treat_empty_string_as_null=False))
-            # shark_shapes.ttl writes the nonstandard `sh:dataType`
-            # (capital T) — accept both spellings like the reference does
-            dt = (first(pshape, SH_NS + "datatype")
-                  or first(pshape, SH_NS + "dataType"))
-            if dt is not None:
-                arrow = ("int64" if dt.o in _INT_TYPES
-                         else "float64" if dt.o in _FLOAT_TYPES
-                         else "string")
+                    cls(column=col, shape_id=pshape, bound=bound,
+                        message=msg or _literal_msg(op, b)))
+        for pred, cls, kw in (
+            ("minLength", MinLength, "min_length"),
+            ("maxLength", MaxLength, "max_length"),
+        ):
+            b = first(pshape, SH_NS + pred)
+            if b is not None:
                 constraints.append(
-                    Datatype(column=col, shape_id=pshape, message=msg,
-                             datatype=arrow))
-            for pred, cls, op in (
-                ("minInclusive", MinInclusive, ">="),
-                ("maxInclusive", MaxInclusive, "<="),
-                ("minExclusive", MinExclusive, ">"),
-                ("maxExclusive", MaxExclusive, "<"),
-            ):
-                b = first(pshape, SH_NS + pred)
-                if b is not None:
-                    bound = float(b.o) if "." in b.o else int(b.o)
-                    constraints.append(
-                        cls(column=col, shape_id=pshape, bound=bound,
-                            message=msg or _literal_msg(op, b)))
-            for pred, cls, kw in (
-                ("minLength", MinLength, "min_length"),
-                ("maxLength", MaxLength, "max_length"),
-            ):
-                b = first(pshape, SH_NS + pred)
-                if b is not None:
-                    constraints.append(
-                        cls(column=col, shape_id=pshape, message=msg,
-                            **{kw: int(b.o)}))
-            pat = first(pshape, SH_NS + "pattern")
-            if pat is not None:
-                constraints.append(
-                    Pattern(column=col, shape_id=pshape, message=msg,
-                            pattern=pat.o))
-            in_t = first(pshape, SH_NS + "in")
-            if in_t is not None:
-                elems = rdf_list_triples(obj, in_t.o)
-                constraints.append(
-                    InSet(column=col, shape_id=pshape, message=msg,
-                          allowed=_hydrate_list_values(elems)))
-            if sev != "Violation":
-                for c in constraints[start:]:
-                    c.severity = sev
-        if constraints:
-            specs[target] = ValidationSpec(
-                constraints=constraints,
-                id_columns=["subject"],
-                focus_template="{subject}",
-            )
-    return specs
+                    cls(column=col, shape_id=pshape, message=msg,
+                        **{kw: int(b.o)}))
+        pat = first(pshape, SH_NS + "pattern")
+        if pat is not None:
+            constraints.append(
+                Pattern(column=col, shape_id=pshape, message=msg,
+                        pattern=pat.o))
+        in_t = first(pshape, SH_NS + "in")
+        if in_t is not None:
+            elems = rdf_list_triples(obj, in_t.o)
+            constraints.append(
+                InSet(column=col, shape_id=pshape, message=msg,
+                      allowed=_hydrate_list_values(elems)))
+        if sev != "Violation":
+            for c in constraints[start:]:
+                c.severity = sev
+    return constraints
 
 
 def unique_lang_constraints(triples: List[Triple]):
@@ -995,6 +1004,13 @@ def long_form_property_shapes(triples: List[Triple]):
                 # sh:hasValue needs ALL values of the path (violation =
                 # NO value equals the required one) — long-form only
                 facets["has_value"] = hv.o
+            nd = _first(obj, pshape, SH_NS + "node")
+            if nd is not None:
+                # sh:node: every value must CONFORM to the referenced
+                # node shape (its row-local direct-path facets checked
+                # against the value's own properties; depth 1 — nested
+                # sh:node inside the referenced shape is not followed)
+                facets["node_shape"] = nd.o
             li = _first(obj, pshape, SH_NS + "languageIn")
             if li is not None:
                 if li.kind == "literal":
@@ -1195,6 +1211,39 @@ def validate_ttl_long(data_triples: List[Triple],
                 column="object", group_by=["subject"],
                 min_count=int(facets["min_count"]), shape_id=pshape,
                 message=msg, path=pred))
+        if "node_shape" in facets:
+            # sh:node: evaluate the referenced shape's row-local facets
+            # over the VALUE nodes' own properties (an entity pivot with
+            # the distinct values as explicit subjects), then emit one
+            # NodeConstraintComponent violation per (focus, value) pair
+            # whose value landed in the nonconforming set
+            from ..spec import NodeConformance
+
+            ns = str(facets["node_shape"])
+            obj_sh = _sp_index(shape_triples)
+            nonconforming: List[str] = []
+            if not _deactivated(obj_sh, ns):
+                inner = _row_local_constraints(obj_sh, ns,
+                                               long_form=False)
+                vals = sorted({v for v in cols["object"]
+                               if v is not None})
+                if inner and vals:
+                    pivot = entity_table(data_triples, subjects=vals)
+                    have2 = set(pivot.column_names)
+                    for c2 in sorted({c.column for c in inner} - have2):
+                        pivot = pivot.append_column(
+                            c2, pa.nulls(pivot.num_rows, pa.string()))
+                    ispec = ValidationSpec(constraints=inner,
+                                           id_columns=["subject"],
+                                           focus_template="{subject}")
+                    iv = ValidationEngine(ispec).validate(
+                        ray.data.from_arrow(pivot))
+                    nonconforming = sorted(
+                        {r["subject"] for r in iv.take_all()})
+            constraints.append(NodeConformance(
+                column="object", nonconforming=nonconforming,
+                node_shape=ns, shape_id=pshape, message=msg,
+                path=pred, value_column="object"))
         if "has_value" in facets:
             # violation = the focus group has ZERO rows whose object
             # equals the required value — a declarative GroupPredicate,

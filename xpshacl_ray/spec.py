@@ -423,6 +423,36 @@ class InSet(Constraint):
 
 
 @dataclass
+class NodeConformance(Constraint):
+    """sh:node (C-node): a value violates when it is one of the
+    KNOWN-nonconforming nodes.  The nonconforming set is computed
+    upstream (the referenced node shape's row-local facets evaluated
+    over the value nodes' own properties — ``sources/ttl.py``
+    ``validate_ttl_long``); this constraint just emits ONE violation
+    per (focus, nonconforming value), mirroring pyshacl's single
+    NodeConstraintComponent result per value."""
+
+    nonconforming: Sequence[Any] = field(default_factory=list)
+    node_shape: str = ""
+    component: str = "NodeConstraintComponent"
+
+    def params(self) -> Dict[str, Any]:
+        return {"node": self.node_shape}
+
+    def default_message(self) -> str:
+        return f"Value does not conform to shape {self.node_shape}"
+
+    def mask(self, batch: pa.Table):
+        col = batch[self.column]
+        if not self.nonconforming:
+            import numpy as np
+
+            return pa.array(np.zeros(len(batch), dtype=bool))
+        bad = pc.is_in(col, value_set=pa.array(list(self.nonconforming)))
+        return pc.fill_null(pc.and_(bad, pc.is_valid(col)), False)
+
+
+@dataclass
 class Closed(InSet):
     """sh:closed (with sh:ignoredProperties): a focus node may only
     carry predicates declared by the shape's property paths or listed
@@ -1069,6 +1099,7 @@ class TransitiveCycle(GroupedSparql):
 
 ROW_LOCAL_TYPES = (
     Required,
+    NodeConformance,
     Datatype,
     Pattern,
     RegexMatch,
