@@ -248,3 +248,78 @@ ex:CompanyShape a sh:NodeShape ; sh:deactivated true ;
 """)
     out = validate_ttl_long(data, shapes)
     assert out is None or out.count() == 0
+
+
+def test_logical_operators_from_ttl(ray_session):
+    """sh:not / sh:or / sh:xone parsed from Turtle over value facets,
+    with SHACL value-node null semantics (absent property never
+    violates a logical operator)."""
+    data = _t("""
+@prefix ex: <http://example.org/> .
+ex:a a ex:Thing ; ex:code "AB12" .
+ex:b a ex:Thing ; ex:code "abcd" .
+ex:c a ex:Thing ; ex:code "12" .
+ex:d a ex:Thing .
+""")
+    # not(pattern ^[a-z]) : lowercase codes violate; d (no code) excused
+    shapes_not = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:code ;
+                sh:not [ sh:pattern "^[a-z]" ] ;
+                sh:message "no lowercase codes" ] .
+""")
+    from xpshacl_ray.sources.ttl import validate_ttl
+    import ray.data  # noqa: F401
+
+    def run(shapes):
+        from xpshacl_ray.pipelines.validate import ValidationEngine
+        from xpshacl_ray.sources.ttl import entity_table, shapes_to_specs
+        import ray.data as rd
+
+        specs = shapes_to_specs(shapes)
+        (target, spec), = specs.items()
+        table = entity_table(data, target)
+        eng = ValidationEngine(spec)
+        return eng.validate(rd.from_arrow(table)).to_pandas()
+
+    v = run(shapes_not)
+    assert sorted(v["focus_node"]) == [EX + "b"]
+    assert set(v["message"]) == {"no lowercase codes"}
+
+    # or(pattern ^[A-Z], datatype int-ish): "abcd" matches neither
+    shapes_or = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:code ;
+                sh:or ( [ sh:pattern "^[A-Z]" ] [ sh:pattern "^[0-9]+$" ] ) ] .
+""")
+    v = run(shapes_or)
+    assert sorted(v["focus_node"]) == [EX + "b"]
+
+    # xone: exactly one of (starts uppercase, contains digits) —
+    # "AB12" matches both (violation), "abcd" matches neither
+    # (violation), "12" matches digits only (ok)
+    shapes_xone = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:code ;
+                sh:xone ( [ sh:pattern "^[A-Z]" ] [ sh:pattern "[0-9]" ] ) ] .
+""")
+    v = run(shapes_xone)
+    assert sorted(v["focus_node"]) == [EX + "a", EX + "b"]
+
+    # an operand with no recognizable value facet skips the operator
+    shapes_bad = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:code ;
+                sh:or ( [ sh:pattern "^[A-Z]" ] [ sh:minCount 1 ] ) ] .
+""")
+    from xpshacl_ray.sources.ttl import shapes_to_specs as s2s
+    assert s2s(shapes_bad) == {}

@@ -723,18 +723,7 @@ def _row_local_constraints(obj, shape: str, long_form: bool) -> List:
     IRI-path property shapes — shared by :func:`shapes_to_specs` and
     the ``sh:node`` inner-shape evaluation (which checks VALUE nodes'
     own properties against a referenced shape)."""
-    from ..spec import (
-        Datatype,
-        InSet,
-        MaxExclusive,
-        MaxInclusive,
-        MaxLength,
-        MinExclusive,
-        MinInclusive,
-        MinLength,
-        Pattern,
-        Required,
-    )
+    from ..spec import Required
 
     def first(s, p):
         return _first(obj, s, p)
@@ -772,53 +761,107 @@ def _row_local_constraints(obj, shape: str, long_form: bool) -> List:
                 Required(column=col, shape_id=pshape, message=msg,
                          min_count=int(mc.o),
                          treat_empty_string_as_null=False))
-        # shark_shapes.ttl writes the nonstandard `sh:dataType`
-        # (capital T) — accept both spellings like the reference does
-        dt = (first(pshape, SH_NS + "datatype")
-              or first(pshape, SH_NS + "dataType"))
-        if dt is not None:
-            arrow = ("int64" if dt.o in _INT_TYPES
-                     else "float64" if dt.o in _FLOAT_TYPES
-                     else "string")
-            constraints.append(
-                Datatype(column=col, shape_id=pshape, message=msg,
-                         datatype=arrow))
-        for pred, cls, op in (
-            ("minInclusive", MinInclusive, ">="),
-            ("maxInclusive", MaxInclusive, "<="),
-            ("minExclusive", MinExclusive, ">"),
-            ("maxExclusive", MaxExclusive, "<"),
-        ):
-            b = first(pshape, SH_NS + pred)
-            if b is not None:
-                bound = float(b.o) if "." in b.o else int(b.o)
-                constraints.append(
-                    cls(column=col, shape_id=pshape, bound=bound,
-                        message=msg or _literal_msg(op, b)))
-        for pred, cls, kw in (
-            ("minLength", MinLength, "min_length"),
-            ("maxLength", MaxLength, "max_length"),
-        ):
-            b = first(pshape, SH_NS + pred)
-            if b is not None:
-                constraints.append(
-                    cls(column=col, shape_id=pshape, message=msg,
-                        **{kw: int(b.o)}))
-        pat = first(pshape, SH_NS + "pattern")
-        if pat is not None:
-            constraints.append(
-                Pattern(column=col, shape_id=pshape, message=msg,
-                        pattern=pat.o))
-        in_t = first(pshape, SH_NS + "in")
-        if in_t is not None:
-            elems = rdf_list_triples(obj, in_t.o)
-            constraints.append(
-                InSet(column=col, shape_id=pshape, message=msg,
-                      allowed=_hydrate_list_values(elems)))
+        constraints.extend(
+            _value_facet_constraints(obj, pshape, col, pshape, msg))
+        # sh:not / sh:and / sh:or / sh:xone over VALUE-facet operand
+        # shapes (C15–C18 from Turtle): each operand blank node carries
+        # row-local value facets applied to the SAME path; multi-facet
+        # operands fold into an inner And.  Operands with no
+        # recognizable value facet make the whole operator untranslated
+        # (skipped) — never a silently wrong truth table.  All wired
+        # with excuse_nulls: a focus with no value has no value nodes.
+        from ..spec import And, Not, Or, Xone
+
+        nt = first(pshape, SH_NS + "not")
+        if nt is not None:
+            inner = _value_facet_constraints(obj, nt.o, col, pshape, None)
+            if inner:
+                constraints.append(Not(
+                    column=col, shape_id=pshape, message=msg,
+                    excuse_nulls=True,
+                    inner=inner[0] if len(inner) == 1
+                    else And(column=col, shapes=inner)))
+        for lp, lcls in (("or", Or), ("and", And), ("xone", Xone)):
+            lt = first(pshape, SH_NS + lp)
+            if lt is None:
+                continue
+            elems = rdf_list_triples(obj, lt.o)
+            subs: List = []
+            for e in elems:
+                fc = _value_facet_constraints(obj, e.o, col, pshape, None)
+                if not fc:
+                    subs = []
+                    break
+                subs.append(fc[0] if len(fc) == 1
+                            else And(column=col, shapes=fc))
+            if subs:
+                constraints.append(lcls(
+                    column=col, shape_id=pshape, message=msg,
+                    excuse_nulls=True, shapes=subs))
         if sev != "Violation":
             for c in constraints[start:]:
                 c.severity = sev
     return constraints
+
+
+def _value_facet_constraints(obj, node: str, col: str, shape_id: str,
+                             msg: Optional[str]) -> List:
+    """Row-local VALUE facets declared on ``node`` (a property shape or
+    a logical-operator operand), applied to column ``col``: datatype,
+    numeric bounds, lengths, pattern, sh:in.  No cardinality facets —
+    those are group semantics and stay with their dedicated paths."""
+    from ..spec import (
+        Datatype,
+        InSet,
+        MaxExclusive,
+        MaxInclusive,
+        MaxLength,
+        MinExclusive,
+        MinInclusive,
+        MinLength,
+        Pattern,
+    )
+
+    out: List = []
+    # shark_shapes.ttl writes the nonstandard `sh:dataType`
+    # (capital T) — accept both spellings like the reference does
+    dt = (_first(obj, node, SH_NS + "datatype")
+          or _first(obj, node, SH_NS + "dataType"))
+    if dt is not None:
+        arrow = ("int64" if dt.o in _INT_TYPES
+                 else "float64" if dt.o in _FLOAT_TYPES
+                 else "string")
+        out.append(Datatype(column=col, shape_id=shape_id, message=msg,
+                            datatype=arrow))
+    for pred, cls, op in (
+        ("minInclusive", MinInclusive, ">="),
+        ("maxInclusive", MaxInclusive, "<="),
+        ("minExclusive", MinExclusive, ">"),
+        ("maxExclusive", MaxExclusive, "<"),
+    ):
+        b = _first(obj, node, SH_NS + pred)
+        if b is not None:
+            bound = float(b.o) if "." in b.o else int(b.o)
+            out.append(cls(column=col, shape_id=shape_id, bound=bound,
+                           message=msg or _literal_msg(op, b)))
+    for pred, cls, kw in (
+        ("minLength", MinLength, "min_length"),
+        ("maxLength", MaxLength, "max_length"),
+    ):
+        b = _first(obj, node, SH_NS + pred)
+        if b is not None:
+            out.append(cls(column=col, shape_id=shape_id, message=msg,
+                           **{kw: int(b.o)}))
+    pat = _first(obj, node, SH_NS + "pattern")
+    if pat is not None:
+        out.append(Pattern(column=col, shape_id=shape_id, message=msg,
+                           pattern=pat.o))
+    in_t = _first(obj, node, SH_NS + "in")
+    if in_t is not None:
+        elems = rdf_list_triples(obj, in_t.o)
+        out.append(InSet(column=col, shape_id=shape_id, message=msg,
+                         allowed=_hydrate_list_values(elems)))
+    return out
 
 
 def unique_lang_constraints(triples: List[Triple]):

@@ -573,6 +573,12 @@ class Not(Constraint):
     """sh:not (C15): violation when the inner constraint is *satisfied*."""
 
     inner: Optional[Constraint] = None
+    #: SHACL value-node semantics: a NULL has no value nodes, so it can
+    #: never violate a negated/list shape.  Opt-in (the Turtle compiler
+    #: sets it — pivot columns are null for absent predicates); the
+    #: default keeps the spec-level truth-table behavior existing
+    #: oracles pin.
+    excuse_nulls: bool = False
     component: str = "NotConstraintComponent"
 
     def params(self) -> Dict[str, Any]:
@@ -582,12 +588,16 @@ class Not(Constraint):
         return f"Value conforms to negated shape ({self.inner.component})"
 
     def mask(self, batch: pa.Table):
-        return pa.array(~_np_mask(self.inner.mask(batch)))
+        out = ~_np_mask(self.inner.mask(batch))
+        if self.excuse_nulls and self.column is not None:
+            out &= _np_mask(pc.is_valid(batch[self.column]))
+        return pa.array(out)
 
 
 @dataclass
 class _ListConstraint(Constraint):
     shapes: List[Constraint] = field(default_factory=list)
+    excuse_nulls: bool = False  # see Not.excuse_nulls
 
     def params(self) -> Dict[str, Any]:
         return {self._param_name: [s.component for s in self.shapes]}
@@ -595,6 +605,11 @@ class _ListConstraint(Constraint):
     def _masks(self, batch: pa.Table) -> np.ndarray:
         """Stacked violation masks, shape (n_shapes, n_rows)."""
         return np.stack([_np_mask(s.mask(batch)) for s in self.shapes])
+
+    def _excused(self, batch: pa.Table, out: np.ndarray) -> np.ndarray:
+        if self.excuse_nulls and self.column is not None:
+            out = out & _np_mask(pc.is_valid(batch[self.column]))
+        return out
 
 
 @dataclass
@@ -608,7 +623,7 @@ class And(_ListConstraint):
         return "Node does not conform to all shapes in sh:and list"
 
     def mask(self, batch: pa.Table):
-        return pa.array(self._masks(batch).any(axis=0))
+        return pa.array(self._excused(batch, self._masks(batch).any(axis=0)))
 
 
 @dataclass
@@ -622,7 +637,7 @@ class Or(_ListConstraint):
         return "Node does not conform to any shape in sh:or list"
 
     def mask(self, batch: pa.Table):
-        return pa.array(self._masks(batch).all(axis=0))
+        return pa.array(self._excused(batch, self._masks(batch).all(axis=0)))
 
 
 @dataclass
@@ -637,7 +652,7 @@ class Xone(_ListConstraint):
 
     def mask(self, batch: pa.Table):
         conforming = (~self._masks(batch)).sum(axis=0)
-        return pa.array(conforming != 1)
+        return pa.array(self._excused(batch, conforming != 1))
 
 
 # --- user extension (C19) ---------------------------------------------------
