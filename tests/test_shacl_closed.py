@@ -323,3 +323,61 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
 """)
     from xpshacl_ray.sources.ttl import shapes_to_specs as s2s
     assert s2s(shapes_bad) == {}
+
+
+def test_property_pair_constraints_from_ttl(ray_session, tmp_path):
+    """sh:equals / sh:disjoint / sh:lessThan parsed from Turtle and
+    evaluated over the entity pivot's first values."""
+    from xpshacl_ray.sources.ttl import validate_ttl
+
+    data = """
+@prefix ex: <http://example.org/> .
+ex:a a ex:Span ; ex:start 1 ; ex:end 5 ; ex:label "a" ; ex:alias "a" .
+ex:b a ex:Span ; ex:start 7 ; ex:end 3 ; ex:label "b" ; ex:alias "c" .
+ex:c a ex:Span ; ex:start 2 ; ex:end 2 ; ex:label "c" ; ex:alias "c" .
+"""
+    shapes = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Span ;
+  sh:property [ sh:path ex:start ; sh:lessThan ex:end ;
+                sh:message "start before end" ] ;
+  sh:property [ sh:path ex:label ; sh:disjoint ex:alias ;
+                sh:message "label must differ from alias" ] .
+"""
+    d, s = tmp_path / "d.ttl", tmp_path / "s.ttl"
+    d.write_text(data)
+    s.write_text(shapes)
+    viol = validate_ttl(str(d), str(s)).to_pandas()
+    got = sorted(zip(viol["focus_node"], viol["message"]))
+    assert got == [
+        (EX + "a", "label must differ from alias"),   # label == alias
+        (EX + "b", "start before end"),               # 7 !< 3
+        (EX + "c", "label must differ from alias"),   # label == alias
+        (EX + "c", "start before end"),               # 2 !< 2
+    ]
+    comp = set(viol["constraint_id"].str.rsplit("#").str[-1])
+    assert comp == {"LessThanConstraintComponent",
+                    "DisjointConstraintComponent"}
+
+
+def test_equals_pair_missing_other_column_padded(ray_session, tmp_path):
+    # sh:equals against a predicate absent from the whole graph: the
+    # pivot pads it with nulls and engine null semantics excuse rows
+    from xpshacl_ray.sources.ttl import validate_ttl
+
+    data = """
+@prefix ex: <http://example.org/> .
+ex:a a ex:Span ; ex:start 1 .
+"""
+    shapes = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Span ;
+  sh:property [ sh:path ex:start ; sh:equals ex:mirror ] .
+"""
+    d, s = tmp_path / "d.ttl", tmp_path / "s.ttl"
+    d.write_text(data)
+    s.write_text(shapes)
+    out = validate_ttl(str(d), str(s))
+    assert out.count() == 0

@@ -763,6 +763,20 @@ def _row_local_constraints(obj, shape: str, long_form: bool) -> List:
                          treat_empty_string_as_null=False))
         constraints.extend(
             _value_facet_constraints(obj, pshape, col, pshape, msg))
+        # property-pair constraints (C12–C14) — compared over the
+        # pivot's FIRST values, the same documented single-value scope
+        # every row-local facet here carries; engine null semantics
+        # (a NULL never violates a value constraint) apply
+        from ..spec import Disjoint, Equals, LessThan, LessThanOrEquals
+
+        for pn, pcls in (("equals", Equals), ("disjoint", Disjoint),
+                         ("lessThan", LessThan),
+                         ("lessThanOrEquals", LessThanOrEquals)):
+            b = first(pshape, SH_NS + pn)
+            if b is not None and b.kind == "iri":
+                constraints.append(pcls(
+                    column=col, other_column=b.o, shape_id=pshape,
+                    message=msg))
         # sh:not / sh:and / sh:or / sh:xone over VALUE-facet operand
         # shapes (C15–C18 from Turtle): each operand blank node carries
         # row-local value facets applied to the SAME path; multi-facet
@@ -1273,7 +1287,10 @@ def validate_ttl_long(data_triples: List[Triple],
                 if inner and vals:
                     pivot = entity_table(data_triples, subjects=vals)
                     have2 = set(pivot.column_names)
-                    for c2 in sorted({c.column for c in inner} - have2):
+                    need2 = {c.column for c in inner}
+                    need2 |= {c.other_column for c in inner
+                              if getattr(c, "other_column", "")}
+                    for c2 in sorted(need2 - have2):
                         pivot = pivot.append_column(
                             c2, pa.nulls(pivot.num_rows, pa.string()))
                     ispec = ValidationSpec(constraints=inner,
@@ -2383,6 +2400,8 @@ def validate_ttl(data_path: str, shapes_path: str,
             continue
         have = set(table.column_names)
         needed = {c.column for c in spec.constraints}
+        needed |= {c.other_column for c in spec.constraints
+                   if getattr(c, "other_column", "")}
         # absent predicate = all-null STRING column: every constraint
         # family handles it (length/pattern kernels natively; numeric
         # bounds via _bound_mask's non-numeric fallback, which excuses

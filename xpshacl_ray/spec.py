@@ -496,7 +496,19 @@ class _PairConstraint(Constraint):
         return {self._param_name: self.other_column}
 
     def _cols(self, batch: pa.Table):
-        return batch[self.column], batch[self.other_column]
+        a, b = batch[self.column], batch[self.other_column]
+        if not a.type.equals(b.type):
+            # an all-null side (e.g. a padded absent-predicate pivot
+            # column) adopts the other's type — null never violates
+            # anyway.  Other mismatches stay untouched: Arrow's compare
+            # kernels handle mixed numeric widths natively, and a
+            # genuinely incomparable pair should raise, not silently
+            # fall back to lexicographic comparison.
+            if a.null_count == len(a):
+                a = pc.cast(a, b.type)
+            elif b.null_count == len(b):
+                b = pc.cast(b, a.type)
+        return a, b
 
 
 @dataclass
