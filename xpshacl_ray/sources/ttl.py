@@ -1167,7 +1167,11 @@ def _walk_path_rows(data_triples: List[Triple], subjects: List[str],
                 frontier = frontier | closure(frontier, st[1])
             if not frontier:
                 break
-        out[s] = sorted((v, k, lg) for v, k, lg, _dt in frontier)
+        # sort key tolerates None lang alongside tagged values ("x" and
+        # "x"@en are DISTINCT value nodes that must co-exist)
+        out[s] = sorted(((v, k, lg) for v, k, lg, _dt in frontier),
+                        key=lambda t: (t[0], t[1], t[2] is not None,
+                                       t[2] or ""))
     return out
 
 
