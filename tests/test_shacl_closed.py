@@ -381,3 +381,55 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Span ;
     s.write_text(shapes)
     out = validate_ttl(str(d), str(s))
     assert out.count() == 0
+
+
+def test_qualified_value_shape(ray_session):
+    """sh:qualifiedValueShape + qualifiedMin/MaxCount over value-facet
+    inner shapes, counted per focus on the GroupPredicate sweep."""
+    data = _t("""
+@prefix ex: <http://example.org/> .
+ex:a a ex:Team ; ex:member "senior-x" ; ex:member "junior-y" .
+ex:b a ex:Team ; ex:member "junior-y" ; ex:member "junior-z" .
+ex:c a ex:Team ; ex:member "senior-1" ; ex:member "senior-2" ;
+  ex:member "senior-3" .
+ex:d a ex:Team .
+""")
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Team ;
+  sh:property [ sh:path ex:member ;
+                sh:qualifiedValueShape [ sh:pattern "^senior" ] ;
+                sh:qualifiedMinCount 1 ; sh:qualifiedMaxCount 2 ;
+                sh:message "need 1-2 seniors" ] .
+""")
+    viol = validate_ttl_long(data, shapes).to_pandas()
+    comp = viol["constraint_id"].str.rsplit("#").str[-1]
+    got = sorted(zip(viol["focus_node"], comp))
+    # b has 0 seniors (< 1), d has none at all (< 1), c has 3 (> 2)
+    assert got == [
+        ("group:" + EX + "b", "QualifiedMinCountConstraintComponent"),
+        ("group:" + EX + "c", "QualifiedMaxCountConstraintComponent"),
+        ("group:" + EX + "d", "QualifiedMinCountConstraintComponent"),
+    ]
+    assert set(viol["message"]) == {"need 1-2 seniors"}
+
+
+def test_qualified_shape_outside_grammar_skipped(ray_session):
+    # a qualified shape with no recognizable value facet (sh:property
+    # inside) must not compile into a wrong count
+    data = _t("""
+@prefix ex: <http://example.org/> .
+ex:a a ex:Team ; ex:member "x" .
+""")
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Team ;
+  sh:property [ sh:path ex:member ;
+                sh:qualifiedValueShape [ sh:property [ sh:path ex:q ;
+                                          sh:minCount 1 ] ] ;
+                sh:qualifiedMinCount 1 ] .
+""")
+    out = validate_ttl_long(data, shapes)
+    assert out is None or out.count() == 0

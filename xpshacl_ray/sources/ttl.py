@@ -1068,6 +1068,23 @@ def long_form_property_shapes(triples: List[Triple]):
                 # against the value's own properties; depth 1 — nested
                 # sh:node inside the referenced shape is not followed)
                 facets["node_shape"] = nd.o
+            qv = _first(obj, pshape, SH_NS + "qualifiedValueShape")
+            if qv is not None:
+                # sh:qualifiedValueShape + qualifiedMin/MaxCount: count
+                # the value nodes CONFORMING to the qualified shape's
+                # VALUE facets (same operand grammar as the logical
+                # operators); shapes beyond that grammar skip — never
+                # a silently wrong count
+                qmin = _first(obj, pshape, SH_NS + "qualifiedMinCount")
+                qmax = _first(obj, pshape, SH_NS + "qualifiedMaxCount")
+                if ((qmin is not None or qmax is not None)
+                        and _value_facet_constraints(
+                            obj, qv.o, "object", pshape, None)):
+                    facets["qualified"] = {
+                        "shape": qv.o,
+                        "min": int(qmin.o) if qmin is not None else None,
+                        "max": int(qmax.o) if qmax is not None else None,
+                    }
             li = _first(obj, pshape, SH_NS + "languageIn")
             if li is not None:
                 if li.kind == "literal":
@@ -1262,6 +1279,55 @@ def validate_ttl_long(data_triples: List[Triple],
                           for k, v in cols.items()})
         msg = facets.get("message")
         constraints = []
+        if "qualified" in facets:
+            # sh:qualifiedValueShape: mark each value row as conforming
+            # ("1") when NO qualified-shape value facet flags it (null
+            # rows are not value nodes → "0"), then count per focus via
+            # the vectorized GroupPredicate sweep
+            import numpy as np
+
+            from ..spec import GroupedSparql, GroupPredicate
+
+            q = facets["qualified"]
+            qcs = _value_facet_constraints(
+                _sp_index(shape_triples), str(q["shape"]), "object",
+                pshape, None)
+            bad = np.zeros(len(table), dtype=bool)
+            for qc in qcs:
+                m = qc.mask(table)
+                if isinstance(m, pa.ChunkedArray):
+                    m = m.combine_chunks()
+                bad |= np.asarray(m, dtype=bool)
+            valid = np.asarray(pc.is_valid(
+                table["object"].combine_chunks()
+                if isinstance(table["object"], pa.ChunkedArray)
+                else table["object"]))
+            qok = np.where(valid & ~bad, "1", "0")
+            table = table.append_column("qok", pa.array(qok, pa.string()))
+            if q["min"] is not None:
+                constraints.append(GroupedSparql(
+                    path=pred, group_by=["subject"], columns=["qok"],
+                    predicate=GroupPredicate(
+                        agg="count", agg_col="qok", op="<",
+                        value=int(q["min"]),
+                        where_col="qok", where_val="1"),
+                    component="QualifiedMinCountConstraintComponent",
+                    name=f"qualified-min:{q['min']}",
+                    shape_id=pshape,
+                    message=msg or (f"Fewer than {q['min']} values "
+                                    f"conform to {q['shape']}")))
+            if q["max"] is not None:
+                constraints.append(GroupedSparql(
+                    path=pred, group_by=["subject"], columns=["qok"],
+                    predicate=GroupPredicate(
+                        agg="count", agg_col="qok", op=">",
+                        value=int(q["max"]),
+                        where_col="qok", where_val="1"),
+                    component="QualifiedMaxCountConstraintComponent",
+                    name=f"qualified-max:{q['max']}",
+                    shape_id=pshape,
+                    message=msg or (f"More than {q['max']} values "
+                                    f"conform to {q['shape']}")))
         if "max_count" in facets:
             constraints.append(MaxCount(
                 column="object", group_by=["subject"],
