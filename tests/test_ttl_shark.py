@@ -490,6 +490,31 @@ def test_cycle_members_forced_distributed_path_parity(ray_session):
     assert fast == slow == [1, 2, 3, 9, 10, 11]
 
 
+def test_cycle_members_distributed_scc_chain_of_sccs(ray_session):
+    """A condensation CHAIN of 2-cycles with ids arranged so the max
+    index sits at the head colors the whole chain: only ONE root
+    resolves per outer round, so the round bound must scale with the
+    SCC count (it is n+2 now, not a small fixed cap)."""
+    import ray.data
+
+    from xpshacl_ray.functions.graph import cycle_members
+
+    k = 12
+    edges = []
+    for i in range(k):
+        a, b = 2 * i, 2 * i + 1
+        edges += [(a, b), (b, a)]
+        if i + 1 < k:
+            edges.append((2 * (i + 1), a))  # SCC_{i+1} -> SCC_i
+    ds = ray.data.from_arrow(pa.table(
+        {"src": pa.array([s for s, _ in edges], pa.int64()),
+         "dst": pa.array([d for _, d in edges], pa.int64())}))
+    fast = sorted(r["node"] for r in cycle_members(ds).take_all())
+    dist = sorted(r["node"] for r in cycle_members(
+        ds, edge_collect_limit=0, core_limit=0).take_all())
+    assert fast == dist == list(range(2 * k))
+
+
 def test_cycle_members_distributed_scc_parity_random(ray_session):
     """core_limit=0 forces the distributed coloring SCC (no edge
     collect anywhere); it must agree with the one-pass Tarjan path on

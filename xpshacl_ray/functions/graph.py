@@ -407,7 +407,7 @@ def _scc_cycle_members_distributed(
     dst: str,
     node_t: pa.DataType,
     set_broadcast_limit: int,
-    max_outer_rounds: int = 64,
+    max_outer_rounds: int = 0,
 ) -> "ray.data.Dataset":
     """Cycle membership WITHOUT collecting the edge table: the coloring
     SCC algorithm (forward max-color propagation → backward reachability
@@ -493,6 +493,12 @@ def _scc_cycle_members_distributed(
 
     alive = np.ones(n, dtype=bool)
     arange = np.arange(n, dtype=np.int64)
+    # every round resolves at least one color root (the max-index alive
+    # node always has color == itself), so n rounds is a hard bound —
+    # a chain of k SCCs with adversarial id order legitimately needs k
+    # rounds, so no small fixed cap is safe
+    if not max_outer_rounds:
+        max_outer_rounds = n + 2
     for _ in range(max_outer_rounds):
         # trim to fixpoint: alive nodes need >=1 alive in- AND out-edge
         while True:
