@@ -433,3 +433,36 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Team ;
 """)
     out = validate_ttl_long(data, shapes)
     assert out is None or out.count() == 0
+
+
+def test_has_value_full_term_identity(ray_session):
+    # "active"@en is a DIFFERENT RDF term than plain "active": it must
+    # NOT satisfy sh:hasValue "active"
+    data = _t("""
+@prefix ex: <http://example.org/> .
+ex:a a ex:Thing ; ex:status "active" .
+ex:b a ex:Thing ; ex:status "active"@en .
+""")
+    shapes = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:status ; sh:hasValue "active" ] .
+""")
+    viol = validate_ttl_long(data, shapes).to_pandas()
+    assert list(viol["focus_node"]) == ["group:" + EX + "b"]
+    # an IRI required value only matches IRI terms, not equal-lexical
+    # literals
+    data2 = _t("""
+@prefix ex: <http://example.org/> .
+ex:a a ex:Thing ; ex:ref ex:target .
+ex:b a ex:Thing ; ex:ref "http://example.org/target" .
+""")
+    shapes2 = _t("""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:ref ; sh:hasValue ex:target ] .
+""")
+    viol2 = validate_ttl_long(data2, shapes2).to_pandas()
+    assert list(viol2["focus_node"]) == ["group:" + EX + "b"]

@@ -1059,8 +1059,10 @@ def long_form_property_shapes(triples: List[Triple]):
             hv = _first(obj, pshape, SH_NS + "hasValue")
             if hv is not None:
                 # sh:hasValue needs ALL values of the path (violation =
-                # NO value equals the required one) — long-form only
-                facets["has_value"] = hv.o
+                # NO value equals the required one) — long-form only.
+                # FULL RDF term identity: "active"@en must not satisfy
+                # hasValue "active" (lexical, kind and lang all match)
+                facets["has_value"] = (hv.o, hv.kind, hv.lang or "")
             nd = _first(obj, pshape, SH_NS + "node")
             if nd is not None:
                 # sh:node: every value must CONFORM to the referenced
@@ -1376,20 +1378,33 @@ def validate_ttl_long(data_triples: List[Triple],
                 path=pred, value_column="object"))
         if "has_value" in facets:
             # violation = the focus group has ZERO rows whose object
-            # equals the required value — a declarative GroupPredicate,
-            # so it runs on the vectorized bucket sweep
+            # TERM equals the required value (lexical + kind + lang) —
+            # a computed match column feeds the declarative
+            # GroupPredicate, so it runs on the vectorized bucket sweep
+            import numpy as np
+
             from ..spec import GroupedSparql, GroupPredicate
 
-            hv = str(facets["has_value"])
+            hv_o, hv_kind, hv_lang = facets["has_value"]
+            obj_a = table["object"].combine_chunks() \
+                if isinstance(table["object"], pa.ChunkedArray) \
+                else table["object"]
+            m = (np.asarray(pc.fill_null(pc.equal(obj_a, hv_o), False))
+                 & np.asarray(pc.fill_null(
+                     pc.equal(table["kind"], hv_kind), False))
+                 & np.asarray(pc.fill_null(
+                     pc.equal(table["lang"], hv_lang), False)))
+            table = table.append_column(
+                "hvok", pa.array(np.where(m, "1", "0"), pa.string()))
             constraints.append(GroupedSparql(
-                path=pred, group_by=["subject"], columns=["object"],
+                path=pred, group_by=["subject"], columns=["hvok"],
                 predicate=GroupPredicate(
-                    agg="count", agg_col="object", op="<=", value=0,
-                    where_col="object", where_val=hv),
+                    agg="count", agg_col="hvok", op="<=", value=0,
+                    where_col="hvok", where_val="1"),
                 component="HasValueConstraintComponent",
-                name=f"has-value:{hv}",
+                name=f"has-value:{hv_o}",
                 shape_id=pshape,
-                message=msg or f"Missing required value {hv} on {pred}"))
+                message=msg or f"Missing required value {hv_o} on {pred}"))
         if "node_kind" in facets:
             kind = str(facets["node_kind"])
             constraints.append(NodeKind(
