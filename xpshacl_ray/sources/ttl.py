@@ -292,8 +292,18 @@ class _Parser:
 
 
 def parse_turtle(text: str) -> Tuple[List[Triple], Dict[str, str]]:
+    """Parse to a DEDUPLICATED triple list (first-occurrence order):
+    an RDF graph is a SET of triples, so a statement written twice is
+    one triple — rdflib/pyshacl semantics; a duplicated statement must
+    not double a sh:maxCount tally."""
     p = _Parser(text).parse()
-    return p.triples, p.prefixes
+    seen = set()
+    out = []
+    for t in p.triples:
+        if t not in seen:
+            seen.add(t)
+            out.append(t)
+    return out, p.prefixes
 
 
 def load_turtle(path: str) -> Tuple[List[Triple], Dict[str, str]]:
