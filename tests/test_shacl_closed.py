@@ -466,3 +466,27 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
 """)
     viol2 = validate_ttl_long(data2, shapes2).to_pandas()
     assert list(viol2["focus_node"]) == ["group:" + EX + "b"]
+
+
+def test_sh_flags_on_pattern(ray_session, tmp_path):
+    # sh:flags "i": case-insensitive pattern from Turtle
+    from xpshacl_ray.sources.ttl import validate_ttl
+
+    data = """
+@prefix ex: <http://example.org/> .
+ex:a a ex:Thing ; ex:code "ABC" .
+ex:b a ex:Thing ; ex:code "abc" .
+ex:c a ex:Thing ; ex:code "xyz" .
+"""
+    shapes = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <http://example.org/> .
+ex:S a sh:NodeShape ; sh:targetClass ex:Thing ;
+  sh:property [ sh:path ex:code ; sh:pattern "^abc" ; sh:flags "i" ] .
+"""
+    d, s = tmp_path / "d.ttl", tmp_path / "s.ttl"
+    d.write_text(data)
+    s.write_text(shapes)
+    viol = validate_ttl(str(d), str(s)).to_pandas()
+    # both cases of abc match under "i"; only xyz violates
+    assert list(viol["focus_node"]) == [EX + "c"]

@@ -878,8 +878,10 @@ def _value_facet_constraints(obj, node: str, col: str, shape_id: str,
                            **{kw: int(b.o)}))
     pat = _first(obj, node, SH_NS + "pattern")
     if pat is not None:
+        fl = _first(obj, node, SH_NS + "flags")
         out.append(Pattern(column=col, shape_id=shape_id, message=msg,
-                           pattern=pat.o))
+                           pattern=pat.o,
+                           flags=fl.o if fl is not None else None))
     in_t = _first(obj, node, SH_NS + "in")
     if in_t is not None:
         elems = rdf_list_triples(obj, in_t.o)
