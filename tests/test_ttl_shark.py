@@ -687,3 +687,35 @@ def test_node_isolation_matches_bruteforce(ray_session):
         and not any(o == n and p in ("http://x/eq", "http://x/dom")
                     for _, p, o in rows))
     assert got == want
+
+
+def test_path_rows_only_prefilter_parity(ray_session):
+    """The sparse-predicate pre-shuffle prune must not change WHICH
+    groups violate (auto self-ref fns satisfy the contract)."""
+    import ray.data
+
+    from xpshacl_ray.pipelines.validate import ValidationEngine
+    from xpshacl_ray.sources.ttl import _self_ref_fn
+    from xpshacl_ray.spec import GroupedSparql, ValidationSpec
+
+    P, Q = "http://x/p", "http://x/q"
+    rows = []
+    for i in range(200):
+        s = f"s{i:03d}"
+        rows.append({"subject": s, "predicate": Q, "object": "noise"})
+        if i % 17 == 0:  # sparse: only every 17th subject has P at all
+            rows.append({"subject": s, "predicate": P,
+                         "object": s if i % 34 == 0 else "other"})
+    ds = ray.data.from_items(rows)
+    got = {}
+    for flag in (False, True):
+        c = GroupedSparql(path=P, group_by=["subject"],
+                          columns=["predicate", "object"],
+                          fn=_self_ref_fn(P), path_rows_only=flag,
+                          name="t")
+        spec = ValidationSpec(constraints=[c], id_columns=["subject"],
+                              focus_template="{subject}")
+        v = ValidationEngine(spec).validate(ds).to_pandas()
+        got[flag] = sorted(v["focus_node"])
+    assert got[True] == got[False]
+    assert got[True] == [f"group:s{i:03d}" for i in range(0, 200, 34)]

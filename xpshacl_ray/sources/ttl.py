@@ -2209,6 +2209,7 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
                 path=parsed["path"], group_by=["subject"],
                 columns=["predicate", "object"],
                 fn=_self_ref_fn(parsed["path"]),
+                path_rows_only=True,
                 name=f"auto-self-ref:{parsed['path']}",
                 shape_id=entry.get("shape") or None,
                 message=entry.get("message") or None)
@@ -2242,6 +2243,7 @@ def sparql_grouped_constraints(shape_triples: List[Triple]):
                 columns=["predicate", "object"],
                 fn=_same_replace_eq_fn(parsed["path"], parsed["pattern"],
                                        parsed["replacement"]),
+                path_rows_only=True,
                 name=f"auto-same-replace-eq:{parsed['path']}",
                 shape_id=entry.get("shape") or None,
                 message=entry.get("message") or None)

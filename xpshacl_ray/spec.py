@@ -991,6 +991,15 @@ class GroupedSparql(Constraint):
     #: silently OOMing the map_groups worker — a mega-group means the
     #: data model's rows-per-subject bound is broken upstream
     max_group_rows: int = 5_000_000
+    #: contract flag: ``fn`` reads ONLY rows whose ``predicate`` column
+    #: equals ``path`` (and returns False for a group without such
+    #: rows).  When set, the engine prunes all other rows BEFORE the
+    #: map_groups shuffle — a group without the predicate never
+    #: shuffles at all (the sparse-predicate exchange cut; the
+    #: violation row's actualCount then counts the path rows only).
+    #: The auto-translated self-ref / shared-REPLACE-image fns satisfy
+    #: this; hand-written fns must opt in explicitly.
+    path_rows_only: bool = False
     component: str = "SPARQLConstraintComponent"
 
     def params(self) -> Dict[str, Any]:

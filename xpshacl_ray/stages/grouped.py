@@ -302,6 +302,20 @@ def _evaluate_grouped_sparql(
     keys = list(c.group_by)
     cols = keys + [x for x in _sparql_value_cols(c) if x not in keys]
     sub = ds.select_columns(cols)
+    if (getattr(c, "path_rows_only", False) and c.path
+            and "predicate" in cols):
+        # contract: fn reads only predicate==path rows and a group
+        # without them never violates — prune BEFORE the shuffle so
+        # sparse-predicate groups do not shuffle at all
+        path_iri = c.path
+
+        def keep_path_rows(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return b.filter(_pc.fill_null(
+                _pc.equal(b["predicate"], path_iri), False))
+
+        sub = sub.map_batches(keep_path_rows, batch_format="pyarrow")
     sch = ds.schema()
     tmap = dict(zip(sch.names, sch.types))
     out_schema = pa.schema([(k, tmap[k]) for k in keys]
