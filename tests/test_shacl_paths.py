@@ -49,6 +49,12 @@ ex:ManagedAgeShape a sh:NodeShape ;
 ex:NestedShape a sh:NodeShape ;
   sh:targetClass ex:Person ;
   sh:property [ sh:path [ sh:alternativePath ( ex:a ( ex:b ex:c ) ) ] ;
+                sh:message "nested alt" ;
+                sh:minCount 1 ] .
+
+ex:MalformedShape a sh:NodeShape ;
+  sh:targetClass ex:Person ;
+  sh:property [ sh:path [ ex:notAPathPredicate ex:p ] ;
                 sh:minCount 1 ] .
 """
 
@@ -66,6 +72,11 @@ ex:dave a ex:Person .
 ex:acme a ex:Company ; ex:name "Acme" .
 ex:shadow a ex:Company .
 ex:lower a ex:Company ; ex:name "lowercase inc" .
+
+# nested-alt witnesses: alice via the ex:a branch, carol via ex:b/ex:c
+ex:alice ex:a ex:anchor .
+ex:carol ex:b ex:mid .
+ex:mid ex:c "v" .
 """
 
 
@@ -93,11 +104,17 @@ def test_resolve_path_forms():
     assert mix_f["steps"] == [("inv", EX + "worksFor"),
                               ("fwd", EX + "age")]
     assert mix_f["bounds"] == [("minInclusive", 18)]
-    # nested composite (alternative containing a sequence): not
-    # resolvable, not evaluated, surfaced as data
-    assert None not in by_msg  # the NestedShape entry (no message) absent
+    # nested composite (alternative containing a sequence): resolves
+    # recursively — the sequence operand becomes a ("seq", [...]) node
+    nest_pred, nest_f = by_msg["nested alt"]
+    assert nest_f["steps"] == [
+        ("alt", [("fwd", EX + "a"),
+                 ("seq", [("fwd", EX + "b"), ("fwd", EX + "c")])])]
+    assert nest_pred == f"({EX}a|({EX}b/{EX}c))"
+    # only a genuinely malformed path node (no path predicate at all)
+    # is surfaced as data
     unsup = unsupported_path_shapes(shapes)
-    assert [u["shape"] for u in unsup] == [EX + "NestedShape"]
+    assert [u["shape"] for u in unsup] == [EX + "MalformedShape"]
     # display helper round-trips
     assert path_str([("inv", "p"), ("fwd", "q")]) == "^p/q"
     # plain IRI resolves to a single forward step
@@ -123,7 +140,11 @@ def test_inverse_and_sequence_paths_end_to_end(ray_session):
     inv = "^" + EX + "knows"
     seq = EX + "worksFor/" + EX + "name"
     mix = "^" + EX + "worksFor/" + EX + "age"
+    nest = f"({EX}a|({EX}b/{EX}c))"
     assert got == sorted([
+        # bob and dave reach nothing via (a | b/c) → nested-alt minCount
+        (nest, "group:" + EX + "bob", "MinCountConstraintComponent"),
+        (nest, "group:" + EX + "dave", "MinCountConstraintComponent"),
         # carol is known by alice AND bob → inverse maxCount 1
         (inv, "group:" + EX + "carol", "MaxCountConstraintComponent"),
         # bob's employer has no name; dave has no employer → seq minCount

@@ -460,71 +460,84 @@ def _hydrate_list_values(elems: List[Triple]) -> List:
 
 
 def resolve_path(obj, path_t: Triple) -> Optional[List[Tuple]]:
-    """``sh:path`` node → ordered steps, or ``None`` for forms outside
-    the subset.  Step kinds (mirrors pyshacl's path evaluation — the
-    reference delegates ALL path handling to pyshacl):
+    """``sh:path`` node → ordered steps, or ``None`` for malformed
+    path nodes.  The FULL recursive SHACL path grammar is covered
+    (mirrors pyshacl's path evaluation — the reference delegates ALL
+    path handling to pyshacl).  Step kinds:
 
     - ``("fwd", p)`` / ``("inv", p)`` — plain IRI / ``[sh:inversePath
-      <p>]``;
-    - ``("alt", [atom, ...])`` — ``[sh:alternativePath (…)]`` whose
-      alternatives are plain-or-inverse atoms;
-    - ``("star"|"plus"|"opt", atom)`` — ``sh:zeroOrMorePath`` /
-      ``sh:oneOrMorePath`` / ``sh:zeroOrOnePath`` over a plain-or-
-      inverse atom (closure semantics: star includes the start node);
-    - a SEQUENCE (RDF list) of any of the above.
+      <p>]`` (inverses are normalized down to atoms at parse time:
+      ``^(a/b) == ^b/^a``, ``^(a|b) == ^a|^b``, ``^(a*) == (^a)*``,
+      ``^^a == a`` — relation-transpose laws, so the walker never
+      needs a general inverse);
+    - ``("alt", [step, ...])`` — ``[sh:alternativePath (…)]`` over
+      ANY sub-paths (atoms, sequences, closures, nested composites);
+    - ``("seq", [step, ...])`` — a NESTED sequence (an RDF list used
+      as an operand of another composite);
+    - ``("star"|"plus"|"opt", step)`` — ``sh:zeroOrMorePath`` /
+      ``sh:oneOrMorePath`` / ``sh:zeroOrOnePath`` over ANY sub-path
+      (closure semantics: star includes the start node);
+    - the TOP LEVEL is a list of steps (a sequence), as before.
 
-    Nested composites (an alternative of sequences, a closure over a
-    sequence, …) return None and are surfaced as data by
-    :func:`unsupported_path_shapes` (the same never-mistranslate
-    contract the sh:sparql translator carries)."""
-    def atom(o: str, kind: str) -> Optional[Tuple[str, str]]:
-        """A plain predicate or its inverse — the closure/alternative
-        operand grammar."""
+    Only genuinely malformed path nodes (a bnode with none of the
+    path predicates, a cyclic bnode structure, a literal) return
+    None; :func:`unsupported_path_shapes` surfaces those as data
+    (the same never-mistranslate contract the sh:sparql translator
+    carries)."""
+    def node(o: str, kind: str, seen: frozenset) -> Optional[Tuple]:
+        """Recursive path-node parser (cycle-safe over bnode ids)."""
         if kind == "iri":
             return ("fwd", o)
-        if kind == "bnode" and _first(obj, o, RDF_FIRST) is None:
-            inv = _first(obj, o, SH_NS + "inversePath")
-            if inv is not None and inv.kind == "iri":
-                return ("inv", inv.o)
-        return None
-
-    def step(o: str, kind: str) -> Optional[Tuple]:
-        st = atom(o, kind)
-        if st is not None:
-            return st
-        if kind != "bnode":
+        if kind != "bnode" or o in seen:
             return None
+        seen = seen | {o}
+        if _first(obj, o, RDF_FIRST) is not None:
+            elems = rdf_list_triples(obj, o)
+            subs = [node(e.o, e.kind, seen) for e in elems]
+            if not subs or any(s is None for s in subs):
+                return None
+            return subs[0] if len(subs) == 1 else ("seq", subs)
+        inv = _first(obj, o, SH_NS + "inversePath")
+        if inv is not None:
+            sub = node(inv.o, inv.kind, seen)
+            return None if sub is None else invert_path(sub)
         alt = _first(obj, o, SH_NS + "alternativePath")
         if alt is not None:
             elems = rdf_list_triples(obj, alt.o)
-            branches = [atom(e.o, e.kind) for e in elems]
-            if branches and all(b is not None for b in branches):
-                return ("alt", branches)
-            return None
+            subs = [node(e.o, e.kind, seen) for e in elems]
+            if not subs or any(s is None for s in subs):
+                return None
+            return ("alt", subs)
         for pred, k in ((SH_NS + "zeroOrMorePath", "star"),
                         (SH_NS + "oneOrMorePath", "plus"),
                         (SH_NS + "zeroOrOnePath", "opt")):
             t = _first(obj, o, pred)
             if t is not None:
-                a = atom(t.o, t.kind)
-                return (k, a) if a is not None else None
+                sub = node(t.o, t.kind, seen)
+                return None if sub is None else (k, sub)
         return None
 
-    if path_t.kind == "iri":
-        return [("fwd", path_t.o)]
-    if path_t.kind == "bnode":
-        if _first(obj, path_t.o, RDF_FIRST) is not None:
-            elems = rdf_list_triples(obj, path_t.o)
-            steps = []
-            for e in elems:
-                st = step(e.o, e.kind)
-                if st is None:
-                    return None
-                steps.append(st)
-            return steps or None
-        st = step(path_t.o, "bnode")
-        return None if st is None else [st]
-    return None
+    top = node(path_t.o, path_t.kind, frozenset())
+    if top is None:
+        return None
+    return list(top[1]) if top[0] == "seq" else [top]
+
+
+def invert_path(st: Tuple) -> Tuple:
+    """Transpose of a path step, with inverses pushed down to atoms:
+    ``(a/b)^T = b^T/a^T``, ``(a|b)^T = a^T|b^T``, ``(a*)^T = (a^T)*``,
+    ``(a^T)^T = a`` — standard relation-algebra laws, so evaluation
+    only ever needs atom-level inverse indexes."""
+    d = st[0]
+    if d == "fwd":
+        return ("inv", st[1])
+    if d == "inv":
+        return ("fwd", st[1])
+    if d == "seq":
+        return ("seq", [invert_path(s) for s in reversed(st[1])])
+    if d == "alt":
+        return ("alt", [invert_path(s) for s in st[1]])
+    return (d, invert_path(st[1]))  # star / plus / opt
 
 
 def path_str(steps: List[Tuple]) -> str:
@@ -540,18 +553,22 @@ def path_str(steps: List[Tuple]) -> str:
             return "^" + st[1]
         if d == "alt":
             return "(" + "|".join(one(b) for b in st[1]) + ")"
+        if d == "seq":
+            return "(" + "/".join(one(b) for b in st[1]) + ")"
         return one(st[1]) + {"star": "*", "plus": "+", "opt": "?"}[d]
     return "/".join(one(st) for st in steps)
 
 
 def unsupported_path_shapes(triples: List[Triple]) -> List[Dict[str, str]]:
-    """Property shapes whose ``sh:path`` is OUTSIDE the resolvable
-    subset (nested composites: an alternative of sequences, a closure
-    over a sequence, an inverse of a composite, …), surfaced as data:
-    ``[{"shape", "pshape", "target", "path_node"}]``.  These shapes are
-    never evaluated — a blank-node path must not silently become a
-    (nonexistent) pivot column, and a wrong approximation is worse than
-    an explicit gap."""
+    """Property shapes whose ``sh:path`` node is MALFORMED (a bnode
+    carrying none of the SHACL path predicates, a cyclic bnode
+    structure, an empty list, a literal), surfaced as data:
+    ``[{"shape", "pshape", "target", "path_node"}]``.  The full
+    recursive path grammar now resolves (nested composites included),
+    so this only fires on graphs that are not valid SHACL — those
+    shapes are never evaluated: a malformed path must not silently
+    become a (nonexistent) pivot column, and a wrong approximation is
+    worse than an explicit gap."""
     obj = _sp_index(triples)
     out = []
     for shape, target in _shape_target_keys(triples, obj):
@@ -1130,12 +1147,13 @@ def _walk_path_rows(data_triples: List[Triple], subjects: List[str],
     TTL inputs are small by construction (the 100 TB path is Parquet,
     where paths become joins)."""
     def atoms_of(st):
+        """All (fwd|inv, predicate) atoms anywhere in a step's AST."""
         d = st[0]
         if d in ("fwd", "inv"):
             return [st]
-        if d == "alt":
-            return list(st[1])
-        return [st[1]]  # star / plus / opt
+        if d in ("alt", "seq"):
+            return [a for b in st[1] for a in atoms_of(b)]
+        return atoms_of(st[1])  # star / plus / opt
 
     fwd_preds = {p for st in steps for d, p in atoms_of(st) if d == "fwd"}
     inv_preds = {p for st in steps for d, p in atoms_of(st) if d == "inv"}
@@ -1165,16 +1183,39 @@ def _walk_path_rows(data_triples: List[Triple], subjects: List[str],
             nxt.update(succ(node, *atom))
         return nxt
 
-    def closure(frontier, atom):
-        """All nodes reachable via >=1 application (cycle-safe)."""
+    def apply(frontier, st):
+        """Evaluate ONE step (arbitrarily nested AST) over a node set."""
+        d = st[0]
+        if d in ("fwd", "inv"):
+            return hop(frontier, st)
+        if d == "seq":
+            for sub in st[1]:
+                frontier = apply(frontier, sub)
+                if not frontier:
+                    break
+            return frontier
+        if d == "alt":
+            nxt = set()
+            for b in st[1]:
+                nxt |= apply(frontier, b)
+            return nxt
+        if d == "opt":
+            return frontier | apply(frontier, st[1])
+        clo = closure(frontier, st[1])
+        # star: zero applications keep the start nodes
+        return frontier | clo if d == "star" else clo
+
+    def closure(frontier, sub):
+        """All nodes reachable via >=1 application of an arbitrary
+        sub-path (cycle-safe — node sets are finite)."""
         seen: set = set()
-        cur = hop(frontier, atom)
+        cur = apply(frontier, sub)
         while cur:
             fresh = cur - seen
             if not fresh:
                 break
             seen |= fresh
-            cur = hop(fresh, atom)
+            cur = apply(fresh, sub)
         return seen
 
     out: Dict[str, list] = {}
@@ -1182,20 +1223,7 @@ def _walk_path_rows(data_triples: List[Triple], subjects: List[str],
         skind = "bnode" if s.startswith("_:") else "iri"
         frontier = {(s, skind, None, None)}
         for st in steps:
-            d = st[0]
-            if d in ("fwd", "inv"):
-                frontier = hop(frontier, st)
-            elif d == "alt":
-                nxt = set()
-                for b in st[1]:
-                    nxt |= hop(frontier, b)
-                frontier = nxt
-            elif d == "opt":
-                frontier = frontier | hop(frontier, st[1])
-            elif d == "plus":
-                frontier = closure(frontier, st[1])
-            else:  # star: zero applications keep the start nodes
-                frontier = frontier | closure(frontier, st[1])
+            frontier = apply(frontier, st)
             if not frontier:
                 break
         # sort key tolerates None lang alongside tagged values ("x" and
