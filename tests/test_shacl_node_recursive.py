@@ -1,0 +1,351 @@
+"""Recursive sh:node conformance (_NodeChecker) — unbounded nesting
+depth, grouped facets / complex paths / logical operators / closed
+inside the referenced shape, and a cycle-safe treatment of recursive
+shape graphs.  The reference gets sh:node free from pyshacl
+(/root/reference/src/xpshacl_engine.py delegates to pyshacl.validate);
+pyshacl RAISES on recursive shapes — here they terminate with the
+assume-conforming reading."""
+
+from xpshacl_ray.sources.ttl import (
+    _NodeChecker,
+    _sp_index,
+    parse_turtle,
+    validate_ttl_long,
+)
+
+EX = "http://example.org/"
+SH = "@prefix sh: <http://www.w3.org/ns/shacl#> .\n" \
+     "@prefix ex: <http://example.org/> .\n"
+
+
+def _t(text):
+    t, _ = parse_turtle(text)
+    return t
+
+
+def _node_rows(data, shapes):
+    out = validate_ttl_long(_t(data), _t(shapes))
+    rows = out.take_all() if out is not None else []
+    return sorted(
+        (r["focus_node"], r["value"]) for r in rows
+        if r["constraint_id"].endswith("NodeConstraintComponent"))
+
+
+def test_nested_sh_node_depth_two(ray_session):
+    # person -> company (CompanyShape) -> hq (AddressShape: city needed)
+    data = """
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:worksFor ex:c1 .
+ex:p2 a ex:Person ; ex:worksFor ex:c2 .
+ex:c1 ex:name "Acme" ; ex:hq ex:a1 .
+ex:c2 ex:name "Evil" ; ex:hq ex:a2 .
+ex:a1 ex:city "Berlin" .
+ex:a2 ex:zip "10999" .
+"""
+    shapes = SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] .
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] ;
+  sh:property [ sh:path ex:hq ; sh:node ex:AddressShape ] .
+ex:AddressShape a sh:NodeShape ;
+  sh:property [ sh:path ex:city ; sh:minCount 1 ] .
+"""
+    # c2 is nonconforming ONLY through the nested AddressShape (depth 2)
+    assert _node_rows(data, shapes) == [(EX + "p2", EX + "c2")]
+
+
+def test_grouped_facet_inside_referenced_shape(ray_session):
+    # maxCount inside the referenced shape: the depth-1 pivot could not
+    # see multi-valued properties of the VALUE node
+    data = """
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:worksFor ex:c1 .
+ex:p2 a ex:Person ; ex:worksFor ex:c2 .
+ex:c1 ex:ceo ex:x .
+ex:c2 ex:ceo ex:x ; ex:ceo ex:y .
+"""
+    shapes = SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] .
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path ex:ceo ; sh:maxCount 1 ] .
+"""
+    assert _node_rows(data, shapes) == [(EX + "p2", EX + "c2")]
+
+
+def test_value_facet_checks_every_value_not_first(ray_session):
+    # two names, the lexically LATER one violates the pattern — full
+    # SHACL semantics check every value node of the referenced shape
+    data = """
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:worksFor ex:c1 .
+ex:c1 ex:name "Acme" ; ex:name "acme-lower" .
+"""
+    shapes = SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] .
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:pattern "^[A-Z]" ] .
+"""
+    assert _node_rows(data, shapes) == [(EX + "p1", EX + "c1")]
+
+
+def test_complex_path_inside_referenced_shape(ray_session):
+    # the referenced shape walks an INVERSE path from the value node
+    data = """
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:worksFor ex:c1 .
+ex:p2 a ex:Person ; ex:worksFor ex:c2 .
+ex:e1 ex:employedBy ex:c1 .
+"""
+    shapes = SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] .
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path [ sh:inversePath ex:employedBy ] ;
+                sh:minCount 1 ] .
+"""
+    # c2 has no inverse-employedBy subject
+    assert _node_rows(data, shapes) == [(EX + "p2", EX + "c2")]
+
+
+def test_logical_operator_inside_referenced_shape(ray_session):
+    data = """
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:worksFor ex:c1 .
+ex:p2 a ex:Person ; ex:worksFor ex:c2 .
+ex:c1 ex:code "AB12" .
+ex:c2 ex:code "zz" .
+"""
+    shapes = SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] .
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path ex:code ;
+                sh:or ( [ sh:pattern "^[A-Z]" ] [ sh:minLength 4 ] ) ] .
+"""
+    assert _node_rows(data, shapes) == [(EX + "p2", EX + "c2")]
+
+
+def test_closed_referenced_shape(ray_session):
+    data = """
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:worksFor ex:c1 .
+ex:p2 a ex:Person ; ex:worksFor ex:c2 .
+ex:c1 ex:name "Acme" .
+ex:c2 ex:name "Evil" ; ex:secret "x" .
+"""
+    shapes = SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] .
+ex:CompanyShape a sh:NodeShape ; sh:closed true ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+    assert _node_rows(data, shapes) == [(EX + "p2", EX + "c2")]
+
+
+def test_has_value_inside_referenced_shape(ray_session):
+    data = """
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:worksFor ex:c1 .
+ex:p2 a ex:Person ; ex:worksFor ex:c2 .
+ex:c1 ex:status "active" ; ex:status "audited" .
+ex:c2 ex:status "retired" .
+"""
+    shapes = SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] .
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path ex:status ; sh:hasValue "active" ] .
+"""
+    assert _node_rows(data, shapes) == [(EX + "p2", EX + "c2")]
+
+
+def test_qualified_count_inside_referenced_shape(ray_session):
+    data = """
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:worksFor ex:c1 .
+ex:p2 a ex:Person ; ex:worksFor ex:c2 .
+ex:c1 ex:tag "v0" ; ex:tag "v1" .
+ex:c2 ex:tag "v0" ; ex:tag "zz" .
+"""
+    shapes = SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] .
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path ex:tag ;
+                sh:qualifiedValueShape [ sh:pattern "^v" ] ;
+                sh:qualifiedMinCount 2 ] .
+"""
+    assert _node_rows(data, shapes) == [(EX + "p2", EX + "c2")]
+
+
+def test_recursive_shape_terminates_assume_conforming(ray_session):
+    # shape references ITSELF through sh:node along a follower cycle;
+    # pyshacl raises ShapeRecursionError — here the cycle terminates
+    # with the (term, shape) pair under evaluation assumed conforming,
+    # so only genuinely-violating nodes report
+    data = """
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:knows ex:p2 .
+ex:p2 ex:knows ex:p1 ; ex:name "B" .
+ex:p1 ex:name "A" .
+"""
+    shapes = SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:knows ; sh:node ex:PersonShape ] ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+    assert _node_rows(data, shapes) == []
+
+    # breaking the inner node's name makes the recursion REPORT it
+    data_bad = data.replace('ex:p2 ex:knows ex:p1 ; ex:name "B" .',
+                            "ex:p2 ex:knows ex:p1 .")
+    assert _node_rows(data_bad, shapes) == [(EX + "p1", EX + "p2")]
+
+
+def test_property_pair_full_set_semantics(ray_session):
+    # sh:equals inside the referenced shape compares VALUE SETS
+    data = """
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:worksFor ex:c1 .
+ex:p2 a ex:Person ; ex:worksFor ex:c2 .
+ex:c1 ex:a "x" ; ex:a "y" ; ex:b "x" ; ex:b "y" .
+ex:c2 ex:a "x" ; ex:a "y" ; ex:b "x" .
+"""
+    shapes = SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:worksFor ; sh:node ex:CompanyShape ] .
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path ex:a ; sh:equals ex:b ] .
+"""
+    assert _node_rows(data, shapes) == [(EX + "p2", EX + "c2")]
+
+
+def test_node_level_facets_apply_to_the_value_itself(ray_session):
+    # the referenced shape constrains the VALUE NODE directly
+    # (node-level sh:nodeKind + sh:pattern), not just its properties
+    data = """
+@prefix ex: <http://example.org/> .
+ex:p1 a ex:Person ; ex:ref ex:good_thing .
+ex:p2 a ex:Person ; ex:ref "a literal" .
+"""
+    shapes = SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:ref ; sh:node ex:RefShape ] .
+ex:RefShape a sh:NodeShape ;
+  sh:nodeKind sh:IRI ; sh:pattern "good" .
+"""
+    assert _node_rows(data, shapes) == [(EX + "p2", "a literal")]
+
+
+def test_checker_memoizes_per_term_shape(ray_session):
+    data, _ = parse_turtle("""
+@prefix ex: <http://example.org/> .
+ex:c1 ex:name "Acme" .
+""")
+    shapes, _ = parse_turtle(SH + """
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+""")
+    ck = _NodeChecker(data, _sp_index(shapes), {})
+    t = (EX + "c1", "iri", "")
+    assert ck.conforms(t, EX + "CompanyShape")
+    assert ck.memo[(t, EX + "CompanyShape")] is True
+    assert not ck.conforms((EX + "missing", "iri", ""),
+                           EX + "CompanyShape")
+
+# ---------------------------------------------------------------------------
+# differential fuzz: random graphs x random (possibly nested) inner shapes
+# vs an independent recursive evaluator written directly over the triples
+# ---------------------------------------------------------------------------
+import re as _re
+
+import numpy as np
+
+
+def _gen_graph(rng):
+    lines = ["@prefix ex: <http://example.org/> ."]
+    subs = [f"s{i}" for i in range(5)]
+    others = [f"n{i}" for i in range(6)]
+    for s in subs:
+        lines.append(f"ex:{s} a ex:T .")
+    for _ in range(int(rng.integers(10, 30))):
+        s = (subs + others)[rng.integers(0, 11)]
+        p = f"p{rng.integers(0, 3)}"
+        r = rng.random()
+        if r < 0.3:
+            o = f'"v{rng.integers(0, 4)}"'
+        else:
+            o = f"ex:{(subs + others)[rng.integers(0, 11)]}"
+        lines.append(f"ex:{s} ex:{p} {o} .")
+    return "\n".join(lines)
+
+
+def _fwd_terms(triples, node_term, pred):
+    """Independent forward step: distinct (lexical, kind, lang) objects."""
+    if node_term[1] == "literal":
+        return set()
+    return {(t.o, t.kind, t.lang or "") for t in triples
+            if t.s == node_term[0] and t.p == pred}
+
+
+def test_recursive_node_fuzz_vs_independent_evaluator(ray_session):
+    rng = np.random.default_rng(123)
+    P0, P1, P2 = EX + "p0", EX + "p1", EX + "p2"
+    for trial in range(12):
+        data_ttl = _gen_graph(rng)
+        data, _ = parse_turtle(data_ttl)
+        kind = int(rng.integers(0, 4))
+        k = int(rng.integers(1, 3))
+        inner_extra = ""
+        if kind == 0:
+            facet = f"sh:minCount {k}"
+        elif kind == 1:
+            facet = f"sh:maxCount {k}"
+        elif kind == 2:
+            facet = 'sh:pattern "^v[01]$"'
+        else:
+            facet = "sh:node ex:Inner2"
+            inner_extra = ("ex:Inner2 a sh:NodeShape ;\n"
+                           "  sh:property [ sh:path ex:p1 ; "
+                           "sh:minCount 1 ] .\n")
+        shapes, _ = parse_turtle(SH + f"""
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:p0 ; sh:node ex:Inner ] .
+ex:Inner a sh:NodeShape ;
+  sh:property [ sh:path ex:{"p2" if kind == 3 else "p1"} ; {facet} ] .
+{inner_extra}""")
+
+        def conforms2(term):
+            return len(_fwd_terms(data, term, P1)) >= 1
+
+        def conforms1(term):
+            vals = _fwd_terms(data, term, P2 if kind == 3 else P1)
+            if kind == 0:
+                return len(vals) >= k
+            if kind == 1:
+                return len(vals) <= k
+            if kind == 2:
+                return all(_re.search(r"^v[01]$", v[0]) for v in vals)
+            return all(conforms2(v) for v in vals)
+
+        # the NodeConformance contract matches object STRINGS — collapse
+        # term-level verdicts to lexical strings exactly as production does
+        bad_strings = set()
+        focus = {f"{EX}s{i}" for i in range(5)}
+        p0_rows = [(t.s, (t.o, t.kind, t.lang or "")) for t in data
+                   if t.p == P0 and t.s in focus]
+        for _s, term in p0_rows:
+            if not conforms1(term):
+                bad_strings.add(term[0])
+        want = sorted({(s, term[0]) for s, term in p0_rows
+                       if term[0] in bad_strings})
+
+        out = validate_ttl_long(data, shapes)
+        rows = out.take_all() if out is not None else []
+        got = sorted({(r["focus_node"], r["value"]) for r in rows
+                      if r["constraint_id"].endswith(
+                          "NodeConstraintComponent")})
+        assert got == want, (trial, kind, k, got, want, data_ttl)

@@ -1132,106 +1132,433 @@ def long_form_property_shapes(triples: List[Triple]):
     return out
 
 
-def _walk_path_rows(data_triples: List[Triple], subjects: List[str],
-                    steps: List[Tuple[str, str]]):
-    """Evaluate a resolved property path over the data graph for each
-    focus subject: returns ``{subject: [(value, kind, lang), ...]}``
-    with DISTINCT value nodes (SHACL counts value nodes, not derivation
-    paths — a value reachable two ways is one value).
+def _path_atoms(st) -> List[Tuple[str, str]]:
+    """All (fwd|inv, predicate) atoms anywhere in a step's AST."""
+    d = st[0]
+    if d in ("fwd", "inv"):
+        return [st]
+    if d in ("alt", "seq"):
+        return [a for b in st[1] for a in _path_atoms(b)]
+    return _path_atoms(st[1])  # star / plus / opt
+
+
+class _PathIndex:
+    """Pre-built forward/inverse adjacency for evaluating resolved
+    SHACL path ASTs over the (small, driver-parsed) data graph.
 
     Node identity is the full RDF term ``(lexical, kind, lang,
     datatype)``; forward steps follow triples whose subject is a
     non-literal frontier node, inverse steps follow triples whose
     OBJECT term equals the frontier node (matching lang/datatype, so
-    ``"x"@en`` and ``"x"@fr`` stay distinct).  Driver-side by design —
-    TTL inputs are small by construction (the 100 TB path is Parquet,
-    where paths become joins)."""
-    def atoms_of(st):
-        """All (fwd|inv, predicate) atoms anywhere in a step's AST."""
-        d = st[0]
-        if d in ("fwd", "inv"):
-            return [st]
-        if d in ("alt", "seq"):
-            return [a for b in st[1] for a in atoms_of(b)]
-        return atoms_of(st[1])  # star / plus / opt
+    ``"x"@en`` and ``"x"@fr`` stay distinct).  ``datatype_identity=
+    False`` drops the literal datatype from inverse matching — used by
+    the sh:node conformance checker, whose starting terms come from the
+    violation table's (object, kind, lang) columns where no datatype
+    survives.  Driver-side by design — TTL inputs are small by
+    construction (the 100 TB path is Parquet, where paths become
+    joins)."""
 
-    fwd_preds = {p for st in steps for d, p in atoms_of(st) if d == "fwd"}
-    inv_preds = {p for st in steps for d, p in atoms_of(st) if d == "inv"}
-    fwd_idx: Dict[Tuple[str, str], List[Triple]] = {}
-    inv_idx: Dict[Tuple[str, str, Optional[str], Optional[str], str],
-                  List[str]] = {}
-    for t in data_triples:
-        if t.p in fwd_preds:
-            fwd_idx.setdefault((t.s, t.p), []).append(t)
-        if t.p in inv_preds:
-            inv_idx.setdefault((t.o, t.kind, t.lang, t.datatype, t.p),
-                               []).append(t.s)
+    def __init__(self, data_triples: List[Triple],
+                 fwd_preds: Optional[set] = None,
+                 inv_preds: Optional[set] = None,
+                 datatype_identity: bool = True):
+        self.dt_id = datatype_identity
+        self.fwd_idx: Dict[Tuple[str, str], List[Triple]] = {}
+        self.inv_idx: Dict[Tuple, List[str]] = {}
+        for t in data_triples:
+            if fwd_preds is None or t.p in fwd_preds:
+                self.fwd_idx.setdefault((t.s, t.p), []).append(t)
+            if inv_preds is None or t.p in inv_preds:
+                k = ((t.o, t.kind, t.lang, t.datatype, t.p)
+                     if datatype_identity else (t.o, t.kind, t.lang, t.p))
+                self.inv_idx.setdefault(k, []).append(t.s)
 
-    def succ(node, d, p):
+    def succ(self, node, d, p):
         if d == "fwd":
             if node[1] == "literal":
                 return ()  # literals have no outgoing edges
             return [(t.o, t.kind, t.lang, t.datatype)
-                    for t in fwd_idx.get((node[0], p), ())]
+                    for t in self.fwd_idx.get((node[0], p), ())]
+        k = ((node[0], node[1], node[2], node[3], p)
+             if self.dt_id else (node[0], node[1], node[2], p))
         return [(u, "bnode" if u.startswith("_:") else "iri", None, None)
-                for u in inv_idx.get(
-                    (node[0], node[1], node[2], node[3], p), ())]
+                for u in self.inv_idx.get(k, ())]
 
-    def hop(frontier, atom):
+    def _hop(self, frontier, atom):
         nxt = set()
         for node in frontier:
-            nxt.update(succ(node, *atom))
+            nxt.update(self.succ(node, *atom))
         return nxt
 
-    def apply(frontier, st):
+    def apply(self, frontier, st):
         """Evaluate ONE step (arbitrarily nested AST) over a node set."""
         d = st[0]
         if d in ("fwd", "inv"):
-            return hop(frontier, st)
+            return self._hop(frontier, st)
         if d == "seq":
             for sub in st[1]:
-                frontier = apply(frontier, sub)
+                frontier = self.apply(frontier, sub)
                 if not frontier:
                     break
             return frontier
         if d == "alt":
             nxt = set()
             for b in st[1]:
-                nxt |= apply(frontier, b)
+                nxt |= self.apply(frontier, b)
             return nxt
         if d == "opt":
-            return frontier | apply(frontier, st[1])
-        clo = closure(frontier, st[1])
+            return frontier | self.apply(frontier, st[1])
+        clo = self.closure(frontier, st[1])
         # star: zero applications keep the start nodes
         return frontier | clo if d == "star" else clo
 
-    def closure(frontier, sub):
+    def closure(self, frontier, sub):
         """All nodes reachable via >=1 application of an arbitrary
         sub-path (cycle-safe — node sets are finite)."""
         seen: set = set()
-        cur = apply(frontier, sub)
+        cur = self.apply(frontier, sub)
         while cur:
             fresh = cur - seen
             if not fresh:
                 break
             seen |= fresh
-            cur = apply(fresh, sub)
+            cur = self.apply(fresh, sub)
         return seen
 
+    def walk(self, start_node, steps):
+        """Full resolved path from ONE start node → the distinct
+        value-node set (4-tuples)."""
+        frontier = {start_node}
+        for st in steps:
+            frontier = self.apply(frontier, st)
+            if not frontier:
+                break
+        return frontier
+
+
+def _walk_path_rows(data_triples: List[Triple], subjects: List[str],
+                    steps: List[Tuple[str, str]]):
+    """Evaluate a resolved property path over the data graph for each
+    focus subject: returns ``{subject: [(value, kind, lang), ...]}``
+    with DISTINCT value nodes (SHACL counts value nodes, not derivation
+    paths — a value reachable two ways is one value).  Term identity
+    and walking semantics live in :class:`_PathIndex`."""
+    fwd_preds = {p for st in steps for d, p in _path_atoms(st)
+                 if d == "fwd"}
+    inv_preds = {p for st in steps for d, p in _path_atoms(st)
+                 if d == "inv"}
+    idx = _PathIndex(data_triples, fwd_preds, inv_preds)
     out: Dict[str, list] = {}
     for s in subjects:
         skind = "bnode" if s.startswith("_:") else "iri"
-        frontier = {(s, skind, None, None)}
-        for st in steps:
-            frontier = apply(frontier, st)
-            if not frontier:
-                break
+        frontier = idx.walk((s, skind, None, None), steps)
         # sort key tolerates None lang alongside tagged values ("x" and
         # "x"@en are DISTINCT value nodes that must co-exist)
         out[s] = sorted(((v, k, lg) for v, k, lg, _dt in frontier),
                         key=lambda t: (t[0], t[1], t[2] is not None,
                                        t[2] or ""))
     return out
+
+
+_INT_LEX_RE = re.compile(r"^[+-]?\d+$")
+
+
+def _lex_num(v) -> Optional[float]:
+    """Lexical form → float, or None when not numeric."""
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
+
+
+class _NodeChecker:
+    """Recursive ``sh:node`` conformance over the driver-parsed data
+    graph — unbounded nesting depth (the round-4 implementation pivoted
+    the referenced shape's row-local facets only, depth 1).
+
+    A term ``(value, kind, lang)`` CONFORMS to a node shape S when it
+    satisfies every constraint S declares:
+
+    - node-level value facets applied to the term itself: sh:datatype
+      (int/float lexical probe, string = untagged literal), numeric
+      bounds, min/maxLength, sh:pattern (+flags, partial match like the
+      engine's Pattern), sh:in, sh:nodeKind, sh:class (direct rdf:type
+      membership), sh:hasValue (full term equality), sh:languageIn;
+    - node-level sh:not / sh:and / sh:or / sh:xone and node-level
+      sh:node — operands are evaluated as FULL node shapes (recursion);
+    - every sh:property shape of S: the full path grammar is walked
+      from the term (literals have no outgoing edges), then
+      sh:min/maxCount over the distinct value-node count, all value
+      facets above over EVERY walked value, sh:uniqueLang, sh:hasValue
+      (SOME value equals), property pairs (sh:equals / sh:disjoint /
+      sh:lessThan(OrEquals) with full value-SET semantics — the SHACL
+      definitions, not the pivot's first-value scope), qualified counts
+      (sh:qualifiedValueShape evaluated as a full shape, recursion) and
+      nested sh:node (recursion);
+    - sh:closed (+ sh:ignoredProperties): the term's own predicates
+      must all be declared or ignored.
+
+    RECURSIVE shape graphs (a shape reaching itself through sh:node or
+    a logical operand) are undefined by the SHACL spec — pyshacl (the
+    reference's engine, src/xpshacl_engine.py delegates everything
+    here) raises ShapeRecursionError.  Here a (term, shape) pair
+    already under evaluation is ASSUMED conforming (the
+    greatest-fixed-point reading), so cyclic shapes terminate
+    deterministically instead of erroring; results are memoized.
+    Driver-side by design — TTL inputs are small by construction (the
+    100 TB path is Parquet, where sh:node becomes the engine's
+    referential joins)."""
+
+    def __init__(self, data_triples: List[Triple], shape_obj,
+                 types: Dict[str, set]):
+        self.obj = shape_obj
+        self.types = types
+        self.idx = _PathIndex(data_triples, None, None,
+                              datatype_identity=False)
+        self.preds: Dict[str, set] = {}
+        for t in data_triples:
+            self.preds.setdefault(t.s, set()).add(t.p)
+        self.memo: Dict[Tuple, bool] = {}
+
+    # -- public ---------------------------------------------------------
+    def conforms(self, term, shape: str,
+                 _active: frozenset = frozenset()) -> bool:
+        term = (term[0], term[1], term[2] or "")
+        key = (term, shape)
+        if key in self.memo:
+            return self.memo[key]
+        if key in _active:
+            return True  # recursion guard: assume-conforming
+        if _deactivated(self.obj, shape):
+            self.memo[key] = True
+            return True
+        ok = self._check(term, shape, _active | {key})
+        self.memo[key] = ok
+        return ok
+
+    # -- shape evaluation -------------------------------------------------
+    def _check(self, term, shape: str, active: frozenset) -> bool:
+        obj = self.obj
+        v, kind, _lang = term
+        if not self._facets_ok(shape, term):
+            return False
+        hv = _first(obj, shape, SH_NS + "hasValue")
+        if hv is not None and term != (hv.o, hv.kind, hv.lang or ""):
+            return False
+        for nd in obj.get((shape, SH_NS + "node"), ()):
+            if not self.conforms(term, nd.o, active):
+                return False
+        if not self._logical_ok(shape, term, active):
+            return False
+        for pt in obj.get((shape, SH_NS + "property"), ()):
+            if not self._property_ok(pt.o, term, active):
+                return False
+        cl = _first(obj, shape, SH_NS + "closed")
+        if cl is not None and cl.o == "true" and kind != "literal":
+            allowed = set()
+            for pt in obj.get((shape, SH_NS + "property"), ()):
+                if _deactivated(obj, pt.o):
+                    continue
+                path_t = _first(obj, pt.o, SH_NS + "path")
+                if path_t is not None and path_t.kind == "iri":
+                    allowed.add(path_t.o)
+            ig = _first(obj, shape, SH_NS + "ignoredProperties")
+            if ig is not None:
+                allowed.update(t.o for t in rdf_list_triples(obj, ig.o))
+            if self.preds.get(v, set()) - allowed:
+                return False
+        return True
+
+    def _logical_ok(self, node: str, term, active: frozenset) -> bool:
+        """sh:not/and/or/xone declared on ``node``, operands evaluated
+        as full node shapes against ``term``."""
+        obj = self.obj
+        nt = _first(obj, node, SH_NS + "not")
+        if nt is not None and self.conforms(term, nt.o, active):
+            return False
+        for pred, need in (("and", "all"), ("or", "any"), ("xone", "one")):
+            lt = _first(obj, node, SH_NS + pred)
+            if lt is None:
+                continue
+            hits = [self.conforms(term, e.o, active)
+                    for e in rdf_list_triples(obj, lt.o)]
+            if need == "all" and not all(hits):
+                return False
+            if need == "any" and not any(hits):
+                return False
+            if need == "one" and sum(hits) != 1:
+                return False
+        return True
+
+    def _property_ok(self, pshape: str, term, active: frozenset) -> bool:
+        obj = self.obj
+        if _deactivated(obj, pshape):
+            return True
+        path_t = _first(obj, pshape, SH_NS + "path")
+        if path_t is None:
+            return True
+        steps = resolve_path(obj, path_t)
+        if steps is None:
+            return True  # malformed path: surfaced as data, never run
+        v, kind, lang = term
+        frontier = self.idx.walk((v, kind, lang or None, None), steps)
+        vals = sorted({(w, k2, lg2 or "") for w, k2, lg2, _dt in frontier})
+        mc = _first(obj, pshape, SH_NS + "minCount")
+        if mc is not None and len(vals) < int(mc.o):
+            return False
+        mx = _first(obj, pshape, SH_NS + "maxCount")
+        if mx is not None and len(vals) > int(mx.o):
+            return False
+        for val in vals:
+            if not self._facets_ok(pshape, val):
+                return False
+            if not self._logical_ok(pshape, val, active):
+                return False
+        li = _first(obj, pshape, SH_NS + "languageIn")
+        if li is not None:
+            tags = ([li.o] if li.kind == "literal"
+                    else [t.o for t in rdf_list_triples(obj, li.o)])
+            if any(val[2] not in tags or val[1] != "literal"
+                   for val in vals):
+                return False
+        ul = _first(obj, pshape, SH_NS + "uniqueLang")
+        if ul is not None and ul.o == "true":
+            tagged = [val[2] for val in vals if val[2]]
+            if len(tagged) != len(set(tagged)):
+                return False
+        hv = _first(obj, pshape, SH_NS + "hasValue")
+        if hv is not None and (hv.o, hv.kind, hv.lang or "") not in vals:
+            return False
+        for nd in obj.get((pshape, SH_NS + "node"), ()):
+            for val in vals:
+                if not self.conforms(val, nd.o, active):
+                    return False
+        for pn, op in (("equals", "eq"), ("disjoint", "dj"),
+                       ("lessThan", "<"), ("lessThanOrEquals", "<=")):
+            b = _first(obj, pshape, SH_NS + pn)
+            if b is None or b.kind != "iri":
+                continue
+            other = sorted({(w, k2, lg2 or "")
+                            for w, k2, lg2, _dt in self.idx.walk(
+                                (v, kind, lang or None, None),
+                                [("fwd", b.o)])})
+            if op == "eq" and set(vals) != set(other):
+                return False
+            if op == "dj" and not set(vals).isdisjoint(other):
+                return False
+            if op in ("<", "<=") and not all(
+                    self._lt(x, y, op == "<=")
+                    for x in vals for y in other):
+                return False
+        qv = _first(obj, pshape, SH_NS + "qualifiedValueShape")
+        if qv is not None:
+            qmin = _first(obj, pshape, SH_NS + "qualifiedMinCount")
+            qmax = _first(obj, pshape, SH_NS + "qualifiedMaxCount")
+            if qmin is not None or qmax is not None:
+                n = sum(self.conforms(val, qv.o, active) for val in vals)
+                if qmin is not None and n < int(qmin.o):
+                    return False
+                if qmax is not None and n > int(qmax.o):
+                    return False
+        return True
+
+    @staticmethod
+    def _lt(x, y, or_equal: bool) -> bool:
+        """SHACL lessThan over two terms: numeric when both parse,
+        else lexical string order on two literals; any other pairing
+        (IRI/bnode operands, mixed numeric/non-numeric) violates."""
+        a, b = _lex_num(x[0]), _lex_num(y[0])
+        if a is not None and b is not None:
+            return a <= b if or_equal else a < b
+        if x[1] == "literal" and y[1] == "literal" and (
+                a is None) == (b is None):
+            return x[0] <= y[0] if or_equal else x[0] < y[0]
+        return False
+
+    # -- term-level value facets ------------------------------------------
+    def _facets_ok(self, node: str, term) -> bool:
+        """Row-local value facets declared on ``node`` (the same grammar
+        :func:`_value_facet_constraints` compiles for the engine),
+        evaluated on ONE term, plus sh:nodeKind / sh:class / node-level
+        sh:languageIn."""
+        obj = self.obj
+        v, kind, lang = term
+        dt = (_first(obj, node, SH_NS + "datatype")
+              or _first(obj, node, SH_NS + "dataType"))
+        if dt is not None:
+            if kind != "literal":
+                return False
+            if dt.o in _INT_TYPES:
+                if not _INT_LEX_RE.match(v):
+                    return False
+            elif dt.o in _FLOAT_TYPES:
+                if _lex_num(v) is None:
+                    return False
+            elif lang:
+                return False  # xsd:string etc. excludes rdf:langString
+        for pred, lo_ok, hi_ok in (
+            ("minInclusive", True, None), ("maxInclusive", None, True),
+            ("minExclusive", False, None), ("maxExclusive", None, False),
+        ):
+            b = _first(obj, node, SH_NS + pred)
+            if b is None:
+                continue
+            x, bound = _lex_num(v), _lex_num(b.o)
+            if x is None or bound is None:
+                return False  # non-comparable value violates a bound
+            if lo_ok is True and x < bound:
+                return False
+            if lo_ok is False and x <= bound:
+                return False
+            if hi_ok is True and x > bound:
+                return False
+            if hi_ok is False and x >= bound:
+                return False
+        for pred, cmp_len in (("minLength", lambda n, k: n >= k),
+                              ("maxLength", lambda n, k: n <= k)):
+            b = _first(obj, node, SH_NS + pred)
+            if b is not None:
+                if kind == "bnode" or not cmp_len(len(v), int(b.o)):
+                    return False
+        pat = _first(obj, node, SH_NS + "pattern")
+        if pat is not None:
+            if kind == "bnode":
+                return False
+            fl = _first(obj, node, SH_NS + "flags")
+            rx = (f"(?{fl.o}){pat.o}" if fl is not None and fl.o
+                  else pat.o)
+            if not re.search(rx, v):
+                return False
+        in_t = _first(obj, node, SH_NS + "in")
+        if in_t is not None:
+            allowed = _hydrate_list_values(rdf_list_triples(obj, in_t.o))
+            x = _lex_num(v)
+            hit = any(
+                (isinstance(a, (int, float)) and x is not None
+                 and float(a) == x)
+                or (isinstance(a, str) and a == v)
+                for a in allowed)
+            if not hit:
+                return False
+        nk = _first(obj, node, SH_NS + "nodeKind")
+        if nk is not None:
+            short = nk.o.rsplit("#", 1)[-1]
+            if short in _NODE_KINDS and \
+                    kind not in _NODE_KINDS[short].split("|"):
+                return False
+        cl = _first(obj, node, SH_NS + "class")
+        if cl is not None:
+            if kind == "literal" or cl.o not in self.types.get(v, ()):
+                return False
+        li = _first(obj, node, SH_NS + "languageIn")
+        if li is not None and obj.get((node, SH_NS + "path")) is None:
+            # node-level languageIn (the property-shape form is counted
+            # over ALL values by the caller)
+            tags = ([li.o] if li.kind == "literal"
+                    else [t.o for t in rdf_list_triples(obj, li.o)])
+            if kind != "literal" or lang not in tags:
+                return False
+        return True
 
 
 def validate_ttl_long(data_triples: List[Triple],
@@ -1278,6 +1605,7 @@ def validate_ttl_long(data_triples: List[Triple],
     for t in data_triples:
         if t.p == RDF_TYPE:
             types.setdefault(t.s, set()).add(t.o)
+    checker: Optional[_NodeChecker] = None  # built once, on first sh:node
     parts = []
     for target, pshape, pred, facets in shapes:
         subjects = sorted(target_subjects(data_triples, target, types))
@@ -1381,37 +1709,23 @@ def validate_ttl_long(data_triples: List[Triple],
                 min_count=int(facets["min_count"]), shape_id=pshape,
                 message=msg, path=pred))
         if "node_shape" in facets:
-            # sh:node: evaluate the referenced shape's row-local facets
-            # over the VALUE nodes' own properties (an entity pivot with
-            # the distinct values as explicit subjects), then emit one
+            # sh:node: every value node must CONFORM to the referenced
+            # node shape — the full RECURSIVE check (_NodeChecker:
+            # nested sh:node, grouped facets, complex paths, logical
+            # operators, closed, unbounded depth), then emit one
             # NodeConstraintComponent violation per (focus, value) pair
             # whose value landed in the nonconforming set
             from ..spec import NodeConformance
 
             ns = str(facets["node_shape"])
-            obj_sh = _sp_index(shape_triples)
-            nonconforming: List[str] = []
-            if not _deactivated(obj_sh, ns):
-                inner = _row_local_constraints(obj_sh, ns,
-                                               long_form=False)
-                vals = sorted({v for v in cols["object"]
-                               if v is not None})
-                if inner and vals:
-                    pivot = entity_table(data_triples, subjects=vals)
-                    have2 = set(pivot.column_names)
-                    need2 = {c.column for c in inner}
-                    need2 |= {c.other_column for c in inner
-                              if getattr(c, "other_column", "")}
-                    for c2 in sorted(need2 - have2):
-                        pivot = pivot.append_column(
-                            c2, pa.nulls(pivot.num_rows, pa.string()))
-                    ispec = ValidationSpec(constraints=inner,
-                                           id_columns=["subject"],
-                                           focus_template="{subject}")
-                    iv = ValidationEngine(ispec).validate(
-                        ray.data.from_arrow(pivot))
-                    nonconforming = sorted(
-                        {r["subject"] for r in iv.take_all()})
+            if checker is None:
+                checker = _NodeChecker(data_triples,
+                                       _sp_index(shape_triples), types)
+            nonconforming = sorted(
+                {v for v, k, lg in zip(cols["object"], cols["kind"],
+                                       cols["lang"])
+                 if v is not None
+                 and not checker.conforms((v, k, lg), ns)})
             constraints.append(NodeConformance(
                 column="object", nonconforming=nonconforming,
                 node_shape=ns, shape_id=pshape, message=msg,
