@@ -2928,6 +2928,107 @@ def _ttl_closed_sql() -> str:
             "    ) AS t(subject, message)")
 
 
+def _ttl_node_recursive_fixture() -> tuple:
+    """Deterministic fixture for RECURSIVE sh:node conformance
+    (``sources/ttl.py:_NodeChecker`` — the reference gets sh:node free
+    from pyshacl): a depth-3 chain Project → lead Person → employer
+    Company → hq Address, where each level can fail independently:
+
+    - ``i % 5 == 0``: the lead has no ``ex:name`` (depth 1, minCount);
+    - ``i % 4 == 0``: the company has TWO CEOs (depth 2 — a GROUPED
+      facet inside the referenced shape, invisible to the round-4
+      depth-1 entity pivot);
+    - ``i % 3 == 0``: the HQ city starts lowercase (depth 3 — nested
+      sh:node two hops below the constrained value);
+    - ``i % 7 == 0``: the budget literal is "n/a" (NODE-LEVEL facets of
+      the referenced shape applied to the value term itself).
+
+    Any of the first three makes the LEAD nonconforming → exactly one
+    NodeConstraintComponent row per affected project.  Expected derives
+    from the generation rule."""
+    ex = _TTL_AUTO_EX
+    data = [f"@prefix ex: <{ex}> ."]
+    expected = []
+    for i in range(30):
+        data.append(f"ex:Proj{i:02d} a ex:Project ; ex:lead ex:L{i} ; "
+                    f'ex:budget "{"n/a" if i % 7 == 0 else 50 + i}" .')
+        lead = [f"ex:L{i} ex:employer ex:C{i}"]
+        if i % 5:
+            lead.append(f'ex:name "Lead{i}"')
+        data.append(" ; ".join(lead) + " .")
+        comp = [f"ex:C{i} ex:hq ex:A{i}", f"ex:C{i} ex:ceo ex:boss{i}"]
+        if i % 4 == 0:
+            comp.append(f"ex:C{i} ex:ceo ex:cofounder{i}")
+        data.extend(c + " ." for c in comp)
+        city = f"city{i}" if i % 3 == 0 else f"City{i}"
+        data.append(f'ex:A{i} ex:city "{city}" .')
+        if i % 5 == 0 or i % 4 == 0 or i % 3 == 0:
+            expected.append((f"{ex}Proj{i:02d}",
+                             "lead fails the person shape"))
+        if i % 7 == 0:
+            expected.append((f"{ex}Proj{i:02d}",
+                             "budget must be a positive integer"))
+    shapes = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <{ex}> .
+
+ex:ProjectShape a sh:NodeShape ; sh:targetClass ex:Project ;
+  sh:property [ sh:path ex:lead ; sh:node ex:PersonShape ;
+                sh:message "lead fails the person shape" ] ;
+  sh:property [ sh:path ex:budget ; sh:node ex:BudgetShape ;
+                sh:message "budget must be a positive integer" ] .
+
+ex:PersonShape a sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] ;
+  sh:property [ sh:path ex:employer ; sh:node ex:CompanyShape ] .
+
+ex:CompanyShape a sh:NodeShape ;
+  sh:property [ sh:path ex:ceo ; sh:maxCount 1 ] ;
+  sh:property [ sh:path ex:hq ; sh:node ex:AddressShape ] .
+
+ex:AddressShape a sh:NodeShape ;
+  sh:property [ sh:path ex:city ; sh:minCount 1 ; sh:pattern "^[A-Z]" ] .
+
+ex:BudgetShape a sh:NodeShape ;
+  sh:datatype xsd:integer ; sh:minInclusive 1 .
+"""
+    return "\n".join(data) + "\n", shapes, sorted(expected)
+
+
+def q_ttl_node_recursive(sf_dir: str):
+    """Recursive sh:node conformance from Turtle: nested sh:node at
+    unbounded depth, grouped facets inside the referenced shape, and
+    node-level facets applied to the value term itself
+    (``sources/ttl.py:_NodeChecker``; the reference delegates sh:node
+    to pyshacl — src/xpshacl_engine.py).  The oracle is derived
+    independently from the fixture's generation rule.
+    (sf_dir-independent by design, like ``ttl_parity``.)"""
+    import os
+    import tempfile
+
+    from xpshacl_ray.sources.ttl import validate_ttl
+
+    data_ttl, shapes_ttl, _ = _ttl_node_recursive_fixture()
+    d = os.path.join(tempfile.gettempdir(), "xpshacl_ttl_node_rec")
+    os.makedirs(d, exist_ok=True)
+    dp, sp = os.path.join(d, "data.ttl"), os.path.join(d, "shapes.ttl")
+    with open(dp, "w") as f:
+        f.write(data_ttl)
+    with open(sp, "w") as f:
+        f.write(shapes_ttl)
+    viol = validate_ttl(dp, sp, long_form=True)
+    return viol.select_columns(["subject", "message"])
+
+
+def _ttl_node_recursive_sql() -> str:
+    _, _, expected = _ttl_node_recursive_fixture()
+    rows = ",\n      ".join(
+        f"('{s}', '{m}')" for s, m in expected)
+    return (f"SELECT * FROM (VALUES\n      {rows}\n"
+            "    ) AS t(subject, message)")
+
+
 def q_ttl_paths(sf_dir: str):
     """SHACL property paths beyond a plain predicate: inverse paths,
     sequence paths and mixed forms compile to walked value rows and run
@@ -3522,6 +3623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttl_sparql_shark": q_ttl_sparql_shark,
         "ttl_paths": q_ttl_paths,
         "ttl_closed": q_ttl_closed,
+        "ttl_node_recursive": q_ttl_node_recursive,
         "epoch_shuffle": q_epoch_shuffle,
         "sql_check": q_sql_check,
         "media_features": q_media_features,
@@ -5216,6 +5318,7 @@ def oracle_sql() -> dict[str, str]:
         "ttl_sparql_shark": _ttl_sparql_shark_sql(),
         "ttl_paths": _ttl_paths_sql(),
         "ttl_closed": _ttl_closed_sql(),
+        "ttl_node_recursive": _ttl_node_recursive_sql(),
         "epoch_shuffle": __import__(
             "xpshacl_ray.functions.sampling",
             fromlist=["epoch_shuffle_sql"]).epoch_shuffle_sql(

@@ -154,6 +154,7 @@ def run_benchmarks() -> dict:
         ("ttl_sparql_shark", entrymod.q_ttl_sparql_shark),
         ("ttl_paths", entrymod.q_ttl_paths),
         ("ttl_closed", entrymod.q_ttl_closed),
+        ("ttl_node_recursive", entrymod.q_ttl_node_recursive),
         ("cycle_members", entrymod.q_cycle_members),
     ]
     for name, fn in bench_queries:
