@@ -520,6 +520,47 @@ def q_referential_orders(sf_dir: str):
     return viol.map_batches(shape, batch_format="pyarrow")
 
 
+def q_node_conformance_scale(sf_dir: str):
+    """sh:node at PARQUET scale — the table-side twin of the TTL
+    recursive checker (``sources/ttl._NodeChecker`` walks driver-parsed
+    graphs; here the referenced shape's facets are evaluated vectorized
+    over the dimension table in one streamed pass): lineitems whose
+    part does not CONFORM to PartShape (p_size <= 45 AND p_type in the
+    non-promo set).  ``conforming_keys`` ships only the distinct
+    conforming key set (per-batch pre-agg before the small unique
+    exchange); the broadcast ``_RefMask`` anti-join probes the fact
+    table with zero shuffle on the fact side.  Reference parity: the
+    reference gets sh:node free from pyshacl
+    (src/xpshacl_engine.py)."""
+    from xpshacl_ray.spec import InSet, MaxInclusive
+    from xpshacl_ray.stages.referential import (
+        _RefMask,
+        conforming_keys,
+    )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_size", "p_type"])
+    keys = conforming_keys(part, "p_partkey", [
+        MaxInclusive(column="p_size", bound=45),
+        InSet(column="p_type",
+              allowed=["ECONOMY", "SMALL", "MEDIUM", "LARGE",
+                       "STANDARD"]),
+    ])
+    probe = _RefMask(column="l_partkey", keys_ref=ray.put(keys))
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        m = probe.mask(b)
+        if isinstance(m, pa.ChunkedArray):
+            m = m.combine_chunks()
+        return b.filter(m)
+
+    return li.map_batches(flag, batch_format="pyarrow")
+
+
 def q_stats_profile_documents(sf_dir: str):
     """One-pass sketch profile per (source, lang) — exact fields only."""
     cfg = StatsConfig(group_keys=["source", "lang"],
@@ -3624,6 +3665,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttl_paths": q_ttl_paths,
         "ttl_closed": q_ttl_closed,
         "ttl_node_recursive": q_ttl_node_recursive,
+        "node_conformance_scale": q_node_conformance_scale,
         "epoch_shuffle": q_epoch_shuffle,
         "sql_check": q_sql_check,
         "media_features": q_media_features,
@@ -5319,6 +5361,19 @@ def oracle_sql() -> dict[str, str]:
         "ttl_paths": _ttl_paths_sql(),
         "ttl_closed": _ttl_closed_sql(),
         "ttl_node_recursive": _ttl_node_recursive_sql(),
+        # engine null policy mirrored: NULL facet values conform (value
+        # constraints excuse nulls), NULL FKs are excused on the probe
+        "node_conformance_scale": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_partkey
+            FROM lineitem l
+            WHERE l.l_partkey IS NOT NULL
+              AND l.l_partkey NOT IN (
+                SELECT p_partkey FROM part
+                WHERE p_partkey IS NOT NULL
+                  AND (p_size <= 45 OR p_size IS NULL)
+                  AND (p_type IN ('ECONOMY','SMALL','MEDIUM','LARGE',
+                                  'STANDARD') OR p_type IS NULL))
+        """,
         "epoch_shuffle": __import__(
             "xpshacl_ray.functions.sampling",
             fromlist=["epoch_shuffle_sql"]).epoch_shuffle_sql(

@@ -155,6 +155,7 @@ def run_benchmarks() -> dict:
         ("ttl_paths", entrymod.q_ttl_paths),
         ("ttl_closed", entrymod.q_ttl_closed),
         ("ttl_node_recursive", entrymod.q_ttl_node_recursive),
+        ("node_conformance_scale", entrymod.q_node_conformance_scale),
         ("cycle_members", entrymod.q_cycle_members),
     ]
     for name, fn in bench_queries:

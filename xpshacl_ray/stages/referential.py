@@ -87,6 +87,41 @@ class _RefMask:
         return pc.fill_null(pc.and_(bad, pc.is_valid(col)), False)
 
 
+def conforming_keys(dim_ds: "ray.data.Dataset", key_column: str,
+                    constraints: list) -> pa.Array:
+    """Distinct keys of dimension rows satisfying EVERY row-local
+    constraint — the Parquet-scale half of sh:node.  The TTL path walks
+    the graph driver-side (``sources/ttl._NodeChecker``); at table
+    scale the referenced shape's facets are evaluated vectorized over
+    the dimension table in one streamed pass and the CONFORMING key
+    set is broadcast (``ray.put``) for the fact-table anti-join probe
+    (:class:`_RefMask`) — no shuffle touches the fact side.
+
+    Engine-wide SHACL null policy applies: a NULL facet value never
+    violates a value constraint (zero-valued rows are minCount /
+    Required's job), so such rows still conform.  Per-batch distinct
+    pre-aggregation runs before the small ``unique()`` exchange — only
+    unique keys per block move."""
+    import numpy as np
+
+    def passing(b: pa.Table) -> pa.Table:
+        key = b[key_column]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        ok = np.asarray(pc.is_valid(key), dtype=bool)
+        for c in constraints:
+            m = c.mask(b)
+            if isinstance(m, pa.ChunkedArray):
+                m = m.combine_chunks()
+            ok &= ~np.asarray(pc.fill_null(m, False), dtype=bool)
+        return (b.filter(pa.array(ok)).select([key_column])
+                .group_by([key_column]).aggregate([]))
+
+    vals = dim_ds.map_batches(passing,
+                              batch_format="pyarrow").unique(key_column)
+    return pa.array(sorted(v for v in vals if v is not None))
+
+
 def bloom_keys(ref_ds: "ray.data.Dataset", column: str,
                expected_items: int, fp_rate: float = 0.01):
     """Mergeable Bloom filter of the referenced key set (one pass, no
