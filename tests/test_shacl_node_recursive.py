@@ -349,3 +349,103 @@ ex:Inner a sh:NodeShape ;
                       if r["constraint_id"].endswith(
                           "NodeConstraintComponent")})
         assert got == want, (trial, kind, k, got, want, data_ttl)
+
+
+def _step_terms(triples, nodes, step):
+    """Independent one-step walk over (lexical, kind, lang) terms —
+    datatype-less identity, mirroring the checker's contract."""
+    out = set()
+    for n in nodes:
+        for t in triples:
+            if step[0] == "fwd":
+                if t.p == step[1] and n[1] != "literal" and t.s == n[0]:
+                    out.add((t.o, t.kind, t.lang or ""))
+            else:
+                if t.p == step[1] and (t.o, t.kind, t.lang or "") == n:
+                    out.add((t.s, "iri", ""))
+    return out
+
+
+def test_recursive_node_fuzz_complex_inner_paths(ray_session):
+    """Inner shapes walking inverse / sequence paths from the value
+    node, vs the independent evaluator."""
+    rng = np.random.default_rng(321)
+    P0, P1, P2 = EX + "p0", EX + "p1", EX + "p2"
+    INNER_PATHS = [
+        ("[ sh:inversePath ex:p1 ]", [("inv", P1)]),
+        ("( ex:p1 ex:p2 )", [("fwd", P1), ("fwd", P2)]),
+        ("( [ sh:inversePath ex:p2 ] ex:p1 )",
+         [("inv", P2), ("fwd", P1)]),
+    ]
+    for trial in range(9):
+        data_ttl = _gen_graph(rng)
+        data, _ = parse_turtle(data_ttl)
+        path_ttl, steps = INNER_PATHS[trial % len(INNER_PATHS)]
+        k = int(rng.integers(1, 3))
+        shapes, _ = parse_turtle(SH + f"""
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:p0 ; sh:node ex:Inner ] .
+ex:Inner a sh:NodeShape ;
+  sh:property [ sh:path {path_ttl} ; sh:minCount {k} ] .
+""")
+
+        def conforms(term):
+            nodes = {term}
+            for st in steps:
+                nodes = _step_terms(data, nodes, st)
+            return len(nodes) >= k
+
+        focus = {f"{EX}s{i}" for i in range(5)}
+        p0_rows = [(t.s, (t.o, t.kind, t.lang or "")) for t in data
+                   if t.p == P0 and t.s in focus]
+        bad = {term[0] for _s, term in p0_rows if not conforms(term)}
+        want = sorted({(s, term[0]) for s, term in p0_rows
+                       if term[0] in bad})
+        out = validate_ttl_long(data, shapes)
+        rows = out.take_all() if out is not None else []
+        got = sorted({(r["focus_node"], r["value"]) for r in rows
+                      if r["constraint_id"].endswith(
+                          "NodeConstraintComponent")})
+        assert got == want, (trial, path_ttl, k, got, want, data_ttl)
+
+
+def test_nested_sh_node_depth_three_fuzz(ray_session):
+    """Three sh:node hops (Inner -> Inner2 -> Inner3) vs independent
+    recursion — failures at the deepest level must surface at the top."""
+    rng = np.random.default_rng(555)
+    P0, P1, P2 = EX + "p0", EX + "p1", EX + "p2"
+    for trial in range(6):
+        data_ttl = _gen_graph(rng)
+        data, _ = parse_turtle(data_ttl)
+        shapes, _ = parse_turtle(SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:p0 ; sh:node ex:Inner ] .
+ex:Inner a sh:NodeShape ;
+  sh:property [ sh:path ex:p1 ; sh:node ex:Inner2 ] .
+ex:Inner2 a sh:NodeShape ;
+  sh:property [ sh:path ex:p2 ; sh:node ex:Inner3 ] .
+ex:Inner3 a sh:NodeShape ;
+  sh:property [ sh:path ex:p1 ; sh:minCount 1 ] .
+""")
+
+        def c3(t):
+            return len(_step_terms(data, {t}, ("fwd", P1))) >= 1
+
+        def c2(t):
+            return all(c3(v) for v in _step_terms(data, {t}, ("fwd", P2)))
+
+        def c1(t):
+            return all(c2(v) for v in _step_terms(data, {t}, ("fwd", P1)))
+
+        focus = {f"{EX}s{i}" for i in range(5)}
+        p0_rows = [(t.s, (t.o, t.kind, t.lang or "")) for t in data
+                   if t.p == P0 and t.s in focus]
+        bad = {term[0] for _s, term in p0_rows if not c1(term)}
+        want = sorted({(s, term[0]) for s, term in p0_rows
+                       if term[0] in bad})
+        out = validate_ttl_long(data, shapes)
+        rows = out.take_all() if out is not None else []
+        got = sorted({(r["focus_node"], r["value"]) for r in rows
+                      if r["constraint_id"].endswith(
+                          "NodeConstraintComponent")})
+        assert got == want, (trial, got, want, data_ttl)

@@ -102,6 +102,16 @@ def conforming_keys(dim_ds: "ray.data.Dataset", key_column: str,
     Required's job), so such rows still conform.  Per-batch distinct
     pre-aggregation runs before the small ``unique()`` exchange — only
     unique keys per block move."""
+    vals = dim_ds.map_batches(
+        _conforming_filter(key_column, constraints),
+        batch_format="pyarrow").unique(key_column)
+    return pa.array(sorted(v for v in vals if v is not None))
+
+
+def _conforming_filter(key_column: str, constraints: list):
+    """Per-batch kernel shared by :func:`conforming_keys` and
+    :func:`conforming_bloom`: keep rows with a valid key that no
+    constraint flags, project to the key column, pre-dedup."""
     import numpy as np
 
     def passing(b: pa.Table) -> pa.Table:
@@ -117,9 +127,39 @@ def conforming_keys(dim_ds: "ray.data.Dataset", key_column: str,
         return (b.filter(pa.array(ok)).select([key_column])
                 .group_by([key_column]).aggregate([]))
 
-    vals = dim_ds.map_batches(passing,
-                              batch_format="pyarrow").unique(key_column)
-    return pa.array(sorted(v for v in vals if v is not None))
+    return passing
+
+
+def conforming_bloom(dim_ds: "ray.data.Dataset", key_column: str,
+                     constraints: list, expected_items: int,
+                     fp_rate: float = 0.01):
+    """Bloom-filter form of :func:`conforming_keys` — the scale path
+    when even the CONFORMING key set is too large to broadcast exactly
+    (same trade-off as :func:`bloom_keys`: a Bloom "absent" is a
+    certain violation, up to ``fp_rate`` of true violations are
+    missed; one-sided, quantified).  One streamed pass, per-batch
+    partial filters OR-merge on the driver — no distinct exchange at
+    all."""
+    from ..functions.sketches import BloomFilter
+
+    flt = _conforming_filter(key_column, constraints)
+
+    def partial(b: pa.Table) -> pa.Table:
+        f = BloomFilter(n_items=expected_items, fp_rate=fp_rate)
+        keys = flt(b)[key_column]
+        s = pc.cast(keys, pa.string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        f.add(s.drop_null().to_numpy(zero_copy_only=False))
+        return pa.table({"bloom": pa.array([f.to_bytes()], pa.binary())})
+
+    blobs = dim_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    out = None
+    for r in blobs:
+        f = BloomFilter.from_bytes(r["bloom"])
+        out = f if out is None else out.merge(f)
+    return out if out is not None else BloomFilter(n_items=expected_items,
+                                                   fp_rate=fp_rate)
 
 
 def bloom_keys(ref_ds: "ray.data.Dataset", column: str,
