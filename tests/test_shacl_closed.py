@@ -415,12 +415,17 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Team ;
     assert set(viol["message"]) == {"need 1-2 seniors"}
 
 
-def test_qualified_shape_outside_grammar_skipped(ray_session):
-    # a qualified shape with no recognizable value facet (sh:property
-    # inside) must not compile into a wrong count
+def test_qualified_shape_with_structure_counts_via_checker(ray_session):
+    # a qualified shape with STRUCTURE (sh:property inside) counts
+    # through the full recursive _NodeChecker (it was skipped before
+    # the checker existed — never a wrong count, but a missed one):
+    # the literal member has no ex:q values, fails the inner minCount,
+    # so zero members conform and qualifiedMinCount 1 violates
     data = _t("""
 @prefix ex: <http://example.org/> .
 ex:a a ex:Team ; ex:member "x" .
+ex:b a ex:Team ; ex:member ex:m1 .
+ex:m1 ex:q "present" .
 """)
     shapes = _t("""
 @prefix sh: <http://www.w3.org/ns/shacl#> .
@@ -431,8 +436,10 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Team ;
                                           sh:minCount 1 ] ] ;
                 sh:qualifiedMinCount 1 ] .
 """)
-    out = validate_ttl_long(data, shapes)
-    assert out is None or out.count() == 0
+    out = validate_ttl_long(data, shapes).to_pandas()
+    q = out[out["constraint_id"].str.endswith(
+        "QualifiedMinCountConstraintComponent")]
+    assert list(q["focus_node"]) == ["group:" + EX + "a"]
 
 
 def test_has_value_full_term_identity(ray_session):

@@ -449,3 +449,153 @@ ex:Inner3 a sh:NodeShape ;
                       if r["constraint_id"].endswith(
                           "NodeConstraintComponent")})
         assert got == want, (trial, got, want, data_ttl)
+
+
+# ---------------------------------------------------------------------------
+# structural sh:qualifiedValueShape — counted through the checker
+# ---------------------------------------------------------------------------
+def _qualified_rows(data, shapes, component):
+    out = validate_ttl_long(_t(data), _t(shapes))
+    rows = out.take_all() if out is not None else []
+    return sorted(r["focus_node"].replace("group:", "") for r in rows
+                  if r["constraint_id"].endswith(component))
+
+
+QDATA = """
+@prefix ex: <http://example.org/> .
+ex:s1 a ex:T ; ex:member ex:a1 ; ex:member ex:a2 .
+ex:s2 a ex:T ; ex:member ex:a1 ; ex:member ex:b1 .
+ex:s3 a ex:T ; ex:member ex:b1 ; ex:member ex:b2 .
+ex:a1 a ex:Admin ; ex:email "a1@x" .
+ex:a2 a ex:Admin ; ex:email "a2@x" .
+ex:b1 a ex:User .
+ex:b2 a ex:User ; ex:email "b2@x" .
+"""
+
+
+def test_qualified_with_class_operand(ray_session):
+    # previously SKIPPED (sh:class is not a value facet): every T needs
+    # >= 2 members of class Admin
+    shapes = SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:member ;
+                sh:qualifiedValueShape [ sh:class ex:Admin ] ;
+                sh:qualifiedMinCount 2 ] .
+"""
+    got = _qualified_rows(QDATA, shapes,
+                          "QualifiedMinCountConstraintComponent")
+    assert got == [EX + "s2", EX + "s3"]
+
+
+def test_qualified_with_property_structure(ray_session):
+    # qualified shape has an sh:property (member must have an email)
+    shapes = SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:member ;
+                sh:qualifiedValueShape [ sh:property [
+                    sh:path ex:email ; sh:minCount 1 ] ] ;
+                sh:qualifiedMinCount 2 ] .
+"""
+    # s1: a1,a2 both have email (2) OK; s2: a1 only (1) FAIL;
+    # s3: b2 only (1) FAIL
+    got = _qualified_rows(QDATA, shapes,
+                          "QualifiedMinCountConstraintComponent")
+    assert got == [EX + "s2", EX + "s3"]
+
+
+def test_qualified_mixed_facet_plus_class_counts_both(ray_session):
+    # a MIXED qualified shape (value facet + class): the pure-facet
+    # mask path would ignore sh:class and inflate the count
+    data = """
+@prefix ex: <http://example.org/> .
+ex:sone a ex:T ; ex:member ex:adam ; ex:member ex:zz9 .
+ex:adam a ex:Admin .
+ex:zz9 a ex:User .
+"""
+    shapes = SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:member ;
+                sh:qualifiedValueShape [ sh:pattern "[0-9]" ;
+                                         sh:class ex:Admin ] ;
+                sh:qualifiedMinCount 1 ] .
+"""
+    # zz9 matches the pattern but is not an Admin; adam is an Admin but
+    # its IRI has no digit — NO member conforms to BOTH, so the focus
+    # violates (the pure-facet mask path would have counted zz9)
+    got = _qualified_rows(data, shapes,
+                          "QualifiedMinCountConstraintComponent")
+    assert got == [EX + "sone"]
+
+
+def test_qualified_max_with_node_structure(ray_session):
+    shapes = SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:member ;
+                sh:qualifiedValueShape [ sh:node ex:AdminShape ] ;
+                sh:qualifiedMaxCount 1 ] .
+ex:AdminShape a sh:NodeShape ;
+  sh:property [ sh:path ex:email ; sh:minCount 1 ] .
+"""
+    # conforming (has email): s1 -> a1,a2 (2 > 1 FAIL); s2 -> a1 (1 OK);
+    # s3 -> b2 (1 OK)
+    got = _qualified_rows(QDATA, shapes,
+                          "QualifiedMaxCountConstraintComponent")
+    assert got == [EX + "s1"]
+
+
+def test_qualified_pure_value_facet_path_unchanged(ray_session):
+    # the pure grammar stays on the vectorized mask path (no structural
+    # predicate declared) and keeps its verdicts
+    data = """
+@prefix ex: <http://example.org/> .
+ex:s1 a ex:T ; ex:tag "v0" ; ex:tag "v1" .
+ex:s2 a ex:T ; ex:tag "v0" ; ex:tag "zz" .
+"""
+    shapes_t = _t(SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:tag ;
+                sh:qualifiedValueShape [ sh:pattern "^v" ] ;
+                sh:qualifiedMinCount 2 ] .
+""")
+    from xpshacl_ray.sources.ttl import long_form_property_shapes
+    facets = [f for _t2, _p, _pred, f in
+              long_form_property_shapes(shapes_t) if "qualified" in f]
+    assert facets and facets[0]["qualified"]["checker"] is False
+    out = validate_ttl_long(_t(data), shapes_t)
+    got = sorted(r["focus_node"].replace("group:", "")
+                 for r in out.take_all())
+    assert got == [EX + "s2"]
+
+
+def test_structural_qualified_fuzz_vs_independent(ray_session):
+    rng = np.random.default_rng(777)
+    P0, P1 = EX + "p0", EX + "p1"
+    for trial in range(8):
+        data_ttl = _gen_graph(rng)
+        data, _ = parse_turtle(data_ttl)
+        k = int(rng.integers(1, 3))
+        shapes, _ = parse_turtle(SH + f"""
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:p0 ;
+                sh:qualifiedValueShape [ sh:property [
+                    sh:path ex:p1 ; sh:minCount 1 ] ] ;
+                sh:qualifiedMinCount {k} ] .
+""")
+        focus = {f"{EX}s{i}" for i in range(5)}
+        want = []
+        for i in range(5):
+            s = f"{EX}s{i}"
+            vals = {(t.o, t.kind, t.lang or "") for t in data
+                    if t.p == P0 and t.s == s}
+            n_ok = sum(
+                1 for v in vals
+                if len(_step_terms(data, {v}, ("fwd", P1))) >= 1)
+            if n_ok < k:
+                want.append(s)
+        out = validate_ttl_long(data, shapes)
+        rows = out.take_all() if out is not None else []
+        got = sorted(set(
+            r["focus_node"].replace("group:", "") for r in rows
+            if r["constraint_id"].endswith(
+                "QualifiedMinCountConstraintComponent")))
+        assert got == sorted(want), (trial, k, got, want, data_ttl)

@@ -1004,6 +1004,14 @@ _NODE_KINDS = {  # sh:nodeKind IRI → Triple.kind regex
     "IRIOrLiteral": "iri|literal",
 }
 
+#: constraint predicates BEYOND the pure value-facet grammar — a
+#: qualifiedValueShape declaring any of these needs the full recursive
+#: _NodeChecker to count conformance (the vectorized value-facet mask
+#: path would ignore them, silently inflating the count)
+_STRUCTURAL_SHAPE_PREDS = tuple(SH_NS + p for p in (
+    "property", "node", "class", "nodeKind", "hasValue", "languageIn",
+    "not", "and", "or", "xone", "closed"))
+
 
 def long_form_property_shapes(triples: List[Triple]):
     """Property-shape facets that the single-value entity pivot cannot
@@ -1095,26 +1103,33 @@ def long_form_property_shapes(triples: List[Triple]):
             nd = _first(obj, pshape, SH_NS + "node")
             if nd is not None:
                 # sh:node: every value must CONFORM to the referenced
-                # node shape (its row-local direct-path facets checked
-                # against the value's own properties; depth 1 — nested
-                # sh:node inside the referenced shape is not followed)
+                # node shape — full RECURSIVE conformance via
+                # _NodeChecker (nested sh:node, grouped facets, paths,
+                # logical operators, closed; unbounded depth)
                 facets["node_shape"] = nd.o
             qv = _first(obj, pshape, SH_NS + "qualifiedValueShape")
             if qv is not None:
                 # sh:qualifiedValueShape + qualifiedMin/MaxCount: count
-                # the value nodes CONFORMING to the qualified shape's
-                # VALUE facets (same operand grammar as the logical
-                # operators); shapes beyond that grammar skip — never
-                # a silently wrong count
+                # the value nodes CONFORMING to the qualified shape.
+                # Pure value-facet shapes (the logical-operator operand
+                # grammar) count on the vectorized mask path; shapes
+                # with STRUCTURE (sh:property / sh:node / sh:class /
+                # nodeKind / logicals / closed / hasValue / languageIn)
+                # count through the full recursive _NodeChecker — and a
+                # MIXED shape (pattern + class) must go there too, or
+                # the ignored facet silently inflates the count
                 qmin = _first(obj, pshape, SH_NS + "qualifiedMinCount")
                 qmax = _first(obj, pshape, SH_NS + "qualifiedMaxCount")
+                structural = any((str(qv.o), p) in obj
+                                 for p in _STRUCTURAL_SHAPE_PREDS)
                 if ((qmin is not None or qmax is not None)
-                        and _value_facet_constraints(
-                            obj, qv.o, "object", pshape, None)):
+                        and (structural or _value_facet_constraints(
+                            obj, qv.o, "object", pshape, None))):
                     facets["qualified"] = {
                         "shape": qv.o,
                         "min": int(qmin.o) if qmin is not None else None,
                         "max": int(qmax.o) if qmax is not None else None,
+                        "checker": structural,
                     }
             li = _first(obj, pshape, SH_NS + "languageIn")
             if li is not None:
@@ -1651,28 +1666,43 @@ def validate_ttl_long(data_triples: List[Triple],
         constraints = []
         if "qualified" in facets:
             # sh:qualifiedValueShape: mark each value row as conforming
-            # ("1") when NO qualified-shape value facet flags it (null
-            # rows are not value nodes → "0"), then count per focus via
-            # the vectorized GroupPredicate sweep
+            # ("1"; null rows are not value nodes → "0"), then count per
+            # focus via the vectorized GroupPredicate sweep.  Pure
+            # value-facet shapes conform when NO facet mask flags the
+            # row; STRUCTURAL shapes (sh:property / sh:node / class /
+            # logicals / ...) conform per the full recursive
+            # _NodeChecker verdict (memoized per distinct term)
             import numpy as np
 
             from ..spec import GroupedSparql, GroupPredicate
 
             q = facets["qualified"]
-            qcs = _value_facet_constraints(
-                _sp_index(shape_triples), str(q["shape"]), "object",
-                pshape, None)
-            bad = np.zeros(len(table), dtype=bool)
-            for qc in qcs:
-                m = qc.mask(table)
-                if isinstance(m, pa.ChunkedArray):
-                    m = m.combine_chunks()
-                bad |= np.asarray(m, dtype=bool)
-            valid = np.asarray(pc.is_valid(
-                table["object"].combine_chunks()
-                if isinstance(table["object"], pa.ChunkedArray)
-                else table["object"]))
-            qok = np.where(valid & ~bad, "1", "0")
+            if q.get("checker"):
+                if checker is None:
+                    checker = _NodeChecker(
+                        data_triples, _sp_index(shape_triples), types)
+                qv_shape = str(q["shape"])
+                qok = np.array(
+                    ["1" if v is not None
+                     and checker.conforms((v, k, lg), qv_shape)
+                     else "0"
+                     for v, k, lg in zip(cols["object"], cols["kind"],
+                                         cols["lang"])], dtype=object)
+            else:
+                qcs = _value_facet_constraints(
+                    _sp_index(shape_triples), str(q["shape"]), "object",
+                    pshape, None)
+                bad = np.zeros(len(table), dtype=bool)
+                for qc in qcs:
+                    m = qc.mask(table)
+                    if isinstance(m, pa.ChunkedArray):
+                        m = m.combine_chunks()
+                    bad |= np.asarray(m, dtype=bool)
+                valid = np.asarray(pc.is_valid(
+                    table["object"].combine_chunks()
+                    if isinstance(table["object"], pa.ChunkedArray)
+                    else table["object"]))
+                qok = np.where(valid & ~bad, "1", "0")
             table = table.append_column("qok", pa.array(qok, pa.string()))
             if q["min"] is not None:
                 constraints.append(GroupedSparql(
