@@ -599,3 +599,108 @@ ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
             if r["constraint_id"].endswith(
                 "QualifiedMinCountConstraintComponent")))
         assert got == sorted(want), (trial, k, got, want, data_ttl)
+
+
+# ---------------------------------------------------------------------------
+# structural-operand logical operators — evaluated through the checker
+# ---------------------------------------------------------------------------
+def _component_rows(data, shapes, component):
+    out = validate_ttl_long(_t(data), _t(shapes))
+    rows = out.take_all() if out is not None else []
+    return sorted((r["focus_node"], r["value"]) for r in rows
+                  if r["constraint_id"].endswith(component))
+
+
+LDATA = """
+@prefix ex: <http://example.org/> .
+ex:s1 a ex:T ; ex:ref ex:adam .
+ex:s2 a ex:T ; ex:ref ex:eve .
+ex:s3 a ex:T ; ex:ref ex:bob .
+ex:adam a ex:Admin .
+ex:eve a ex:Editor .
+ex:bob a ex:User .
+"""
+
+
+def test_or_of_classes(ray_session):
+    # the classic idiom sh:or ( [sh:class A] [sh:class B] ) —
+    # previously skipped (class is not a value facet)
+    shapes = SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:ref ;
+                sh:or ( [ sh:class ex:Admin ] [ sh:class ex:Editor ] ) ] .
+"""
+    got = _component_rows(LDATA, shapes, "OrConstraintComponent")
+    assert got == [(EX + "s3", EX + "bob")]
+
+
+def test_not_with_structural_operand(ray_session):
+    shapes = SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:ref ; sh:not [ sh:class ex:User ] ] .
+"""
+    got = _component_rows(LDATA, shapes, "NotConstraintComponent")
+    assert got == [(EX + "s3", EX + "bob")]
+
+
+def test_xone_structural(ray_session):
+    # eve is BOTH Editor and Admin -> xone (exactly one) violates
+    data = LDATA + "ex:eve a ex:Admin .\n"
+    shapes = SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:ref ;
+                sh:xone ( [ sh:class ex:Admin ] [ sh:class ex:Editor ] ) ] .
+"""
+    got = _component_rows(data, shapes, "XoneConstraintComponent")
+    # eve: 2 hits; bob: 0 hits — both violate xone
+    assert got == [(EX + "s2", EX + "eve"), (EX + "s3", EX + "bob")]
+
+
+def test_mixed_operand_reports_once_and_correctly(ray_session):
+    # one operand mixes a value facet WITH sh:class: the row-local path
+    # must NOT translate a truncated version (it skips), and the
+    # long-form checker path must count BOTH facets
+    data = """
+@prefix ex: <http://example.org/> .
+ex:sone a ex:T ; ex:ref ex:adam .
+ex:stwo a ex:T ; ex:ref ex:digit9 .
+ex:adam a ex:Admin .
+ex:digit9 a ex:User .
+"""
+    shapes_t = _t(SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:ref ;
+                sh:or ( [ sh:pattern "[0-9]" ; sh:class ex:Admin ]
+                        [ sh:class ex:Admin ] ) ] .
+""")
+    from xpshacl_ray.sources.ttl import shapes_to_specs
+    # row-local: skipped entirely (structural operands)
+    specs = shapes_to_specs(shapes_t)
+    n_logical = sum(
+        1 for s in specs.values() for c in s.constraints
+        if type(c).__name__ in ("Or", "And", "Not", "Xone"))
+    assert n_logical == 0
+    out = validate_ttl_long(_t(data), shapes_t).to_pandas()
+    rows = out[out["constraint_id"].str.endswith("OrConstraintComponent")]
+    # adam conforms via operand 2; digit9 matches the pattern but is no
+    # Admin -> fails both operands -> exactly ONE violation row
+    assert sorted(zip(rows["focus_node"], rows["value"])) == [
+        (EX + "stwo", EX + "digit9")]
+
+
+def test_pure_operand_logicals_stay_row_local(ray_session):
+    # pure value-facet operands keep the row-local translation (no
+    # long-form "logical" facet extracted)
+    from xpshacl_ray.sources.ttl import long_form_property_shapes
+    shapes_t = _t(SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:code ;
+                sh:or ( [ sh:pattern "^[A-Z]" ] [ sh:minLength 4 ] ) ] .
+""")
+    assert all("logical" not in f
+               for _t2, _p, _pred, f in
+               long_form_property_shapes(shapes_t))
+    from xpshacl_ray.sources.ttl import shapes_to_specs
+    specs = shapes_to_specs(shapes_t)
+    assert any(type(c).__name__ == "Or"
+               for s in specs.values() for c in s.constraints)

@@ -807,14 +807,17 @@ def _row_local_constraints(obj, shape: str, long_form: bool) -> List:
         # sh:not / sh:and / sh:or / sh:xone over VALUE-facet operand
         # shapes (C15–C18 from Turtle): each operand blank node carries
         # row-local value facets applied to the SAME path; multi-facet
-        # operands fold into an inner And.  Operands with no
-        # recognizable value facet make the whole operator untranslated
-        # (skipped) — never a silently wrong truth table.  All wired
-        # with excuse_nulls: a focus with no value has no value nodes.
+        # operands fold into an inner And.  Operands with STRUCTURE
+        # (sh:class / sh:node / sh:property / ...) or no recognizable
+        # value facet make the whole operator untranslated here — never
+        # a silently wrong truth table; the LONG form evaluates those
+        # exactly through the recursive _NodeChecker
+        # (validate_ttl_long "logical" facets).  All wired with
+        # excuse_nulls: a focus with no value has no value nodes.
         from ..spec import And, Not, Or, Xone
 
         nt = first(pshape, SH_NS + "not")
-        if nt is not None:
+        if nt is not None and not _structural_shape(obj, nt.o):
             inner = _value_facet_constraints(obj, nt.o, col, pshape, None)
             if inner:
                 constraints.append(Not(
@@ -829,7 +832,9 @@ def _row_local_constraints(obj, shape: str, long_form: bool) -> List:
             elems = rdf_list_triples(obj, lt.o)
             subs: List = []
             for e in elems:
-                fc = _value_facet_constraints(obj, e.o, col, pshape, None)
+                fc = ([] if _structural_shape(obj, e.o)
+                      else _value_facet_constraints(obj, e.o, col,
+                                                    pshape, None))
                 if not fc:
                     subs = []
                     break
@@ -1013,6 +1018,14 @@ _STRUCTURAL_SHAPE_PREDS = tuple(SH_NS + p for p in (
     "not", "and", "or", "xone", "closed"))
 
 
+def _structural_shape(obj, node: str) -> bool:
+    """True when ``node`` declares any constraint predicate beyond the
+    pure value-facet grammar — such an operand shape needs the full
+    recursive _NodeChecker, and the vectorized/row-local paths must
+    not evaluate a truncated version of it."""
+    return any((str(node), p) in obj for p in _STRUCTURAL_SHAPE_PREDS)
+
+
 def long_form_property_shapes(triples: List[Triple]):
     """Property-shape facets that the single-value entity pivot cannot
     evaluate — they need every value of a multi-valued predicate, i.e. the
@@ -1120,8 +1133,7 @@ def long_form_property_shapes(triples: List[Triple]):
                 # the ignored facet silently inflates the count
                 qmin = _first(obj, pshape, SH_NS + "qualifiedMinCount")
                 qmax = _first(obj, pshape, SH_NS + "qualifiedMaxCount")
-                structural = any((str(qv.o), p) in obj
-                                 for p in _STRUCTURAL_SHAPE_PREDS)
+                structural = _structural_shape(obj, qv.o)
                 if ((qmin is not None or qmax is not None)
                         and (structural or _value_facet_constraints(
                             obj, qv.o, "object", pshape, None))):
@@ -1140,6 +1152,24 @@ def long_form_property_shapes(triples: List[Triple]):
                 else:
                     facets["language_in"] = [
                         t.o for t in rdf_list_triples(obj, li.o)]
+            # logical operators whose operands go BEYOND the value-facet
+            # grammar (sh:class / sh:node / sh:property / mixes): the
+            # row-local path skips these (never a truncated truth
+            # table); here they evaluate exactly per value through the
+            # recursive _NodeChecker
+            logical = []
+            nt = _first(obj, pshape, SH_NS + "not")
+            if nt is not None and _structural_shape(obj, nt.o):
+                logical.append(("not", [nt.o]))
+            for lp in ("and", "or", "xone"):
+                lt = _first(obj, pshape, SH_NS + lp)
+                if lt is None:
+                    continue
+                ops = [t.o for t in rdf_list_triples(obj, lt.o)]
+                if ops and any(_structural_shape(obj, o) for o in ops):
+                    logical.append((lp, ops))
+            if logical:
+                facets["logical"] = logical
             if set(facets) - {"message", "steps", "severity"}:
                 out.append((target, pshape,
                             path_str(steps) if complex_path else path_t.o,
@@ -1760,6 +1790,36 @@ def validate_ttl_long(data_triples: List[Triple],
                 column="object", nonconforming=nonconforming,
                 node_shape=ns, shape_id=pshape, message=msg,
                 path=pred, value_column="object"))
+        if "logical" in facets:
+            # structural-operand sh:not/and/or/xone: per-value operand
+            # verdicts from the recursive checker, combined by the
+            # SHACL truth table, reported under the operator's own
+            # component (one violation per (focus, failing value))
+            from ..spec import NodeConformance
+
+            if checker is None:
+                checker = _NodeChecker(data_triples,
+                                       _sp_index(shape_triples), types)
+            distinct_terms = sorted(
+                {(v, k, lg or "") for v, k, lg in
+                 zip(cols["object"], cols["kind"], cols["lang"])
+                 if v is not None})
+            for op, operands in facets["logical"]:
+                bad = set()
+                for term in distinct_terms:
+                    hits = [checker.conforms(term, o) for o in operands]
+                    viol = ((op == "not" and hits[0])
+                            or (op == "and" and not all(hits))
+                            or (op == "or" and not any(hits))
+                            or (op == "xone" and sum(hits) != 1))
+                    if viol:
+                        bad.add(term[0])
+                constraints.append(NodeConformance(
+                    column="object", nonconforming=sorted(bad),
+                    node_shape=f"sh:{op}", shape_id=pshape,
+                    component=f"{op.capitalize()}ConstraintComponent",
+                    message=msg or f"Value fails sh:{op}",
+                    path=pred, value_column="object"))
         if "has_value" in facets:
             # violation = the focus group has ZERO rows whose object
             # TERM equals the required value (lexical + kind + lang) —
