@@ -704,3 +704,100 @@ ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
     specs = shapes_to_specs(shapes_t)
     assert any(type(c).__name__ == "Or"
                for s in specs.values() for c in s.constraints)
+
+
+# ---------------------------------------------------------------------------
+# node-level constraints on TARGETED shapes (applied to the focus node)
+# ---------------------------------------------------------------------------
+def test_node_level_pattern_on_targeted_shape(ray_session):
+    data = """
+@prefix ex: <http://example.org/> .
+ex:GoodThing a ex:T .
+ex:badthing a ex:T .
+"""
+    shapes = SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:pattern "/[A-Z]" .
+"""
+    got = _component_rows(data, shapes, "PatternConstraintComponent")
+    assert got == [(EX + "badthing", EX + "badthing")]
+
+
+def test_node_level_or_of_classes_on_focus(ray_session):
+    # every focus must itself be Admin or Editor
+    data = """
+@prefix ex: <http://example.org/> .
+ex:u1 a ex:Account ; a ex:Admin .
+ex:u2 a ex:Account ; a ex:Editor .
+ex:u3 a ex:Account .
+"""
+    shapes = SH + """
+ex:AccountShape a sh:NodeShape ; sh:targetClass ex:Account ;
+  sh:or ( [ sh:class ex:Admin ] [ sh:class ex:Editor ] ) .
+"""
+    got = _component_rows(data, shapes, "OrConstraintComponent")
+    assert got == [(EX + "u3", EX + "u3")]
+
+
+def test_node_level_sh_node_on_targeted_shape(ray_session):
+    # the FOCUS node itself must conform to another shape
+    data = """
+@prefix ex: <http://example.org/> .
+ex:c1 a ex:Company ; ex:name "Acme" .
+ex:c2 a ex:Company .
+"""
+    shapes = SH + """
+ex:CompanyShape a sh:NodeShape ; sh:targetClass ex:Company ;
+  sh:node ex:NamedShape .
+ex:NamedShape a sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+    got = _component_rows(data, shapes, "NodeConstraintComponent")
+    assert got == [(EX + "c2", EX + "c2")]
+
+
+def test_node_level_union_targets_evaluate_once(ray_session):
+    # a focus matched by BOTH targets must report once (union scoping)
+    data = """
+@prefix ex: <http://example.org/> .
+ex:x a ex:A ; a ex:B .
+"""
+    shapes = SH + """
+ex:S a sh:NodeShape ; sh:targetClass ex:A ; sh:targetClass ex:B ;
+  sh:pattern "nomatch" .
+"""
+    got = _component_rows(data, shapes, "PatternConstraintComponent")
+    assert got == [(EX + "x", EX + "x")]
+
+
+def test_node_level_severity_and_message(ray_session):
+    data = """
+@prefix ex: <http://example.org/> .
+ex:low a ex:T .
+"""
+    shapes = SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:severity sh:Warning ; sh:message "focus must be uppercase" ;
+  sh:pattern "/[A-Z]" .
+"""
+    out = validate_ttl_long(_t(data), _t(shapes)).to_pandas()
+    r = out[out["constraint_id"].str.endswith(
+        "PatternConstraintComponent")].iloc[0]
+    assert r["severity"] == "Warning"
+    assert r["message"] == "focus must be uppercase"
+
+
+def test_property_only_targeted_shape_adds_no_node_level_rows(
+        ray_session):
+    # shapes with ONLY sh:property / sh:closed take their dedicated
+    # paths — the node-level pass must not add or duplicate anything
+    data = """
+@prefix ex: <http://example.org/> .
+ex:a a ex:T ; ex:name "ok" .
+"""
+    shapes = SH + """
+ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+"""
+    out = validate_ttl_long(_t(data), _t(shapes))
+    assert out is None or out.count() == 0

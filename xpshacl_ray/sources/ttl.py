@@ -1018,6 +1018,16 @@ _STRUCTURAL_SHAPE_PREDS = tuple(SH_NS + p for p in (
     "not", "and", "or", "xone", "closed"))
 
 
+#: node-level constraint predicates a TARGETED shape can apply to the
+#: focus node itself — evaluated by the recursive checker in
+#: validate_ttl_long (sh:property / sh:closed excluded: dedicated paths)
+_NODE_LEVEL_PREDS = tuple(SH_NS + p for p in (
+    "datatype", "dataType", "minInclusive", "maxInclusive",
+    "minExclusive", "maxExclusive", "minLength", "maxLength",
+    "pattern", "in", "nodeKind", "class", "languageIn", "hasValue",
+    "node", "not", "and", "or", "xone"))
+
+
 def _structural_shape(obj, node: str) -> bool:
     """True when ``node`` declares any constraint predicate beyond the
     pure value-facet grammar — such an operand shape needs the full
@@ -1385,15 +1395,8 @@ class _NodeChecker:
     def _check(self, term, shape: str, active: frozenset) -> bool:
         obj = self.obj
         v, kind, _lang = term
-        if not self._facets_ok(shape, term):
-            return False
-        hv = _first(obj, shape, SH_NS + "hasValue")
-        if hv is not None and term != (hv.o, hv.kind, hv.lang or ""):
-            return False
-        for nd in obj.get((shape, SH_NS + "node"), ()):
-            if not self.conforms(term, nd.o, active):
-                return False
-        if not self._logical_ok(shape, term, active):
+        if not all(self.node_level_verdicts(term, shape,
+                                            active).values()):
             return False
         for pt in obj.get((shape, SH_NS + "property"), ()):
             if not self._property_ok(pt.o, term, active):
@@ -1417,23 +1420,58 @@ class _NodeChecker:
     def _logical_ok(self, node: str, term, active: frozenset) -> bool:
         """sh:not/and/or/xone declared on ``node``, operands evaluated
         as full node shapes against ``term``."""
+        return all(ok for _c, ok in self._logical_checks(node, term,
+                                                         active))
+
+    def _logical_checks(self, node: str, term, active: frozenset):
+        """Yield ``(SHACL component name, ok)`` per logical operator
+        declared on ``node`` (operands = full node shapes, recursion)."""
         obj = self.obj
         nt = _first(obj, node, SH_NS + "not")
-        if nt is not None and self.conforms(term, nt.o, active):
-            return False
-        for pred, need in (("and", "all"), ("or", "any"), ("xone", "one")):
+        if nt is not None:
+            yield ("NotConstraintComponent",
+                   not self.conforms(term, nt.o, active))
+        for pred, need, comp in (
+            ("and", "all", "AndConstraintComponent"),
+            ("or", "any", "OrConstraintComponent"),
+            ("xone", "one", "XoneConstraintComponent"),
+        ):
             lt = _first(obj, node, SH_NS + pred)
             if lt is None:
                 continue
             hits = [self.conforms(term, e.o, active)
                     for e in rdf_list_triples(obj, lt.o)]
-            if need == "all" and not all(hits):
-                return False
-            if need == "any" and not any(hits):
-                return False
-            if need == "one" and sum(hits) != 1:
-                return False
-        return True
+            yield comp, (all(hits) if need == "all"
+                         else any(hits) if need == "any"
+                         else sum(hits) == 1)
+
+    def node_level_verdicts(self, term, shape: str,
+                            _active: frozenset = frozenset()):
+        """``{SHACL component: ok}`` for the NODE-LEVEL constraints of
+        ``shape`` applied directly to ``term``: value facets (incl.
+        nodeKind / class / languageIn), sh:hasValue, node-level sh:node
+        and the logical operators.  Property shapes and sh:closed are
+        NOT included — they have dedicated evaluation paths
+        (:func:`validate_ttl_long`, :func:`closed_node_shapes`)."""
+        term = (term[0], term[1], term[2] or "")
+        obj = self.obj
+        out: Dict[str, bool] = {}
+
+        def fold(comp, ok):
+            out[comp] = out.get(comp, True) and ok
+
+        for comp, ok in self._facet_checks(shape, term):
+            fold(comp, ok)
+        hv = _first(obj, shape, SH_NS + "hasValue")
+        if hv is not None:
+            fold("HasValueConstraintComponent",
+                 term == (hv.o, hv.kind, hv.lang or ""))
+        for nd in obj.get((shape, SH_NS + "node"), ()):
+            fold("NodeConstraintComponent",
+                 self.conforms(term, nd.o, _active))
+        for comp, ok in self._logical_checks(shape, term, _active):
+            fold(comp, ok)
+        return out
 
     def _property_ok(self, pshape: str, term, active: frozenset) -> bool:
         obj = self.obj
@@ -1526,21 +1564,26 @@ class _NodeChecker:
         :func:`_value_facet_constraints` compiles for the engine),
         evaluated on ONE term, plus sh:nodeKind / sh:class / node-level
         sh:languageIn."""
+        return all(ok for _c, ok in self._facet_checks(node, term))
+
+    def _facet_checks(self, node: str, term):
+        """Yield ``(SHACL component name, ok)`` per value facet declared
+        on ``node`` — the decomposed form of :meth:`_facets_ok`, so
+        node-level violations can report the true per-facet component."""
         obj = self.obj
         v, kind, lang = term
         dt = (_first(obj, node, SH_NS + "datatype")
               or _first(obj, node, SH_NS + "dataType"))
         if dt is not None:
             if kind != "literal":
-                return False
-            if dt.o in _INT_TYPES:
-                if not _INT_LEX_RE.match(v):
-                    return False
+                ok = False
+            elif dt.o in _INT_TYPES:
+                ok = bool(_INT_LEX_RE.match(v))
             elif dt.o in _FLOAT_TYPES:
-                if _lex_num(v) is None:
-                    return False
-            elif lang:
-                return False  # xsd:string etc. excludes rdf:langString
+                ok = _lex_num(v) is not None
+            else:
+                ok = not lang  # xsd:string etc. excludes rdf:langString
+            yield "DatatypeConstraintComponent", ok
         for pred, lo_ok, hi_ok in (
             ("minInclusive", True, None), ("maxInclusive", None, True),
             ("minExclusive", False, None), ("maxExclusive", None, False),
@@ -1550,60 +1593,56 @@ class _NodeChecker:
                 continue
             x, bound = _lex_num(v), _lex_num(b.o)
             if x is None or bound is None:
-                return False  # non-comparable value violates a bound
-            if lo_ok is True and x < bound:
-                return False
-            if lo_ok is False and x <= bound:
-                return False
-            if hi_ok is True and x > bound:
-                return False
-            if hi_ok is False and x >= bound:
-                return False
+                ok = False  # non-comparable value violates a bound
+            elif lo_ok is True:
+                ok = x >= bound
+            elif lo_ok is False:
+                ok = x > bound
+            elif hi_ok is True:
+                ok = x <= bound
+            else:
+                ok = x < bound
+            yield pred[0].upper() + pred[1:] + "ConstraintComponent", ok
         for pred, cmp_len in (("minLength", lambda n, k: n >= k),
                               ("maxLength", lambda n, k: n <= k)):
             b = _first(obj, node, SH_NS + pred)
             if b is not None:
-                if kind == "bnode" or not cmp_len(len(v), int(b.o)):
-                    return False
+                yield (pred[0].upper() + pred[1:] + "ConstraintComponent",
+                       kind != "bnode" and cmp_len(len(v), int(b.o)))
         pat = _first(obj, node, SH_NS + "pattern")
         if pat is not None:
-            if kind == "bnode":
-                return False
             fl = _first(obj, node, SH_NS + "flags")
             rx = (f"(?{fl.o}){pat.o}" if fl is not None and fl.o
                   else pat.o)
-            if not re.search(rx, v):
-                return False
+            yield ("PatternConstraintComponent",
+                   kind != "bnode" and bool(re.search(rx, v)))
         in_t = _first(obj, node, SH_NS + "in")
         if in_t is not None:
             allowed = _hydrate_list_values(rdf_list_triples(obj, in_t.o))
             x = _lex_num(v)
-            hit = any(
+            yield "InConstraintComponent", any(
                 (isinstance(a, (int, float)) and x is not None
                  and float(a) == x)
                 or (isinstance(a, str) and a == v)
                 for a in allowed)
-            if not hit:
-                return False
         nk = _first(obj, node, SH_NS + "nodeKind")
         if nk is not None:
             short = nk.o.rsplit("#", 1)[-1]
-            if short in _NODE_KINDS and \
-                    kind not in _NODE_KINDS[short].split("|"):
-                return False
+            if short in _NODE_KINDS:
+                yield ("NodeKindConstraintComponent",
+                       kind in _NODE_KINDS[short].split("|"))
         cl = _first(obj, node, SH_NS + "class")
         if cl is not None:
-            if kind == "literal" or cl.o not in self.types.get(v, ()):
-                return False
+            yield ("ClassConstraintComponent",
+                   kind != "literal" and cl.o in self.types.get(v, ()))
         li = _first(obj, node, SH_NS + "languageIn")
         if li is not None and obj.get((node, SH_NS + "path")) is None:
             # node-level languageIn (the property-shape form is counted
             # over ALL values by the caller)
             tags = ([li.o] if li.kind == "literal"
                     else [t.o for t in rdf_list_triples(obj, li.o)])
-            if kind != "literal" or lang not in tags:
-                return False
-        return True
+            yield ("LanguageInConstraintComponent",
+                   kind == "literal" and lang in tags)
 
 
 def validate_ttl_long(data_triples: List[Triple],
@@ -1644,7 +1683,12 @@ def validate_ttl_long(data_triples: List[Triple],
     )
 
     shapes = long_form_property_shapes(shape_triples)
-    if not shapes and not closed_node_shapes(shape_triples):
+    _obj_gate = _sp_index(shape_triples)
+    has_node_level = any(
+        any((sh_, p) in _obj_gate for p in _NODE_LEVEL_PREDS)
+        for sh_, _tk in _shape_target_keys(shape_triples, _obj_gate))
+    if (not shapes and not closed_node_shapes(shape_triples)
+            and not has_node_level):
         return None
     types: Dict[str, set] = {}
     for t in data_triples:
@@ -1950,6 +1994,46 @@ def validate_ttl_long(data_triples: List[Triple],
                 id_columns=["subject"], focus_template="{subject}")
             parts.append(ValidationEngine(spec).validate(
                 ray.data.from_arrow(table)))
+    # node-level constraints on TARGETED shapes: value facets /
+    # sh:hasValue / sh:node / logical operators applied to the FOCUS
+    # node itself (pyshacl evaluates these against every focus node;
+    # property shapes and sh:closed have their dedicated paths above).
+    # Verdicts come from the recursive checker, reported per true
+    # SHACL component, value = the focus node
+    from ..spec import NodeConformance
+
+    obj_sh2 = _sp_index(shape_triples)
+    for shape, target in _shape_target_keys(shape_triples, obj_sh2):
+        if not any((shape, p) in obj_sh2 for p in _NODE_LEVEL_PREDS):
+            continue
+        focus = sorted(target_subjects(data_triples, target, types))
+        if not focus:
+            continue
+        if checker is None:
+            checker = _NodeChecker(data_triples, obj_sh2, types)
+        msg_t = _first(obj_sh2, shape, SH_NS + "message")
+        nmsg = msg_t.o if msg_t is not None else None
+        sev = _severity(obj_sh2, shape, shape)
+        bad_by_comp: Dict[str, List[str]] = {}
+        for s in focus:
+            skind = "bnode" if s.startswith("_:") else "iri"
+            for comp, ok in checker.node_level_verdicts(
+                    (s, skind, ""), shape).items():
+                if not ok:
+                    bad_by_comp.setdefault(comp, []).append(s)
+        if not bad_by_comp:
+            continue
+        table = pa.table({"subject": pa.array(focus, pa.string()),
+                          "object": pa.array(focus, pa.string())})
+        spec = ValidationSpec(
+            constraints=[NodeConformance(
+                column="object", nonconforming=sorted(bad),
+                node_shape=shape, shape_id=shape, component=comp,
+                message=nmsg, value_column="object", severity=sev)
+                for comp, bad in sorted(bad_by_comp.items())],
+            id_columns=["subject"], focus_template="{subject}")
+        parts.append(ValidationEngine(spec).validate(
+            ray.data.from_arrow(table)))
     if not parts:
         return None
     out = parts[0]
