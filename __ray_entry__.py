@@ -3037,6 +3037,98 @@ ex:BudgetShape a sh:NodeShape ;
     return "\n".join(data) + "\n", shapes, sorted(expected)
 
 
+def _ttl_shacl_full_fixture() -> tuple:
+    """Deterministic fixture for the round-5 continuation-3 SHACL
+    surfaces (``sources/ttl.py`` — the reference gets all of this free
+    from pyshacl): 40 resources where
+
+    - NODE-LEVEL ``sh:or ( [sh:class Gold] [sh:class Silver] )`` on the
+      targeted shape flags every focus that is neither (``i % 3`` and
+      ``i % 5`` both nonzero);
+    - a STRUCTURAL ``sh:qualifiedValueShape [sh:property [sh:path tag ;
+      minCount 1]]`` + qualifiedMinCount 1 flags refs without a tagged
+      item (``i % 4 == 0`` items carry no tag);
+    - a STRUCTURAL-operand property ``sh:or ( [sh:class Ok]
+      [sh:pattern "9$"] )`` flags alt values that are neither Ok-class
+      (``i % 2 == 0``) nor digit-9-ending IRIs (``i % 10 == 9``).
+
+    Expected derives from the generation rule."""
+    ex = _TTL_AUTO_EX
+    data = [f"@prefix ex: <{ex}> ."]
+    expected = []
+    for i in range(40):
+        lines = [f"ex:R{i:02d} a ex:R",
+                 f"ex:R{i:02d} ex:ref ex:I{i:02d}",
+                 f"ex:R{i:02d} ex:alt ex:A{i:02d}",
+                 f"ex:A{i:02d} a ex:Alt"]
+        if i % 3 == 0:
+            lines.append(f"ex:R{i:02d} a ex:Gold")
+        if i % 5 == 0:
+            lines.append(f"ex:R{i:02d} a ex:Silver")
+        if i % 3 and i % 5:
+            expected.append((f"{ex}R{i:02d}", "must be gold or silver"))
+        if i % 4 == 0:
+            expected.append((f"{ex}R{i:02d}", "needs a tagged ref"))
+        else:
+            lines.append(f'ex:I{i:02d} ex:tag "t{i}"')
+        if i % 2 == 0:
+            lines.append(f"ex:A{i:02d} a ex:Ok")
+        elif i % 10 != 9:
+            expected.append((f"{ex}R{i:02d}",
+                             "alt must be ok or end in nine"))
+        data.extend(ln + " ." for ln in lines)
+    shapes = f"""
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix ex: <{ex}> .
+
+ex:RShape a sh:NodeShape ; sh:targetClass ex:R ;
+  sh:message "must be gold or silver" ;
+  sh:or ( [ sh:class ex:Gold ] [ sh:class ex:Silver ] ) ;
+  sh:property [ sh:path ex:ref ;
+                sh:qualifiedValueShape [ sh:property [
+                    sh:path ex:tag ; sh:minCount 1 ] ] ;
+                sh:qualifiedMinCount 1 ;
+                sh:message "needs a tagged ref" ] ;
+  sh:property [ sh:path ex:alt ;
+                sh:or ( [ sh:class ex:Ok ] [ sh:pattern "9$" ] ) ;
+                sh:message "alt must be ok or end in nine" ] .
+"""
+    return "\n".join(data) + "\n", shapes, sorted(expected)
+
+
+def q_ttl_shacl_full(sf_dir: str):
+    """The continuation-3 SHACL surfaces end-to-end from Turtle:
+    node-level logical operators on the TARGETED shape (applied to the
+    focus node), STRUCTURAL sh:qualifiedValueShape (counted through the
+    recursive checker) and structural-operand property logicals — all
+    three families in one shape graph, one violations Dataset.  The
+    oracle is derived independently from the fixture's generation rule.
+    (sf_dir-independent by design, like ``ttl_parity``.)"""
+    import os
+    import tempfile
+
+    from xpshacl_ray.sources.ttl import validate_ttl
+
+    data_ttl, shapes_ttl, _ = _ttl_shacl_full_fixture()
+    d = os.path.join(tempfile.gettempdir(), "xpshacl_ttl_full")
+    os.makedirs(d, exist_ok=True)
+    dp, sp = os.path.join(d, "data.ttl"), os.path.join(d, "shapes.ttl")
+    with open(dp, "w") as f:
+        f.write(data_ttl)
+    with open(sp, "w") as f:
+        f.write(shapes_ttl)
+    viol = validate_ttl(dp, sp, long_form=True)
+    return viol.select_columns(["subject", "message"])
+
+
+def _ttl_shacl_full_sql() -> str:
+    _, _, expected = _ttl_shacl_full_fixture()
+    rows = ",\n      ".join(
+        f"('{s}', '{m}')" for s, m in expected)
+    return (f"SELECT * FROM (VALUES\n      {rows}\n"
+            "    ) AS t(subject, message)")
+
+
 def q_ttl_node_recursive(sf_dir: str):
     """Recursive sh:node conformance from Turtle: nested sh:node at
     unbounded depth, grouped facets inside the referenced shape, and
@@ -3665,6 +3757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttl_paths": q_ttl_paths,
         "ttl_closed": q_ttl_closed,
         "ttl_node_recursive": q_ttl_node_recursive,
+        "ttl_shacl_full": q_ttl_shacl_full,
         "node_conformance_scale": q_node_conformance_scale,
         "epoch_shuffle": q_epoch_shuffle,
         "sql_check": q_sql_check,
@@ -5361,6 +5454,7 @@ def oracle_sql() -> dict[str, str]:
         "ttl_paths": _ttl_paths_sql(),
         "ttl_closed": _ttl_closed_sql(),
         "ttl_node_recursive": _ttl_node_recursive_sql(),
+        "ttl_shacl_full": _ttl_shacl_full_sql(),
         # engine null policy mirrored: NULL facet values conform (value
         # constraints excuse nulls), NULL FKs are excused on the probe
         "node_conformance_scale": """

@@ -155,6 +155,7 @@ def run_benchmarks() -> dict:
         ("ttl_paths", entrymod.q_ttl_paths),
         ("ttl_closed", entrymod.q_ttl_closed),
         ("ttl_node_recursive", entrymod.q_ttl_node_recursive),
+        ("ttl_shacl_full", entrymod.q_ttl_shacl_full),
         ("node_conformance_scale", entrymod.q_node_conformance_scale),
         ("cycle_members", entrymod.q_cycle_members),
     ]

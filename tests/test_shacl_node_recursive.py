@@ -801,3 +801,30 @@ ex:TShape a sh:NodeShape ; sh:targetClass ex:T ;
 """
     out = validate_ttl_long(_t(data), _t(shapes))
     assert out is None or out.count() == 0
+
+
+def test_deep_acyclic_node_chain(ray_session):
+    # a 1,500-hop follower chain exceeds CPython's default recursion
+    # guard; the checker raises it proportional to the graph and
+    # memoizes, so the walk is linear and terminates
+    n = 1500
+    lines = ["@prefix ex: <http://example.org/> ."]
+    lines.append("ex:p0000 a ex:Person .")
+    for i in range(n - 1):
+        lines.append(f"ex:p{i:04d} ex:knows ex:p{i + 1:04d} .")
+    for i in range(n):
+        if i != n - 1:  # the LAST node lacks a name
+            lines.append(f'ex:p{i:04d} ex:name "N{i}" .')
+    data = _t("\n".join(lines))
+    shapes = _t(SH + """
+ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
+  sh:property [ sh:path ex:knows ; sh:node ex:PersonShape ] ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+""")
+    out = validate_ttl_long(data, shapes).to_pandas()
+    node = out[out["constraint_id"].str.endswith(
+        "NodeConstraintComponent")]
+    # the tail's missing name propagates up the whole chain: the single
+    # TARGETED focus p0000 reports its direct value p0001 nonconforming
+    assert sorted(zip(node["focus_node"], node["value"])) == [
+        (EX + "p0000", EX + "p0001")]

@@ -1374,6 +1374,18 @@ class _NodeChecker:
         for t in data_triples:
             self.preds.setdefault(t.s, set()).add(t.p)
         self.memo: Dict[Tuple, bool] = {}
+        # a DEEP acyclic sh:node chain (follower graphs) recurses one
+        # (term, shape) frame set per hop; CPython 3.11 frames are
+        # heap-allocated, so raising the guard proportional to the
+        # (driver-parsed, small-by-construction) graph is safe —
+        # memoization keeps the total work linear
+        self._reclimit = 10_000 + 8 * len(data_triples)
+
+    def _ensure_depth(self):
+        import sys
+
+        if sys.getrecursionlimit() < self._reclimit:
+            sys.setrecursionlimit(self._reclimit)
 
     # -- public ---------------------------------------------------------
     def conforms(self, term, shape: str,
@@ -1384,6 +1396,8 @@ class _NodeChecker:
             return self.memo[key]
         if key in _active:
             return True  # recursion guard: assume-conforming
+        if not _active:
+            self._ensure_depth()
         if _deactivated(self.obj, shape):
             self.memo[key] = True
             return True
