@@ -828,3 +828,58 @@ ex:PersonShape a sh:NodeShape ; sh:targetClass ex:Person ;
     # TARGETED focus p0000 reports its direct value p0001 nonconforming
     assert sorted(zip(node["focus_node"], node["value"])) == [
         (EX + "p0000", EX + "p0001")]
+
+
+def test_qualified_value_shapes_disjoint(ray_session):
+    # the spec's hand example: thumbs and fingers counted disjointly —
+    # a digit conforming to BOTH sibling shapes counts toward NEITHER
+    data = """
+@prefix ex: <http://example.org/> .
+ex:hand a ex:Hand ;
+  ex:digit ex:thumbA ; ex:digit ex:weird ;
+  ex:digit ex:f1 ; ex:digit ex:f2 ; ex:digit ex:f3 .
+ex:thumbA a ex:Thumb .
+ex:weird a ex:Thumb ; a ex:Finger .
+ex:f1 a ex:Finger . ex:f2 a ex:Finger . ex:f3 a ex:Finger .
+"""
+    shapes = SH + """
+ex:HandShape a sh:NodeShape ; sh:targetClass ex:Hand ;
+  sh:property [ sh:path ex:digit ;
+                sh:qualifiedValueShape [ sh:class ex:Thumb ] ;
+                sh:qualifiedValueShapesDisjoint true ;
+                sh:qualifiedMinCount 2 ;
+                sh:message "needs two pure thumbs" ] ;
+  sh:property [ sh:path ex:digit ;
+                sh:qualifiedValueShape [ sh:class ex:Finger ] ;
+                sh:qualifiedValueShapesDisjoint true ;
+                sh:qualifiedMinCount 4 ;
+                sh:message "needs four pure fingers" ] .
+"""
+    out = validate_ttl_long(_t(data), _t(shapes)).to_pandas()
+    q = out[out["constraint_id"].str.endswith(
+        "QualifiedMinCountConstraintComponent")]
+    # ex:weird is BOTH Thumb and Finger -> counts toward neither:
+    # pure thumbs = 1 < 2 (violation), pure fingers = 3 < 4 (violation)
+    assert sorted(q["message"]) == ["needs four pure fingers",
+                                    "needs two pure thumbs"]
+
+
+def test_qualified_disjoint_false_counts_normally(ray_session):
+    # without the disjoint flag the shared digit counts toward both
+    data = """
+@prefix ex: <http://example.org/> .
+ex:hand a ex:Hand ; ex:digit ex:thumbA ; ex:digit ex:weird .
+ex:thumbA a ex:Thumb .
+ex:weird a ex:Thumb ; a ex:Finger .
+"""
+    shapes = SH + """
+ex:HandShape a sh:NodeShape ; sh:targetClass ex:Hand ;
+  sh:property [ sh:path ex:digit ;
+                sh:qualifiedValueShape [ sh:class ex:Thumb ] ;
+                sh:qualifiedMinCount 2 ] ;
+  sh:property [ sh:path ex:digit ;
+                sh:qualifiedValueShape [ sh:class ex:Finger ] ;
+                sh:qualifiedMinCount 1 ] .
+"""
+    out = validate_ttl_long(_t(data), _t(shapes))
+    assert out is None or out.count() == 0

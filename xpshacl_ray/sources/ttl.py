@@ -1144,14 +1144,32 @@ def long_form_property_shapes(triples: List[Triple]):
                 qmin = _first(obj, pshape, SH_NS + "qualifiedMinCount")
                 qmax = _first(obj, pshape, SH_NS + "qualifiedMaxCount")
                 structural = _structural_shape(obj, qv.o)
+                # sh:qualifiedValueShapesDisjoint: a value counts only
+                # when it conforms to Q and to NO sibling qualified
+                # shape (the qualified shapes of the node shape's OTHER
+                # property shapes) — spec §4.5.3.  Sibling conformance
+                # needs full verdicts, so disjoint forces the checker
+                dj = _first(obj, pshape,
+                            SH_NS + "qualifiedValueShapesDisjoint")
+                siblings = []
+                if dj is not None and dj.o == "true":
+                    for pt2 in obj.get((shape, SH_NS + "property"), []):
+                        if pt2.o == pshape or _deactivated(obj, pt2.o):
+                            continue
+                        qv2 = _first(obj, pt2.o,
+                                     SH_NS + "qualifiedValueShape")
+                        if qv2 is not None and qv2.o != qv.o:
+                            siblings.append(qv2.o)
                 if ((qmin is not None or qmax is not None)
-                        and (structural or _value_facet_constraints(
-                            obj, qv.o, "object", pshape, None))):
+                        and (structural or siblings
+                             or _value_facet_constraints(
+                                 obj, qv.o, "object", pshape, None))):
                     facets["qualified"] = {
                         "shape": qv.o,
                         "min": int(qmin.o) if qmin is not None else None,
                         "max": int(qmax.o) if qmax is not None else None,
-                        "checker": structural,
+                        "checker": structural or bool(siblings),
+                        "siblings": siblings,
                     }
             li = _first(obj, pshape, SH_NS + "languageIn")
             if li is not None:
@@ -1770,10 +1788,17 @@ def validate_ttl_long(data_triples: List[Triple],
                     checker = _NodeChecker(
                         data_triples, _sp_index(shape_triples), types)
                 qv_shape = str(q["shape"])
+                sibs = q.get("siblings") or []
+
+                def _qconf(v, k, lg):
+                    # disjoint counting: conforms to Q and to NO
+                    # sibling qualified shape (spec §4.5.3)
+                    return (checker.conforms((v, k, lg), qv_shape)
+                            and not any(checker.conforms((v, k, lg), s)
+                                        for s in sibs))
+
                 qok = np.array(
-                    ["1" if v is not None
-                     and checker.conforms((v, k, lg), qv_shape)
-                     else "0"
+                    ["1" if v is not None and _qconf(v, k, lg) else "0"
                      for v, k, lg in zip(cols["object"], cols["kind"],
                                          cols["lang"])], dtype=object)
             else:
