@@ -288,10 +288,11 @@ def test_jpeg_grayscale_and_unsupported_modes():
     assert np.array_equal(img[..., 0], img[..., 1])  # replicated gray
     assert abs(float(img[..., 0].mean()) - plane.mean()) < 3
 
-    # progressive SOF raises the honest NotImplementedError
-    prog = bytes(out).replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg(prog)
+    # lossless-sequential SOF raises the honest NotImplementedError
+    # (progressive SOF2 now decodes — tests/test_jpeg_progressive.py)
+    lossless = bytes(out).replace(b"\xff\xc0", b"\xff\xc3")
+    with pytest.raises(NotImplementedError, match="unsupported"):
+        decode_jpeg(lossless)
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4), np.uint8))  # not (h, w, 3)
 

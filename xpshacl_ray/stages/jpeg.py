@@ -6,15 +6,22 @@ pipeline treats images as opaque binary payloads decoded inside an actor
 pool; with this module ``image/jpeg`` payloads decode for real, like
 PNG (zlib) and GIF (LZW) already do.
 
-Scope — the baseline sequential DCT subset that covers the vast majority
-of real-world JPEGs:
+Scope — the sequential AND progressive Huffman DCT subsets that cover
+the vast majority of real-world JPEGs:
 
-- **decode**: 8-bit baseline (SOF0), grayscale or YCbCr, arbitrary
+- **decode**: 8-bit baseline (SOF0/SOF1) and PROGRESSIVE (SOF2 —
+  spectral selection, successive approximation, EOBRUN runs, DC/AC
+  refinement scans, per T.81 Annex G), grayscale or YCbCr, arbitrary
   sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart intervals (DRI /
-  RSTn), byte stuffing.  Progressive (SOF2) and arithmetic coding raise.
+  RSTn, sequential and progressive), byte stuffing.  Arithmetic coding
+  and hierarchical/lossless SOFs raise.
 - **encode**: quality-scaled Annex-K quantization tables, standard
   Huffman tables, 4:4:4 or 4:2:0 chroma subsampling, optional restart
-  interval (so the decoder's RST path is roundtrip-tested).
+  interval, and ``progressive=True`` emitting a libjpeg-style scan
+  script (interleaved DC first scan with point transform, per-component
+  AC spectral bands, then DC/AC successive-approximation refinement
+  scans) — so every progressive decode path is roundtrip-tested against
+  the baseline decode of the same pixels.
 
 The per-block entropy coding is a Python loop (inherently sequential bit
 I/O); everything around it — color transform, 2-D DCT/IDCT (einsum over
@@ -123,7 +130,19 @@ _AC_C = (
      0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
      0xF9, 0xFA],
 )
-for _bits, _vals in (_DC_L, _DC_C, _AC_L, _AC_C):
+# progressive AC table: the Annex-K baseline tables carry no EOBn
+# symbols (0x10..0xE0), which only exist in progressive scans.  A flat
+# 8-bit canonical code over every symbol a progressive AC scan can emit
+# — (r<<4)|s for s 1..10, EOBn for r 0..14, ZRL — is a valid Huffman
+# table (176 codes of 256 slots); suboptimal compression, simple and
+# fully decodable by any conforming decoder.
+_AC_PROG_VALS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {r << 4 for r in range(15)} | {0xF0})
+_AC_PROG = ([0, 0, 0, 0, 0, 0, 0, len(_AC_PROG_VALS),
+             0, 0, 0, 0, 0, 0, 0, 0], _AC_PROG_VALS)
+
+for _bits, _vals in (_DC_L, _DC_C, _AC_L, _AC_C, _AC_PROG):
     assert sum(_bits) == len(_vals)
 
 # orthonormal DCT-II basis: coef = C @ block @ C.T, block = C.T @ coef @ C
@@ -332,15 +351,210 @@ def _seg(tag: int, body: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, tag, len(body) + 2) + body
 
 
+# ---------------------------------------------------------------------------
+# progressive encoder (T.81 Annex G; scan script mirrors libjpeg's default)
+# ---------------------------------------------------------------------------
+
+
+class _AcProgState:
+    """Per-scan AC progressive entropy state: the cross-block EOB run
+    counter and (for refinement scans) the correction bits buffered
+    until the run's EOBn symbol is emitted."""
+
+    def __init__(self, w: "_BitWriter", ac_codes: dict):
+        self.w = w
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.bits: list = []  # BE buffer: corrections owed after EOBn
+
+    def emit_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac[nbits << 4]
+            self.w.write(code, ln)
+            if nbits:
+                self.w.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.bits:
+            self.w.write(b, 1)
+        self.bits = []
+
+
+def _enc_ac_first_block(st: _AcProgState, zz, ss, se, al):
+    """One block of an AC first scan: magnitudes point-transformed by
+    Al (division truncating toward zero), EOB folded into EOBRUN."""
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        if t < 0:
+            temp = (-t) >> al
+            temp2 = ~temp
+        else:
+            temp = t >> al
+            temp2 = temp
+        if temp == 0:
+            r += 1
+            continue
+        st.emit_eobrun()
+        while r > 15:
+            c, ln = st.ac[0xF0]  # ZRL
+            st.w.write(c, ln)
+            r -= 16
+        s = temp.bit_length()
+        c, ln = st.ac[(r << 4) | s]
+        st.w.write(c, ln)
+        st.w.write(temp2 & ((1 << s) - 1), s)
+        r = 0
+    if r:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def _enc_ac_refine_block(st: _AcProgState, zz, ss, se, al):
+    """One block of an AC refinement scan: correction bits for
+    previously-sent coefficients, new +-1 coefficients at bit Al,
+    trailing corrections folded into the EOB run (libjpeg
+    encode_mcu_AC_refine)."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = ss - 1
+    for k in range(ss, se + 1):
+        if absv[k - ss] == 1:
+            eob = k  # last NEWLY-nonzero coefficient
+    r = 0
+    br: list = []  # this block's pending correction bits
+    for k in range(ss, se + 1):
+        temp = absv[k - ss]
+        if temp == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            st.emit_eobrun()
+            c, ln = st.ac[0xF0]
+            st.w.write(c, ln)
+            r -= 16
+            for b in br:
+                st.w.write(b, 1)
+            br = []
+        if temp > 1:
+            br.append(temp & 1)  # already nonzero: correction bit only
+            continue
+        st.emit_eobrun()
+        c, ln = st.ac[(r << 4) | 1]
+        st.w.write(c, ln)
+        st.w.write(0 if int(zz[k]) < 0 else 1, 1)
+        for b in br:
+            st.w.write(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.bits.extend(br)
+        if st.eobrun == 0x7FFF or len(st.bits) > 937:
+            st.emit_eobrun()
+
+
+def _sos_seg(scan_comps, ss, se, ah, al) -> bytes:
+    body = bytes([len(scan_comps)])
+    for cid, dc_id, ac_id in scan_comps:
+        body += bytes([cid, (dc_id << 4) | ac_id])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, body)
+
+
+def _encode_progressive(out: bytearray, comps, mcus_y, mcus_x,
+                        h0, w0, hmax, vmax, dri) -> None:
+    """Emit the progressive scan sequence (libjpeg's default script)
+    into ``out``: interleaved DC first scan at Al=1, per-component AC
+    spectral bands at Al>0, then DC and AC successive-approximation
+    refinement scans down to Al=0."""
+    def dc_scan(ah, al):
+        w = _BitWriter()
+        preds = {c["cid"]: 0 for c in comps}
+        n = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and n and n % dri == 0:
+                    w.marker(0xD0 + rst)
+                    rst = (rst + 1) % 8
+                    preds = {c["cid"]: 0 for c in comps}
+                for c in comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = c["blocks"][
+                                (my * c["v"] + by) * c["bw"]
+                                + mx * c["h"] + bx]
+                            if ah == 0:
+                                v = int(blk[0]) >> al
+                                diff = v - preds[c["cid"]]
+                                preds[c["cid"]] = v
+                                s = _bitlen(abs(diff))
+                                code, ln = c["dc"][s]
+                                w.write(code, ln)
+                                if s:
+                                    w.write(diff if diff > 0
+                                            else diff + (1 << s) - 1, s)
+                            else:
+                                w.write((int(blk[0]) >> al) & 1, 1)
+                n += 1
+        w.flush()
+        out.extend(_sos_seg([(c["cid"], c["dcid"], 0) for c in comps],
+                            0, 0, ah, al))
+        out.extend(w.out)
+
+    def ac_scan(c, ss, se, ah, al):
+        w = _BitWriter()
+        st = _AcProgState(w, c["acc"])
+        xs = -(-w0 * c["h"] // hmax)   # ceil(w0 * h / hmax) samples
+        ys = -(-h0 * c["v"] // vmax)
+        cw, chd = -(-xs // 8), -(-ys // 8)
+        n = 0
+        rst = 0
+        for row in range(chd):
+            for col in range(cw):
+                if dri and n and n % dri == 0:
+                    st.emit_eobrun()
+                    w.marker(0xD0 + rst)
+                    rst = (rst + 1) % 8
+                blk = c["blocks"][row * c["bw"] + col]
+                if ah == 0:
+                    _enc_ac_first_block(st, blk, ss, se, al)
+                else:
+                    _enc_ac_refine_block(st, blk, ss, se, al)
+                n += 1
+        st.emit_eobrun()
+        w.flush()
+        out.extend(_sos_seg([(c["cid"], 0, c["acid"])], ss, se, ah, al))
+        out.extend(w.out)
+
+    y, cb, cr = comps
+    dc_scan(0, 1)            # DC first, point transform 1
+    ac_scan(y, 1, 5, 0, 2)   # Y low band
+    ac_scan(cb, 1, 63, 0, 1)
+    ac_scan(cr, 1, 63, 0, 1)
+    ac_scan(y, 6, 63, 0, 2)  # Y high band
+    ac_scan(y, 1, 63, 2, 1)  # Y refine Al 2 -> 1
+    dc_scan(1, 0)            # DC refine
+    ac_scan(y, 1, 63, 1, 0)  # final refinements to full precision
+    ac_scan(cb, 1, 63, 1, 0)
+    ac_scan(cr, 1, 63, 1, 0)
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 90,
                 subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """(h, w, 3) uint8 RGB -> baseline JFIF JPEG bytes.
+                restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> JFIF JPEG bytes (baseline, or progressive
+    with ``progressive=True``).
 
     ``subsampling``: ``"444"`` (no chroma subsampling) or ``"420"``
     (2x2 chroma, the web default).  ``restart_interval`` > 0 emits DRI +
-    RSTn markers every that many MCUs (exercises the decoder's restart
-    path; also what a resumable scan would use)."""
+    RSTn markers every that many MCUs / blocks (exercises the decoder's
+    restart path; also what a resumable scan would use).
+    ``progressive=True`` emits SOF2 with libjpeg's default scan script —
+    the SAME quantized coefficients as the baseline stream, so both
+    decode to identical pixels."""
     if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
         raise ValueError("encode_jpeg expects (h, w, 3) uint8 RGB")
     if subsampling not in ("444", "420"):
@@ -377,6 +591,34 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
 
     dc_l, ac_l = _encode_codes(*_DC_L), _encode_codes(*_AC_L)
     dc_c, ac_c = _encode_codes(*_DC_C), _encode_codes(*_AC_C)
+
+    if progressive:
+        ac_p = _encode_codes(*_AC_PROG)
+        comps = [
+            dict(cid=1, blocks=yq, bw=ybx, h=sh, v=sv,
+                 dc=dc_l, acc=ac_p, dcid=0, acid=0),
+            dict(cid=2, blocks=cbq, bw=cbx, h=1, v=1,
+                 dc=dc_c, acc=ac_p, dcid=1, acid=1),
+            dict(cid=3, blocks=crq, bw=cbx, h=1, v=1,
+                 dc=dc_c, acc=ac_p, dcid=1, acid=1),
+        ]
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        out += _seg(0xDB, bytes([0x00]) + bytes(ql[_ZZ].tolist()))
+        out += _seg(0xDB, bytes([0x01]) + bytes(qc[_ZZ].tolist()))
+        sof = struct.pack(">BHHB", 8, h0, w0, 3)
+        sof += bytes([1, (sh << 4) | sv, 0, 2, 0x11, 1, 3, 0x11, 1])
+        out += _seg(0xC2, sof)
+        for cls, tid, (bits, vals) in ((0, 0, _DC_L), (1, 0, _AC_PROG),
+                                       (0, 1, _DC_C), (1, 1, _AC_PROG)):
+            out += _seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits)
+                        + bytes(vals))
+        if restart_interval:
+            out += _seg(0xDD, struct.pack(">H", restart_interval))
+        _encode_progressive(out, comps, yby // sv, ybx // sh,
+                            h0, w0, sh, sv, restart_interval)
+        out += b"\xff\xd9"
+        return bytes(out)
 
     bw = _BitWriter()
     preds = [0, 0, 0]
@@ -424,6 +666,218 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
 # ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
+
+
+def _reconstruct(order, qtabs, hmax, vmax, fh, fw) -> np.ndarray:
+    """Coefficient planes -> (h, w, 3) uint8 RGB: vectorized dequant +
+    IDCT + chroma upsampling + color transform (shared by the baseline
+    and progressive decode paths)."""
+    planes = []
+    for c in order:
+        nat = np.zeros((len(c["blocks"]), 64), np.float64)
+        nat[:, _ZZ] = c["blocks"]
+        coef = nat.reshape(-1, 8, 8) * qtabs[c["tq"]].reshape(8, 8)
+        pix = np.einsum("ji,njk,kl->nil", _C, coef, _C) + 128.0
+        plane = (pix.reshape(c["bh"], c["bw"], 8, 8)
+                 .swapaxes(1, 2).reshape(c["bh"] * 8, c["bw"] * 8))
+        plane = plane.repeat(vmax // c["v"], 0).repeat(hmax // c["h"], 1)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        yv = np.clip(planes[0], 0, 255)
+        return np.ascontiguousarray(
+            np.stack([yv, yv, yv], axis=-1).astype(np.uint8))
+    if len(planes) != 3:
+        raise NotImplementedError(f"{len(planes)}-component JPEG")
+    yv, cbv, crv = planes
+    cbv = cbv - 128.0
+    crv = crv - 128.0
+    r = yv + 1.402 * crv
+    g = yv - 0.344136 * cbv - 0.714136 * crv
+    b = yv + 1.772 * cbv
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.ascontiguousarray(np.clip(np.round(rgb), 0, 255)
+                                .astype(np.uint8))
+
+
+def _refine_nonzero(reader: _BitReader, blk: np.ndarray, k: int,
+                    p1: int, m1: int) -> None:
+    """AC successive-approximation correction of one already-nonzero
+    coefficient (T.81 G.2.2 / libjpeg decode_mcu_AC_refine).  Blocks
+    are stored in ZIGZAG order (like the baseline path), so the band
+    index k addresses the array directly."""
+    if reader.read_bit():
+        v = int(blk[k])
+        if (abs(v) & p1) == 0:
+            blk[k] = v + (p1 if v >= 0 else m1)
+
+
+def _decode_ac_first(reader, blk, ss, se, al, ac_tbl, eobrun: int) -> int:
+    """One block of an AC FIRST scan (Ah == 0): spectral band ss..se,
+    new coefficients arrive shifted left by the point transform; EOBn
+    codes start runs of entirely-skipped blocks.  Returns eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _read_symbol(reader, ac_tbl)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:  # EOBn
+                eobrun = 1 << r
+                if r:
+                    eobrun += reader.read_bits(r)
+                return eobrun - 1
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of spectral band")
+        blk[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine(reader, blk, ss, se, al, ac_tbl,
+                      eobrun: int) -> int:
+    """One block of an AC REFINEMENT scan (Ah > 0): correction bits for
+    known coefficients, new +-1<<Al coefficients, EOB runs that still
+    carry corrections (T.81 G.2.2).  Returns eobrun."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _read_symbol(reader, ac_tbl)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:  # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions (with corrections)
+            else:
+                if s != 1:
+                    raise ValueError("refinement scan with size > 1")
+                val = p1 if reader.read_bit() else m1
+            while k <= se:
+                if blk[k] != 0:
+                    _refine_nonzero(reader, blk, k, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if blk[k] != 0:
+                _refine_nonzero(reader, blk, k, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(payload, pos, frame, scan, ss, se, ah, al,
+                             htabs, qtabs, dri, hmax, vmax):
+    """Entropy-decode ONE progressive scan into the components'
+    coefficient arrays; returns the byte position of the next marker.
+    Interleaved MCU order for multi-component (DC) scans, component
+    raster order over the component's OWN ceil-dims for single-component
+    scans (T.81 A.2.2 — the padded MCU-grid columns are not coded)."""
+    byid = {c["id"]: c for c in frame["comps"]}
+    comps = [byid[sc["id"]] for sc in scan]
+    for sc, c in zip(scan, comps):
+        if ss == 0 and ah == 0:
+            c["dc_tbl"] = htabs[(0, sc["dc"])]
+        if se > 0:
+            c["ac_tbl"] = htabs[(1, sc["ac"])]
+        c["pred"] = 0
+    reader = _BitReader(payload, pos)
+    eobrun = 0
+    interleaved = len(comps) > 1
+
+    def restart(expect):
+        nonlocal eobrun
+        reader.sync_restart(expect)
+        for c in comps:
+            c["pred"] = 0
+        eobrun = 0
+
+    if ss == 0:  # DC scan (spec: Ss=0 implies Se=0)
+        mcus_x = frame["mcus_x"] if interleaved else _comp_block_dims(
+            comps[0], frame, hmax, vmax)[0]
+        mcus_y = frame["mcus_y"] if interleaved else _comp_block_dims(
+            comps[0], frame, hmax, vmax)[1]
+        n = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if dri and n and n % dri == 0:
+                    restart(rst)
+                    rst = (rst + 1) % 8
+                for c in comps:
+                    bys = range(c["v"]) if interleaved else (0,)
+                    bxs = range(c["h"]) if interleaved else (0,)
+                    for by in bys:
+                        for bx in bxs:
+                            if interleaved:
+                                idx = ((my * c["v"] + by) * c["bw"]
+                                       + mx * c["h"] + bx)
+                            else:
+                                idx = my * c["bw"] + mx
+                            blk = c["blocks"][idx]
+                            if ah == 0:
+                                s = _read_symbol(reader, c["dc_tbl"])
+                                diff = (_extend(reader.read_bits(s), s)
+                                        if s else 0)
+                                c["pred"] += diff
+                                blk[0] = c["pred"] << al
+                            elif reader.read_bit():
+                                blk[0] = int(blk[0]) | (1 << al)
+                n += 1
+    else:  # AC scan: always single-component, non-interleaved
+        if interleaved:
+            raise ValueError("interleaved AC progressive scan")
+        c = comps[0]
+        cw, ch = _comp_block_dims(c, frame, hmax, vmax)
+        n = 0
+        rst = 0
+        for row in range(ch):
+            for col in range(cw):
+                if dri and n and n % dri == 0:
+                    restart(rst)
+                    rst = (rst + 1) % 8
+                blk = c["blocks"][row * c["bw"] + col]
+                if ah == 0:
+                    eobrun = _decode_ac_first(
+                        reader, blk, ss, se, al, c["ac_tbl"], eobrun)
+                else:
+                    eobrun = _decode_ac_refine(
+                        reader, blk, ss, se, al, c["ac_tbl"], eobrun)
+                n += 1
+    # byte-align, then skip to the next marker (stuffed FF00 and RSTn
+    # belong to this scan's entropy data)
+    p = reader.pos
+    while p < len(payload) - 1:
+        if payload[p] == 0xFF and payload[p + 1] != 0x00 \
+                and not (0xD0 <= payload[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return len(payload)
+
+
+def _comp_block_dims(c, frame, hmax, vmax):
+    """Non-interleaved block dims of a component: ceil over the
+    component's OWN sample dimensions (T.81 A.2.2), not the padded MCU
+    grid."""
+    w_samples = -(-frame["w"] * c["h"] // hmax)   # ceil(w * h / hmax)
+    h_samples = -(-frame["h"] * c["v"] // vmax)
+    return -(-w_samples // 8), -(-h_samples // 8)
 
 
 def _decode_block(reader: _BitReader, dc_tbl: dict, ac_tbl: dict,
@@ -494,7 +948,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 vals = list(body[i + 17:i + 17 + nv])
                 htabs[(cls, tid)] = _decode_codes(bits, vals)
                 i += 17 + nv
-        elif m == 0xC0 or m == 0xC1:  # baseline / extended sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG")
@@ -502,12 +956,21 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append(dict(id=cid, h=hv >> 4, v=hv & 0x0F, tq=tq))
-            frame = dict(h=fh, w=fw, comps=comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = dict(h=fh, w=fw, comps=comps, progressive=(m == 0xC2))
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            frame["mcus_x"] = -(-fw // (8 * hmax))
+            frame["mcus_y"] = -(-fh // (8 * vmax))
+            for c in comps:
+                c["bw"] = frame["mcus_x"] * c["h"]
+                c["bh"] = frame["mcus_y"] * c["v"]
+                c["blocks"] = np.zeros((c["bh"] * c["bw"], 64), np.int32)
+                c["pred"] = 0
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                    0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0xFF{m:02X}): only "
-                "sequential DCT Huffman decodes here")
+                f"unsupported JPEG (SOF marker 0xFF{m:02X}): sequential "
+                "and progressive DCT Huffman decode here")
         elif m == 0xDD:  # DRI
             (dri,) = struct.unpack(">H", body)
         elif m == 0xDA:  # SOS
@@ -516,10 +979,28 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tt = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append(dict(id=cid, dc=tt >> 4, ac=tt & 0x0F))
-            break  # entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            if not frame["progressive"]:
+                break  # entropy data follows; baseline single scan
+            ss, se, aa = body[1 + 2 * ns:4 + 2 * ns]
+            pos = _decode_progressive_scan(
+                payload, pos, frame, scan, ss, se, aa >> 4, aa & 0x0F,
+                htabs, qtabs, dri,
+                max(c["h"] for c in frame["comps"]),
+                max(c["v"] for c in frame["comps"]))
         # APPn / COM / others: skipped
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
+    if frame is None:
+        raise ValueError("JPEG missing SOF")
+    if frame.get("progressive"):
+        if scan is None:
+            raise ValueError("progressive JPEG with no scan")
+        hmax = max(c["h"] for c in frame["comps"])
+        vmax = max(c["v"] for c in frame["comps"])
+        return _reconstruct(frame["comps"], qtabs, hmax, vmax,
+                            frame["h"], frame["w"])
+    if scan is None:
+        raise ValueError("JPEG missing SOS")
 
     comps = frame["comps"]
     byid = {c["id"]: c for c in comps}
@@ -558,29 +1039,4 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                     + mx * c["h"] + bx] = zz
             mcu_count += 1
 
-    planes = []
-    for c in order:
-        nat = np.zeros((len(c["blocks"]), 64), np.float64)
-        nat[:, _ZZ] = c["blocks"]
-        coef = nat.reshape(-1, 8, 8) * qtabs[c["tq"]].reshape(8, 8)
-        pix = np.einsum("ji,njk,kl->nil", _C, coef, _C) + 128.0
-        plane = (pix.reshape(c["bh"], c["bw"], 8, 8)
-                 .swapaxes(1, 2).reshape(c["bh"] * 8, c["bw"] * 8))
-        plane = plane.repeat(vmax // c["v"], 0).repeat(hmax // c["h"], 1)
-        planes.append(plane[:fh, :fw])
-
-    if len(planes) == 1:
-        yv = np.clip(planes[0], 0, 255)
-        return np.ascontiguousarray(
-            np.stack([yv, yv, yv], axis=-1).astype(np.uint8))
-    if len(planes) != 3:
-        raise NotImplementedError(f"{len(planes)}-component JPEG")
-    yv, cbv, crv = planes
-    cbv = cbv - 128.0
-    crv = crv - 128.0
-    r = yv + 1.402 * crv
-    g = yv - 0.344136 * cbv - 0.714136 * crv
-    b = yv + 1.772 * cbv
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.ascontiguousarray(np.clip(np.round(rgb), 0, 255)
-                                .astype(np.uint8))
+    return _reconstruct(order, qtabs, hmax, vmax, fh, fw)
