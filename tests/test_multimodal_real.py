@@ -321,3 +321,104 @@ def test_gif_features_through_media_decoder():
     f = MediaDecoder()._decode_one("image/gif", encode_gif(frames, pal))
     assert f.shape == (MediaDecoder.FEATURE_DIM,)
     assert np.isfinite(f).all() and f[6] > 0  # aspect from real frames
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO BMFF) container + MJPEG video decode
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_parse_roundtrip_and_sample_tables():
+    from xpshacl_ray.stages import mp4
+    from xpshacl_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(8, 14, 10, 3), dtype=np.uint8)
+    enc = [encode_jpeg(frames[i], quality=90) for i in range(8)]
+    payload = mp4.build_mp4(enc, 10, 14, samples_per_chunk=3)
+
+    info = mp4.parse_mp4(payload)
+    assert info["brand"] == "isom"
+    assert info["duration_s"] == pytest.approx(8 * 40 / 1000)
+    (t,) = info["tracks"]
+    assert (t["handler"], t["codec"]) == ("vide", "jpeg")
+    assert (t["width"], t["height"], t["n_samples"]) == (10, 14, 8)
+    # stsc/stco resolution: 3 chunks of 3/3/2 samples, ranges contiguous
+    ranges = mp4.sample_ranges(t)
+    assert [s for _, s in ranges] == [len(e) for e in enc]
+    samples = mp4.extract_samples(payload, t)
+    assert samples == enc
+    # every extracted sample byte-identical → decodes like the original
+    for i, s in enumerate(samples):
+        assert np.array_equal(decode_jpeg(s), decode_jpeg(enc[i]))
+
+
+def test_mp4_malformed_and_missing_boxes_raise():
+    from xpshacl_ray.stages import mp4
+
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4.parse_mp4(b"\x00" * 16)
+    # ftyp but no moov
+    ftyp = (12).to_bytes(4, "big") + b"ftypisom"
+    with pytest.raises(ValueError, match="moov"):
+        mp4.parse_mp4(ftyp)
+    # truncated box (size past end)
+    bad = ftyp + (64).to_bytes(4, "big") + b"moov"
+    with pytest.raises(ValueError, match="malformed"):
+        mp4.parse_mp4(bad)
+
+
+def test_mp4_frame_sampling_decodes_only_selected():
+    from xpshacl_ray.stages.jpeg import decode_jpeg, encode_jpeg
+    from xpshacl_ray.stages.multimodal import (
+        decode_mp4_frames,
+        encode_mjpeg_mp4,
+    )
+
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, size=(9, 12, 12, 3), dtype=np.uint8)
+    payload = encode_mjpeg_mp4(frames, quality=90)
+    out = decode_mp4_frames(payload, 3)
+    assert out.shape == (3, 12, 12, 3)
+    # evenly spaced selection: first, middle, last sample
+    want = [decode_jpeg(encode_jpeg(frames[i], quality=90)) for i in (0, 4, 8)]
+    for got, exp in zip(out, want):
+        assert np.array_equal(got, exp)
+    # k > n_samples degrades to all samples, deduplicated
+    assert decode_mp4_frames(payload, 100).shape[0] == 9
+
+
+def test_mp4_inter_frame_codec_raises_named_plugin_point():
+    from xpshacl_ray.stages import mp4
+    from xpshacl_ray.stages.multimodal import MediaDecoder, decode_mp4_frames
+
+    payload = mp4.build_mp4([b"notjpeg" * 4], 4, 4, codec=b"avc1")
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_frames(payload)
+    with pytest.raises(NotImplementedError, match="avc1"):
+        MediaDecoder()._decode_one("video/mp4", payload)
+
+
+def test_mp4_features_through_media_decoder_and_pipeline():
+    from xpshacl_ray.stages.multimodal import (
+        MediaDecoder,
+        encode_mjpeg_mp4,
+        image_features,
+    )
+
+    img = _smooth_image(16, 16, seed=3)
+    frames = np.stack([img] * 4)  # constant track → features ≈ one frame
+    f = MediaDecoder()._decode_one("video/mp4", encode_mjpeg_mp4(frames))
+    assert f.shape == (MediaDecoder.FEATURE_DIM,)
+    assert np.abs(f - image_features(img)).max() < 0.02
+    assert f[6] == pytest.approx(1.0)
+
+    # through the actor-pool pipeline, mixed with the other real codecs
+    t = make_real_media_table(14)
+    assert t["mime"].to_pylist().count("video/mp4") == 2
+    out = decode_features(ray.data.from_arrow(t), real=True,
+                          batch_size=4).to_pandas()
+    assert len(out) == 14
+    vids = out[out["mime"] == "video/mp4"]
+    feats = np.stack([np.asarray(v) for v in vids["features"]])
+    assert np.isfinite(feats).all() and (feats[:, 6] > 0).all()

@@ -20,12 +20,17 @@ uncompressed containers:
   markers) decodes via the pure-numpy codec in :mod:`.jpeg` — Huffman
   scan + vectorized dequant/IDCT, tables parsed from the file.
 - **GIF** (multi-frame, LZW) decodes pure-Python with frame sampling.
+- **MP4** (ISO BMFF) parses for real in :mod:`.mp4` — box walk, sample
+  tables resolved to per-sample byte ranges — and Motion-JPEG tracks
+  decode END TO END with container-level frame sampling (only the
+  sampled frames are decoded, via the in-repo JPEG codec).
 
-Remaining compressed codecs (MP3/MP4/other video...) still raise
-``NotImplementedError`` — no codec libraries exist in this environment;
-the error message marks exactly where torchaudio/decord plug in
-(same actor signature: heavy setup in ``__init__``, batched decode in
-``__call__``, ``batch_size`` small because payload rows are MBs).
+Remaining compressed codecs (MP3, inter-frame video like AVC/HEVC)
+still raise ``NotImplementedError`` — no codec libraries exist in this
+environment; the error message marks exactly where torchaudio/decord
+plug in (same actor signature: heavy setup in ``__init__``, batched
+decode in ``__call__``, ``batch_size`` small because payload rows are
+MBs).
 
 ``DecodeStub`` (deterministic sha256-based fake features) remains for
 pipeline tests that need arbitrary payload bytes.
@@ -281,12 +286,60 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 from xpshacl_ray.stages.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
+from xpshacl_ray.stages import mp4 as _mp4  # noqa: E402
 
 _DECODABLE_IMAGE = {"image/x-portable-pixmap": decode_ppm,
                     "image/bmp": decode_bmp,
                     "image/png": decode_png,
                     "image/jpeg": decode_jpeg}
 _DECODABLE_AUDIO = {"audio/wav": decode_wav, "audio/x-wav": decode_wav}
+
+#: stsd sample-entry fourccs whose samples are complete JPEG images
+_MJPEG_CODECS = {"jpeg", "mjpg", "mjpa", "AVDJ", "dmb1"}
+
+
+def decode_mp4_frames(payload: bytes, k: int = 3) -> np.ndarray:
+    """``video/mp4`` → ``(k, h, w, 3)`` uint8 frames.
+
+    Container-level frame sampling: parse the ISO-BMFF sample tables
+    (:func:`xpshacl_ray.stages.mp4.parse_mp4`), pick ``k`` evenly-spaced
+    sample indices, and decode ONLY those samples — a video pipeline
+    never decodes the whole track to sample frames.  Motion-JPEG tracks
+    decode natively via :mod:`.jpeg`; inter-frame codecs (avc1/hev1/...)
+    raise ``NotImplementedError`` naming the plug-in point."""
+    info = _mp4.parse_mp4(payload)
+    vide = [t for t in info["tracks"] if t.get("handler") == "vide"]
+    if not vide:
+        raise ValueError("MP4 payload has no video track")
+    track = vide[0]
+    codec = track.get("codec", "")
+    if codec not in _MJPEG_CODECS:
+        raise NotImplementedError(
+            f"MP4 video codec {codec!r} is inter-frame; decord/PyAV plug "
+            "in here — MJPEG (jpeg/mjpg sample entries) decodes natively")
+    ranges = _mp4.sample_ranges(track)
+    if not ranges:
+        raise ValueError("MP4 video track has no samples")
+    idx = np.unique(np.linspace(0, len(ranges) - 1,
+                                num=min(k, len(ranges))).astype(np.int64))
+    frames = []
+    for i in idx:
+        off, size = ranges[int(i)]
+        if off + size > len(payload):
+            raise ValueError("MP4 sample range past end of payload")
+        frames.append(decode_jpeg(payload[off:off + size]))
+    return np.stack(frames)
+
+
+def encode_mjpeg_mp4(frames: np.ndarray, quality: int = 90,
+                     samples_per_chunk: int = 3) -> bytes:
+    """``(n, h, w, 3)`` uint8 frames → single-track MJPEG MP4 (each
+    sample an in-repo-encoded baseline JPEG) — the fixture-side inverse
+    of :func:`decode_mp4_frames`."""
+    n, h, w = frames.shape[:3]
+    encoded = [encode_jpeg(frames[i], quality=quality) for i in range(n)]
+    return _mp4.build_mp4(encoded, w, h, codec=b"jpeg",
+                          samples_per_chunk=samples_per_chunk)
 
 
 def _empty_features_table(batch: pa.Table, dim: int) -> pa.Table:
@@ -345,12 +398,21 @@ def make_fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
 
 def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
     """Deterministic REAL media rows: round-robin P6 PPM / 24-bit BMP /
-    PNG / baseline JPEG images, 16-bit PCM WAV clips and multi-frame LZW
-    GIFs, all synthesized stdlib+numpy."""
+    PNG / baseline JPEG images, 16-bit PCM WAV clips, multi-frame LZW
+    GIFs and MJPEG MP4 videos, all synthesized stdlib+numpy."""
     rng = np.random.default_rng(seed)
     ids, mimes, payloads, metas = [], [], [], []
     for i in range(n):
-        kind = i % 6
+        kind = i % 7
+        if kind == 6:
+            w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            nf = int(rng.integers(4, 9))
+            fr = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+            payloads.append(encode_mjpeg_mp4(fr, quality=90))
+            mimes.append("video/mp4")
+            metas.append({"width": w, "height": h, "n_frames": nf})
+            ids.append(i)
+            continue
         if kind == 5:
             w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
             img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
@@ -409,9 +471,10 @@ class MediaDecoder:
     """Actor-pool decode/feature-extract stage with REAL codecs for
     PPM/BMP/PNG/JPEG/GIF images (PNG via zlib inflate + scanline
     unfiltering, JPEG via the pure-numpy baseline codec in :mod:`.jpeg`,
-    GIF via pure-Python LZW with frame sampling) and PCM WAV audio, and
-    an explicit ``NotImplementedError`` for the remaining compressed
-    formats (MP3/video).
+    GIF via pure-Python LZW with frame sampling) and PCM WAV audio,
+    real MJPEG-MP4 video decode (container parse + sampled-frame JPEG
+    decode), and an explicit ``NotImplementedError`` for the remaining
+    compressed formats (MP3, inter-frame video codecs).
 
     ``resize_to=(w, h)`` runs the real nearest-neighbour resize before
     image feature extraction (the decode→resize→featurize shape of a
@@ -441,9 +504,18 @@ class MediaDecoder:
             return image_features(img)
         if mime in _DECODABLE_AUDIO:
             return audio_features(*_DECODABLE_AUDIO[mime](payload))
+        if mime in ("video/mp4", "video/quicktime"):
+            # container-level frame sampling (3 evenly-spaced samples
+            # decoded, never the whole track), per-frame features averaged
+            frames = decode_mp4_frames(payload, 3)
+            if self.resize_to is not None:
+                frames = np.stack([resize_nearest(f, *self.resize_to)
+                                   for f in frames])
+            return np.mean([image_features(f) for f in frames], axis=0)
         raise NotImplementedError(
             f"no codec for {mime!r} in this environment: PPM/BMP/PNG/JPEG/"
-            "GIF/WAV decode natively; MP3/MP4 need torchaudio/decord here")
+            "GIF/WAV/MJPEG-MP4 decode natively; MP3 and inter-frame video "
+            "codecs need torchaudio/decord here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
