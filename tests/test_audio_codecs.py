@@ -1,0 +1,122 @@
+"""Compressed-WAV codecs (stages/audio.py): G.711 µ-law/A-law, IMA
+ADPCM, 24-bit/float PCM — RIFF walk, bit-parity vs the stdlib
+``audioop`` reference, roundtrip fidelity, and the MediaDecoder
+fallback wiring."""
+
+import numpy as np
+import pytest
+
+from xpshacl_ray.stages import audio
+
+
+def _tone(n=6000, rate=8000, f=440.0, amp=0.6, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / rate
+    return amp * np.sin(2 * np.pi * f * t) + 0.05 * rng.standard_normal(n)
+
+
+def test_g711_bit_parity_with_audioop_full_domain():
+    audioop = pytest.importorskip("audioop")
+    codes = bytes(range(256))
+    assert np.array_equal(audio.ulaw_decode(codes),
+                          np.frombuffer(audioop.ulaw2lin(codes, 2), "<i2"))
+    assert np.array_equal(audio.alaw_decode(codes),
+                          np.frombuffer(audioop.alaw2lin(codes, 2), "<i2"))
+    pcm = np.arange(-32768, 32768, dtype=np.int16)
+    assert audio.ulaw_encode(pcm) == audioop.lin2ulaw(pcm.tobytes(), 2)
+    assert audio.alaw_encode(pcm) == audioop.lin2alaw(pcm.tobytes(), 2)
+
+
+def test_g711_wav_roundtrip_within_quantization():
+    x = np.clip(_tone(), -1, 1)
+    for enc in (audio.encode_wav_ulaw, audio.encode_wav_alaw):
+        y, rate = audio.decode_wav_any(enc(x))
+        assert rate == 8000 and len(y) == len(x)
+        # G.711: 8-bit log companding ≈ 12-bit linear near zero
+        assert np.abs(y - x).max() < 0.04
+        assert np.corrcoef(y, x)[0, 1] > 0.999
+
+
+def test_ima_adpcm_roundtrip_and_block_structure():
+    x = np.clip(_tone(), -1, 1)
+    pcm = np.clip(x * 32767, -32768, 32767).astype(np.int16)
+    data, spb = audio.ima_adpcm_encode(pcm, block_align=256)
+    assert spb == (256 - 4) * 2 + 1
+    assert len(data) % 256 == 0
+    dec = audio.ima_adpcm_decode(data, 256, len(pcm))
+    assert len(dec) == len(pcm)
+    # block header predictor IS the first sample of each block
+    assert dec[0] == pcm[0] and dec[spb] == pcm[spb]
+    err = np.abs(dec.astype(np.int64) - pcm.astype(np.int64))
+    # ~4-bit residual coding of a noisy tone: bounded tracking error
+    assert err.max() < 6000 and np.sqrt((err.astype(float) ** 2).mean()) < 1200
+
+    y, rate = audio.decode_wav_any(audio.encode_wav_ima(x))
+    assert rate == 8000 and len(y) == len(x)  # fact chunk trims padding
+    assert np.abs(y - x).max() < 0.2
+    assert np.corrcoef(y, x)[0, 1] > 0.99
+
+
+def test_pcm24_and_float32_wav_near_exact():
+    x = np.clip(_tone(n=777), -1, 1)
+    y24, _ = audio.decode_wav_any(audio.encode_wav_pcm24(x))
+    assert np.abs(y24 - x).max() < 2.0 / (1 << 23)
+    yf, _ = audio.decode_wav_any(audio.encode_wav_float32(x))
+    assert np.abs(yf - x).max() < 1e-6
+
+
+def test_riff_walk_rejects_malformed():
+    with pytest.raises(ValueError, match="RIFF"):
+        audio.decode_wav_any(b"\x00" * 16)
+    # valid RIFF header, truncated chunk body
+    bad = b"RIFF" + (100).to_bytes(4, "little") + b"WAVE" \
+        + b"fmt " + (64).to_bytes(4, "little") + b"\x00" * 4
+    with pytest.raises(ValueError, match="truncated"):
+        audio.decode_wav_any(bad)
+    # fmt present, data missing
+    import struct
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    nodata = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(ValueError, match="fmt/data"):
+        audio.decode_wav_any(nodata)
+
+
+def test_unknown_format_tag_raises_named():
+    import struct
+    fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 1000, 1, 0)  # MP3-in-WAV
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 4) + b"\x00" * 4)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(NotImplementedError, match="0x0055"):
+        audio.decode_wav_any(payload)
+
+
+def test_media_decoder_falls_back_for_compressed_wav():
+    from xpshacl_ray.stages.multimodal import MediaDecoder, audio_features
+
+    x = np.clip(_tone(n=2000), -1, 1)
+    base = audio_features(x, 8000)
+    for enc in (audio.encode_wav_ulaw, audio.encode_wav_alaw,
+                audio.encode_wav_ima, audio.encode_wav_pcm24,
+                audio.encode_wav_float32):
+        f = MediaDecoder()._decode_one("audio/wav", enc(x))
+        assert f.shape == (MediaDecoder.FEATURE_DIM,)
+        # features from genuinely-decoded samples track the source
+        assert np.abs(f - base).max() < 0.05, enc.__name__
+
+
+def test_stereo_and_multichannel_mean():
+    import struct
+    # 2-channel float32: decode averages channels
+    left = np.linspace(-0.5, 0.5, 100)
+    right = -left
+    inter = np.empty(200, np.float64)
+    inter[0::2], inter[1::2] = left, right
+    fmt = struct.pack("<HHIIHH", 3, 2, 8000, 64000, 8, 32)
+    data = inter.astype("<f4").tobytes()
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    y, rate = audio.decode_wav_any(payload)
+    assert len(y) == 100 and np.abs(y).max() < 1e-6  # L+R cancel

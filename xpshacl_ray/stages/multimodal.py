@@ -10,8 +10,10 @@ uncompressed containers:
 - **PPM (P6)** and **24-bit BMP** images decode to ``(h, w, 3)`` uint8
   numpy arrays (pure numpy header/pixel parsing), with a real
   nearest-neighbour ``resize`` kernel and real color/shape features.
-- **WAV (PCM)** audio decodes via the stdlib ``wave`` module to float64
-  samples, with real duration/RMS/zero-crossing/peak features.
+- **WAV** audio decodes to float64 samples with real duration/RMS/
+  zero-crossing/peak features: 8/16-bit PCM via the stdlib ``wave``
+  module, and 24-bit/float PCM, G.711 µ-law/A-law and IMA ADPCM via the
+  pure-numpy codecs in :mod:`.audio` (bit-exact G.711 vs ``audioop``).
 
 - **PNG** (8-bit RGB/RGBA, non-interlaced, all five scanline filters)
   decodes with stdlib ``zlib`` + numpy — a REAL compressed container,
@@ -136,17 +138,28 @@ def decode_bmp(payload: bytes) -> np.ndarray:
 
 
 def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
-    """PCM WAV → (float64 samples in [-1, 1] per channel-mean, rate)."""
-    with wave.open(io.BytesIO(payload), "rb") as f:
-        n, ch, width, rate = (f.getnframes(), f.getnchannels(),
-                              f.getsampwidth(), f.getframerate())
-        raw = f.readframes(n)
+    """WAV → (float64 samples in [-1, 1] per channel-mean, rate).
+
+    8/16-bit PCM via the stdlib ``wave`` fast path; everything else the
+    container can carry (24-bit/float PCM, G.711 µ-law/A-law, IMA
+    ADPCM) via the pure-numpy codecs in :mod:`.audio`."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as f:
+            n, ch, width, rate = (f.getnframes(), f.getnchannels(),
+                                  f.getsampwidth(), f.getframerate())
+            raw = f.readframes(n)
+    except wave.Error:  # non-PCM format tag: stdlib wave refuses
+        from xpshacl_ray.stages.audio import decode_wav_any
+
+        return decode_wav_any(payload)
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128) / 128.0
-    else:
-        raise NotImplementedError(f"{8 * width}-bit WAV not supported")
+    else:  # 24/32-bit PCM: the RIFF-walking decoder handles the widths
+        from xpshacl_ray.stages.audio import decode_wav_any
+
+        return decode_wav_any(payload)
     if ch > 1:
         x = x.reshape(-1, ch).mean(axis=1)
     return x, rate
@@ -398,12 +411,28 @@ def make_fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
 
 def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
     """Deterministic REAL media rows: round-robin P6 PPM / 24-bit BMP /
-    PNG / baseline JPEG images, 16-bit PCM WAV clips, multi-frame LZW
-    GIFs and MJPEG MP4 videos, all synthesized stdlib+numpy."""
+    PNG / baseline JPEG images, PCM + G.711 µ-law + IMA-ADPCM WAV clips,
+    multi-frame LZW GIFs and MJPEG MP4 videos, all synthesized
+    stdlib+numpy."""
     rng = np.random.default_rng(seed)
     ids, mimes, payloads, metas = [], [], [], []
     for i in range(n):
-        kind = i % 7
+        kind = i % 9
+        if kind in (7, 8):
+            from xpshacl_ray.stages.audio import (
+                encode_wav_ima,
+                encode_wav_ulaw,
+            )
+
+            rate = 8_000
+            t = np.arange(int(rng.integers(400, 4000))) / rate
+            x = 0.5 * np.sin(2 * np.pi * float(rng.integers(100, 900)) * t)
+            enc = encode_wav_ulaw if kind == 7 else encode_wav_ima
+            payloads.append(enc(x, rate))
+            mimes.append("audio/wav")
+            metas.append({"width": 0, "height": 0, "n_frames": len(t)})
+            ids.append(i)
+            continue
         if kind == 6:
             w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
             nf = int(rng.integers(4, 9))
