@@ -3217,6 +3217,23 @@ def q_media_features(sf_dir: str):
     return res
 
 
+def q_video_frames(sf_dir: str):
+    """Video corpus probe: deterministic synthesized MP4s (MJPEG tracks
+    plus one AVC track per five) → actor-pool ISO-BMFF container parse
+    (codec/dims/sample-count/duration from the real sample tables) +
+    3-sampled-frame JPEG decode and per-frame features.  Undecodable
+    codecs surface as ok=false rows with null features — errors travel
+    in-band.  (sf_dir-independent: fixed-seed fixture, frozen golden.)"""
+    from xpshacl_ray.stages.multimodal import make_video_table, probe_videos
+
+    ds = ray.data.from_arrow(make_video_table(10))
+    out = probe_videos(ds, k=3, batch_size=2).to_pandas()
+    out = out.sort_values("video_id").reset_index(drop=True)
+    for j in range(8):
+        out[f"f{j}"] = np.round(out[f"f{j}"].astype(float), 6)
+    return out
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -3762,6 +3779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": q_epoch_shuffle,
         "sql_check": q_sql_check,
         "media_features": q_media_features,
+        "video_frames": q_video_frames,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

@@ -422,3 +422,22 @@ def test_mp4_features_through_media_decoder_and_pipeline():
     vids = out[out["mime"] == "video/mp4"]
     feats = np.stack([np.asarray(v) for v in vids["features"]])
     assert np.isfinite(feats).all() and (feats[:, 6] > 0).all()
+
+
+def test_video_probe_pipeline_with_error_in_band():
+    from xpshacl_ray.stages.multimodal import make_video_table, probe_videos
+
+    t = make_video_table(10)
+    out = (probe_videos(ray.data.from_arrow(t), k=3, batch_size=2)
+           .to_pandas().sort_values("video_id").reset_index(drop=True))
+    assert len(out) == 10
+    # container metadata parsed for EVERY row, including the AVC ones
+    assert out["codec"].isin(["jpeg", "avc1"]).all()
+    assert (out["n_frames"] >= 3).all() and (out["duration_ms"] > 0).all()
+    bad = out[out["codec"] == "avc1"]
+    good = out[out["codec"] == "jpeg"]
+    assert len(bad) == 2  # rows 4 and 9
+    # decode errors travel in-band: ok=false + null features, no raise
+    assert (~bad["ok"]).all() and bad["f0"].isna().all()
+    assert good["ok"].all() and np.isfinite(good[[f"f{j}" for j in
+                                                  range(8)]]).all().all()

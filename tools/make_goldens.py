@@ -314,6 +314,16 @@ def main():
         mdf[f"f{i}"] = np.round(feats[:, i], 6)
     goldens["media_features"] = ("frozen", mdf)
 
+    # video probe: ray-free direct stage call over the deterministic MP4
+    # fixture (MJPEG + one AVC error-in-band row) — frozen snapshot
+    from xpshacl_ray.stages.multimodal import VideoProbe, make_video_table
+
+    vt = make_video_table(10)
+    vdf = VideoProbe(3)(vt).to_pandas()
+    for j in range(VideoProbe.FEATURE_DIM):
+        vdf[f"f{j}"] = np.round(vdf[f"f{j}"].astype(float), 6)
+    goldens["video_frames"] = ("frozen", vdf)
+
     # frozen engine snapshots (reference-parity strings pinned in tests/)
     import ray
 

@@ -804,3 +804,99 @@ def sample_frames(frames: np.ndarray, k: int = 3) -> np.ndarray:
         return frames
     idx = np.linspace(0, n - 1, k).round().astype(int)
     return frames[idx]
+
+
+# ---------------------------------------------------------------------------
+# video pipeline: container probe + sampled-frame features
+# ---------------------------------------------------------------------------
+
+
+def make_video_table(n: int = 6, seed: int = 9) -> pa.Table:
+    """Deterministic (video_id, mime, payload) rows: MJPEG MP4s with
+    varying dims / frame counts, plus one ``avc1`` track per 5 rows so
+    the honest unsupported-codec path is exercised in-band."""
+    rng = np.random.default_rng(seed)
+    ids, payloads = [], []
+    for i in range(n):
+        w, h = int(rng.integers(8, 28)), int(rng.integers(8, 28))
+        nf = int(rng.integers(3, 10))
+        frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+        if i % 5 == 4:
+            # same container, inter-frame codec: parse succeeds,
+            # decode raises — surfaced as ok=false rows downstream
+            from xpshacl_ray.stages.mp4 import build_mp4
+
+            enc = [encode_jpeg(frames[j], quality=90) for j in range(nf)]
+            payloads.append(build_mp4(enc, w, h, codec=b"avc1"))
+        else:
+            payloads.append(encode_mjpeg_mp4(frames, quality=90))
+        ids.append(i)
+    return pa.table({
+        "video_id": pa.array(ids, pa.int64()),
+        "mime": pa.array(["video/mp4"] * n, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
+
+
+class VideoProbe:
+    """Actor-pool video stage: ISO-BMFF container probe (codec, dims,
+    sample count, duration) + sampled-frame features for decodable
+    (MJPEG) tracks.  Undecodable codecs yield ``ok=false`` rows with
+    null features — errors travel in-band, the pipeline never dies on
+    one bad payload.  Heavy setup (none needed here; a decord/PyAV
+    handle would load in ``__init__``) happens once per actor."""
+
+    FEATURE_DIM = MediaDecoder.FEATURE_DIM
+
+    def __init__(self, k: int = 3):
+        self.k = k
+
+    def _probe_one(self, payload: bytes) -> dict:
+        from xpshacl_ray.stages import mp4 as m
+
+        out = {"codec": None, "width": None, "height": None,
+               "n_frames": None, "duration_ms": None, "ok": False,
+               "feats": None}
+        try:
+            info = m.parse_mp4(payload)
+            track = next(t for t in info["tracks"]
+                         if t.get("handler") == "vide")
+            out.update(codec=track.get("codec"),
+                       width=track.get("width"),
+                       height=track.get("height"),
+                       n_frames=track.get("n_samples"),
+                       duration_ms=int(round(
+                           info.get("duration_s", 0.0) * 1000)))
+            frames = decode_mp4_frames(payload, self.k)
+            out["feats"] = np.mean([image_features(f) for f in frames],
+                                   axis=0)
+            out["ok"] = True
+        except (ValueError, NotImplementedError, StopIteration):
+            pass
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._probe_one(p) for p in batch["payload"].to_pylist()]
+        cols = {
+            "video_id": batch["video_id"],
+            "codec": pa.array([r["codec"] for r in rows], pa.string()),
+            "width": pa.array([r["width"] for r in rows], pa.int64()),
+            "height": pa.array([r["height"] for r in rows], pa.int64()),
+            "n_frames": pa.array([r["n_frames"] for r in rows], pa.int64()),
+            "duration_ms": pa.array([r["duration_ms"] for r in rows],
+                                    pa.int64()),
+            "ok": pa.array([r["ok"] for r in rows], pa.bool_()),
+        }
+        for j in range(self.FEATURE_DIM):
+            cols[f"f{j}"] = pa.array(
+                [None if r["feats"] is None else float(r["feats"][j])
+                 for r in rows], pa.float64())
+        return pa.table(cols)
+
+
+def probe_videos(ds, k: int = 3, batch_size: int = 2, concurrency: int = 2):
+    """Video dataset → per-video container metadata + sampled-frame
+    features (see :class:`VideoProbe`).  ``batch_size`` stays small:
+    payload rows are MBs at production scale."""
+    return ds.map_batches(VideoProbe(k), batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
