@@ -305,7 +305,11 @@ _DECODABLE_IMAGE = {"image/x-portable-pixmap": decode_ppm,
                     "image/bmp": decode_bmp,
                     "image/png": decode_png,
                     "image/jpeg": decode_jpeg}
-_DECODABLE_AUDIO = {"audio/wav": decode_wav, "audio/x-wav": decode_wav}
+from xpshacl_ray.stages.flac import decode_flac_audio  # noqa: E402
+
+_DECODABLE_AUDIO = {"audio/wav": decode_wav, "audio/x-wav": decode_wav,
+                    "audio/flac": decode_flac_audio,
+                    "audio/x-flac": decode_flac_audio}
 
 #: stsd sample-entry fourccs whose samples are complete JPEG images
 _MJPEG_CODECS = {"jpeg", "mjpg", "mjpa", "AVDJ", "dmb1"}
@@ -411,13 +415,25 @@ def make_fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
 
 def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
     """Deterministic REAL media rows: round-robin P6 PPM / 24-bit BMP /
-    PNG / baseline JPEG images, PCM + G.711 µ-law + IMA-ADPCM WAV clips,
-    multi-frame LZW GIFs and MJPEG MP4 videos, all synthesized
-    stdlib+numpy."""
+    PNG / baseline JPEG images, PCM + G.711 µ-law + IMA-ADPCM WAV and
+    FLAC clips, multi-frame LZW GIFs and MJPEG MP4 videos, all
+    synthesized stdlib+numpy."""
     rng = np.random.default_rng(seed)
     ids, mimes, payloads, metas = [], [], [], []
     for i in range(n):
-        kind = i % 9
+        kind = i % 10
+        if kind == 9:
+            from xpshacl_ray.stages.flac import encode_flac_audio
+
+            rate = 8_000
+            t = np.arange(int(rng.integers(400, 4000))) / rate
+            x = 0.5 * np.sin(2 * np.pi * float(rng.integers(100, 900)) * t)
+            payloads.append(encode_flac_audio(x, rate, blocksize=1024,
+                                              lpc_order=4))
+            mimes.append("audio/flac")
+            metas.append({"width": 0, "height": 0, "n_frames": len(t)})
+            ids.append(i)
+            continue
         if kind in (7, 8):
             from xpshacl_ray.stages.audio import (
                 encode_wav_ima,
