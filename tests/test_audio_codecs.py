@@ -120,3 +120,41 @@ def test_stereo_and_multichannel_mean():
     payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
     y, rate = audio.decode_wav_any(payload)
     assert len(y) == 100 and np.abs(y).max() < 1e-6  # L+R cancel
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=400))
+def test_g711_self_consistency_fuzz(vals):
+    """encode→decode→encode is a fixed point (companding idempotence),
+    and the first decode is within one segment step of the source."""
+    pcm = np.array(vals, dtype=np.int16)
+    for enc, dec in [(audio.ulaw_encode, audio.ulaw_decode),
+                     (audio.alaw_encode, audio.alaw_decode)]:
+        code = enc(pcm)
+        lin = dec(code)
+        assert enc(lin) == code  # idempotent after first quantization
+        assert np.abs(lin.astype(np.int64)
+                      - pcm.astype(np.int64)).max() <= 2048
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=2, max_size=900),
+       st.sampled_from([32, 64, 256]))
+def test_ima_adpcm_bounded_error_fuzz(vals, block_align):
+    pcm = np.array(vals, dtype=np.int16)
+    data, spb = audio.ima_adpcm_encode(pcm, block_align)
+    dec = audio.ima_adpcm_decode(data, block_align, len(pcm))
+    assert len(dec) == len(pcm)
+    # block-leading samples are stored verbatim in the header
+    assert dec[0] == pcm[0]
+    # worst-case per-step tracking error is bounded by ~2 max steps
+    assert np.abs(dec.astype(np.int64)
+                  - pcm.astype(np.int64)).max() <= 2 * 32767

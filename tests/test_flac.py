@@ -119,3 +119,38 @@ def test_media_decoder_integration():
     # (encode_flac_audio quantizes by truncation, mirror it here)
     q = np.trunc(np.clip(x * 32767, -32768, 32767)) / 32768.0
     assert np.abs(f - audio_features(q, 8000)).max() < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=1500),
+       st.sampled_from([192, 256, 577, 1024]),
+       st.sampled_from([0, 4]))
+def test_flac_roundtrip_fuzz_mono(vals, blocksize, lpc_order):
+    x = np.array(vals, dtype=np.int64)
+    payload = flac.encode_flac(x, rate=44100, blocksize=blocksize,
+                               lpc_order=lpc_order)
+    dec, rate = flac.decode_flac(payload)
+    assert rate == 44100
+    assert np.array_equal(dec[:, 0], x)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.tuples(st.integers(-32768, 32767),
+                          st.integers(-32768, 32767)),
+                min_size=2, max_size=800),
+       st.sampled_from(["independent", "left_side", "right_side",
+                        "mid_side"]))
+def test_flac_roundtrip_fuzz_stereo(pairs, mode):
+    st_arr = np.array(pairs, dtype=np.int64)
+    payload = flac.encode_flac(st_arr, rate=8000, blocksize=256,
+                               stereo_mode=mode)
+    dec, _ = flac.decode_flac(payload)
+    assert np.array_equal(dec, st_arr)
