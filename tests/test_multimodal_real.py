@@ -441,3 +441,50 @@ def test_video_probe_pipeline_with_error_in_band():
     assert (~bad["ok"]).all() and bad["f0"].isna().all()
     assert good["ok"].all() and np.isfinite(good[[f"f{j}" for j in
                                                   range(8)]]).all().all()
+
+
+def test_mp4_co64_and_largesize_boxes():
+    import struct
+
+    from xpshacl_ray.stages import mp4
+    from xpshacl_ray.stages.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, size=(4, 10, 10, 3), dtype=np.uint8)
+    enc = [encode_jpeg(frames[i], quality=90) for i in range(4)]
+    payload = bytearray(mp4.build_mp4(enc, 10, 10, samples_per_chunk=2))
+
+    # rewrite stco → co64 (64-bit chunk offsets), preserving offsets:
+    # byte layout shifts, so rebuild by swapping the box in place and
+    # adjusting offsets by the growth
+    def find_box(data, name):
+        pos = data.find(name)
+        assert pos > 4
+        start = pos - 4
+        (size,) = struct.unpack_from(">I", data, start)
+        return start, size
+
+    start, size = find_box(payload, b"stco")
+    n = struct.unpack_from(">I", payload, start + 12)[0]
+    offsets = struct.unpack_from(f">{n}I", payload, start + 16)
+    grow = 4 * n  # each offset doubles in width
+    co64 = (struct.pack(">I", 16 + 8 * n) + b"co64" + b"\x00" * 4
+            + struct.pack(">I", n)
+            + struct.pack(f">{n}Q", *(o + grow for o in offsets)))
+    new = bytes(payload[:start]) + co64 + bytes(payload[start + size:])
+    # fix every enclosing container box size (moov/trak/mdia/minf/stbl)
+    new = bytearray(new)
+    for name in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        s2, sz2 = find_box(new, name)
+        struct.pack_into(">I", new, s2, sz2 + grow)
+    info = mp4.parse_mp4(bytes(new))
+    (t,) = info["tracks"]
+    samples = mp4.extract_samples(bytes(new), t)
+    assert samples == enc  # byte-identical through the 64-bit offsets
+
+    # largesize (size==1 + 64-bit length) box header parses too
+    body = bytes(payload[find_box(payload, b"mdat")[0] + 8:])
+    large = (struct.pack(">I", 1) + b"mdat"
+             + struct.pack(">Q", 16 + len(body)) + body)
+    boxes = list(mp4._boxes(large, 0, len(large)))
+    assert boxes[0][0] == b"mdat" and boxes[0][2] == len(large)
