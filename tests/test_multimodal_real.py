@@ -488,3 +488,118 @@ def test_mp4_co64_and_largesize_boxes():
              + struct.pack(">Q", 16 + len(body)) + body)
     boxes = list(mp4._boxes(large, 0, len(large)))
     assert boxes[0][0] == b"mdat" and boxes[0][2] == len(large)
+
+
+# ---------------------------------------------------------------------------
+# full-spec PNG (every color type / depth / Adam7), GIF interlace +
+# local tables + partial canvas, BMP 8/32-bit + top-down
+# ---------------------------------------------------------------------------
+
+
+def test_png_all_color_types_and_depths():
+    from xpshacl_ray.stages.multimodal import (
+        decode_png,
+        encode_png,
+        encode_png_gray,
+        encode_png_interlaced,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    # 16-bit truecolor scales to the high byte
+    im16 = rng.integers(0, 65536, size=(7, 11, 3), dtype=np.uint16)
+    assert np.array_equal(decode_png(encode_png(im16)),
+                          (im16 >> 8).astype(np.uint8))
+    # grayscale at every legal depth, plain and interlaced
+    for d in (1, 2, 4, 8, 16):
+        g = rng.integers(0, 1 << d, size=(10, 13), dtype=np.uint32)
+        if d == 16:
+            want = (g >> 8).astype(np.uint8)
+        elif d < 8:
+            want = (g * 255 // ((1 << d) - 1)).astype(np.uint8)
+        else:
+            want = g.astype(np.uint8)
+        want = np.repeat(want[:, :, None], 3, axis=2)
+        assert np.array_equal(decode_png(encode_png_gray(g, depth=d)), want)
+        assert np.array_equal(
+            decode_png(encode_png_gray(g, depth=d, interlace=True)), want)
+    # palette at every legal depth
+    for d in (1, 2, 4, 8):
+        pal = rng.integers(0, 256, size=(1 << d, 3), dtype=np.uint8)
+        idx = rng.integers(0, 1 << d, size=(11, 6), dtype=np.uint32)
+        assert np.array_equal(
+            decode_png(encode_png_palette(idx, pal, depth=d)), pal[idx])
+        assert np.array_equal(
+            decode_png(encode_png_palette(idx, pal, depth=d,
+                                          interlace=True)), pal[idx])
+    # Adam7 RGB incl. canvases smaller than one pass grid
+    assert np.array_equal(decode_png(encode_png_interlaced(img)), img)
+    for shape in [(1, 1), (2, 3), (5, 1)]:
+        t = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png_interlaced(t)), t)
+
+
+def test_gif_interlace_local_tables_and_partial_canvas():
+    import struct
+
+    from xpshacl_ray.stages.multimodal import (
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    fr = rng.integers(0, 16, size=(4, 9, 7), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(fr, pal, interlace=True)),
+                          pal[fr])
+    locs = [rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+            for _ in range(4)]
+    want = np.stack([locs[i][fr[i]] for i in range(4)])
+    assert np.array_equal(
+        decode_gif(encode_gif(fr, pal, local_palettes=locs)), want)
+    assert np.array_equal(
+        decode_gif(encode_gif(fr, pal, interlace=True,
+                              local_palettes=locs)), want)
+    # mixed global/local per frame
+    mixed = [None, locs[1], None, locs[3]]
+    want_m = np.stack([pal[fr[0]], locs[1][fr[1]], pal[fr[2]],
+                       locs[3][fr[3]]])
+    assert np.array_equal(
+        decode_gif(encode_gif(fr, pal, local_palettes=mixed)), want_m)
+
+    # hand-built partial-canvas frame: full first frame, then a 3x2
+    # rectangle at (2, 1) — composites onto the previous canvas
+    base = encode_gif(fr[:1], pal)
+    rect = rng.integers(0, 16, size=(2, 3), dtype=np.uint8)
+    extra = bytearray(b"\x2c" + struct.pack("<HHHHB", 2, 1, 3, 2, 0))
+    extra.append(4)
+    lzw = _lzw_encode(rect.reshape(-1), 4)
+    extra.append(len(lzw))
+    extra += lzw
+    extra.append(0)
+    payload = base[:-1] + bytes(extra) + b"\x3b"
+    dec = decode_gif(payload)
+    assert dec.shape == (2, 9, 7, 3)
+    want2 = pal[fr[0]].copy()
+    want2[1:3, 2:5] = pal[rect]
+    assert np.array_equal(dec[0], pal[fr[0]])
+    assert np.array_equal(dec[1], want2)
+
+
+def test_bmp_8bit_32bit_and_topdown():
+    from xpshacl_ray.stages.multimodal import (
+        decode_bmp,
+        encode_bmp8,
+        encode_bmp32,
+    )
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, size=(7, 13, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp32(img)), img)
+    pal = rng.integers(0, 256, size=(40, 3), dtype=np.uint8)
+    idx = rng.integers(0, 40, size=(9, 6), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp8(idx, pal)), pal[idx])
+    assert np.array_equal(decode_bmp(encode_bmp8(idx, pal, top_down=True)),
+                          pal[idx])

@@ -7,21 +7,24 @@ plumbing — schema, small batch sizes for wide rows, actor-pool stage
 shape, output layout — is real and tested, and so is the decode path for
 uncompressed containers:
 
-- **PPM (P6)** and **24-bit BMP** images decode to ``(h, w, 3)`` uint8
-  numpy arrays (pure numpy header/pixel parsing), with a real
+- **PPM (P6)** and **BMP** (24-bit BGR, 32-bit BGRA, 8-bit palettized,
+  bottom-up and top-down) images decode to ``(h, w, 3)`` uint8 numpy
+  arrays (pure numpy header/pixel parsing), with a real
   nearest-neighbour ``resize`` kernel and real color/shape features.
 - **WAV** audio decodes to float64 samples with real duration/RMS/
   zero-crossing/peak features: 8/16-bit PCM via the stdlib ``wave``
   module, and 24-bit/float PCM, G.711 µ-law/A-law and IMA ADPCM via the
   pure-numpy codecs in :mod:`.audio` (bit-exact G.711 vs ``audioop``).
 
-- **PNG** (8-bit RGB/RGBA, non-interlaced, all five scanline filters)
-  decodes with stdlib ``zlib`` + numpy — a REAL compressed container,
-  no imaging library needed.
+- **PNG** decodes with stdlib ``zlib`` + numpy — the full static
+  spec: every color type (gray, RGB, palette, gray+alpha, RGBA) at
+  every legal bit depth (1/2/4/8/16), all five scanline filters, and
+  Adam7 interlacing.
 - **JPEG** (baseline sequential DCT, any chroma subsampling, restart
-  markers) decodes via the pure-numpy codec in :mod:`.jpeg` — Huffman
-  scan + vectorized dequant/IDCT, tables parsed from the file.
-- **GIF** (multi-frame, LZW) decodes pure-Python with frame sampling.
+  markers, plus full progressive/SOF2) decodes via the pure-numpy
+  codec in :mod:`.jpeg` — Huffman scan + vectorized dequant/IDCT.
+- **GIF** (multi-frame, LZW) decodes pure-Python with frame sampling,
+  4-pass interlacing, local color tables and partial-canvas frames.
 - **MP4** (ISO BMFF) parses for real in :mod:`.mp4` — box walk, sample
   tables resolved to per-sample byte ranges — and Motion-JPEG tracks
   decode END TO END with container-level frame sampling (only the
@@ -113,28 +116,73 @@ def encode_bmp(img: np.ndarray) -> bytes:
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
-    """24-bit uncompressed BMP → (h, w, 3) uint8 (handles bottom-up rows
-    and 4-byte row padding)."""
+    """Uncompressed BMP → (h, w, 3) uint8: 24-bit BGR, 32-bit BGRA
+    (alpha dropped), and 8-bit palettized (BGRA palette after the info
+    header); bottom-up AND top-down (negative height) row orders,
+    4-byte row padding."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     (offset,) = struct.unpack_from("<I", payload, 10)
     header_size, w, h = struct.unpack_from("<Iii", payload, 14)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if bpp != 24 or compression != 0:
+    if bpp not in (8, 24, 32) or compression != 0:
         raise NotImplementedError(
-            f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+            f"only 8/24/32-bit uncompressed BMP supported (bpp={bpp}, "
             f"compression={compression})")
+    palette = None
+    if bpp == 8:
+        (used,) = struct.unpack_from("<I", payload, 46)
+        n_colors = used or 256
+        pal = np.frombuffer(payload, np.uint8, count=n_colors * 4,
+                            offset=14 + header_size).reshape(-1, 4)
+        palette = pal[:, 2::-1]  # BGRA → RGB
     flip = h > 0
     h = abs(h)
-    row = w * 3
+    nch = bpp // 8
+    row = w * nch
     stride = (row + 3) & ~3
     out = np.empty((h, w, 3), dtype=np.uint8)
     for y in range(h):
         src = offset + y * stride
         line = np.frombuffer(payload, np.uint8, count=row, offset=src)
-        out[h - 1 - y if flip else y] = line.reshape(w, 3)[:, ::-1]  # BGR→RGB
+        dst = h - 1 - y if flip else y
+        if bpp == 8:
+            out[dst] = palette[line]
+        else:
+            out[dst] = line.reshape(w, nch)[:, 2::-1]  # BGR(A)→RGB
     return out
+
+
+def encode_bmp8(indices: np.ndarray, palette: np.ndarray,
+                top_down: bool = False) -> bytes:
+    """(h, w) palette indices + (n≤256, 3) palette → 8-bit BMP
+    (``top_down=True`` writes a negative-height, top-down file)."""
+    h, w = indices.shape
+    pal = np.zeros((256, 4), dtype=np.uint8)
+    pal[:len(palette), :3] = palette[:, ::-1]  # RGB → BGR_
+    stride = (w + 3) & ~3
+    rows = range(h) if top_down else range(h - 1, -1, -1)
+    body = b"".join(indices[y].astype(np.uint8).tobytes()
+                    + b"\x00" * (stride - w) for y in rows)
+    offset = 14 + 40 + 1024
+    header = struct.pack("<2sIHHI", b"BM", offset + len(body), 0, 0, offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 8,
+                       0, len(body), 2835, 2835, len(palette), 0)
+    return header + info + pal.tobytes() + body
+
+
+def encode_bmp32(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → 32-bit BGRA BMP (alpha 255)."""
+    h, w, _ = img.shape
+    bgra = np.zeros((h, w, 4), dtype=np.uint8)
+    bgra[:, :, :3] = img[:, :, ::-1]
+    bgra[:, :, 3] = 255
+    body = b"".join(bgra[y].tobytes() for y in range(h - 1, -1, -1))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + body
 
 
 def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
@@ -198,12 +246,75 @@ def encode_png(img: np.ndarray) -> bytes:
     if ch not in (3, 4):
         raise ValueError("encode_png expects RGB or RGBA")
     color_type = 2 if ch == 3 else 6
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes()
-                   for y in range(h))
-    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+    depth = 16 if img.dtype == np.uint16 else 8
+    return _png_assemble(img.astype(np.uint16), depth, color_type,
+                         interlace=False)
+
+
+def _png_pack_rows(vals: np.ndarray, depth: int) -> bytes:
+    """(ph, pw, nch) uint16 channel values → filter-0 scanlines."""
+    ph, pw, nch = vals.shape
+    flat = vals.reshape(ph, pw * nch)
+    if depth == 8:
+        rows = flat.astype(np.uint8)
+    elif depth == 16:
+        rows = np.empty((ph, pw * nch * 2), np.uint8)
+        rows[:, 0::2] = (flat >> 8).astype(np.uint8)
+        rows[:, 1::2] = (flat & 0xFF).astype(np.uint8)
+    else:
+        bits = ((flat[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1
+                ).astype(np.uint8).reshape(ph, -1)
+        rows = np.packbits(bits, axis=1)  # zero-pads rows to bytes
+    return b"".join(b"\x00" + rows[y].tobytes() for y in range(ph))
+
+
+def _png_assemble(vals: np.ndarray, depth: int, color_type: int,
+                  interlace: bool, plte: Optional[np.ndarray] = None
+                  ) -> bytes:
+    import struct
+    import zlib
+
+    h, w, _ = vals.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        raw = b"".join(
+            _png_pack_rows(vals[y0::dy, x0::dx], depth)
+            for x0, y0, dx, dy in _ADAM7
+            if (w - x0 + dx - 1) // dx > 0 and (h - y0 + dy - 1) // dy > 0)
+    else:
+        raw = _png_pack_rows(vals, depth)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return (out + _png_chunk(b"IDAT", zlib.compress(raw, 6))
             + _png_chunk(b"IEND", b""))
+
+
+def encode_png_gray(img: np.ndarray, depth: int = 8,
+                    interlace: bool = False) -> bytes:
+    """(h, w) grayscale code values (< 2^depth) → PNG color type 0 at
+    any legal depth (1/2/4/8/16), optionally Adam7-interlaced."""
+    if depth not in _PNG_DEPTHS[0]:
+        raise ValueError(f"illegal grayscale depth {depth}")
+    return _png_assemble(img.astype(np.uint16)[:, :, None], depth, 0,
+                         interlace)
+
+
+def encode_png_palette(indices: np.ndarray, palette: np.ndarray,
+                       depth: int = 8, interlace: bool = False) -> bytes:
+    """(h, w) palette indices + (n, 3) palette → PNG color type 3."""
+    if depth not in _PNG_DEPTHS[3]:
+        raise ValueError(f"illegal palette depth {depth}")
+    return _png_assemble(indices.astype(np.uint16)[:, :, None], depth, 3,
+                         interlace, plte=palette)
+
+
+def encode_png_interlaced(img: np.ndarray) -> bytes:
+    """(h, w, 3|4) uint8 (or uint16 for depth 16) → Adam7 PNG."""
+    depth = 16 if img.dtype == np.uint16 else 8
+    return _png_assemble(img.astype(np.uint16), depth,
+                         2 if img.shape[2] == 3 else 6, interlace=True)
 
 
 def _png_unfilter(raw: np.ndarray, h: int, stride: int,
@@ -247,12 +358,45 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int,
     return out
 
 
+#: Adam7 pass grid: (x0, y0, dx, dy)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+#: color type → channel count; valid bit depths per type (PNG 11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+
+
+def _png_pass_pixels(raw: np.ndarray, pw: int, ph: int, depth: int,
+                     nch: int) -> np.ndarray:
+    """Defilter one (sub-)image's scanlines and unpack to raw channel
+    code values, ``(ph, pw, nch)`` uint16 (unscaled)."""
+    bits_pp = depth * nch
+    stride = (pw * bits_pp + 7) // 8
+    bpp = max(1, bits_pp // 8)
+    lines = _png_unfilter(raw, ph, stride, bpp)
+    if depth == 8:
+        return (lines[:, :pw * nch].reshape(ph, pw, nch)
+                .astype(np.uint16))
+    if depth == 16:
+        v = lines.astype(np.uint16)
+        v = (v[:, 0::2] << 8) | v[:, 1::2]
+        return v[:, :pw * nch].reshape(ph, pw, nch)
+    bits = np.unpackbits(lines, axis=1)  # MSB-first groups of `depth`
+    vals = np.zeros((ph, stride * 8 // depth), dtype=np.uint16)
+    for b in range(depth):
+        vals = (vals << 1) | bits[:, b::depth]
+    return vals[:, :pw * nch].reshape(ph, pw, nch)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → (h, w, 3) uint8 — stdlib ``zlib`` + numpy, no imaging libs.
 
-    Supports the common web subset: 8-bit truecolor (RGB) and
-    truecolor+alpha (RGBA, alpha dropped), non-interlaced, all five
-    scanline filters.  Palette/grayscale/16-bit/interlaced raise."""
+    Full static subset: every color type (grayscale, RGB, palette,
+    gray+alpha, RGBA) at every legal bit depth (1/2/4/8/16), all five
+    scanline filters, and Adam7 interlacing.  16-bit scales to 8-bit
+    (high byte); alpha is dropped; palette indices map through PLTE."""
     import struct
     import zlib
 
@@ -260,7 +404,7 @@ def decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("not a PNG payload")
     pos = 8
     w = h = None
-    idat = []
+    idat, plte = [], None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos:pos + 4])
         tag = payload[pos + 4:pos + 8]
@@ -269,13 +413,15 @@ def decode_png(payload: bytes) -> np.ndarray:
         if tag == b"IHDR":
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body)
-            if depth != 8 or color not in (2, 6):
+            if color not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[color]:
                 raise ValueError(
-                    f"unsupported PNG (depth={depth}, color_type={color}): "
-                    "only 8-bit RGB/RGBA decode here")
-            if interlace:
-                raise ValueError("interlaced PNG not supported")
-            ch = 3 if color == 2 else 4
+                    f"illegal PNG depth/color combination "
+                    f"(depth={depth}, color_type={color})")
+            if interlace > 1:
+                raise ValueError("unknown PNG interlace method")
+            nch = _PNG_CHANNELS[color]
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -283,11 +429,38 @@ def decode_png(payload: bytes) -> np.ndarray:
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    img = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
-    return np.ascontiguousarray(img[:, :, :3])  # drop alpha if present
+    vals = np.zeros((h, w, nch), dtype=np.uint16)
+    if interlace:
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * depth * nch + 7) // 8
+            need = ph * (stride + 1)
+            vals[y0::dy, x0::dx] = _png_pass_pixels(
+                raw[off:off + need], pw, ph, depth, nch)
+            off += need
+        if off > len(raw):
+            raise ValueError("PNG data length mismatch")
+    else:
+        stride = (w * depth * nch + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        vals = _png_pass_pixels(raw, w, h, depth, nch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        idx = np.clip(vals[:, :, 0], 0, len(plte) - 1)
+        return np.ascontiguousarray(plte[idx])
+    if depth == 16:
+        vals = vals >> 8
+    elif depth < 8:
+        vals = vals * 255 // ((1 << depth) - 1)
+    if color in (0, 4):  # grayscale (+alpha): replicate, drop alpha
+        return np.repeat(vals[:, :, :1].astype(np.uint8), 3, axis=2)
+    return np.ascontiguousarray(vals[:, :, :3].astype(np.uint8))
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -732,23 +905,52 @@ def _lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
         prev = entry
 
 
-def encode_gif(frames: np.ndarray, palette: np.ndarray) -> bytes:
+def _gif_interlace_order(fh: int) -> np.ndarray:
+    """GIF 4-pass interlace: canvas row index for each stored row."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, fh, step))
+    return np.array(order, dtype=np.int64)
+
+
+def _gif_pack_table(palette: np.ndarray) -> Tuple[bytes, int]:
+    """palette → (padded table bytes, depth) with size 2^depth ≥ len."""
+    depth = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    pal = np.zeros((1 << depth, 3), dtype=np.uint8)
+    pal[:len(palette)] = palette
+    return pal.tobytes(), depth
+
+
+def encode_gif(frames: np.ndarray, palette: np.ndarray,
+               interlace: bool = False,
+               local_palettes: Optional[list] = None) -> bytes:
     """(n_frames, h, w) palette-index uint8 + (n_colors≤256, 3) palette →
-    animated GIF89a (global color table, one image block per frame)."""
+    animated GIF89a (one image block per frame).  ``interlace`` stores
+    rows in the 4-pass order; ``local_palettes`` (one (n,3) array per
+    frame, or None entries for the global table) emits per-frame local
+    color tables."""
     n, h, w = frames.shape
-    n_colors = len(palette)
-    depth = max(1, int(np.ceil(np.log2(max(2, n_colors)))))
-    table_size = 1 << depth
-    pal = np.zeros((table_size, 3), dtype=np.uint8)
-    pal[:n_colors] = palette
+    table, depth = _gif_pack_table(palette)
     out = bytearray(b"GIF89a")
     out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
-    out += pal.tobytes()
-    min_code = max(2, depth)
+    out += table
     for f in range(n):
-        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        local = local_palettes[f] if local_palettes else None
+        iflags = 0x40 if interlace else 0
+        if local is not None:
+            ltable, ldepth = _gif_pack_table(local)
+            iflags |= 0x80 | (ldepth - 1)
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+        if local is not None:
+            out += ltable
+            min_code = max(2, ldepth)
+        else:
+            min_code = max(2, depth)
+        rows = frames[f]
+        if interlace:
+            rows = rows[_gif_interlace_order(h)]
         out.append(min_code)
-        lzw = _lzw_encode(frames[f].reshape(-1), min_code)
+        lzw = _lzw_encode(rows.reshape(-1), min_code)
         for i in range(0, len(lzw), 255):
             blk = lzw[i:i + 255]
             out.append(len(blk))
@@ -761,20 +963,21 @@ def encode_gif(frames: np.ndarray, palette: np.ndarray) -> bytes:
 def decode_gif(payload: bytes) -> np.ndarray:
     """GIF87a/89a → (n_frames, h, w, 3) uint8 via pure-Python LZW.
 
-    Supports the common subset: global color table, full-canvas
-    non-interlaced frames, extension blocks skipped.  Local color tables
-    and interlacing raise."""
+    Global AND per-frame local color tables, 4-pass interlacing, and
+    partial-canvas frames (composited onto the previous canvas, the
+    do-not-dispose model) all decode; extension blocks are skipped."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
-    if not flags & 0x80:
-        raise ValueError("GIF without a global color table not supported")
-    table_size = 2 << (flags & 0x07)
-    palette = np.frombuffer(payload, np.uint8, count=table_size * 3,
-                            offset=pos).reshape(-1, 3)
-    pos += table_size * 3
+    palette = None
+    if flags & 0x80:
+        table_size = 2 << (flags & 0x07)
+        palette = np.frombuffer(payload, np.uint8, count=table_size * 3,
+                                offset=pos).reshape(-1, 3)
+        pos += table_size * 3
     frames = []
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
     while pos < len(payload):
         b0 = payload[pos]
         pos += 1
@@ -790,12 +993,17 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
         fx, fy, fw, fh, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
-        if iflags & 0x40:
-            raise ValueError("interlaced GIF not supported")
-        if iflags & 0x80:
-            raise ValueError("local color tables not supported")
-        if (fx, fy, fw, fh) != (0, 0, w, h):
-            raise ValueError("partial-canvas GIF frames not supported")
+        pal = palette
+        if iflags & 0x80:  # local color table overrides the global one
+            lsize = 2 << (iflags & 0x07)
+            pal = np.frombuffer(payload, np.uint8, count=lsize * 3,
+                                offset=pos).reshape(-1, 3)
+            pos += lsize * 3
+        if pal is None:
+            raise ValueError("GIF frame has neither global nor local "
+                             "color table")
+        if fx + fw > w or fy + fh > h:
+            raise ValueError("GIF frame rectangle exceeds the canvas")
         min_code = payload[pos]
         pos += 1
         data = bytearray()
@@ -804,9 +1012,14 @@ def decode_gif(payload: bytes) -> np.ndarray:
             data += payload[pos + 1:pos + 1 + ln]
             pos += 1 + ln
         pos += 1
-        idx = _lzw_decode(bytes(data), min_code)[:w * h]
-        frames.append(palette[np.clip(idx, 0, len(palette) - 1)]
-                      .reshape(h, w, 3))
+        idx = _lzw_decode(bytes(data), min_code)[:fw * fh]
+        rect = pal[np.clip(idx, 0, len(pal) - 1)].reshape(fh, fw, 3)
+        if iflags & 0x40:  # interlaced: stored rows map to pass order
+            deinter = np.empty_like(rect)
+            deinter[_gif_interlace_order(fh)] = rect
+            rect = deinter
+        canvas[fy:fy + fh, fx:fx + fw] = rect
+        frames.append(canvas.copy())
     if not frames:
         raise ValueError("GIF contains no image frames")
     return np.stack(frames)
