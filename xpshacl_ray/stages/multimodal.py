@@ -25,6 +25,9 @@ uncompressed containers:
   codec in :mod:`.jpeg` — Huffman scan + vectorized dequant/IDCT.
 - **GIF** (multi-frame, LZW) decodes pure-Python with frame sampling,
   4-pass interlacing, local color tables and partial-canvas frames.
+- **TIFF** (baseline 6.0) decodes in :mod:`.tiff` — IFD walk, strips,
+  PackBits and TIFF-variant LZW (early change) with Predictor 2,
+  gray/RGB/palette photometrics, both byte orders, 16-bit scaling.
 - **MP4** (ISO BMFF) parses for real in :mod:`.mp4` — box walk, sample
   tables resolved to per-sample byte ranges — and Motion-JPEG tracks
   decode END TO END with container-level frame sampling (only the
@@ -474,10 +477,13 @@ def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 from xpshacl_ray.stages.jpeg import decode_jpeg, encode_jpeg  # noqa: E402
 from xpshacl_ray.stages import mp4 as _mp4  # noqa: E402
 
+from xpshacl_ray.stages.tiff import decode_tiff  # noqa: E402
+
 _DECODABLE_IMAGE = {"image/x-portable-pixmap": decode_ppm,
                     "image/bmp": decode_bmp,
                     "image/png": decode_png,
-                    "image/jpeg": decode_jpeg}
+                    "image/jpeg": decode_jpeg,
+                    "image/tiff": decode_tiff}
 from xpshacl_ray.stages.flac import decode_flac_audio  # noqa: E402
 
 _DECODABLE_AUDIO = {"audio/wav": decode_wav, "audio/x-wav": decode_wav,
@@ -587,14 +593,25 @@ def make_fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
 
 
 def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
-    """Deterministic REAL media rows: round-robin P6 PPM / 24-bit BMP /
-    PNG / baseline JPEG images, PCM + G.711 µ-law + IMA-ADPCM WAV and
-    FLAC clips, multi-frame LZW GIFs and MJPEG MP4 videos, all
-    synthesized stdlib+numpy."""
+    """Deterministic REAL media rows: round-robin P6 PPM / BMP / PNG /
+    baseline JPEG / LZW-predictor TIFF images, PCM + G.711 µ-law +
+    IMA-ADPCM WAV and FLAC clips, multi-frame LZW GIFs and MJPEG MP4
+    videos, all synthesized stdlib+numpy."""
     rng = np.random.default_rng(seed)
     ids, mimes, payloads, metas = [], [], [], []
     for i in range(n):
-        kind = i % 10
+        kind = i % 11
+        if kind == 10:
+            from xpshacl_ray.stages.tiff import encode_tiff
+
+            w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            payloads.append(encode_tiff(img, compression=5, predictor=2,
+                                        rows_per_strip=8))
+            mimes.append("image/tiff")
+            metas.append({"width": w, "height": h, "n_frames": 1})
+            ids.append(i)
+            continue
         if kind == 9:
             from xpshacl_ray.stages.flac import encode_flac_audio
 
