@@ -3234,6 +3234,36 @@ def q_video_frames(sf_dir: str):
     return out
 
 
+def q_tar_ingest(sf_dir: str):
+    """WebDataset-style tar-shard on-ramp: deterministic on-disk shard
+    fixture (PPM + caption + JSON per sample key, one WAV per shard) →
+    ``read_tar_shards`` (one read task per shard, members exploded
+    in-task, no shuffle) → per-member listing with payload sha256.
+    Oracle: an independent stdlib-``tarfile`` walk of the same files in
+    tools/make_goldens.py (no engine code).  (sf_dir-independent.)"""
+    import hashlib
+    import os
+
+    from xpshacl_ray.sources.tar import make_tar_fixture, read_tar_shards
+
+    paths = make_tar_fixture("/tmp/xpshacl_tar_fixture")
+    ds = read_tar_shards(paths)
+
+    def digest(batch):
+        batch = batch.append_column("sha16", pa.array(
+            [hashlib.sha256(p).hexdigest()[:16]
+             for p in batch["payload"].to_pylist()], pa.string()))
+        sh = pa.array([os.path.basename(s)
+                       for s in batch["shard"].to_pylist()], pa.string())
+        batch = batch.set_column(batch.column_names.index("shard"),
+                                 "shard", sh)
+        return batch.select(["shard", "key", "member", "ext", "mime",
+                             "n_bytes", "sha16"])
+
+    out = ds.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["shard", "member"]).reset_index(drop=True)
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -3780,6 +3810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sql_check": q_sql_check,
         "media_features": q_media_features,
         "video_frames": q_video_frames,
+        "tar_ingest": q_tar_ingest,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

@@ -1,0 +1,72 @@
+"""WebDataset-style tar-shard on-ramp (sources/tar.py): member/sample
+explosion, key splitting, determinism, and decode integration."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from xpshacl_ray.sources.tar import (
+    _split_key,
+    make_tar_fixture,
+    read_tar_shards,
+    write_tar_shard,
+)
+
+
+def test_split_key_webdataset_semantics():
+    assert _split_key("dir/sample01.jpg") == ("sample01", "jpg")
+    assert _split_key("a/b.seg.json") == ("b", "seg.json")
+    assert _split_key("noext") == ("noext", "")
+
+
+def test_write_is_deterministic():
+    members = [("k.txt", b"hello"), ("k.json", b"{}")]
+    assert write_tar_shard(members) == write_tar_shard(members)
+
+
+def test_flat_and_sample_modes(tmp_path):
+    paths = make_tar_fixture(str(tmp_path), n_shards=2,
+                             samples_per_shard=3)
+    flat = read_tar_shards(paths).to_pandas()
+    # 2 shards × (3 samples × 3 members + 1 audio) = 20 rows
+    assert len(flat) == 20
+    assert set(flat["ext"]) == {"ppm", "txt", "json", "wav"}
+    assert (flat["n_bytes"] > 0).all()
+    assert (flat[flat.ext == "ppm"]["mime"]
+            == "image/x-portable-pixmap").all()
+
+    sam = read_tar_shards(paths, samples=True).to_pandas()
+    # 3 image samples + 1 audio key per shard
+    assert len(sam) == 8
+    sizes = sorted(len(p) for p in sam["parts"])
+    assert sizes == [1, 1, 3, 3, 3, 3, 3, 3]
+
+
+def test_fixture_idempotent(tmp_path):
+    p1 = make_tar_fixture(str(tmp_path))
+    blob1 = open(p1[0], "rb").read()
+    p2 = make_tar_fixture(str(tmp_path))
+    assert p1 == p2 and open(p2[0], "rb").read() == blob1
+
+
+def test_decode_members_through_media_decoder(tmp_path):
+    from xpshacl_ray.stages.multimodal import MediaDecoder
+
+    paths = make_tar_fixture(str(tmp_path), n_shards=1,
+                             samples_per_shard=2)
+    flat = read_tar_shards(paths).to_pandas()
+    dec = MediaDecoder()
+    media = flat[flat["mime"].str.startswith(("image", "audio"))]
+    assert len(media) == 3  # 2 ppm + 1 wav
+    for _, row in media.iterrows():
+        f = dec._decode_one(row["mime"], row["payload"])
+        assert f.shape == (MediaDecoder.FEATURE_DIM,)
+        assert np.isfinite(f).all()
+
+
+def test_unknown_extension_is_octet_stream(tmp_path):
+    shard = tmp_path / "x.tar"
+    shard.write_bytes(write_tar_shard([("k.weird", b"\x00\x01")]))
+    flat = read_tar_shards([str(shard)]).to_pandas()
+    assert flat.loc[0, "mime"] == "application/octet-stream"
+    assert flat.loc[0, "ext"] == "weird"

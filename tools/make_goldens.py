@@ -314,6 +314,34 @@ def main():
         mdf[f"f{i}"] = np.round(feats[:, i], 6)
     goldens["media_features"] = ("frozen", mdf)
 
+    # tar-shard listing: INDEPENDENT stdlib-tarfile walk of the same
+    # on-disk fixture the engine query reads (no engine reader code)
+    import hashlib as _hl
+    import os as _os
+    import tarfile as _tf
+
+    from xpshacl_ray.sources.tar import MIME_BY_EXT, make_tar_fixture
+
+    rows = []
+    for path in make_tar_fixture("/tmp/xpshacl_tar_fixture"):
+        with _tf.open(path) as t:
+            for m in t:
+                if not m.isfile():
+                    continue
+                payload = t.extractfile(m).read()
+                base = m.name.rsplit("/", 1)[-1]
+                key, ext = (base.split(".", 1) + [""])[:2]
+                ext = ext.lower()
+                rows.append((_os.path.basename(path), key, m.name, ext,
+                             MIME_BY_EXT.get(ext.rsplit(".", 1)[-1],
+                                             "application/octet-stream"),
+                             len(payload),
+                             _hl.sha256(payload).hexdigest()[:16]))
+    tdf = pd.DataFrame(rows, columns=["shard", "key", "member", "ext",
+                                      "mime", "n_bytes", "sha16"])
+    tdf = tdf.sort_values(["shard", "member"]).reset_index(drop=True)
+    goldens["tar_ingest"] = ("independent", tdf)
+
     # video probe: ray-free direct stage call over the deterministic MP4
     # fixture (MJPEG + one AVC error-in-band row) — frozen snapshot
     from xpshacl_ray.stages.multimodal import VideoProbe, make_video_table

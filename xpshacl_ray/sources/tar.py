@@ -1,0 +1,179 @@
+"""WebDataset-style tar-shard on-ramp.
+
+Large training corpora ship as directories of ``.tar`` shards whose
+members are named ``<sample key>.<ext>`` (image + caption + metadata
+per key).  :func:`read_tar_shards` streams such shards as a
+``ray.data.Dataset``: one read task per shard (a shard is the natural
+parallelism unit — it is written once, read whole, never split), the
+tar walked with the stdlib ``tarfile`` module inside ``map_batches``,
+one output row per member (flat mode) or per sample key (sample mode,
+parts as an Arrow ``map<ext, binary>``).
+
+MIME types are inferred from member extensions so the rows feed
+straight into the :mod:`..stages.multimodal` decode stages.  A shard
+writer (:func:`write_tar_shard`) exists for fixture-free tests — the
+reference has no tar on-ramp at all (single-format input,
+``src/main.py:54``); shards are this engine's scale path.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+from typing import Dict, List, Optional, Tuple
+
+import pyarrow as pa
+
+import ray.data
+
+#: member extension → mime for the decode stages
+MIME_BY_EXT = {
+    "ppm": "image/x-portable-pixmap", "bmp": "image/bmp",
+    "png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
+    "gif": "image/gif", "tif": "image/tiff", "tiff": "image/tiff",
+    "mp4": "video/mp4", "wav": "audio/wav", "flac": "audio/flac",
+    "txt": "text/plain", "json": "application/json",
+    "cls": "text/plain",
+}
+
+
+def _split_key(name: str) -> Tuple[str, str]:
+    """``dir/key.ext`` → (key, ext) — WebDataset keys split at the
+    FIRST dot of the basename (``a/b.seg.json`` → key ``b``,
+    ext ``seg.json``)."""
+    base = name.rsplit("/", 1)[-1]
+    if "." in base:
+        key, ext = base.split(".", 1)
+        return key, ext.lower()
+    return base, ""
+
+
+def _iter_members(shard: bytes):
+    with tarfile.open(fileobj=io.BytesIO(shard), mode="r:*") as tf:
+        for m in tf:
+            if not m.isfile():
+                continue
+            f = tf.extractfile(m)
+            if f is None:
+                continue
+            yield m.name, f.read()
+
+
+_FLAT_SCHEMA = pa.schema([
+    ("shard", pa.string()), ("key", pa.string()), ("member", pa.string()),
+    ("ext", pa.string()), ("mime", pa.string()), ("payload", pa.binary()),
+    ("n_bytes", pa.int64()),
+])
+
+_SAMPLE_SCHEMA = pa.schema([
+    ("shard", pa.string()), ("key", pa.string()),
+    ("parts", pa.map_(pa.string(), pa.binary())),
+])
+
+
+def _explode_flat(batch: pa.Table) -> pa.Table:
+    cols: Dict[str, List] = {c: [] for c in _FLAT_SCHEMA.names}
+    for path, data in zip(batch["path"].to_pylist(),
+                          batch["bytes"].to_pylist()):
+        for name, payload in _iter_members(data):
+            key, ext = _split_key(name)
+            cols["shard"].append(path)
+            cols["key"].append(key)
+            cols["member"].append(name)
+            cols["ext"].append(ext)
+            cols["mime"].append(MIME_BY_EXT.get(
+                ext.rsplit(".", 1)[-1], "application/octet-stream"))
+            cols["payload"].append(payload)
+            cols["n_bytes"].append(len(payload))
+    return pa.table(cols, schema=_FLAT_SCHEMA)
+
+
+def _explode_samples(batch: pa.Table) -> pa.Table:
+    shards, keys, parts = [], [], []
+    for path, data in zip(batch["path"].to_pylist(),
+                          batch["bytes"].to_pylist()):
+        groups: Dict[str, List[Tuple[str, bytes]]] = {}
+        order: List[str] = []
+        for name, payload in _iter_members(data):
+            key, ext = _split_key(name)
+            if key not in groups:
+                groups[key] = []
+                order.append(key)
+            groups[key].append((ext, payload))
+        for key in order:
+            shards.append(path)
+            keys.append(key)
+            parts.append(groups[key])
+    return pa.table({
+        "shard": pa.array(shards, pa.string()),
+        "key": pa.array(keys, pa.string()),
+        "parts": pa.array(parts, pa.map_(pa.string(), pa.binary())),
+    }, schema=_SAMPLE_SCHEMA)
+
+
+def read_tar_shards(paths, samples: bool = False,
+                    **read_kwargs) -> "ray.data.Dataset":
+    """Stream tar shards → member rows (default) or per-key sample rows
+    (``samples=True``).
+
+    Each shard is read whole by one task (``read_binary_files``) and
+    exploded inside the same ``map_batches`` — members of one sample
+    never cross blocks, so sample grouping needs NO shuffle.  At 100 TB
+    the unit of work/retry/resume is the shard, exactly how the corpus
+    was written."""
+    ds = ray.data.read_binary_files(paths, include_paths=True,
+                                    **read_kwargs)
+    fn = _explode_samples if samples else _explode_flat
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=1)
+
+
+def write_tar_shard(members: List[Tuple[str, bytes]]) -> bytes:
+    """[(member name, payload)] → uncompressed tar bytes (fixtures)."""
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, payload in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(payload)
+            info.mtime = 0  # deterministic shards byte-for-byte
+            tf.addfile(info, io.BytesIO(payload))
+    return buf.getvalue()
+
+
+def make_tar_fixture(out_dir: str, n_shards: int = 3,
+                     samples_per_shard: int = 4, seed: int = 17
+                     ) -> List[str]:
+    """Deterministic on-disk WebDataset fixture: each sample is a PPM
+    image + a caption ``.txt`` + a ``.json`` metadata member; one WAV
+    audio sample per shard.  Idempotent (fixed seed, zero mtimes)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from xpshacl_ray.stages.multimodal import encode_ppm, encode_wav
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    paths = []
+    for s in range(n_shards):
+        members: List[Tuple[str, bytes]] = []
+        for i in range(samples_per_shard):
+            key = f"s{s:03d}i{i:03d}"
+            w, h = int(rng.integers(6, 20)), int(rng.integers(6, 20))
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            members.append((f"{key}.ppm", encode_ppm(img)))
+            members.append((f"{key}.txt",
+                            f"caption for {key} ({w}x{h})".encode()))
+            members.append((f"{key}.json", json.dumps(
+                {"key": key, "w": w, "h": h}, sort_keys=True).encode()))
+        t = np.arange(800 + 100 * s) / 8000
+        x = 0.4 * np.sin(2 * np.pi * (200 + 50 * s) * t)
+        members.append((f"s{s:03d}audio.wav", encode_wav(x, 8000)))
+        path = os.path.join(out_dir, f"shard-{s:05d}.tar")
+        blob = write_tar_shard(members)
+        if not (os.path.exists(path)
+                and os.path.getsize(path) == len(blob)):
+            with open(path, "wb") as f:
+                f.write(blob)
+        paths.append(path)
+    return paths
