@@ -177,3 +177,58 @@ def make_tar_fixture(out_dir: str, n_shards: int = 3,
                 f.write(blob)
         paths.append(path)
     return paths
+
+
+def write_tar_shards(ds, out_dir: str, samples_per_shard: int = 1000,
+                     prefix: str = "shard") -> List[str]:
+    """Sample rows (``key`` + ``parts`` map, the :func:`read_tar_shards`
+    ``samples=True`` shape) → WebDataset tar shards on disk.
+
+    Each input BLOCK writes its own shard files (one batch = one block,
+    chunked at ``samples_per_shard`` inside the task), so the sink is
+    shard-parallel and RESUMABLE the same way the reader is: the shard
+    file is the unit of work, named ``<prefix>-<content hash>.tar`` —
+    block composition is deterministic for a deterministic input, so a
+    re-run writes the same files instead of appending duplicates
+    (idempotent; zero mtimes inside; atomic rename so readers never see
+    partial shards).  Returns the shard paths, sorted."""
+    import hashlib
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        keys = batch["key"].to_pylist()
+        parts = batch["parts"].to_pylist()
+        out_rows = {"shard": [], "n_samples": [], "n_members": [],
+                    "n_bytes": []}
+        for c0 in range(0, len(keys), samples_per_shard):
+            members: List[Tuple[str, bytes]] = []
+            chunk = slice(c0, c0 + samples_per_shard)
+            for key, kv in zip(keys[chunk], parts[chunk]):
+                for ext, payload in (kv.items() if isinstance(kv, dict)
+                                     else kv):
+                    members.append((f"{key}.{ext}" if ext else key,
+                                    payload))
+            blob = write_tar_shard(members)
+            fp = hashlib.sha256(blob).hexdigest()[:12]
+            path = os.path.join(out_dir, f"{prefix}-{fp}.tar")
+            if not os.path.exists(path):
+                tmp = f"{path}.{os.getpid()}.tmp"
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, path)
+            out_rows["shard"].append(path)
+            out_rows["n_samples"].append(len(keys[chunk]))
+            out_rows["n_members"].append(len(members))
+            out_rows["n_bytes"].append(len(blob))
+        return pa.table({
+            "shard": pa.array(out_rows["shard"], pa.string()),
+            "n_samples": pa.array(out_rows["n_samples"], pa.int64()),
+            "n_members": pa.array(out_rows["n_members"], pa.int64()),
+            "n_bytes": pa.array(out_rows["n_bytes"], pa.int64()),
+        })
+
+    manifest = ds.map_batches(write_block, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    return sorted(manifest["shard"])
