@@ -29,8 +29,10 @@ def test_ppm_roundtrip():
     # comments + whitespace variants parse too
     hdr = b"P6\n# a comment\n17  13\n255\n" + img.tobytes()
     assert np.array_equal(decode_ppm(hdr), img)
+    # P5 decodes now (whole netpbm family); non-netpbm still raises
+    assert decode_ppm(b"P5\n1 1\n255\n\x00").shape == (1, 1, 3)
     with pytest.raises(ValueError):
-        decode_ppm(b"P5\n1 1\n255\n\x00")
+        decode_ppm(b"BM not a pnm")
 
 
 def test_bmp_roundtrip_with_row_padding():
@@ -603,3 +605,41 @@ def test_bmp_8bit_32bit_and_topdown():
     assert np.array_equal(decode_bmp(encode_bmp8(idx, pal)), pal[idx])
     assert np.array_equal(decode_bmp(encode_bmp8(idx, pal, top_down=True)),
                           pal[idx])
+
+
+def test_netpbm_whole_family():
+    from xpshacl_ray.stages.multimodal import decode_ppm
+
+    rng = np.random.default_rng(61)
+    # P5 graymap, 8- and 16-bit (16-bit is big-endian per the spec)
+    g = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    dec = decode_ppm(b"P5\n7 5\n255\n" + g.tobytes())
+    assert np.array_equal(dec, np.repeat(g[:, :, None], 3, 2))
+    g16 = rng.integers(0, 65536, size=(4, 6), dtype=np.uint16)
+    want = (g16.astype(np.uint32) * 255 // 65535).astype(np.uint8)
+    dec16 = decode_ppm(b"P5\n6 4\n65535\n" + g16.astype(">u2").tobytes())
+    assert np.array_equal(dec16, np.repeat(want[:, :, None], 3, 2))
+    # P4 packed bitmap: 1 = black, rows byte-padded
+    bits = rng.integers(0, 2, size=(6, 11), dtype=np.uint8)
+    stride = (11 + 7) // 8
+    packed = np.packbits(np.pad(bits, ((0, 0), (0, stride * 8 - 11))),
+                         axis=1)
+    dec4 = decode_ppm(b"P4\n11 6\n" + packed.tobytes())
+    assert np.array_equal(
+        dec4, np.repeat(((1 - bits) * 255).astype(np.uint8)[:, :, None],
+                        3, 2))
+    # ASCII forms: P1 with unseparated digits, P2 scaled maxval, P3 RGB
+    b2 = np.array([[0, 1, 1, 0, 1], [1, 0, 0, 1, 0]], np.uint8)
+    dec1 = decode_ppm(b"P1\n# bm\n5 2\n01101\n10010\n")
+    assert np.array_equal(
+        dec1, np.repeat(((1 - b2) * 255).astype(np.uint8)[:, :, None],
+                        3, 2))
+    gv = rng.integers(0, 100, size=(3, 4), dtype=np.uint8)
+    p2 = b"P2\n4 3\n99\n" + " ".join(map(str, gv.reshape(-1))).encode()
+    w2 = (gv.astype(np.uint32) * 255 // 99).astype(np.uint8)
+    assert np.array_equal(decode_ppm(p2), np.repeat(w2[:, :, None], 3, 2))
+    cv = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    p3 = b"P3\n3 2\n255\n" + " ".join(map(str, cv.reshape(-1))).encode()
+    assert np.array_equal(decode_ppm(p3), cv)
+    with pytest.raises(ValueError, match="netpbm"):
+        decode_ppm(b"P7\nnope")

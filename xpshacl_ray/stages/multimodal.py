@@ -7,7 +7,8 @@ plumbing — schema, small batch sizes for wide rows, actor-pool stage
 shape, output layout — is real and tested, and so is the decode path for
 uncompressed containers:
 
-- **PPM (P6)** and **BMP** (24-bit BGR, 32-bit BGRA, 8-bit palettized,
+- **netpbm** (the whole P1-P6 family: ASCII + binary bitmap/
+  graymap/pixmap, 16-bit maxval) and **BMP** (24-bit BGR, 32-bit BGRA, 8-bit palettized,
   bottom-up and top-down) images decode to ``(h, w, 3)`` uint8 numpy
   arrays (pure numpy header/pixel parsing), with a real
   nearest-neighbour ``resize`` kernel and real color/shape features.
@@ -77,29 +78,73 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6) → (h, w, 3) uint8."""
-    if not payload.startswith(b"P6"):
-        raise ValueError("not a P6 PPM payload")
-    # header: magic, width, height, maxval — whitespace/comment separated
+def _pnm_header(payload: bytes, n_fields: int) -> Tuple[List[int], int]:
+    """Parse ``n_fields`` whitespace/comment-separated integers after
+    the magic; returns (fields, position after the single terminator)."""
     fields, pos = [], 2
-    while len(fields) < 3:
-        while pos < len(payload) and payload[pos : pos + 1].isspace():
+    while len(fields) < n_fields:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
             pos += 1
-        if payload[pos : pos + 1] == b"#":  # comment to EOL
+        if payload[pos:pos + 1] == b"#":  # comment to EOL
             while pos < len(payload) and payload[pos] != 0x0A:
                 pos += 1
             continue
         start = pos
-        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
             pos += 1
         fields.append(int(payload[start:pos]))
-    w, h, maxval = fields
-    if maxval > 255:
-        raise ValueError("16-bit PPM not supported")
-    pos += 1  # single whitespace after maxval
-    pix = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
-    return pix.reshape(h, w, 3).copy()
+    return fields, pos + 1
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """netpbm → (h, w, 3) uint8 — the WHOLE family: P1/P4 bitmap,
+    P2/P5 graymap, P3/P6 pixmap (ASCII and binary), 8- and 16-bit
+    maxval (16-bit scales to the high byte), comments anywhere in the
+    header."""
+    if len(payload) < 2 or payload[0:1] != b"P" \
+            or payload[1:2] not in b"123456":
+        raise ValueError("not a netpbm (P1-P6) payload")
+    kind = int(payload[1:2])
+    bitmap = kind in (1, 4)
+    nch = 3 if kind in (3, 6) else 1
+    fields, pos = _pnm_header(payload, 2 if bitmap else 3)
+    if bitmap:
+        (w, h), maxval = fields, 1
+    else:
+        w, h, maxval = fields
+    n_vals = w * h * nch
+    if kind in (1, 2, 3):  # ASCII variants
+        toks = payload[pos - 1:].split()
+        if kind == 1:
+            # P1 allows unseparated digits ("0110")
+            toks = [c for t in toks if not t.startswith(b"#")
+                    for c in t.decode("ascii", "replace")]
+            vals = np.array([int(c) for c in toks[:n_vals]], np.uint32)
+        else:
+            vals = np.array([int(t) for t in toks[:n_vals]], np.uint32)
+        if len(vals) < n_vals:
+            raise ValueError("truncated ASCII netpbm payload")
+    elif kind == 4:  # packed bits, rows padded to bytes
+        stride = (w + 7) // 8
+        raw = np.frombuffer(payload, np.uint8, count=stride * h,
+                            offset=pos)
+        vals = np.unpackbits(raw.reshape(h, stride),
+                             axis=1)[:, :w].reshape(-1).astype(np.uint32)
+    elif maxval > 255:  # 16-bit binary, big-endian per the spec
+        raw = np.frombuffer(payload, np.uint8, count=n_vals * 2,
+                            offset=pos).astype(np.uint32)
+        vals = (raw[0::2] << 8) | raw[1::2]
+    else:
+        vals = np.frombuffer(payload, np.uint8, count=n_vals,
+                             offset=pos).astype(np.uint32)
+    if bitmap:
+        vals = (1 - vals) * 255  # PBM: 1 = black
+    elif maxval != 255:
+        vals = vals * 255 // maxval
+    img = vals.astype(np.uint8).reshape(h, w, nch)
+    if nch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img)
 
 
 def encode_bmp(img: np.ndarray) -> bytes:
