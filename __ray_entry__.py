@@ -3264,6 +3264,26 @@ def q_tar_ingest(sf_dir: str):
     return out.sort_values(["shard", "member"]).reset_index(drop=True)
 
 
+def q_audio_spectral(sf_dir: str):
+    """Audio featurization: mixed real-media fixture → actor-pool
+    decode (PCM/µ-law/ADPCM WAV + FLAC) → time-averaged log-mel
+    energies (Hann STFT + triangular mel filterbank, pure numpy, built
+    once per actor).  Non-audio rows skipped in-stage.  (sf_dir-
+    independent: fixed-seed fixture, frozen golden.)"""
+    from xpshacl_ray.stages.multimodal import (
+        AudioSpectral,
+        make_real_media_table,
+    )
+
+    ds = ray.data.from_arrow(make_real_media_table(22))
+    out = ds.map_batches(AudioSpectral(), batch_format="pyarrow",
+                         batch_size=6, concurrency=2).to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    for j in range(AudioSpectral.N_MELS):
+        out[f"m{j}"] = np.round(out[f"m{j}"].astype(float), 6)
+    return out
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -3811,6 +3831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": q_media_features,
         "video_frames": q_video_frames,
         "tar_ingest": q_tar_ingest,
+        "audio_spectral": q_audio_spectral,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

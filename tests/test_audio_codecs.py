@@ -158,3 +158,41 @@ def test_ima_adpcm_bounded_error_fuzz(vals, block_align):
     # worst-case per-step tracking error is bounded by ~2 max steps
     assert np.abs(dec.astype(np.int64)
                   - pcm.astype(np.int64)).max() <= 2 * 32767
+
+
+def test_mel_filterbank_and_spectral_features():
+    from xpshacl_ray.stages.audio import mel_filterbank, spectral_features
+
+    fb = mel_filterbank(256, 8, 8000)
+    assert fb.shape == (8, 129)
+    assert (fb >= 0).all() and fb.sum(axis=1).min() > 0  # no empty filter
+    t = np.arange(8000) / 8000
+    low = spectral_features(0.5 * np.sin(2 * np.pi * 440 * t), 8000)
+    hi = spectral_features(0.5 * np.sin(2 * np.pi * 3500 * t), 8000)
+    assert low.shape == (8,) and np.isfinite(low).all()
+    # tone frequency ordering survives the mel pooling
+    assert low.argmax() < hi.argmax()
+    # deterministic; short clips pad instead of crashing
+    assert np.array_equal(
+        low, spectral_features(0.5 * np.sin(2 * np.pi * 440 * t), 8000))
+    assert spectral_features(np.ones(50), 8000).shape == (8,)
+
+
+def test_audio_spectral_stage_mixed_media():
+    from xpshacl_ray.stages.multimodal import (
+        AudioSpectral,
+        make_real_media_table,
+    )
+
+    t = make_real_media_table(22)
+    out = AudioSpectral()(t).to_pandas()
+    # only the audio rows survive (2 full cycles of the 11-kind fixture)
+    assert set(out["mime"]) == {"audio/wav", "audio/flac"}
+    assert len(out) == 8
+    feats = out[[f"m{j}" for j in range(8)]].to_numpy()
+    assert np.isfinite(feats).all()
+    # empty batch (no audio) yields the zero-row schema
+    imgs = t.filter(np.array([m.startswith("image")
+                              for m in t["mime"].to_pylist()]))
+    empty = AudioSpectral()(imgs)
+    assert len(empty) == 0 and "m7" in empty.column_names

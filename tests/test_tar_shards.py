@@ -96,3 +96,23 @@ def test_write_tar_shards_roundtrip_and_idempotence(tmp_path):
     import os
     assert sorted(os.listdir(out)) == sorted(os.path.basename(p)
                                              for p in paths)
+
+
+def test_zip_shards_flat_samples_and_member_pruning(tmp_path):
+    from xpshacl_ray.sources.tar import read_zip_shards, write_zip_shard
+
+    members = [("k0.txt", b"alpha"), ("k0.json", b"{\"a\":1}"),
+               ("k1.txt", b"beta"), ("k1.json", b"{\"b\":2}")]
+    p = tmp_path / "s.zip"
+    p.write_bytes(write_zip_shard(members))
+    flat = read_zip_shards([str(p)]).to_pandas()
+    assert len(flat) == 4
+    assert sorted(flat["member"]) == sorted(m for m, _ in members)
+    assert dict(zip(flat["member"], flat["payload"]))["k0.txt"] == b"alpha"
+    # member-glob pruning: only .json members are decompressed
+    js = read_zip_shards([str(p)], members_glob="*.json").to_pandas()
+    assert sorted(js["ext"]) == ["json", "json"]
+    sam = read_zip_shards([str(p)], samples=True).to_pandas()
+    assert len(sam) == 2 and all(len(x) == 2 for x in sam["parts"])
+    # deterministic writer
+    assert write_zip_shard(members) == write_zip_shard(members)

@@ -342,6 +342,15 @@ def main():
     tdf = tdf.sort_values(["shard", "member"]).reset_index(drop=True)
     goldens["tar_ingest"] = ("independent", tdf)
 
+    # audio spectral features: ray-free direct stage call (frozen)
+    from xpshacl_ray.stages.multimodal import AudioSpectral
+
+    adf = AudioSpectral()(make_real_media_table(22)).to_pandas()
+    adf = adf.sort_values("media_id").reset_index(drop=True)
+    for j in range(AudioSpectral.N_MELS):
+        adf[f"m{j}"] = np.round(adf[f"m{j}"].astype(float), 6)
+    goldens["audio_spectral"] = ("frozen", adf)
+
     # video probe: ray-free direct stage call over the deterministic MP4
     # fixture (MJPEG + one AVC error-in-band row) — frozen snapshot
     from xpshacl_ray.stages.multimodal import VideoProbe, make_video_table

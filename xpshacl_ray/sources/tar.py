@@ -232,3 +232,85 @@ def write_tar_shards(ds, out_dir: str, samples_per_shard: int = 1000,
     manifest = ds.map_batches(write_block, batch_format="pyarrow",
                               batch_size=None).to_pandas()
     return sorted(manifest["shard"])
+
+
+def read_zip_shards(paths, samples: bool = False,
+                    members_glob: Optional[str] = None,
+                    **read_kwargs) -> "ray.data.Dataset":
+    """Zip-shard variant of :func:`read_tar_shards`.
+
+    Zip archives carry a central directory, so unlike tar a task can
+    list members WITHOUT scanning the archive body and decompress only
+    the ones it wants — ``members_glob`` (fnmatch on member names, e.g.
+    ``"*.json"``) prunes at the member level, the zip analog of Parquet
+    column pruning."""
+    import fnmatch
+    import zipfile
+
+    ds = ray.data.read_binary_files(paths, include_paths=True,
+                                    **read_kwargs)
+
+    def iter_zip(shard: bytes):
+        with zipfile.ZipFile(io.BytesIO(shard)) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                if members_glob and not fnmatch.fnmatch(info.filename,
+                                                        members_glob):
+                    continue  # never decompressed
+                yield info.filename, zf.read(info.filename)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if samples:
+            shards, keys, parts = [], [], []
+            for path, data in zip(batch["path"].to_pylist(),
+                                  batch["bytes"].to_pylist()):
+                groups: Dict[str, List[Tuple[str, bytes]]] = {}
+                order: List[str] = []
+                for name, payload in iter_zip(data):
+                    key, ext = _split_key(name)
+                    if key not in groups:
+                        groups[key] = []
+                        order.append(key)
+                    groups[key].append((ext, payload))
+                for key in order:
+                    shards.append(path)
+                    keys.append(key)
+                    parts.append(groups[key])
+            return pa.table({
+                "shard": pa.array(shards, pa.string()),
+                "key": pa.array(keys, pa.string()),
+                "parts": pa.array(parts, pa.map_(pa.string(),
+                                                 pa.binary())),
+            }, schema=_SAMPLE_SCHEMA)
+        cols: Dict[str, List] = {c: [] for c in _FLAT_SCHEMA.names}
+        for path, data in zip(batch["path"].to_pylist(),
+                              batch["bytes"].to_pylist()):
+            for name, payload in iter_zip(data):
+                key, ext = _split_key(name)
+                cols["shard"].append(path)
+                cols["key"].append(key)
+                cols["member"].append(name)
+                cols["ext"].append(ext)
+                cols["mime"].append(MIME_BY_EXT.get(
+                    ext.rsplit(".", 1)[-1], "application/octet-stream"))
+                cols["payload"].append(payload)
+                cols["n_bytes"].append(len(payload))
+        return pa.table(cols, schema=_FLAT_SCHEMA)
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=1)
+
+
+def write_zip_shard(members: List[Tuple[str, bytes]],
+                    compress: bool = True) -> bytes:
+    """[(member name, payload)] → zip bytes (deflate; fixtures)."""
+    import zipfile
+
+    buf = io.BytesIO()
+    method = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w", method) as zf:
+        for name, payload in members:
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = method
+            zf.writestr(info, payload)
+    return buf.getvalue()

@@ -354,3 +354,44 @@ def encode_wav_float32(samples: np.ndarray, rate: int = 8_000) -> bytes:
     return _wav_container(_TAG_FLOAT, 1, rate, 32, 4,
                           samples.astype("<f4").tobytes(),
                           n_samples=len(samples))
+
+
+# ---------------------------------------------------------------------------
+# spectral features (STFT → mel filterbank → log energies)
+# ---------------------------------------------------------------------------
+
+
+def mel_filterbank(n_fft: int, n_mels: int, rate: int,
+                   fmin: float = 0.0,
+                   fmax: Optional[float] = None) -> np.ndarray:
+    """Triangular mel filterbank, ``(n_mels, n_fft//2 + 1)`` — the
+    standard O'Shaughnessy mel scale ``2595·log10(1 + f/700)``."""
+    fmax = fmax or rate / 2.0
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)  # noqa: E731
+    imel = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    pts = imel(np.linspace(mel(fmin), mel(fmax), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / rate).astype(np.int64)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(n_mels):
+        lo, mid, hi = bins[m], bins[m + 1], bins[m + 2]
+        if mid > lo:
+            fb[m, lo:mid] = (np.arange(lo, mid) - lo) / (mid - lo)
+        if hi > mid:
+            fb[m, mid:hi] = (hi - np.arange(mid, hi)) / (hi - mid)
+    return fb
+
+
+def spectral_features(x: np.ndarray, rate: int, n_fft: int = 256,
+                      hop: int = 128, n_mels: int = 8) -> np.ndarray:
+    """float64 mono samples → ``(n_mels,)`` time-averaged log-mel
+    energies: Hann-windowed framing (vectorized stride view), one
+    batched ``rfft`` over all frames, triangular mel pooling, log."""
+    if len(x) < n_fft:
+        x = np.pad(x, (0, n_fft - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = (np.arange(n_fft)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    frames = x[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    mels = power @ mel_filterbank(n_fft, n_mels, rate).T
+    return np.log10(mels.mean(axis=0) + 1e-10)

@@ -1191,3 +1191,38 @@ def probe_videos(ds, k: int = 3, batch_size: int = 2, concurrency: int = 2):
     payload rows are MBs at production scale."""
     return ds.map_batches(VideoProbe(k), batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)
+
+
+class AudioSpectral:
+    """Actor-pool audio featurizer: decode (any supported WAV/FLAC
+    container) → time-averaged log-mel energies
+    (:func:`xpshacl_ray.stages.audio.spectral_features`).  Non-audio
+    rows pass through silently-skipped so the stage composes with mixed
+    media tables; the mel filterbank is built once per actor."""
+
+    N_MELS = 8
+
+    def __init__(self, n_fft: int = 256, hop: int = 128):
+        self.n_fft, self.hop = n_fft, hop
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from xpshacl_ray.stages.audio import spectral_features
+
+        ids, mimes, feats = [], [], []
+        for mid, mime, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["mime"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if not mime.startswith("audio"):
+                continue
+            x, rate = _DECODABLE_AUDIO[mime](payload)
+            ids.append(mid)
+            mimes.append(mime)
+            feats.append(spectral_features(x, rate, self.n_fft, self.hop,
+                                           self.N_MELS))
+        cols = {"media_id": pa.array(ids, pa.int64()),
+                "mime": pa.array(mimes, pa.string())}
+        arr = (np.stack(feats) if feats
+               else np.empty((0, self.N_MELS)))
+        for j in range(self.N_MELS):
+            cols[f"m{j}"] = pa.array(arr[:, j], pa.float64())
+        return pa.table(cols)
