@@ -3284,6 +3284,37 @@ def q_audio_spectral(sf_dir: str):
     return out
 
 
+def q_image_phash(sf_dir: str):
+    """Perceptual image hashing: near-dup fixture (each base image as a
+    lossless PNG and a JPEG re-encode) → actor-pool decode → 64-bit DCT
+    pHash.  Oracle: an explicit-formula from-scratch reimplementation
+    in tools/make_goldens.py (loop DCT, loop bin-means — no engine
+    kernels).  (sf_dir-independent.)"""
+    from xpshacl_ray.stages.multimodal import PHashStage, make_phash_fixture
+
+    ds = ray.data.from_arrow(make_phash_fixture(6))
+    out = ds.map_batches(PHashStage, batch_format="pyarrow",
+                         batch_size=4, concurrency=2).to_pandas()
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
+def q_phash_pairs(sf_dir: str):
+    """Image near-dup pairs: pHash per image, then the generic 64-bit
+    banding sweep (8 bands of 8 bits — pigeonhole-exact for Hamming
+    ≤ 7; the exchange is 8 bytes/image, never pixels).  PNG-vs-JPEG
+    re-encodes of the same base pair up; distinct bases stay apart.
+    Oracle: brute-force all-pairs Hamming over the independent hashes."""
+    from xpshacl_ray.functions.dedup import hash64_near_dups
+    from xpshacl_ray.stages.multimodal import PHashStage, make_phash_fixture
+
+    hashed = ray.data.from_arrow(make_phash_fixture(6)).map_batches(
+        PHashStage, batch_format="pyarrow", batch_size=4, concurrency=2)
+    pairs = hash64_near_dups(hashed, hash_col="phash64",
+                             id_col="media_id", max_hamming=7, n_bands=8)
+    out = pairs.to_pandas()
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -3832,6 +3863,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frames": q_video_frames,
         "tar_ingest": q_tar_ingest,
         "audio_spectral": q_audio_spectral,
+        "image_phash": q_image_phash,
+        "phash_pairs": q_phash_pairs,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

@@ -643,3 +643,66 @@ def test_netpbm_whole_family():
     assert np.array_equal(decode_ppm(p3), cv)
     with pytest.raises(ValueError, match="netpbm"):
         decode_ppm(b"P7\nnope")
+
+
+def test_image_phash_invariance_and_separation():
+    from xpshacl_ray.stages.multimodal import (
+        PHashStage,
+        encode_jpeg,
+        encode_png,
+        image_phash,
+        make_phash_fixture,
+    )
+
+    img = _smooth_image(40, 50, seed=9)
+    base = image_phash(img)
+    # lossless containers hash IDENTICALLY; JPEG re-encode stays close
+    from xpshacl_ray.stages.multimodal import decode_jpeg, decode_png
+    assert image_phash(decode_png(encode_png(img))) == base
+    d = bin((base ^ image_phash(decode_jpeg(encode_jpeg(img, quality=90))))
+            & ((1 << 64) - 1)).count("1")
+    # pure gradients put many AC coefficients AT the median (fragile
+    # bits), so the re-encode bound is loose — but still far under any
+    # unrelated image's distance
+    other = image_phash(255 - _smooth_image(50, 40, seed=77)[:, ::-1])
+    d_other = bin((base ^ other) & ((1 << 64) - 1)).count("1")
+    assert d <= 12 < 16 < d_other
+
+    # stage skips audio, hashes gif/video via first frame
+    t = make_real_media_table(22)
+    out = PHashStage()(t).to_pandas()
+    assert not out["mime"].str.startswith("audio").any()
+    assert "video/mp4" in set(out["mime"])
+    assert out["phash64"].notna().all()
+
+    fx = make_phash_fixture(6)
+    hashed = PHashStage()(fx).to_pandas().sort_values("media_id")
+    h = hashed["phash64"].to_numpy().astype(np.int64).view(np.uint64)
+    for i in range(6):  # each PNG/JPEG re-encode pair is near
+        assert bin(int(h[2 * i] ^ h[2 * i + 1])).count("1") <= 8
+
+
+def test_hash64_near_dups_banding_exactness():
+    from xpshacl_ray.functions.dedup import hash64_near_dups
+    import pyarrow as pa
+
+    # hand-placed hashes: (1,2) differ by 5 bits SPREAD over 5 bands —
+    # found only because 8-band pigeonhole still leaves 3 clean bands;
+    # (3,4) differ by 9 bits → beyond max_hamming, never emitted
+    a = 0x1111_2222_3333_4444
+    b = a ^ 0b10101 ^ (1 << 20) ^ (1 << 40)  # 5 flips in bands 0,2,5
+    c = 0x7777_0000_7777_0000
+    d = c ^ ((1 << 9) - 1)  # 9 flips
+    t = pa.table({"media_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "phash64": pa.array(
+                      np.array([a, b, c, d], dtype=np.uint64)
+                      .view(np.int64), pa.int64())})
+    pairs = hash64_near_dups(ray.data.from_arrow(t), hash_col="phash64",
+                             id_col="media_id", max_hamming=7,
+                             n_bands=8).to_pandas()
+    assert len(pairs) == 1
+    assert (pairs.iloc[0]["id_a"], pairs.iloc[0]["id_b"]) == (1, 2)
+    # guarantee check: asking beyond the pigeonhole bound raises
+    with pytest.raises(ValueError, match="guarantees"):
+        hash64_near_dups(ray.data.from_arrow(t), hash_col="phash64",
+                         max_hamming=8, n_bands=8)

@@ -342,6 +342,63 @@ def main():
     tdf = tdf.sort_values(["shard", "member"]).reset_index(drop=True)
     goldens["tar_ingest"] = ("independent", tdf)
 
+    # perceptual image hash: INDEPENDENT explicit-formula pHash (loop
+    # DCT-II, loop bin-means — no engine kernels) + brute-force pairs
+    from xpshacl_ray.stages.multimodal import (
+        decode_jpeg as _djpg,
+        decode_png as _dpng,
+        make_phash_fixture,
+    )
+
+    def indep_phash(img):
+        gray = img.astype(np.float64).mean(axis=2)
+        ih, iw = gray.shape
+        out = np.zeros((32, 32))
+        ye = [y * ih // 32 for y in range(33)]
+        xe = [x * iw // 32 for x in range(33)]
+        for i in range(32):
+            for j in range(32):
+                out[i, j] = gray[ye[i]:ye[i + 1], xe[j]:xe[j + 1]].mean()
+        n = 32
+        dd = np.zeros((8, 8))
+        for u in range(8):
+            for v in range(8):
+                cu = np.sqrt(1 / n) if u == 0 else np.sqrt(2 / n)
+                cv = np.sqrt(1 / n) if v == 0 else np.sqrt(2 / n)
+                acc = 0.0
+                for y in range(n):
+                    for x in range(n):
+                        acc += (out[y, x]
+                                * np.cos(np.pi * (2 * y + 1) * u / (2 * n))
+                                * np.cos(np.pi * (2 * x + 1) * v / (2 * n)))
+                dd[u, v] = cu * cv * acc
+        block = dd.reshape(-1)
+        med = np.median(block[1:])
+        val = 0
+        for b in (block > med):
+            val = (val << 1) | int(b)
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    pt = make_phash_fixture(6)
+    pdec = {"image/png": _dpng, "image/jpeg": _djpg}
+    prows = [(mid, mime, indep_phash(pdec[mime](p)))
+             for mid, mime, p in zip(pt["media_id"].to_pylist(),
+                                     pt["mime"].to_pylist(),
+                                     pt["payload"].to_pylist())]
+    pdf = pd.DataFrame(prows, columns=["media_id", "mime", "phash64"])
+    goldens["image_phash"] = ("independent",
+                              pdf.sort_values("media_id")
+                              .reset_index(drop=True))
+    hs = pdf.sort_values("media_id")["phash64"].to_numpy()
+    pair_rows = []
+    for i in range(len(hs)):
+        for j in range(i + 1, len(hs)):
+            d = bin((int(hs[i]) ^ int(hs[j])) & ((1 << 64) - 1)).count("1")
+            if d <= 7:
+                pair_rows.append((i, j, d))
+    goldens["phash_pairs"] = ("independent", pd.DataFrame(
+        pair_rows, columns=["id_a", "id_b", "hamming"]))
+
     # audio spectral features: ray-free direct stage call (frozen)
     from xpshacl_ray.stages.multimodal import AudioSpectral
 

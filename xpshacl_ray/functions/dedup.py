@@ -786,17 +786,11 @@ def simhash_near_dups(
 ) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash: LSH on 16-bit bands → verify Hamming.
 
-    A pair within Hamming distance ≤ 3 of a 64-bit hash must agree on at
-    least one of the four 16-bit bands (pigeonhole), so banding finds all
-    such pairs with one small shuffle.  The in-bucket sweep is fully
-    vectorized: XOR + SWAR popcount over pair index arrays (no Python
-    per-pair loop, no (n, n) tensor — memory is O(pairs)); hot buckets
-    (e.g. thousands of empty docs at band value 0) are capped loudly.
-
     Hashing runs as stateless tasks by default (``SimHasher.__init__``
     is sub-millisecond — an actor pool only adds startup latency; same
     rationale as :func:`minhash_lsh_candidates`); pass
-    ``concurrency=(min, max)`` to opt into a pool.
+    ``concurrency=(min, max)`` to opt into a pool.  Pair finding is the
+    generic 64-bit banding sweep (:func:`hash64_near_dups`).
     """
     from ..tuning import map_batches_maybe_pool
 
@@ -804,40 +798,73 @@ def simhash_near_dups(
         ds, SimHasher, dict(text_col=text_col), concurrency,
         batch_format="pyarrow",
     ).select_columns([id_col, "simhash64"])
+    return hash64_near_dups(hashed, hash_col="simhash64", id_col=id_col,
+                            max_hamming=max_hamming,
+                            hot_bucket_cap=hot_bucket_cap)
 
+
+def hash64_near_dups(
+    hashed: "ray.data.Dataset",
+    hash_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    hot_bucket_cap: int = 2048,
+    n_bands: int = 4,
+) -> "ray.data.Dataset":
+    """Near-dup pairs over ANY 64-bit fingerprint column (SimHash,
+    image pHash, ...): LSH on 64/n_bands-bit bands → verify Hamming.
+
+    A pair within Hamming distance ≤ n_bands - 1 must agree on at least
+    one band (pigeonhole), so banding finds all such pairs with one
+    small shuffle — ``n_bands=4`` (16-bit bands) covers ``max_hamming``
+    ≤ 3, ``n_bands=8`` (8-bit bands) covers ≤ 7.  The in-bucket sweep
+    is fully vectorized: XOR + SWAR popcount over pair index arrays (no
+    Python per-pair loop, no (n, n) tensor — memory is O(pairs)); hot
+    buckets (e.g. thousands of empty docs at band value 0) are capped
+    loudly.
+    """
+    if 64 % n_bands:
+        raise ValueError("n_bands must divide 64")
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding with {n_bands} bands only guarantees recall for "
+            f"Hamming <= {n_bands - 1}, got max_hamming={max_hamming}")
+    band_bits = 64 // n_bands
+    band_mask = (1 << band_bits) - 1
     n_parts = 64
 
     def explode(b: pa.Table) -> pa.Table:
-        # null texts carry a null simhash64 — drop them BEFORE the int64
+        # null inputs carry a null hash — drop them BEFORE the int64
         # cast (NaN→int64 is undefined behavior that would alias every
-        # null-text doc to fingerprint INT64_MIN, i.e. spurious
-        # Hamming-0 "near-dups" of each other)
-        col = b["simhash64"]
+        # null row to fingerprint INT64_MIN, i.e. spurious Hamming-0
+        # "near-dups" of each other)
+        col = b[hash_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         if col.null_count:
             b = b.filter(pc.is_valid(col))
         # fully vectorized band explode: no per-row Python list building
         h = np.ascontiguousarray(
-            np.asarray(b["simhash64"].combine_chunks()
-                       if isinstance(b["simhash64"], pa.ChunkedArray)
-                       else b["simhash64"], dtype=np.int64)
+            np.asarray(b[hash_col].combine_chunks()
+                       if isinstance(b[hash_col], pa.ChunkedArray)
+                       else b[hash_col], dtype=np.int64)
         ).view(np.uint64)
         n = len(h)
         ids = (b[id_col].combine_chunks()
                if isinstance(b[id_col], pa.ChunkedArray) else b[id_col])
-        band_id = np.repeat(np.arange(4, dtype=np.int64), n)
+        band_id = np.repeat(np.arange(n_bands, dtype=np.int64), n)
         band_val = np.concatenate(
-            [((h >> np.uint64(band * 16)) & np.uint64(0xFFFF)).view(np.int64)
-             for band in range(4)])
+            [((h >> np.uint64(band * band_bits))
+              & np.uint64(band_mask)).view(np.int64)
+             for band in range(n_bands)])
         part = ((band_id * 65537 + band_val) % n_parts).astype(np.int32)
         return pa.table(
             {
                 "band_id": pa.array(band_id.astype(np.int32)),
                 "band_val": pa.array(band_val, pa.int64()),
-                id_col: pa.chunked_array([ids] * 4).combine_chunks(),
-                "simhash64": pa.array(np.tile(h.view(np.int64), 4),
-                                      pa.int64()),
+                id_col: pa.chunked_array([ids] * n_bands).combine_chunks(),
+                "hash64": pa.array(np.tile(h.view(np.int64), n_bands),
+                                   pa.int64()),
                 "part": pa.array(part),
             }
         )
@@ -854,10 +881,10 @@ def simhash_near_dups(
             g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
             if len(g) < 2:
                 continue
-            g = _cap_bucket(g, hot_bucket_cap, "simhash")
+            g = _cap_bucket(g, hot_bucket_cap, "hash64")
             ids = g[id_col].to_numpy()
             hs = np.ascontiguousarray(
-                g["simhash64"].to_numpy(dtype=np.int64)).view(np.uint64)
+                g["hash64"].to_numpy(dtype=np.int64)).view(np.uint64)
             n = len(ids)
             ii, jj = np.triu_indices(n, k=1)
             d = popcount_u64(hs[ii] ^ hs[jj]).astype(np.int64)
@@ -867,8 +894,9 @@ def simhash_near_dups(
             # emit only from the FIRST band on which the two hashes agree
             # — global dedup with no second shuffle, fully vectorized
             bands_mat = (
-                hs[:, None] >> (np.uint64(16) * np.arange(4, dtype=np.uint64))
-            ) & np.uint64(0xFFFF)  # (n, 4)
+                hs[:, None] >> (np.uint64(band_bits)
+                                * np.arange(n_bands, dtype=np.uint64))
+            ) & np.uint64(band_mask)  # (n, n_bands)
             first = (bands_mat[ii] == bands_mat[jj]).argmax(axis=1)
             keep &= first == band_id
             if keep.any():

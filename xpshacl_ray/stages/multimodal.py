@@ -1226,3 +1226,122 @@ class AudioSpectral:
         for j in range(self.N_MELS):
             cols[f"m{j}"] = pa.array(arr[:, j], pa.float64())
         return pa.table(cols)
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (DCT pHash) → image near-dup detection
+# ---------------------------------------------------------------------------
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis, ``(n, n)``."""
+    k = np.arange(n)
+    m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    m[0] /= np.sqrt(2)
+    return m * np.sqrt(2.0 / n)
+
+
+_DCT32 = _dct_matrix(32)
+
+
+def resize_area(gray: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Area-average (bin-mean) resize of a 2-D array — the standard
+    pre-filter for perceptual hashing (nearest-neighbour aliases)."""
+    h, w = gray.shape
+    if h < out_h or w < out_w:  # upscale first so every bin is non-empty
+        gray = resize_nearest(gray[:, :, None], max(w, out_w),
+                              max(h, out_h))[:, :, 0]
+        h, w = gray.shape
+    ye = (np.arange(out_h + 1) * h // out_h)
+    xe = (np.arange(out_w + 1) * w // out_w)
+    c = np.add.reduceat(np.add.reduceat(gray.astype(np.float64),
+                                        ye[:-1], axis=0), xe[:-1], axis=1)
+    area = np.diff(ye)[:, None] * np.diff(xe)[None, :]
+    return c / area
+
+
+def image_phash(img: np.ndarray) -> int:
+    """(h, w, 3) uint8 → 64-bit DCT perceptual hash.
+
+    Algorithm (the classic pHash): channel-mean gray → 32×32
+    area-average resize → 2-D DCT-II → top-left 8×8 low-frequency block
+    → threshold at the median of the 63 AC coefficients → 64 bits
+    packed row-major, MSB first (bit 63 = DC).  Returned as a SIGNED
+    int64 (two's complement) so it stores in an Arrow int64 column."""
+    gray = img.astype(np.float64).mean(axis=2)
+    g = resize_area(gray, 32, 32)
+    d = _DCT32 @ g @ _DCT32.T
+    block = d[:8, :8].reshape(-1)
+    med = np.median(block[1:])
+    bits = block > med
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+class PHashStage:
+    """Actor-pool perceptual-hash stage: decode each image (any
+    supported container; GIF → first frame, MJPEG MP4 → first sampled
+    frame) → 64-bit pHash.  Audio rows are skipped in-stage.  Output
+    ``(media_id, mime, phash64)`` feeds
+    :func:`xpshacl_ray.functions.dedup.hash64_near_dups` for image
+    near-dup pairs — the whole exchange is 8 bytes per image."""
+
+    def _hash_one(self, mime: str, payload: bytes) -> Optional[int]:
+        if mime == "image/gif":
+            return image_phash(decode_gif(payload)[0])
+        if mime in ("video/mp4", "video/quicktime"):
+            return image_phash(decode_mp4_frames(payload, 1)[0])
+        if mime in _DECODABLE_IMAGE:
+            return image_phash(_DECODABLE_IMAGE[mime](payload))
+        return None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mimes, hashes = [], [], []
+        for mid, mime, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["mime"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            h = self._hash_one(mime, payload)
+            if h is None:
+                continue
+            ids.append(mid)
+            mimes.append(mime)
+            hashes.append(h)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "mime": pa.array(mimes, pa.string()),
+            "phash64": pa.array(hashes, pa.int64()),
+        })
+
+
+def make_phash_fixture(n_base: int = 6, seed: int = 23) -> pa.Table:
+    """Near-dup image fixture: each base image appears as a lossless
+    PNG (even media_id) and as a JPEG quality-85 re-encode (odd
+    media_id) — perceptually identical, byte-different.  Bases are
+    smooth gradients (JPEG-survivable) with per-base offsets so
+    DIFFERENT bases hash far apart."""
+    rng = np.random.default_rng(seed)
+    ids, mimes, payloads = [], [], []
+    for i in range(n_base):
+        h, w = int(rng.integers(33, 64)), int(rng.integers(33, 64))
+        yy, xx = np.mgrid[0:h, 0:w]
+        phase = float(rng.uniform(0, 2 * np.pi))
+        img = np.stack([
+            128 + 100 * np.sin(2 * np.pi * yy / h * (1 + i % 3) + phase),
+            128 + 100 * np.cos(2 * np.pi * xx / w * (1 + i % 2) + phase),
+            128 + 100 * np.sin(2 * np.pi * (xx + yy) / (h + w) + i),
+        ], axis=-1)
+        img = np.clip(img + rng.normal(0, 2, img.shape), 0, 255
+                      ).astype(np.uint8)
+        ids.append(2 * i)
+        mimes.append("image/png")
+        payloads.append(encode_png(img))
+        ids.append(2 * i + 1)
+        mimes.append("image/jpeg")
+        payloads.append(encode_jpeg(img, quality=95))
+    return pa.table({
+        "media_id": pa.array(ids, pa.int64()),
+        "mime": pa.array(mimes, pa.string()),
+        "payload": pa.array(payloads, pa.binary()),
+    })
