@@ -3315,6 +3315,45 @@ def q_phash_pairs(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_wds_dedup(sf_dir: str):
+    """End-to-end WebDataset image dedup — the composition a training
+    pipeline actually runs: tar shards → member explode (one task per
+    shard) → actor-pool decode + 64-bit pHash (8 bytes/image leaves the
+    task, never pixels) → banded near-dup sweep (8×8-bit bands,
+    pigeonhole-exact for Hamming ≤ 7) → drop the larger id of every
+    near-dup pair.  The fixture plants each duplicate in a DIFFERENT
+    shard than its original, so shard-local dedup cannot catch it.
+    Oracle: independent stdlib-tarfile walk + explicit-formula pHash +
+    brute-force pairs in tools/make_goldens.py."""
+    from xpshacl_ray.functions.dedup import hash64_near_dups
+    from xpshacl_ray.stages.multimodal import (
+        PHashStage,
+        make_wds_dup_fixture,
+    )
+    from xpshacl_ray.sources.tar import read_tar_shards
+
+    paths = make_wds_dup_fixture("/tmp/xpshacl_wds_dup")
+
+    def to_media(batch):
+        ids = pa.array([int(k) for k in batch["key"].to_pylist()],
+                       pa.int64())
+        return pa.table({"media_id": ids, "mime": batch["mime"],
+                         "payload": batch["payload"]})
+
+    hashed = (read_tar_shards(paths)
+              .map_batches(to_media, batch_format="pyarrow")
+              .map_batches(PHashStage, batch_format="pyarrow",
+                           batch_size=4, concurrency=2))
+    pairs = hash64_near_dups(hashed, hash_col="phash64",
+                             id_col="media_id", max_hamming=7,
+                             n_bands=8).to_pandas()
+    # drop rule: every id that is the LARGER side of a near-dup pair
+    drop = set(pairs["id_b"].tolist())
+    out = hashed.to_pandas().sort_values("media_id").reset_index(drop=True)
+    out["keep"] = ~out["media_id"].isin(drop)
+    return out[["media_id", "mime", "phash64", "keep"]]
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -3865,6 +3904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_spectral": q_audio_spectral,
         "image_phash": q_image_phash,
         "phash_pairs": q_phash_pairs,
+        "wds_dedup": q_wds_dedup,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

@@ -116,3 +116,34 @@ def test_zip_shards_flat_samples_and_member_pruning(tmp_path):
     assert len(sam) == 2 and all(len(x) == 2 for x in sam["parts"])
     # deterministic writer
     assert write_zip_shard(members) == write_zip_shard(members)
+
+
+def test_wds_cross_shard_dedup_composition(tmp_path):
+    from xpshacl_ray.functions.dedup import hash64_near_dups
+    from xpshacl_ray.stages.multimodal import (
+        PHashStage,
+        make_wds_dup_fixture,
+    )
+    import pyarrow as pa
+
+    paths = make_wds_dup_fixture(str(tmp_path), n_shards=3,
+                                 uniques_per_shard=3)
+
+    def to_media(batch):
+        ids = pa.array([int(k) for k in batch["key"].to_pylist()],
+                       pa.int64())
+        return pa.table({"media_id": ids, "mime": batch["mime"],
+                         "payload": batch["payload"]})
+
+    hashed = (read_tar_shards(paths)
+              .map_batches(to_media, batch_format="pyarrow")
+              .map_batches(PHashStage, batch_format="pyarrow",
+                           concurrency=2))
+    pairs = hash64_near_dups(hashed, hash_col="phash64",
+                             id_col="media_id", max_hamming=7,
+                             n_bands=8).to_pandas()
+    # exactly the two planted cross-shard re-encodes pair with their
+    # shard-0 originals: shard 1's extra member (id 6) duplicates id 0,
+    # shard 2's (id 10) duplicates id 1
+    got = sorted(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert got == [(0, 6), (1, 10)]

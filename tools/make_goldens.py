@@ -399,6 +399,38 @@ def main():
     goldens["phash_pairs"] = ("independent", pd.DataFrame(
         pair_rows, columns=["id_a", "id_b", "hamming"]))
 
+    # WebDataset cross-shard image dedup: independent tarfile walk +
+    # the same explicit-formula pHash + brute-force pairs + drop rule
+    import tarfile as _tf2
+
+    from xpshacl_ray.stages.multimodal import make_wds_dup_fixture
+
+    wrows = []
+    for path in make_wds_dup_fixture("/tmp/xpshacl_wds_dup"):
+        with _tf2.open(path) as t:
+            for m in t:
+                if not m.isfile():
+                    continue
+                payload = t.extractfile(m).read()
+                base = m.name.rsplit("/", 1)[-1]
+                key, ext = base.split(".", 1)
+                mime = {"png": "image/png", "jpg": "image/jpeg"}[ext]
+                img = pdec[mime](payload)
+                wrows.append((int(key), mime, indep_phash(img)))
+    wdf = pd.DataFrame(wrows, columns=["media_id", "mime", "phash64"])
+    wdf = wdf.sort_values("media_id").reset_index(drop=True)
+    whs = wdf["phash64"].to_numpy()
+    wids = wdf["media_id"].to_numpy()
+    wdrop = set()
+    for i in range(len(whs)):
+        for j in range(i + 1, len(whs)):
+            d = bin((int(whs[i]) ^ int(whs[j])) & ((1 << 64) - 1)
+                    ).count("1")
+            if d <= 7:
+                wdrop.add(int(max(wids[i], wids[j])))
+    wdf["keep"] = ~wdf["media_id"].isin(wdrop)
+    goldens["wds_dedup"] = ("independent", wdf)
+
     # audio spectral features: ray-free direct stage call (frozen)
     from xpshacl_ray.stages.multimodal import AudioSpectral
 

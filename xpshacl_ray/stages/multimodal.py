@@ -1345,3 +1345,53 @@ def make_phash_fixture(n_base: int = 6, seed: int = 23) -> pa.Table:
         "mime": pa.array(mimes, pa.string()),
         "payload": pa.array(payloads, pa.binary()),
     })
+
+
+def make_wds_dup_fixture(out_dir: str, n_shards: int = 3,
+                         uniques_per_shard: int = 3,
+                         seed: int = 29) -> list:
+    """On-disk WebDataset fixture WITH cross-shard image near-dups:
+    integer member keys; every shard holds ``uniques_per_shard`` fresh
+    images (lossless PNG) and every shard after the first also carries
+    a JPEG quality-95 re-encode of one image from shard 0 — the
+    duplicate lives in a DIFFERENT shard than its original, the case
+    shard-local dedup cannot catch.  Idempotent (fixed seed)."""
+    import os
+
+    from xpshacl_ray.sources.tar import write_tar_shard
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    base_imgs = []
+    paths = []
+    next_id = 0
+    for s in range(n_shards):
+        members = []
+        for _ in range(uniques_per_shard):
+            h, w = int(rng.integers(33, 64)), int(rng.integers(33, 64))
+            yy, xx = np.mgrid[0:h, 0:w]
+            ph = float(rng.uniform(0, 2 * np.pi))
+            img = np.clip(np.stack([
+                128 + 100 * np.sin(2 * np.pi * yy / h * (1 + next_id % 3)
+                                   + ph),
+                128 + 100 * np.cos(2 * np.pi * xx / w * (1 + next_id % 2)
+                                   + ph),
+                128 + 100 * np.sin(2 * np.pi * (xx + yy) / (h + w)
+                                   + next_id),
+            ], axis=-1) + rng.normal(0, 2, (h, w, 3)), 0, 255
+            ).astype(np.uint8)
+            base_imgs.append(img)
+            members.append((f"{next_id:06d}.png", encode_png(img)))
+            next_id += 1
+        if s > 0:  # cross-shard near-dup of a shard-0 image
+            members.append((f"{next_id:06d}.jpg",
+                            encode_jpeg(base_imgs[s - 1], quality=95)))
+            next_id += 1
+        blob = write_tar_shard(members)
+        path = os.path.join(out_dir, f"dup-{s:05d}.tar")
+        if not (os.path.exists(path)
+                and os.path.getsize(path) == len(blob)):
+            with open(path, "wb") as f:
+                f.write(blob)
+        paths.append(path)
+    return paths
