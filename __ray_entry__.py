@@ -3354,6 +3354,29 @@ def q_wds_dedup(sf_dir: str):
     return out[["media_id", "mime", "phash64", "keep"]]
 
 
+def q_media_integrity(sf_dir: str):
+    """Corpus integrity probe: media fixture with KNOWN planted
+    corruption (truncation / scrambled magic / mid-container cut) →
+    ``decode_features(on_error="null")`` streams past the bad rows and
+    nulls their features instead of failing the task (the web-corpus
+    policy).  Oracle: the corruption plan itself — ok=false exactly at
+    the planted ids, independent of any decoder.  (sf_dir-independent.)"""
+    from xpshacl_ray.stages.multimodal import (
+        decode_features,
+        make_corrupt_media_table,
+    )
+
+    ds = ray.data.from_arrow(make_corrupt_media_table(11))
+    out = decode_features(ds, real=True, batch_size=4,
+                          on_error="null").to_pandas()
+    out = out.sort_values("media_id").reset_index(drop=True)
+    return pd.DataFrame({
+        "media_id": out["media_id"].astype("int64"),
+        "mime": out["mime"],
+        "ok": out["features"].notna(),
+    })
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -3905,6 +3928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash": q_image_phash,
         "phash_pairs": q_phash_pairs,
         "wds_dedup": q_wds_dedup,
+        "media_integrity": q_media_integrity,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

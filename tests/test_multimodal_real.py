@@ -706,3 +706,26 @@ def test_hash64_near_dups_banding_exactness():
     with pytest.raises(ValueError, match="guarantees"):
         hash64_near_dups(ray.data.from_arrow(t), hash_col="phash64",
                          max_hamming=8, n_bands=8)
+
+
+def test_on_error_null_streams_past_corruption():
+    from xpshacl_ray.stages.multimodal import (
+        decode_features,
+        make_corrupt_media_table,
+    )
+
+    t = make_corrupt_media_table(11)
+    # raise policy: the task dies on the first corrupt payload
+    with pytest.raises(Exception):
+        MediaDecoder()(t)
+    with pytest.raises(ValueError, match="on_error"):
+        MediaDecoder(on_error="skip")
+    # null policy: corrupt rows → null features, the rest decode
+    out = (decode_features(ray.data.from_arrow(t), real=True,
+                           batch_size=4, on_error="null")
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert len(out) == 11
+    assert sorted(out[out["features"].isna()]["media_id"]) == [0, 3, 6]
+    good = np.stack([np.asarray(f)
+                     for f in out[out["features"].notna()]["features"]])
+    assert np.isfinite(good).all()

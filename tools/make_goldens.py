@@ -431,6 +431,17 @@ def main():
     wdf["keep"] = ~wdf["media_id"].isin(wdrop)
     goldens["wds_dedup"] = ("independent", wdf)
 
+    # media integrity: the oracle IS the corruption plan — ok=false at
+    # the planted ids, mimes straight from the fixture (no decoder)
+    from xpshacl_ray.stages.multimodal import make_corrupt_media_table
+
+    ct = make_corrupt_media_table(11)
+    goldens["media_integrity"] = ("independent", pd.DataFrame({
+        "media_id": np.asarray(ct["media_id"]).astype("int64"),
+        "mime": ct["mime"].to_pylist(),
+        "ok": [i not in (0, 3, 6) for i in range(11)],
+    }))
+
     # audio spectral features: ray-free direct stage call (frozen)
     from xpshacl_ray.stages.multimodal import AudioSpectral
 

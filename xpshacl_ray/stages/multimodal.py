@@ -758,12 +758,22 @@ class MediaDecoder:
 
     ``resize_to=(w, h)`` runs the real nearest-neighbour resize before
     image feature extraction (the decode→resize→featurize shape of a
-    production media pipeline)."""
+    production media pipeline).
+
+    ``on_error`` picks the corrupt-payload policy: ``"raise"`` (default,
+    one bad row fails the task — right for curated inputs) or
+    ``"null"`` (emit a null feature vector and keep streaming — right
+    for web-crawled corpora, where a 100 TB run must not die on byte
+    1 of a truncated JPEG)."""
 
     FEATURE_DIM = 8
 
-    def __init__(self, resize_to: Optional[Tuple[int, int]] = None):
+    def __init__(self, resize_to: Optional[Tuple[int, int]] = None,
+                 on_error: str = "raise"):
+        if on_error not in ("raise", "null"):
+            raise ValueError(f"unknown on_error policy {on_error!r}")
         self.resize_to = resize_to
+        self.on_error = on_error
         # compressed-codec libraries (PIL/torchaudio/decord) load HERE,
         # once per actor, when present in the environment
 
@@ -800,14 +810,29 @@ class MediaDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
             return _empty_features_table(batch, self.FEATURE_DIM)
-        feats = [
-            self._decode_one(m, p)
-            for m, p in zip(batch["mime"].to_pylist(),
-                            batch["payload"].to_pylist())
-        ]
+        feats, valid = [], []
+        for m, p in zip(batch["mime"].to_pylist(),
+                        batch["payload"].to_pylist()):
+            if self.on_error == "null":
+                try:
+                    feats.append(self._decode_one(m, p))
+                    valid.append(True)
+                except (ValueError, NotImplementedError, KeyError,
+                        IndexError, EOFError, struct.error, wave.Error,
+                        OSError):
+                    feats.append(np.zeros(self.FEATURE_DIM))
+                    valid.append(False)
+            else:
+                feats.append(self._decode_one(m, p))
+                valid.append(True)
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(np.concatenate(feats), pa.float64()), self.FEATURE_DIM
         )
+        if not all(valid):
+            # null out the corrupt rows (take with null indices)
+            arr = arr.take(pa.array(
+                [i if v else None for i, v in enumerate(valid)],
+                pa.int64()))
         return (
             batch.select(["media_id", "mime"]).append_column("features", arr)
         )
@@ -860,18 +885,22 @@ def decode_features(
     concurrency=(1, 4),
     real: bool = False,
     resize_to: Optional[Tuple[int, int]] = None,
+    on_error: str = "raise",
 ):
     """Media dataset → (media_id, mime, features).
 
     ``real=True`` uses :class:`MediaDecoder` (actual PPM/BMP/WAV decoding
     + optional resize); otherwise the sha256 stub path.  Small
     ``batch_size``: payload rows are large, so batch × concurrency must
-    fit the worker heap (the multimodal sizing rule).
+    fit the worker heap (the multimodal sizing rule).  ``on_error=
+    "null"`` keeps streaming past corrupt payloads (null features)
+    instead of failing the task — the web-corpus policy.
     """
     if real:
         return ds.map_batches(
             MediaDecoder,
-            fn_constructor_kwargs=dict(resize_to=resize_to),
+            fn_constructor_kwargs=dict(resize_to=resize_to,
+                                       on_error=on_error),
             batch_format="pyarrow",
             batch_size=batch_size,
             concurrency=concurrency,
@@ -1395,3 +1424,29 @@ def make_wds_dup_fixture(out_dir: str, n_shards: int = 3,
                 f.write(blob)
         paths.append(path)
     return paths
+
+
+def make_corrupt_media_table(n: int = 11,
+                             corrupt: Tuple[int, ...] = (0, 3, 6),
+                             seed: int = 42) -> pa.Table:
+    """The real-media fixture with KNOWN corruption planted: row 0
+    truncated to 8 bytes, row 3's magic scrambled, row 6 cut mid-
+    container — the ground truth for integrity probing is the
+    construction itself, independent of any decoder."""
+    t = make_real_media_table(n, seed)
+    payloads = t["payload"].to_pylist()
+    kinds = {corrupt[0] if len(corrupt) > 0 else -1: "truncate_head",
+             corrupt[1] if len(corrupt) > 1 else -1: "bad_magic",
+             corrupt[2] if len(corrupt) > 2 else -1: "truncate_mid"}
+    for i, kind in kinds.items():
+        if i < 0 or i >= n:
+            continue
+        if kind == "truncate_head":
+            payloads[i] = payloads[i][:8]
+        elif kind == "bad_magic":
+            payloads[i] = b"XXXX" + payloads[i][4:]
+        else:
+            payloads[i] = payloads[i][:max(len(payloads[i]) // 4, 16)]
+    return pa.table({"media_id": t["media_id"], "mime": t["mime"],
+                     "payload": pa.array(payloads, pa.binary()),
+                     "meta": t["meta"]})
