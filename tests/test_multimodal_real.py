@@ -729,3 +729,30 @@ def test_on_error_null_streams_past_corruption():
     good = np.stack([np.asarray(f)
                      for f in out[out["features"].notna()]["features"]])
     assert np.isfinite(good).all()
+
+
+def test_qoi_roundtrip_all_op_kinds():
+    from xpshacl_ray.stages.qoi import decode_qoi, encode_qoi
+
+    rng = np.random.default_rng(71)
+    # noise (literals/cache), gradient (diff/luma), flat (runs)
+    noise = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    yy, xx = np.mgrid[0:20, 0:30]
+    grad = np.stack([yy * 3 % 256, xx * 2 % 256, (yy + xx) % 256],
+                    -1).astype(np.uint8)
+    flat = np.full((10, 500, 3), 42, np.uint8)  # 62-run chaining
+    for img in (noise, grad, flat):
+        enc = encode_qoi(img)
+        assert np.array_equal(decode_qoi(enc), img)
+    assert len(encode_qoi(flat)) < flat.size // 20  # runs compress
+    assert len(encode_qoi(grad)) < grad.size  # diffs/luma compress
+    with pytest.raises(ValueError, match="QOI"):
+        decode_qoi(b"nope")
+    # 4-channel literal decodes, alpha dropped
+    import struct
+    p = (b"qoif" + struct.pack(">II", 1, 1) + bytes([4, 0])
+         + bytes([0xFF, 9, 8, 7, 6]) + b"\x00" * 7 + b"\x01")
+    assert decode_qoi(p).tolist() == [[[9, 8, 7]]]
+    # through MediaDecoder
+    f = MediaDecoder()._decode_one("image/qoi", encode_qoi(grad))
+    assert np.abs(f - image_features(grad)).max() < 1e-12  # lossless
