@@ -416,11 +416,11 @@ def test_mp4_features_through_media_decoder_and_pipeline():
     assert f[6] == pytest.approx(1.0)
 
     # through the actor-pool pipeline, mixed with the other real codecs
-    t = make_real_media_table(18)
+    t = make_real_media_table(24)
     assert t["mime"].to_pylist().count("video/mp4") == 2
     out = decode_features(ray.data.from_arrow(t), real=True,
                           batch_size=4).to_pandas()
-    assert len(out) == 18
+    assert len(out) == 24
     vids = out[out["mime"] == "video/mp4"]
     feats = np.stack([np.asarray(v) for v in vids["features"]])
     assert np.isfinite(feats).all() and (feats[:, 6] > 0).all()

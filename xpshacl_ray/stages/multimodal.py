@@ -643,13 +643,26 @@ def make_fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
 
 def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
     """Deterministic REAL media rows: round-robin P6 PPM / BMP / PNG /
-    baseline JPEG / LZW-predictor TIFF images, PCM + G.711 µ-law +
-    IMA-ADPCM WAV and FLAC clips, multi-frame LZW GIFs and MJPEG MP4
+    baseline JPEG / LZW-predictor TIFF / QOI images, PCM + G.711 µ-law
+    + IMA-ADPCM WAV and FLAC clips, multi-frame LZW GIFs and MJPEG MP4
     videos, all synthesized stdlib+numpy."""
     rng = np.random.default_rng(seed)
     ids, mimes, payloads, metas = [], [], [], []
     for i in range(n):
-        kind = i % 11
+        kind = i % 12
+        if kind == 11:
+            from xpshacl_ray.stages.qoi import encode_qoi
+
+            w, h = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((np.stack([yy * 5, xx * 7, yy + xx], -1)
+                    + rng.integers(0, 32, (h, w, 3))) % 256).astype(
+                np.uint8)
+            payloads.append(encode_qoi(img))
+            mimes.append("image/qoi")
+            metas.append({"width": w, "height": h, "n_frames": 1})
+            ids.append(i)
+            continue
         if kind == 10:
             from xpshacl_ray.stages.tiff import encode_tiff
 
