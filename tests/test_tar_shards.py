@@ -147,3 +147,19 @@ def test_wds_cross_shard_dedup_composition(tmp_path):
     # shard 2's (id 10) duplicates id 1
     got = sorted(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
     assert got == [(0, 6), (1, 10)]
+
+
+def test_gzip_member_convention(tmp_path):
+    import gzip
+
+    shard = tmp_path / "g.tar"
+    shard.write_bytes(write_tar_shard([
+        ("k0.txt.gz", gzip.compress(b"hello compressed world")),
+        ("k0.json", b"{}"),
+    ]))
+    flat = read_tar_shards([str(shard)]).to_pandas()
+    row = flat[flat["ext"] == "txt"].iloc[0]
+    # suffix stripped, payload inflated, mime from the INNER extension
+    assert row["member"] == "k0.txt"
+    assert row["payload"] == b"hello compressed world"
+    assert row["mime"] == "text/plain" and row["key"] == "k0"

@@ -49,6 +49,16 @@ def _split_key(name: str) -> Tuple[str, str]:
     return base, ""
 
 
+def _maybe_gunzip(name: str, payload: bytes):
+    """WebDataset convention: a ``.gz`` member suffix means the PAYLOAD
+    is gzip-compressed — inflate transparently and strip the suffix."""
+    if name.endswith(".gz"):
+        import gzip
+
+        return name[:-3], gzip.decompress(payload)
+    return name, payload
+
+
 def _iter_members(shard: bytes):
     with tarfile.open(fileobj=io.BytesIO(shard), mode="r:*") as tf:
         for m in tf:
@@ -57,7 +67,7 @@ def _iter_members(shard: bytes):
             f = tf.extractfile(m)
             if f is None:
                 continue
-            yield m.name, f.read()
+            yield _maybe_gunzip(m.name, f.read())
 
 
 _FLAT_SCHEMA = pa.schema([
@@ -259,7 +269,8 @@ def read_zip_shards(paths, samples: bool = False,
                 if members_glob and not fnmatch.fnmatch(info.filename,
                                                         members_glob):
                     continue  # never decompressed
-                yield info.filename, zf.read(info.filename)
+                yield _maybe_gunzip(info.filename,
+                                    zf.read(info.filename))
 
     def explode(batch: pa.Table) -> pa.Table:
         if samples:
