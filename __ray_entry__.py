@@ -3377,6 +3377,35 @@ def q_media_integrity(sf_dir: str):
     })
 
 
+def q_zip_ingest(sf_dir: str):
+    """Zip-shard on-ramp: deterministic fixture (QOI image + GZIPPED
+    caption + JSON per sample) → ``read_zip_shards`` (central-directory
+    member walk, transparent .gz inflation) → per-member listing with
+    payload sha256.  Oracle: an independent stdlib-zipfile walk in
+    tools/make_goldens.py.  (sf_dir-independent.)"""
+    import hashlib
+    import os
+
+    from xpshacl_ray.sources.tar import make_zip_fixture, read_zip_shards
+
+    paths = make_zip_fixture("/tmp/xpshacl_zip_fixture")
+    ds = read_zip_shards(paths)
+
+    def digest(batch):
+        batch = batch.append_column("sha16", pa.array(
+            [hashlib.sha256(p).hexdigest()[:16]
+             for p in batch["payload"].to_pylist()], pa.string()))
+        sh = pa.array([os.path.basename(s)
+                       for s in batch["shard"].to_pylist()], pa.string())
+        batch = batch.set_column(batch.column_names.index("shard"),
+                                 "shard", sh)
+        return batch.select(["shard", "key", "member", "ext", "mime",
+                             "n_bytes", "sha16"])
+
+    out = ds.map_batches(digest, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["shard", "member"]).reset_index(drop=True)
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -3929,6 +3958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phash_pairs": q_phash_pairs,
         "wds_dedup": q_wds_dedup,
         "media_integrity": q_media_integrity,
+        "zip_ingest": q_zip_ingest,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

@@ -163,3 +163,25 @@ def test_gzip_member_convention(tmp_path):
     assert row["member"] == "k0.txt"
     assert row["payload"] == b"hello compressed world"
     assert row["mime"] == "text/plain" and row["key"] == "k0"
+
+
+def test_zip_fixture_idempotent_and_decodable(tmp_path):
+    from xpshacl_ray.sources.tar import make_zip_fixture, read_zip_shards
+    from xpshacl_ray.stages.multimodal import MediaDecoder
+
+    p1 = make_zip_fixture(str(tmp_path))
+    blob = open(p1[0], "rb").read()
+    assert make_zip_fixture(str(tmp_path)) == p1
+    assert open(p1[0], "rb").read() == blob  # byte-stable re-run
+    flat = read_zip_shards(p1).to_pandas()
+    # 2 shards × 3 samples × 3 members
+    assert len(flat) == 18
+    assert sorted(set(flat["ext"])) == ["json", "qoi", "txt"]
+    # .txt.gz members arrive inflated with the inner mime
+    txt = flat[flat["ext"] == "txt"]
+    assert (txt["mime"] == "text/plain").all()
+    assert all(p.startswith(b"caption ") for p in txt["payload"])
+    # QOI members decode through the media stage
+    q = flat[flat["ext"] == "qoi"].iloc[0]
+    f = MediaDecoder()._decode_one(q["mime"], q["payload"])
+    assert f.shape == (MediaDecoder.FEATURE_DIM,)

@@ -451,6 +451,36 @@ def main():
         adf[f"m{j}"] = np.round(adf[f"m{j}"].astype(float), 6)
     goldens["audio_spectral"] = ("frozen", adf)
 
+    # zip-shard listing: INDEPENDENT stdlib-zipfile walk (incl. the
+    # member-.gz inflation convention applied independently)
+    import gzip as _gz
+    import zipfile as _zf
+
+    from xpshacl_ray.sources.tar import make_zip_fixture
+
+    zrows = []
+    for path in make_zip_fixture("/tmp/xpshacl_zip_fixture"):
+        with _zf.ZipFile(path) as z:
+            for info in z.infolist():
+                if info.is_dir():
+                    continue
+                name, payload = info.filename, z.read(info.filename)
+                if name.endswith(".gz"):
+                    name, payload = name[:-3], _gz.decompress(payload)
+                base = name.rsplit("/", 1)[-1]
+                key, ext = (base.split(".", 1) + [""])[:2]
+                ext = ext.lower()
+                zrows.append((_os.path.basename(path), key, name, ext,
+                              MIME_BY_EXT.get(ext.rsplit(".", 1)[-1],
+                                              "application/octet-stream"),
+                              len(payload),
+                              _hl.sha256(payload).hexdigest()[:16]))
+    zdf = pd.DataFrame(zrows, columns=["shard", "key", "member", "ext",
+                                       "mime", "n_bytes", "sha16"])
+    goldens["zip_ingest"] = ("independent",
+                             zdf.sort_values(["shard", "member"])
+                             .reset_index(drop=True))
+
     # video probe: ray-free direct stage call over the deterministic MP4
     # fixture (MJPEG + one AVC error-in-band row) — frozen snapshot
     from xpshacl_ray.stages.multimodal import VideoProbe, make_video_table

@@ -326,3 +326,45 @@ def write_zip_shard(members: List[Tuple[str, bytes]],
             info.compress_type = method
             zf.writestr(info, payload)
     return buf.getvalue()
+
+
+def make_zip_fixture(out_dir: str, n_shards: int = 2,
+                     samples_per_shard: int = 3, seed: int = 19
+                     ) -> List[str]:
+    """Deterministic on-disk zip-shard fixture: QOI image + gzipped
+    caption + JSON per sample (exercises member-gz inflation and the
+    central-directory path).  Idempotent (fixed seed, 1980 epoch)."""
+    import gzip
+    import json
+    import os
+
+    import numpy as np
+
+    from xpshacl_ray.stages.qoi import encode_qoi
+
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    paths = []
+    for s in range(n_shards):
+        members: List[Tuple[str, bytes]] = []
+        for i in range(samples_per_shard):
+            key = f"z{s:03d}i{i:03d}"
+            h, w = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            yy, xx = np.mgrid[0:h, 0:w]
+            img = ((np.stack([yy * 5, xx * 7, yy + xx], -1)
+                    + rng.integers(0, 16, (h, w, 3))) % 256).astype(
+                np.uint8)
+            members.append((f"{key}.qoi", encode_qoi(img)))
+            # mtime=0 keeps the gzip header deterministic
+            members.append((f"{key}.txt.gz", gzip.compress(
+                f"caption {key} ({w}x{h})".encode(), mtime=0)))
+            members.append((f"{key}.json", json.dumps(
+                {"key": key, "w": w, "h": h}, sort_keys=True).encode()))
+        blob = write_zip_shard(members)
+        path = os.path.join(out_dir, f"zshard-{s:05d}.zip")
+        if not (os.path.exists(path)
+                and os.path.getsize(path) == len(blob)):
+            with open(path, "wb") as f:
+                f.write(blob)
+        paths.append(path)
+    return paths
