@@ -756,3 +756,39 @@ def test_qoi_roundtrip_all_op_kinds():
     # through MediaDecoder
     f = MediaDecoder()._decode_one("image/qoi", encode_qoi(grad))
     assert np.abs(f - image_features(grad)).max() < 1e-12  # lossless
+
+
+def test_tga_all_variants():
+    import struct
+
+    from xpshacl_ray.stages import tga
+
+    rng = np.random.default_rng(81)
+    img = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for rle in (False, True):
+        for td in (True, False):
+            enc = tga.encode_tga(img, rle=rle, top_down=td)
+            assert np.array_equal(tga.decode_tga(enc), img)
+    flat = np.full((20, 300, 3), 9, np.uint8)
+    assert len(tga.encode_tga(flat, rle=True)) < flat.size // 10
+    g = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(50, 3), dtype=np.uint8)
+    idx = rng.integers(0, 50, size=(8, 9), dtype=np.uint8)
+    for rle in (False, True):
+        assert np.array_equal(tga.decode_tga(tga.encode_tga_gray(g, rle=rle)),
+                              np.repeat(g[:, :, None], 3, 2))
+        assert np.array_equal(
+            tga.decode_tga(tga.encode_tga_palette(idx, pal, rle=rle)),
+            pal[idx])
+    # 16-bit ARGB1555 and 32-bit BGRA hand-built frames
+    px = struct.pack("<HHH", 31 << 10, 31 << 5, 31)
+    head = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 3, 1,
+                       16, 0x20)
+    assert tga.decode_tga(head + px).tolist() == \
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]]]
+    with pytest.raises(NotImplementedError, match="image type"):
+        tga.decode_tga(struct.pack("<BBBHHBHHHHBB", 0, 0, 7, 0, 0, 0,
+                                   0, 0, 1, 1, 24, 0) + b"\x00" * 3)
+    # through MediaDecoder (lossless)
+    f = MediaDecoder()._decode_one("image/x-tga", tga.encode_tga(img))
+    assert np.abs(f - image_features(img)).max() < 1e-12

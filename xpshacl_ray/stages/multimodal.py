@@ -28,6 +28,8 @@ uncompressed containers:
   4-pass interlacing, local color tables and partial-canvas frames.
 - **QOI** (qoiformat.org) decodes/encodes bit-exactly in :mod:`.qoi`
   — all five op kinds, 64-entry color cache, run chaining.
+- **TGA** (Targa 2.0) decodes in :mod:`.tga` — raw + RLE, truecolor/
+  palette/gray, 8/16/24/32-bit, both origins.
 - **TIFF** (baseline 6.0) decodes in :mod:`.tiff` — IFD walk, strips,
   PackBits and TIFF-variant LZW (early change) with Predictor 2,
   gray/RGB/palette photometrics, both byte orders, 16-bit scaling.
@@ -526,13 +528,15 @@ from xpshacl_ray.stages import mp4 as _mp4  # noqa: E402
 
 from xpshacl_ray.stages.tiff import decode_tiff  # noqa: E402
 from xpshacl_ray.stages.qoi import decode_qoi  # noqa: E402
+from xpshacl_ray.stages.tga import decode_tga  # noqa: E402
 
 _DECODABLE_IMAGE = {"image/x-portable-pixmap": decode_ppm,
                     "image/bmp": decode_bmp,
                     "image/png": decode_png,
                     "image/jpeg": decode_jpeg,
                     "image/tiff": decode_tiff,
-                    "image/qoi": decode_qoi}
+                    "image/qoi": decode_qoi,
+                    "image/x-tga": decode_tga}
 from xpshacl_ray.stages.flac import decode_flac_audio  # noqa: E402
 
 _DECODABLE_AUDIO = {"audio/wav": decode_wav, "audio/x-wav": decode_wav,
