@@ -3406,6 +3406,23 @@ def q_zip_ingest(sf_dir: str):
     return out.sort_values(["shard", "member"]).reset_index(drop=True)
 
 
+def q_exif_extract(sf_dir: str):
+    """Typed-metadata extraction: JPEG fixture with a KNOWN EXIF plan
+    (orientation cycling 1-8, make/model/iso from the id, every 4th row
+    carrying no EXIF) → actor-pool APP1/TIFF-IFD parse → named columns,
+    nulls in-band for EXIF-less rows.  Oracle: the plan itself — the
+    fixture's construction, independent of the parser.
+    (sf_dir-independent.)"""
+    from xpshacl_ray.stages.exif import ExifExtractor, make_exif_fixture
+
+    table, _plan = make_exif_fixture(8)
+    out = (ray.data.from_arrow(table)
+           .map_batches(ExifExtractor, batch_format="pyarrow",
+                        batch_size=3, concurrency=2)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    return out
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -3959,6 +3976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wds_dedup": q_wds_dedup,
         "media_integrity": q_media_integrity,
         "zip_ingest": q_zip_ingest,
+        "exif_extract": q_exif_extract,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

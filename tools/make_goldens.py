@@ -249,11 +249,12 @@ def kmeans_clusters_golden(emb_path, k=8, iters=5):
 # ---------------------------------------------------------------------------
 
 _SQL_TYPES = {"int64": "BIGINT", "int32": "INTEGER", "float64": "DOUBLE",
-              "object": "VARCHAR", "bool": "BOOLEAN"}
+              "object": "VARCHAR", "bool": "BOOLEAN",
+              "Int64": "BIGINT", "boolean": "BOOLEAN"}
 
 
 def _lit(v):
-    if v is None or (isinstance(v, float) and np.isnan(v)):
+    if v is None or v is pd.NA or (isinstance(v, float) and np.isnan(v)):
         return "NULL"
     if isinstance(v, (np.integer, int)):
         return str(int(v))
@@ -441,6 +442,17 @@ def main():
         "mime": ct["mime"].to_pylist(),
         "ok": [i not in (0, 3, 6) for i in range(11)],
     }))
+
+    # EXIF extraction: the oracle is the fixture's construction PLAN
+    # (orientation/make/model/iso per id), independent of the parser
+    from xpshacl_ray.stages.exif import make_exif_fixture
+
+    _t, plan = make_exif_fixture(8)
+    edf = pd.DataFrame(plan)[["media_id", "has_exif", "make", "model",
+                              "orientation", "iso"]]
+    edf["orientation"] = edf["orientation"].astype("Int64")
+    edf["iso"] = edf["iso"].astype("Int64")
+    goldens["exif_extract"] = ("independent", edf)
 
     # audio spectral features: ray-free direct stage call (frozen)
     from xpshacl_ray.stages.multimodal import AudioSpectral
