@@ -3423,6 +3423,41 @@ def q_exif_extract(sf_dir: str):
     return out
 
 
+def q_image_hashes(sf_dir: str):
+    """Perceptual-hash ensemble: pHash (DCT) + dHash (gradient) +
+    aHash (mean threshold) per image over the near-dup fixture — the
+    three standard 64-bit image fingerprints a dedup pipeline combines.
+    Oracle: loop-based from-scratch reimplementations of all three in
+    tools/make_goldens.py.  (sf_dir-independent.)"""
+    from xpshacl_ray.stages.multimodal import (
+        _DECODABLE_IMAGE,
+        image_ahash,
+        image_dhash,
+        image_phash,
+        make_phash_fixture,
+    )
+
+    def hash_all(batch):
+        ids, ph, dh, ah = [], [], [], []
+        for mid, mime, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["mime"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            img = _DECODABLE_IMAGE[mime](payload)
+            ids.append(mid)
+            ph.append(image_phash(img))
+            dh.append(image_dhash(img))
+            ah.append(image_ahash(img))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "phash64": pa.array(ph, pa.int64()),
+                         "dhash64": pa.array(dh, pa.int64()),
+                         "ahash64": pa.array(ah, pa.int64())})
+
+    out = (ray.data.from_arrow(make_phash_fixture(6))
+           .map_batches(hash_all, batch_format="pyarrow", batch_size=4)
+           .to_pandas())
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -3977,6 +4012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_integrity": q_media_integrity,
         "zip_ingest": q_zip_ingest,
         "exif_extract": q_exif_extract,
+        "image_hashes": q_image_hashes,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

@@ -792,3 +792,33 @@ def test_tga_all_variants():
     # through MediaDecoder (lossless)
     f = MediaDecoder()._decode_one("image/x-tga", tga.encode_tga(img))
     assert np.abs(f - image_features(img)).max() < 1e-12
+
+
+def test_dhash_ahash_invariance():
+    from xpshacl_ray.stages.multimodal import (
+        decode_jpeg,
+        decode_png,
+        encode_jpeg,
+        encode_png,
+        image_ahash,
+        image_dhash,
+        make_phash_fixture,
+    )
+
+    t = make_phash_fixture(6)
+    dec = {"image/png": decode_png, "image/jpeg": decode_jpeg}
+    for fn in (image_dhash, image_ahash):
+        hs = np.array([fn(dec[m](p)) for m, p in
+                       zip(t["mime"].to_pylist(),
+                           t["payload"].to_pylist())],
+                      dtype=np.int64).view(np.uint64)
+        pair = [bin(int(hs[2 * i] ^ hs[2 * i + 1])).count("1")
+                for i in range(6)]
+        cross = [bin(int(hs[2 * i] ^ hs[2 * j])).count("1")
+                 for i in range(6) for j in range(i + 1, 6)]
+        assert max(pair) <= 3 < 10 <= min(cross), fn.__name__
+    # dHash is brightness-shift invariant by construction
+    img = _smooth_image(30, 40, seed=4)
+    brighter = np.clip(img.astype(np.int64) + 30, 0, 255).astype(np.uint8)
+    from xpshacl_ray.stages.multimodal import image_dhash as dh
+    assert bin((dh(img) ^ dh(brighter)) & ((1 << 64) - 1)).count("1") <= 4

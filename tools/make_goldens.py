@@ -390,6 +390,39 @@ def main():
     goldens["image_phash"] = ("independent",
                               pdf.sort_values("media_id")
                               .reset_index(drop=True))
+    def _bin_means(gray, out_h, out_w):
+        ih, iw = gray.shape
+        out = np.zeros((out_h, out_w))
+        ye = [y * ih // out_h for y in range(out_h + 1)]
+        xe = [x * iw // out_w for x in range(out_w + 1)]
+        for i in range(out_h):
+            for j in range(out_w):
+                out[i, j] = gray[ye[i]:ye[i + 1], xe[j]:xe[j + 1]].mean()
+        return out
+
+    def _pack(bits):
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    def indep_dhash(img):
+        g = _bin_means(img.astype(np.float64).mean(axis=2), 8, 9)
+        return _pack((g[:, :-1] > g[:, 1:]).reshape(-1))
+
+    def indep_ahash(img):
+        g = _bin_means(img.astype(np.float64).mean(axis=2), 8, 8)
+        return _pack((g > g.mean()).reshape(-1))
+
+    hrows = [(mid, indep_phash(pdec[mime](p)), indep_dhash(pdec[mime](p)),
+              indep_ahash(pdec[mime](p)))
+             for mid, mime, p in zip(pt["media_id"].to_pylist(),
+                                     pt["mime"].to_pylist(),
+                                     pt["payload"].to_pylist())]
+    goldens["image_hashes"] = ("independent", pd.DataFrame(
+        hrows, columns=["media_id", "phash64", "dhash64", "ahash64"])
+        .sort_values("media_id").reset_index(drop=True))
+
     hs = pdf.sort_values("media_id")["phash64"].to_numpy()
     pair_rows = []
     for i in range(len(hs)):

@@ -1471,3 +1471,28 @@ def make_corrupt_media_table(n: int = 11,
     return pa.table({"media_id": t["media_id"], "mime": t["mime"],
                      "payload": pa.array(payloads, pa.binary()),
                      "meta": t["meta"]})
+
+
+def image_dhash(img: np.ndarray) -> int:
+    """Difference hash: gray → 9×8 area resize → 64 bits, bit set when
+    the left pixel is brighter than its right neighbour (row-major,
+    MSB first).  Cheaper than pHash, robust to global brightness."""
+    gray = img.astype(np.float64).mean(axis=2)
+    g = resize_area(gray, 9, 8)
+    bits = (g[:, :-1] > g[:, 1:]).reshape(-1)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def image_ahash(img: np.ndarray) -> int:
+    """Average hash: gray → 8×8 area resize → 64 bits, bit set when the
+    pixel exceeds the 64-pixel mean (row-major, MSB first)."""
+    gray = img.astype(np.float64).mean(axis=2)
+    g = resize_area(gray, 8, 8)
+    bits = (g > g.mean()).reshape(-1)
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
