@@ -3458,6 +3458,45 @@ def q_image_hashes(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def q_audio_fingerprint(sf_dir: str):
+    """Audio fingerprinting: near-dup clip fixture (each base as 16-bit
+    PCM and as a µ-law or FLAC re-encode) → actor-pool decode → 64-bit
+    spectral-envelope fingerprint (8 bytes/clip leave the task).
+    Oracle: a from-scratch per-frame reimplementation in
+    tools/make_goldens.py.  (sf_dir-independent.)"""
+    from xpshacl_ray.stages.multimodal import (
+        AudioFingerprint,
+        make_audio_dup_fixture,
+    )
+
+    out = (ray.data.from_arrow(make_audio_dup_fixture(5))
+           .map_batches(AudioFingerprint, batch_format="pyarrow",
+                        batch_size=4, concurrency=2)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    return out
+
+
+def q_audio_dup_pairs(sf_dir: str):
+    """Audio near-dup pairs: fingerprints → the generic 64-bit banding
+    sweep (8×8-bit bands, pigeonhole-exact for Hamming ≤ 7).  Codec
+    re-encodes of the same clip pair up (µ-law ≤ 3 bits, lossless 0);
+    distinct clips stay ≥ 15 apart.  Oracle: brute-force all-pairs
+    Hamming over the independent fingerprints."""
+    from xpshacl_ray.functions.dedup import hash64_near_dups
+    from xpshacl_ray.stages.multimodal import (
+        AudioFingerprint,
+        make_audio_dup_fixture,
+    )
+
+    hashed = ray.data.from_arrow(make_audio_dup_fixture(5)).map_batches(
+        AudioFingerprint, batch_format="pyarrow", batch_size=4,
+        concurrency=2)
+    pairs = hash64_near_dups(hashed, hash_col="afp64",
+                             id_col="media_id", max_hamming=7, n_bands=8)
+    return (pairs.to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -4013,6 +4052,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zip_ingest": q_zip_ingest,
         "exif_extract": q_exif_extract,
         "image_hashes": q_image_hashes,
+        "audio_fingerprint": q_audio_fingerprint,
+        "audio_dup_pairs": q_audio_dup_pairs,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

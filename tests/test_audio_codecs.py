@@ -196,3 +196,32 @@ def test_audio_spectral_stage_mixed_media():
                               for m in t["mime"].to_pylist()]))
     empty = AudioSpectral()(imgs)
     assert len(empty) == 0 and "m7" in empty.column_names
+
+
+def test_audio_fingerprint_robustness_and_pairs():
+    from xpshacl_ray.functions.dedup import hash64_near_dups
+    from xpshacl_ray.stages.audio import audio_fingerprint
+    from xpshacl_ray.stages.multimodal import (
+        AudioFingerprint,
+        make_audio_dup_fixture,
+    )
+    import ray.data
+
+    # level-invariance is exact (log differences cancel gain)
+    x = np.clip(_tone(8000), -1, 1)
+    assert audio_fingerprint(x, 8000) == audio_fingerprint(0.5 * x, 8000)
+    # trims only nudge the envelope
+    d = bin((audio_fingerprint(x, 8000)
+             ^ audio_fingerprint(x[400:], 8000)) & ((1 << 64) - 1)
+            ).count("1")
+    assert d <= 7
+
+    t = make_audio_dup_fixture(5)
+    hashed = ray.data.from_arrow(t).map_batches(
+        AudioFingerprint, batch_format="pyarrow", concurrency=2)
+    pairs = hash64_near_dups(hashed, hash_col="afp64",
+                             id_col="media_id", max_hamming=7,
+                             n_bands=8).to_pandas()
+    got = sorted(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    # exactly the five planted re-encode pairs, nothing else
+    assert got == [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9)]

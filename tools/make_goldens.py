@@ -487,6 +487,67 @@ def main():
     edf["iso"] = edf["iso"].astype("Int64")
     goldens["exif_extract"] = ("independent", edf)
 
+    # audio fingerprints: INDEPENDENT per-frame reimplementation
+    # (explicit frame loop, formula-built triangular mel filters) over
+    # the decoded fixture clips + brute-force all-pairs Hamming
+    from xpshacl_ray.stages.flac import decode_flac_audio as _dfa
+    from xpshacl_ray.stages.multimodal import decode_wav as _dwav
+    from xpshacl_ray.stages.multimodal import make_audio_dup_fixture
+
+    def indep_afp(x, rate, n_fft=256, hop=128, n_bands=65):
+        if len(x) < n_fft + hop:
+            x = np.concatenate([x, np.zeros(n_fft + hop - len(x))])
+        # formula-built mel filter bank
+        def mel(f):
+            return 2595.0 * np.log10(1.0 + f / 700.0)
+
+        def imel(m):
+            return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+        pts = imel(np.linspace(mel(0.0), mel(rate / 2.0), n_bands + 2))
+        bins = np.floor((n_fft + 1) * pts / rate).astype(int)
+        win = np.hanning(n_fft)
+        n_frames = 1 + (len(x) - n_fft) // hop
+        acc = np.zeros(n_bands)
+        for fidx in range(n_frames):
+            seg = x[fidx * hop:fidx * hop + n_fft] * win
+            p = np.abs(np.fft.rfft(seg)) ** 2
+            e = np.zeros(n_bands)
+            for m in range(n_bands):
+                lo, mid, hi = bins[m], bins[m + 1], bins[m + 2]
+                for k in range(lo, mid):
+                    e[m] += p[k] * (k - lo) / max(mid - lo, 1)
+                for k in range(mid, hi):
+                    e[m] += p[k] * (hi - k) / max(hi - mid, 1)
+            acc += np.log10(e + 1e-12)
+        env = acc / n_frames
+        val = 0
+        for b in (env[:-1] > env[1:]):
+            val = (val << 1) | int(b)
+        return val - (1 << 64) if val >= (1 << 63) else val
+
+    at = make_audio_dup_fixture(5)
+    arows = []
+    for mid, mime, p in zip(at["media_id"].to_pylist(),
+                            at["mime"].to_pylist(),
+                            at["payload"].to_pylist()):
+        dec = _dfa if mime == "audio/flac" else _dwav
+        x, rate = dec(p)
+        arows.append((mid, mime, indep_afp(x, rate)))
+    adf2 = pd.DataFrame(arows, columns=["media_id", "mime", "afp64"])
+    adf2 = adf2.sort_values("media_id").reset_index(drop=True)
+    goldens["audio_fingerprint"] = ("independent", adf2)
+    ah = adf2["afp64"].to_numpy()
+    aids = adf2["media_id"].to_numpy()
+    apairs = []
+    for i in range(len(ah)):
+        for j in range(i + 1, len(ah)):
+            d = bin((int(ah[i]) ^ int(ah[j])) & ((1 << 64) - 1)).count("1")
+            if d <= 7:
+                apairs.append((int(aids[i]), int(aids[j]), d))
+    goldens["audio_dup_pairs"] = ("independent", pd.DataFrame(
+        apairs, columns=["id_a", "id_b", "hamming"]))
+
     # audio spectral features: ray-free direct stage call (frozen)
     from xpshacl_ray.stages.multimodal import AudioSpectral
 

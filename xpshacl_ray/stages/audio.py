@@ -395,3 +395,31 @@ def spectral_features(x: np.ndarray, rate: int, n_fft: int = 256,
     power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
     mels = power @ mel_filterbank(n_fft, n_mels, rate).T
     return np.log10(mels.mean(axis=0) + 1e-10)
+
+
+def audio_fingerprint(x: np.ndarray, rate: int, n_fft: int = 256,
+                      hop: int = 128, n_bands: int = 65) -> int:
+    """float64 mono samples → 64-bit robust audio fingerprint.
+
+    The Haitsma-Kalker band-sign family, clip-level variant: Hann STFT
+    → ``n_bands`` mel band energies per frame → time-averaged LOG
+    energies (the clip's spectral envelope) → one bit per adjacent
+    band pair, set when the lower band carries more energy.  Log
+    differences cancel gain, and the envelope survives lossy
+    re-encoding, so duplicates land within a few bits while clips with
+    different spectral content diverge.  Returned as a signed int64
+    for Arrow storage."""
+    if len(x) < n_fft + hop:
+        x = np.pad(x, (0, n_fft + hop - len(x)))
+    n_frames = 1 + (len(x) - n_fft) // hop
+    idx = (np.arange(n_fft)[None, :]
+           + hop * np.arange(n_frames)[:, None])
+    frames = x[idx] * np.hanning(n_fft)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    e = power @ mel_filterbank(n_fft, n_bands, rate).T  # (frames, bands)
+    env = np.log10(e + 1e-12).mean(axis=0)  # spectral envelope
+    votes = env[:-1] > env[1:]  # n_bands-1 bits
+    val = 0
+    for b in votes:
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val

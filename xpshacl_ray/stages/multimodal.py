@@ -1496,3 +1496,61 @@ def image_ahash(img: np.ndarray) -> int:
     for b in bits:
         val = (val << 1) | int(b)
     return val - (1 << 64) if val >= (1 << 63) else val
+
+
+class AudioFingerprint:
+    """Actor-pool audio fingerprint stage: decode (any supported
+    WAV/FLAC container) → 64-bit spectral-envelope fingerprint
+    (:func:`xpshacl_ray.stages.audio.audio_fingerprint`).  8 bytes per
+    clip leave the task — audio near-dup never ships samples."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from xpshacl_ray.stages.audio import audio_fingerprint
+
+        ids, mimes, fps = [], [], []
+        for mid, mime, payload in zip(batch["media_id"].to_pylist(),
+                                      batch["mime"].to_pylist(),
+                                      batch["payload"].to_pylist()):
+            if not mime.startswith("audio"):
+                continue
+            x, rate = _DECODABLE_AUDIO[mime](payload)
+            ids.append(mid)
+            mimes.append(mime)
+            fps.append(audio_fingerprint(x, rate))
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "mime": pa.array(mimes, pa.string()),
+                         "afp64": pa.array(fps, pa.int64())})
+
+
+def make_audio_dup_fixture(n_base: int = 5, seed: int = 43) -> pa.Table:
+    """Near-dup audio fixture: each base clip (two tones + noise, 16-bit
+    PCM WAV, even media_id) re-appears as a G.711 µ-law or FLAC
+    re-encode (odd media_id) — same audio, different container/codec;
+    distinct bases use different tone pairs, so their spectral
+    envelopes are far apart."""
+    from xpshacl_ray.stages.audio import encode_wav_ulaw
+    from xpshacl_ray.stages.flac import encode_flac_audio
+
+    rng = np.random.default_rng(seed)
+    ids, mimes, payloads = [], [], []
+    for i in range(n_base):
+        n = int(rng.integers(6000, 10000))
+        t = np.arange(n) / 8000
+        f1 = float(rng.uniform(150, 800))
+        f2 = float(rng.uniform(900, 3000))
+        x = np.clip(0.5 * np.sin(2 * np.pi * f1 * t)
+                    + 0.25 * np.sin(2 * np.pi * f2 * t)
+                    + 0.05 * rng.standard_normal(n), -1, 1)
+        ids.append(2 * i)
+        mimes.append("audio/wav")
+        payloads.append(encode_wav(x, 8000))
+        ids.append(2 * i + 1)
+        if i % 2 == 0:
+            mimes.append("audio/wav")
+            payloads.append(encode_wav_ulaw(x, 8000))
+        else:
+            mimes.append("audio/flac")
+            payloads.append(encode_flac_audio(x, 8000, blocksize=1024))
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "mime": pa.array(mimes, pa.string()),
+                     "payload": pa.array(payloads, pa.binary())})
