@@ -3497,6 +3497,28 @@ def q_audio_dup_pairs(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_video_dup_pairs(sf_dir: str):
+    """Video near-dup: fixture where each MJPEG track re-appears
+    re-encoded at a different JPEG quality AND re-muxed with different
+    chunking → actor-pool per-video fingerprint (majority dHash over 5
+    container-sampled frames, 8 bytes/video) → banded pairs.  Oracle:
+    independent loop-dHash + majority + brute-force pairs in
+    tools/make_goldens.py.  (sf_dir-independent.)"""
+    from xpshacl_ray.functions.dedup import hash64_near_dups
+    from xpshacl_ray.stages.multimodal import (
+        VideoFingerprint,
+        make_video_dup_fixture,
+    )
+
+    hashed = ray.data.from_arrow(make_video_dup_fixture(4)).map_batches(
+        VideoFingerprint, batch_format="pyarrow", batch_size=3,
+        concurrency=2)
+    pairs = hash64_near_dups(hashed, hash_col="vfp64",
+                             id_col="media_id", max_hamming=7, n_bands=8)
+    return (pairs.to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -4054,6 +4076,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_hashes": q_image_hashes,
         "audio_fingerprint": q_audio_fingerprint,
         "audio_dup_pairs": q_audio_dup_pairs,
+        "video_dup_pairs": q_video_dup_pairs,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

@@ -822,3 +822,37 @@ def test_dhash_ahash_invariance():
     brighter = np.clip(img.astype(np.int64) + 30, 0, 255).astype(np.uint8)
     from xpshacl_ray.stages.multimodal import image_dhash as dh
     assert bin((dh(img) ^ dh(brighter)) & ((1 << 64) - 1)).count("1") <= 4
+
+
+def test_video_fingerprint_remux_and_reencode_invariance():
+    from xpshacl_ray.functions.dedup import hash64_near_dups
+    from xpshacl_ray.stages.multimodal import (
+        VideoFingerprint,
+        make_video_dup_fixture,
+        video_fingerprint,
+    )
+
+    t = make_video_dup_fixture(4)
+    payloads = t["payload"].to_pylist()
+    # re-encode + re-mux copies collapse to (near-)identical prints
+    for i in range(4):
+        d = bin((video_fingerprint(payloads[2 * i])
+                 ^ video_fingerprint(payloads[2 * i + 1]))
+                & ((1 << 64) - 1)).count("1")
+        assert d <= 7, i
+    hashed = ray.data.from_arrow(t).map_batches(
+        VideoFingerprint, batch_format="pyarrow", concurrency=2)
+    pairs = hash64_near_dups(hashed, hash_col="vfp64",
+                             id_col="media_id", max_hamming=7,
+                             n_bands=8).to_pandas()
+    got = sorted(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
+    assert got == [(0, 1), (2, 3), (4, 5), (6, 7)]
+    # undecodable codec → null fingerprint in-band
+    from xpshacl_ray.stages import mp4
+    import pyarrow as pa
+    bad = pa.table({"media_id": pa.array([0], pa.int64()),
+                    "payload": pa.array(
+                        [mp4.build_mp4([b"x" * 8], 4, 4, codec=b"avc1")],
+                        pa.binary())})
+    out = VideoFingerprint()(bad).to_pandas()
+    assert out["vfp64"].isna().all()

@@ -548,6 +548,36 @@ def main():
     goldens["audio_dup_pairs"] = ("independent", pd.DataFrame(
         apairs, columns=["id_a", "id_b", "hamming"]))
 
+    # video near-dup: independent loop-dHash + per-bit majority over
+    # the engine-sampled frames + brute-force pairs
+    from xpshacl_ray.stages.multimodal import (
+        decode_mp4_frames,
+        make_video_dup_fixture,
+    )
+
+    def indep_vfp(payload, k=5):
+        frames = decode_mp4_frames(payload, k)
+        hashes = []
+        for fr in frames:
+            g = _bin_means(fr.astype(np.float64).mean(axis=2), 8, 9)
+            hashes.append([int(g[r, c] > g[r, c + 1])
+                           for r in range(8) for c in range(8)])
+        maj = [int(sum(h[b] for h in hashes) * 2 > len(hashes))
+               for b in range(64)]
+        return _pack(maj)
+
+    vt2 = make_video_dup_fixture(4)
+    vfp = [(mid, indep_vfp(p)) for mid, p in
+           zip(vt2["media_id"].to_pylist(), vt2["payload"].to_pylist())]
+    vpairs = []
+    for i in range(len(vfp)):
+        for j in range(i + 1, len(vfp)):
+            d = bin((vfp[i][1] ^ vfp[j][1]) & ((1 << 64) - 1)).count("1")
+            if d <= 7:
+                vpairs.append((vfp[i][0], vfp[j][0], d))
+    goldens["video_dup_pairs"] = ("independent", pd.DataFrame(
+        vpairs, columns=["id_a", "id_b", "hamming"]))
+
     # audio spectral features: ray-free direct stage call (frozen)
     from xpshacl_ray.stages.multimodal import AudioSpectral
 

@@ -1554,3 +1554,71 @@ def make_audio_dup_fixture(n_base: int = 5, seed: int = 43) -> pa.Table:
     return pa.table({"media_id": pa.array(ids, pa.int64()),
                      "mime": pa.array(mimes, pa.string()),
                      "payload": pa.array(payloads, pa.binary())})
+
+
+def video_fingerprint(payload: bytes, k: int = 5) -> int:
+    """MJPEG-MP4 bytes → 64-bit video fingerprint: dHash each of ``k``
+    evenly-spaced sampled frames (container-level sampling — only those
+    frames decode), then take the per-bit MAJORITY across frames.
+    dHash's gradient bits barely move under JPEG re-encoding (unlike
+    pHash's near-median DCT bits), so re-encoded/re-muxed copies land
+    within a few bits while different content diverges."""
+    frames = decode_mp4_frames(payload, k)
+    hs = np.array([image_dhash(f) for f in frames],
+                  dtype=np.int64).view(np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    bits = ((hs[:, None] >> bit_idx[None, :]) & np.uint64(1))
+    maj = bits.sum(axis=0) * 2 > len(hs)
+    val = 0
+    for b in maj[::-1]:  # bit 63 first (MSB-first packing)
+        val = (val << 1) | int(b)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+class VideoFingerprint:
+    """Actor-pool video near-dup stage: (media_id, payload) MP4 rows →
+    64-bit fingerprints (8 bytes/video leave the task).  Undecodable
+    codecs yield null fingerprints in-band."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(),
+                                batch["payload"].to_pylist()):
+            try:
+                fps.append(video_fingerprint(payload))
+            except (ValueError, NotImplementedError):
+                fps.append(None)
+            ids.append(mid)
+        return pa.table({"media_id": pa.array(ids, pa.int64()),
+                         "vfp64": pa.array(fps, pa.int64())})
+
+
+def make_video_dup_fixture(n_base: int = 4, seed: int = 47) -> pa.Table:
+    """Near-dup video fixture: each base MJPEG track (even media_id)
+    re-appears re-encoded at a different JPEG quality AND re-muxed with
+    a different chunking (odd media_id) — same content, different
+    bytes; distinct bases use different scene gradients."""
+    rng = np.random.default_rng(seed)
+    ids, payloads = [], []
+    for i in range(n_base):
+        h, w = int(rng.integers(33, 56)), int(rng.integers(33, 56))
+        nf = int(rng.integers(6, 10))
+        yy, xx = np.mgrid[0:h, 0:w]
+        ph = float(rng.uniform(0, 2 * np.pi))
+        frames = np.stack([np.clip(np.stack([
+            128 + 100 * np.sin(2 * np.pi * yy / h * (1 + i % 3)
+                               + ph + 0.2 * f),
+            128 + 100 * np.cos(2 * np.pi * xx / w * (1 + i % 2) + ph),
+            128 + 100 * np.sin(2 * np.pi * (xx + yy) / (h + w) + i),
+        ], axis=-1) + rng.normal(0, 2, (h, w, 3)), 0, 255)
+            for f in range(nf)]).astype(np.uint8)
+        ids.append(2 * i)
+        payloads.append(encode_mjpeg_mp4(frames, quality=95,
+                                         samples_per_chunk=3))
+        ids.append(2 * i + 1)
+        payloads.append(encode_mjpeg_mp4(frames, quality=92,
+                                         samples_per_chunk=2))
+    return pa.table({"media_id": pa.array(ids, pa.int64()),
+                     "mime": pa.array(["video/mp4"] * len(ids),
+                                      pa.string()),
+                     "payload": pa.array(payloads, pa.binary())})
