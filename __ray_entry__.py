@@ -3519,6 +3519,26 @@ def q_video_dup_pairs(sf_dir: str):
             .reset_index(drop=True))
 
 
+def q_subtitle_cues(sf_dir: str):
+    """Subtitle on-ramp: deterministic SRT + WebVTT fixture (mixed
+    formats, NOTE blocks, cue settings) → actor-pool parse → exploded
+    (doc_id, cue_idx, start_ms, end_ms, text) rows — the alignment key
+    for frame-caption pair mining.  Oracle: the fixture's cue PLAN,
+    independent of the parser.  (sf_dir-independent.)"""
+    from xpshacl_ray.sources.subtitles import (
+        SubtitleParser,
+        make_subtitle_fixture,
+    )
+
+    table, _plan = make_subtitle_fixture(4)
+    out = (ray.data.from_arrow(table)
+           .map_batches(SubtitleParser, batch_format="pyarrow",
+                        batch_size=2, concurrency=2)
+           .to_pandas().sort_values(["doc_id", "cue_idx"])
+           .reset_index(drop=True))
+    return out
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -4077,6 +4097,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_fingerprint": q_audio_fingerprint,
         "audio_dup_pairs": q_audio_dup_pairs,
         "video_dup_pairs": q_video_dup_pairs,
+        "subtitle_cues": q_subtitle_cues,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

@@ -578,6 +578,16 @@ def main():
     goldens["video_dup_pairs"] = ("independent", pd.DataFrame(
         vpairs, columns=["id_a", "id_b", "hamming"]))
 
+    # subtitle cues: the oracle is the fixture's cue PLAN (timings and
+    # texts as constructed, independent of the parser)
+    from xpshacl_ray.sources.subtitles import make_subtitle_fixture
+
+    _st, splan = make_subtitle_fixture(4)
+    sdf = pd.DataFrame(splan)[["doc_id", "cue_idx", "start_ms",
+                               "end_ms", "text"]]
+    goldens["subtitle_cues"] = ("independent", sdf.sort_values(
+        ["doc_id", "cue_idx"]).reset_index(drop=True))
+
     # audio spectral features: ray-free direct stage call (frozen)
     from xpshacl_ray.stages.multimodal import AudioSpectral
 
