@@ -3539,6 +3539,28 @@ def q_subtitle_cues(sf_dir: str):
     return out
 
 
+def q_frame_captions(sf_dir: str):
+    """Frame-caption pair mining: per doc an MJPEG MP4 + SRT cues →
+    k evenly-spaced sample times from the CONTAINER duration (metadata
+    only, no frame decodes) matched to the covering cue; gaps yield
+    null captions in-band.  Oracle: the same alignment computed from
+    the fixture PLAN (durations + cue windows) in tools/make_goldens.py
+    — no container or subtitle parsing.  (sf_dir-independent.)"""
+    from xpshacl_ray.sources.subtitles import (
+        FrameCaptionAligner,
+        make_av_fixture,
+    )
+
+    table, _plan = make_av_fixture(3)
+    out = (ray.data.from_arrow(table)
+           .map_batches(FrameCaptionAligner, batch_format="pyarrow",
+                        fn_constructor_kwargs=dict(k=6),
+                        batch_size=2, concurrency=2)
+           .to_pandas().sort_values(["doc_id", "sample_idx"])
+           .reset_index(drop=True))
+    return out
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -4098,6 +4120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_pairs": q_audio_dup_pairs,
         "video_dup_pairs": q_video_dup_pairs,
         "subtitle_cues": q_subtitle_cues,
+        "frame_captions": q_frame_captions,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

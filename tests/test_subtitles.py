@@ -57,3 +57,27 @@ def test_stage_explodes_fixture_to_plan():
         assert (g["end_ms"].to_numpy()[:-1]
                 <= g["start_ms"].to_numpy()[1:]).all()
         assert (np.diff(g["start_ms"].to_numpy()) > 0).all()
+
+
+def test_frame_caption_alignment_matches_plan():
+    from xpshacl_ray.sources.subtitles import (
+        FrameCaptionAligner,
+        make_av_fixture,
+    )
+
+    table, plan = make_av_fixture(3)
+    out = FrameCaptionAligner(6)(table).to_pandas()
+    assert len(out) == 18
+    for doc in plan:
+        g = out[out["doc_id"] == doc["doc_id"]].sort_values("sample_idx")
+        times = np.linspace(0, doc["duration_ms"] - 1, 6).astype(int)
+        assert g["t_ms"].tolist() == times.tolist()  # container duration
+        for t, cap in zip(times, g["caption"]):
+            hit = next((c for c in doc["cues"]
+                        if c["start_ms"] <= t < c["end_ms"]), None)
+            if hit is None:
+                assert cap is None or cap != cap
+            else:
+                assert cap == hit["text"]
+    # at least one gap (null caption) and one match exist in the fixture
+    assert out["caption"].isna().any() and out["caption"].notna().any()

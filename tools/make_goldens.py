@@ -588,6 +588,26 @@ def main():
     goldens["subtitle_cues"] = ("independent", sdf.sort_values(
         ["doc_id", "cue_idx"]).reset_index(drop=True))
 
+    # frame-caption alignment: computed from the fixture PLAN alone
+    # (durations + cue windows — no container or subtitle parsing)
+    from xpshacl_ray.sources.subtitles import make_av_fixture
+
+    _avt, avplan = make_av_fixture(3)
+    frows = []
+    for doc in avplan:
+        times = np.linspace(0, max(doc["duration_ms"] - 1, 0),
+                            6).astype(np.int64)
+        for si, t in enumerate(times):
+            hit = next((c for c in doc["cues"]
+                        if c["start_ms"] <= t < c["end_ms"]), None)
+            frows.append((doc["doc_id"], si, int(t),
+                          None if hit is None else hit["cue_idx"],
+                          None if hit is None else hit["text"]))
+    fdf = pd.DataFrame(frows, columns=["doc_id", "sample_idx", "t_ms",
+                                       "cue_idx", "caption"])
+    fdf["cue_idx"] = fdf["cue_idx"].astype("Int64")
+    goldens["frame_captions"] = ("independent", fdf)
+
     # audio spectral features: ray-free direct stage call (frozen)
     from xpshacl_ray.stages.multimodal import AudioSpectral
 

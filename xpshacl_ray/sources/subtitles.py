@@ -158,3 +158,84 @@ def make_subtitle_fixture(n_docs: int = 4, seed: int = 53):
     table = pa.table({"doc_id": pa.array(ids, pa.int64()),
                       "payload": pa.array(payloads, pa.binary())})
     return table, plan
+
+
+def make_av_fixture(n_docs: int = 3, seed: int = 59):
+    """Deterministic audio-visual fixture: per doc an MJPEG MP4 (known
+    frame count → known duration at 25 fps) + subtitle cues covering
+    parts of it, plus the PLAN (durations + cue windows) — ground truth
+    for frame-caption alignment, independent of the join code."""
+    import numpy as np
+
+    from xpshacl_ray.stages.multimodal import encode_mjpeg_mp4
+
+    rng = np.random.default_rng(seed)
+    ids, videos, subs, plan = [], [], [], []
+    for d in range(n_docs):
+        nf = int(rng.integers(8, 14))
+        h, w = int(rng.integers(10, 20)), int(rng.integers(10, 20))
+        frames = rng.integers(0, 256, size=(nf, h, w, 3), dtype=np.uint8)
+        videos.append(encode_mjpeg_mp4(frames, quality=90))
+        duration_ms = nf * 40  # encode_mjpeg_mp4's 40 ms sample delta
+        cues, t = [], 0
+        ci = 0
+        while t < duration_ms - 60:
+            dur = int(rng.integers(60, 160))
+            gap = int(rng.integers(0, 80))
+            end = min(t + dur, duration_ms)
+            cues.append({"cue_idx": ci, "start_ms": t, "end_ms": end,
+                         "text": f"d{d}c{ci}"})
+            ci += 1
+            t = end + gap
+        subs.append(write_srt(cues).encode())
+        ids.append(d)
+        plan.append({"doc_id": d, "duration_ms": duration_ms,
+                     "cues": cues})
+    table = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "video": pa.array(videos, pa.binary()),
+                      "subs": pa.array(subs, pa.binary())})
+    return table, plan
+
+
+class FrameCaptionAligner:
+    """Actor-pool frame-caption pair miner: (doc_id, video, subs) rows
+    → (doc_id, sample_idx, t_ms, cue_idx, caption) for ``k`` evenly-
+    spaced sample times derived from the CONTAINER duration (no frame
+    decodes — alignment is metadata-only), each matched to the covering
+    cue (nulls when the time falls in a gap)."""
+
+    def __init__(self, k: int = 6):
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from xpshacl_ray.stages import mp4 as m
+
+        cols = {"doc_id": [], "sample_idx": [], "t_ms": [],
+                "cue_idx": [], "caption": []}
+        for doc_id, video, subs in zip(batch["doc_id"].to_pylist(),
+                                       batch["video"].to_pylist(),
+                                       batch["subs"].to_pylist()):
+            info = m.parse_mp4(video)
+            duration_ms = int(round(info["duration_s"] * 1000))
+            cues = parse_subtitles(subs.decode("utf-8", "replace"))
+            times = np.linspace(0, max(duration_ms - 1, 0),
+                                self.k).astype(np.int64)
+            for si, t in enumerate(times):
+                hit = next((c for c in cues
+                            if c["start_ms"] <= t < c["end_ms"]), None)
+                cols["doc_id"].append(int(doc_id))
+                cols["sample_idx"].append(si)
+                cols["t_ms"].append(int(t))
+                cols["cue_idx"].append(None if hit is None
+                                       else hit["cue_idx"])
+                cols["caption"].append(None if hit is None
+                                       else hit["text"])
+        return pa.table({
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "sample_idx": pa.array(cols["sample_idx"], pa.int64()),
+            "t_ms": pa.array(cols["t_ms"], pa.int64()),
+            "cue_idx": pa.array(cols["cue_idx"], pa.int64()),
+            "caption": pa.array(cols["caption"], pa.string()),
+        })
