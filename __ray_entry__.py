@@ -3561,6 +3561,22 @@ def q_frame_captions(sf_dir: str):
     return out
 
 
+def q_id3_extract(sf_dir: str):
+    """Audio metadata without decoding: MP3 payloads stay honestly
+    undecodable, but their ID3v2 tags are pure container structure —
+    fixture mixes v2.4 / v2.3 / untagged rows per a KNOWN plan →
+    actor-pool parse → named columns with nulls in-band.  Oracle: the
+    plan itself, independent of the parser.  (sf_dir-independent.)"""
+    from xpshacl_ray.stages.id3 import Id3Extractor, make_id3_fixture
+
+    table, _plan = make_id3_fixture(6)
+    out = (ray.data.from_arrow(table)
+           .map_batches(Id3Extractor, batch_format="pyarrow",
+                        batch_size=3, concurrency=2)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    return out
+
+
 def q_drift_lang_psi(sf_dir: str):
     """PSI of each source's lang mix vs the global mix — fully distributed:
     one ``sketch_rows`` pass builds a mergeable histogram per source (the
@@ -4121,6 +4137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_dup_pairs": q_video_dup_pairs,
         "subtitle_cues": q_subtitle_cues,
         "frame_captions": q_frame_captions,
+        "id3_extract": q_id3_extract,
         "datatype_violations": q_datatype_violations,
         "nodekind_violations": q_nodekind_violations,
         "pattern_violations": q_pattern_violations,

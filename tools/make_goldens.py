@@ -608,6 +608,15 @@ def main():
     fdf["cue_idx"] = fdf["cue_idx"].astype("Int64")
     goldens["frame_captions"] = ("independent", fdf)
 
+    # ID3 extraction: the oracle is the fixture's tag PLAN
+    from xpshacl_ray.stages.id3 import make_id3_fixture
+
+    _it, iplan = make_id3_fixture(6)
+    idf = pd.DataFrame(iplan)[["media_id", "has_id3", "title", "artist",
+                               "album", "year", "length_ms"]]
+    idf["length_ms"] = idf["length_ms"].astype("Int64")
+    goldens["id3_extract"] = ("independent", idf)
+
     # audio spectral features: ray-free direct stage call (frozen)
     from xpshacl_ray.stages.multimodal import AudioSpectral
 
