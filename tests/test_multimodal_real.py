@@ -856,3 +856,38 @@ def test_video_fingerprint_remux_and_reencode_invariance():
                         pa.binary())})
     out = VideoFingerprint()(bad).to_pandas()
     assert out["vfp64"].isna().all()
+
+
+def test_png_text_chunks_parse_add_strip():
+    import struct
+
+    from xpshacl_ray.stages.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+        encode_png,
+        png_add_text,
+        png_strip_text,
+        png_text_chunks,
+    )
+
+    rng = np.random.default_rng(63)
+    img = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    base = encode_png(img)
+    tagged = png_add_text(base, {"Software": "xr", "Author": "synth",
+                                 "prompt": "a test gradient"})
+    assert png_text_chunks(tagged) == {"Software": "xr",
+                                       "Author": "synth",
+                                       "prompt": "a test gradient"}
+    assert np.array_equal(decode_png(tagged), img)  # pixels untouched
+    stripped = png_strip_text(tagged)
+    assert png_text_chunks(stripped) == {}
+    assert np.array_equal(decode_png(stripped), img)
+    # iTXt (uncompressed, language-tagged UTF-8)
+    itxt = _png_chunk(b"iTXt", b"Comment\x00\x00\x00en\x00Kommentar"
+                      b"\x00h\xc3\xa9llo")
+    cut = 8 + 12 + 13  # after IHDR
+    t2 = tagged[:cut] + itxt + tagged[cut:]
+    assert png_text_chunks(t2)["Comment"] == "héllo"
+    with pytest.raises(ValueError):
+        png_text_chunks(b"not png")

@@ -1622,3 +1622,70 @@ def make_video_dup_fixture(n_base: int = 4, seed: int = 47) -> pa.Table:
                      "mime": pa.array(["video/mp4"] * len(ids),
                                       pa.string()),
                      "payload": pa.array(payloads, pa.binary())})
+
+
+def png_text_chunks(payload: bytes) -> dict:
+    """PNG → {keyword: value} from tEXt (latin-1) and iTXt
+    (uncompressed UTF-8) chunks — the PNG analog of EXIF/ID3 metadata
+    (Software, Author, prompts, ...)."""
+    import struct
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    out = {}
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"tEXt":
+            key, _, val = body.partition(b"\x00")
+            out[key.decode("latin-1")] = val.decode("latin-1")
+        elif tag == b"iTXt":
+            key, _, rest = body.partition(b"\x00")
+            if rest[:1] == b"\x00":  # uncompressed only
+                # skip compression method + language tag + translated kw
+                rest = rest[2:]
+                _lang, _, rest = rest.partition(b"\x00")
+                _tkw, _, val = rest.partition(b"\x00")
+                out[key.decode("latin-1")] = val.decode("utf-8",
+                                                        "replace")
+        elif tag == b"IEND":
+            break
+    return out
+
+
+def png_add_text(payload: bytes, texts: dict) -> bytes:
+    """Insert tEXt chunks (latin-1) right after IHDR."""
+    import struct
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    (ihdr_len,) = struct.unpack(">I", payload[8:12])
+    cut = 8 + 12 + ihdr_len
+    chunks = b"".join(_png_chunk(
+        b"tEXt", k.encode("latin-1") + b"\x00" + str(v).encode("latin-1"))
+        for k, v in sorted(texts.items()))
+    return payload[:cut] + chunks + payload[cut:]
+
+
+def png_strip_text(payload: bytes) -> bytes:
+    """Drop every tEXt/zTXt/iTXt/tIME chunk (metadata scrub); pixel
+    chunks pass through untouched."""
+    import struct
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    out = bytearray(payload[:8])
+    pos = 8
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        chunk = payload[pos:pos + 12 + length]
+        pos += 12 + length
+        if tag not in (b"tEXt", b"zTXt", b"iTXt", b"tIME"):
+            out += chunk
+        if tag == b"IEND":
+            break
+    return bytes(out)
