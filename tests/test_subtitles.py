@@ -81,3 +81,34 @@ def test_frame_caption_alignment_matches_plan():
                 assert cap == hit["text"]
     # at least one gap (null caption) and one match exist in the fixture
     assert out["caption"].isna().any() and out["caption"].notna().any()
+
+
+# ---------------------------------------------------------------------------
+# property-based fuzz (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_cue_text = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF,
+                           blacklist_characters="\n\r"),
+    min_size=1, max_size=60).map(lambda s: " ".join(s.split()) or "x")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 3_000_000),
+                          st.integers(1, 60_000), _cue_text),
+                min_size=1, max_size=12),
+       st.booleans())
+def test_subtitle_roundtrip_fuzz(raw, use_vtt):
+    # build strictly-increasing, non-overlapping cues from the raw data
+    t = 0
+    cues = []
+    for start_off, dur, text in raw:
+        start = t + start_off % 5000
+        cues.append({"cue_idx": len(cues), "start_ms": start,
+                     "end_ms": start + dur, "text": text})
+        t = start + dur + 1
+    doc = write_vtt(cues) if use_vtt else write_srt(cues)
+    assert parse_subtitles(doc) == cues
