@@ -225,3 +225,38 @@ def test_audio_fingerprint_robustness_and_pairs():
     got = sorted(map(tuple, pairs[["id_a", "id_b"]].to_numpy()))
     # exactly the five planted re-encode pairs, nothing else
     assert got == [(0, 1), (2, 3), (4, 5), (6, 7), (8, 9)]
+
+
+def test_au_and_aiff_containers():
+    from xpshacl_ray.stages.audio import (
+        _f80_decode,
+        _f80_encode,
+        decode_aiff,
+        decode_au,
+        encode_aiff,
+        encode_au,
+    )
+    from xpshacl_ray.stages.multimodal import MediaDecoder
+
+    x = np.clip(_tone(3000), -1, 1)
+    y, r = decode_au(encode_au(x, 8000))
+    assert r == 8000 and np.abs(y - x).max() < 1e-3
+    # AU µ-law reuses the bit-exact G.711 path
+    yu, _ = decode_au(encode_au(x, 8000, encoding=1))
+    assert np.abs(yu - x).max() < 0.04
+    y3, r3 = decode_aiff(encode_aiff(x, 44100))
+    assert r3 == 44100 and np.abs(y3 - x).max() < 1e-3
+    y8, _ = decode_aiff(encode_aiff(x, 8000, bits=8))
+    assert np.abs(y8 - x).max() < 0.02
+    # 80-bit extended-float sample rates roundtrip exactly
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000):
+        assert int(round(_f80_decode(_f80_encode(float(rate))))) == rate
+    with pytest.raises(ValueError, match="AU"):
+        decode_au(b"RIFF nope")
+    with pytest.raises(ValueError, match="AIFF"):
+        decode_aiff(b".snd nope")
+    # through MediaDecoder by mime
+    for mime, payload in [("audio/basic", encode_au(x, 8000)),
+                          ("audio/aiff", encode_aiff(x, 8000))]:
+        f = MediaDecoder()._decode_one(mime, payload)
+        assert f.shape == (MediaDecoder.FEATURE_DIM,)

@@ -32,6 +32,7 @@ MIME_BY_EXT = {
     "png": "image/png", "jpg": "image/jpeg", "jpeg": "image/jpeg",
     "gif": "image/gif", "tif": "image/tiff", "tiff": "image/tiff",
     "mp4": "video/mp4", "wav": "audio/wav", "flac": "audio/flac",
+    "au": "audio/basic", "aiff": "audio/aiff", "aif": "audio/aiff",
     "qoi": "image/qoi", "tga": "image/x-tga",
     "txt": "text/plain", "json": "application/json",
     "cls": "text/plain",

@@ -423,3 +423,150 @@ def audio_fingerprint(x: np.ndarray, rate: int, n_fft: int = 256,
     for b in votes:
         val = (val << 1) | int(b)
     return val - (1 << 64) if val >= (1 << 63) else val
+
+
+# ---------------------------------------------------------------------------
+# AU (Sun/NeXT) and AIFF containers
+# ---------------------------------------------------------------------------
+
+_AU_ULAW, _AU_PCM8, _AU_PCM16, _AU_PCM24, _AU_PCM32 = 1, 2, 3, 4, 5
+_AU_F32, _AU_ALAW = 6, 27
+
+
+def decode_au(payload: bytes) -> Tuple[np.ndarray, int]:
+    """Sun/NeXT ``.au`` → (float64 channel-mean samples, rate).
+    Big-endian header ``.snd``; encodings: µ-law, 8/16/24/32-bit
+    linear PCM, float32, A-law."""
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU payload (missing .snd)")
+    off, size, enc, rate, ch = struct.unpack_from(">IIIII", payload, 4)
+    data = payload[off:off + size] if size != 0xFFFFFFFF else payload[off:]
+    if enc == _AU_ULAW:
+        x = ulaw_decode(data).astype(np.float64) / 32768.0
+    elif enc == _AU_ALAW:
+        x = alaw_decode(data).astype(np.float64) / 32768.0
+    elif enc == _AU_PCM8:  # AU 8-bit is SIGNED (unlike WAV)
+        x = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+    elif enc == _AU_PCM16:
+        x = np.frombuffer(data, ">i2").astype(np.float64) / 32768.0
+    elif enc == _AU_PCM24:
+        b = np.frombuffer(data, np.uint8)
+        b = b[:len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
+        v = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif enc == _AU_PCM32:
+        x = np.frombuffer(data, ">i4").astype(np.float64) / float(1 << 31)
+    elif enc == _AU_F32:
+        x = np.frombuffer(data, ">f4").astype(np.float64)
+    else:
+        raise NotImplementedError(
+            f"AU encoding {enc} not supported (µ-law/A-law/PCM/float "
+            "decode natively; ADPCM-in-AU plugs in here)")
+    if ch > 1:
+        x = x[:len(x) - len(x) % ch].reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def encode_au(samples: np.ndarray, rate: int = 8_000,
+              encoding: int = _AU_PCM16) -> bytes:
+    """float64 [-1, 1] mono → AU (16-bit PCM or µ-law)."""
+    if encoding == _AU_PCM16:
+        data = np.clip(samples * 32767, -32768, 32767).astype(
+            ">i2").tobytes()
+    elif encoding == _AU_ULAW:
+        data = ulaw_encode(np.clip(samples * 32767, -32768, 32767)
+                           .astype(np.int16))
+    else:
+        raise ValueError(f"encoder supports PCM16/µ-law, got {encoding}")
+    return struct.pack(">IIIIII", 0x2E736E64, 24, len(data), encoding,
+                       rate, 1).replace(
+        struct.pack(">I", 0x2E736E64), b".snd") + data
+
+
+def _f80_decode(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (AIFF sample rates)."""
+    sign = -1.0 if b[0] & 0x80 else 1.0
+    exp = ((b[0] & 0x7F) << 8 | b[1]) - 16383
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == -16383 and mant == 0:
+        return 0.0
+    return sign * mant * 2.0 ** (exp - 63)
+
+
+def _f80_encode(v: float) -> bytes:
+    if v == 0:
+        return b"\x00" * 10
+    sign = 0x80 if v < 0 else 0
+    v = abs(v)
+    exp = 0
+    while v >= 2.0:
+        v /= 2.0
+        exp += 1
+    while v < 1.0:
+        v *= 2.0
+        exp -= 1
+    mant = int(v * (1 << 63))
+    e = exp + 16383
+    return bytes([sign | (e >> 8), e & 0xFF]) + mant.to_bytes(8, "big")
+
+
+def decode_aiff(payload: bytes) -> Tuple[np.ndarray, int]:
+    """AIFF (``FORM``/``AIFF``, big-endian PCM, 80-bit-float rate) →
+    (float64 channel-mean samples, rate)."""
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos = 12
+    ch = bits = rate = None
+    n_frames = 0
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack_from(">I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        pos += 8 + size + (size & 1)
+        if cid == b"COMM":
+            ch, n_frames, bits = struct.unpack_from(">HIH", body, 0)
+            rate = int(round(_f80_decode(body[8:18])))
+        elif cid == b"SSND":
+            (off,) = struct.unpack_from(">I", body, 0)
+            data = body[8 + off:]
+    if ch is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    if bits == 16:
+        x = np.frombuffer(data, ">i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+    elif bits == 24:
+        b = np.frombuffer(data, np.uint8)
+        b = b[:len(b) - len(b) % 3].reshape(-1, 3).astype(np.int64)
+        v = (b[:, 0] << 16) | (b[:, 1] << 8) | b[:, 2]
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        x = v.astype(np.float64) / float(1 << 23)
+    elif bits == 32:
+        x = np.frombuffer(data, ">i4").astype(np.float64) / float(1 << 31)
+    else:
+        raise NotImplementedError(f"{bits}-bit AIFF not supported")
+    x = x[:n_frames * ch]
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, rate
+
+
+def encode_aiff(samples: np.ndarray, rate: int = 8_000,
+                bits: int = 16) -> bytes:
+    """float64 [-1, 1] mono → AIFF (big-endian PCM)."""
+    if bits == 16:
+        data = np.clip(samples * 32767, -32768, 32767).astype(
+            ">i2").tobytes()
+    elif bits == 8:
+        data = np.clip(samples * 127, -128, 127).astype(np.int8).tobytes()
+    else:
+        raise ValueError("encoder supports 8/16-bit")
+    comm = struct.pack(">HIH", 1, len(samples), bits) + _f80_encode(
+        float(rate))
+    ssnd = struct.pack(">II", 0, 0) + data
+    body = (b"AIFF" + b"COMM" + struct.pack(">I", len(comm)) + comm
+            + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+            + (b"\x00" if len(ssnd) & 1 else b""))
+    return b"FORM" + struct.pack(">I", len(body)) + body

@@ -538,10 +538,14 @@ _DECODABLE_IMAGE = {"image/x-portable-pixmap": decode_ppm,
                     "image/qoi": decode_qoi,
                     "image/x-tga": decode_tga}
 from xpshacl_ray.stages.flac import decode_flac_audio  # noqa: E402
+from xpshacl_ray.stages.audio import decode_aiff, decode_au  # noqa: E402
 
 _DECODABLE_AUDIO = {"audio/wav": decode_wav, "audio/x-wav": decode_wav,
                     "audio/flac": decode_flac_audio,
-                    "audio/x-flac": decode_flac_audio}
+                    "audio/x-flac": decode_flac_audio,
+                    "audio/basic": decode_au,
+                    "audio/aiff": decode_aiff,
+                    "audio/x-aiff": decode_aiff}
 
 #: stsd sample-entry fourccs whose samples are complete JPEG images
 _MJPEG_CODECS = {"jpeg", "mjpg", "mjpa", "AVDJ", "dmb1"}
