@@ -184,11 +184,12 @@ def test_audio_spectral_stage_mixed_media():
         make_real_media_table,
     )
 
-    t = make_real_media_table(22)
+    t = make_real_media_table(28)
     out = AudioSpectral()(t).to_pandas()
-    # only the audio rows survive (2 full cycles of the 11-kind fixture)
-    assert set(out["mime"]) == {"audio/wav", "audio/flac"}
-    assert len(out) == 8
+    # only the audio rows survive (2 full cycles of the 14-kind fixture)
+    assert set(out["mime"]) == {"audio/wav", "audio/flac",
+                                "audio/basic", "audio/aiff"}
+    assert len(out) == 12
     feats = out[[f"m{j}" for j in range(8)]].to_numpy()
     assert np.isfinite(feats).all()
     # empty batch (no audio) yields the zero-row schema

@@ -652,12 +652,27 @@ def make_fake_media_table(n: int = 16, seed: int = 42) -> pa.Table:
 def make_real_media_table(n: int = 12, seed: int = 42) -> pa.Table:
     """Deterministic REAL media rows: round-robin P6 PPM / BMP / PNG /
     baseline JPEG / LZW-predictor TIFF / QOI images, PCM + G.711 µ-law
-    + IMA-ADPCM WAV and FLAC clips, multi-frame LZW GIFs and MJPEG MP4
-    videos, all synthesized stdlib+numpy."""
+    + IMA-ADPCM WAV, FLAC, AU and AIFF clips, multi-frame LZW GIFs and
+    MJPEG MP4 videos, all synthesized stdlib+numpy."""
     rng = np.random.default_rng(seed)
     ids, mimes, payloads, metas = [], [], [], []
     for i in range(n):
-        kind = i % 12
+        kind = i % 14
+        if kind in (12, 13):
+            from xpshacl_ray.stages.audio import encode_aiff, encode_au
+
+            rate = 8_000
+            t = np.arange(int(rng.integers(400, 4000))) / rate
+            x = 0.5 * np.sin(2 * np.pi * float(rng.integers(100, 900)) * t)
+            if kind == 12:
+                payloads.append(encode_au(x, rate, encoding=1))  # µ-law
+                mimes.append("audio/basic")
+            else:
+                payloads.append(encode_aiff(x, rate))
+                mimes.append("audio/aiff")
+            metas.append({"width": 0, "height": 0, "n_frames": len(t)})
+            ids.append(i)
+            continue
         if kind == 11:
             from xpshacl_ray.stages.qoi import encode_qoi
 
